@@ -1,0 +1,265 @@
+"""The reference pipeline's domain operators, re-expressed Spark-first.
+
+Each function is a pure DataFrame→DataFrame operator (lazy, no collects),
+so the whole reference DAG (SURVEY.md §3.1) composes into ONE Catalyst
+plan:
+
+    project_news(tag_country(resolve_date_key(explode_date_parts(
+        parse_pubdate(articles)))))  |> append_new_rows(existing)
+
+Semantics pinned to the reference (citations into /root/reference, ledger
+items from SURVEY.md §2.11):
+
+- parse_pubdate      dags/Transform.py:50-58  (L9: wall-clock fields, tz
+                     offset NOT applied in oracle mode)
+- explode_date_parts dags/Transform.py:61-68
+- resolve_date_key   dags/Transform.py:36-47  (L5: miss is fatal)
+- tokenize_text      dags/Transform.py:15-17,33 (L4: only ``, ; '`` →
+                     space; split on single literal space; lowercase)
+- tag_country        dags/Transform.py:14-29  (L1 default id 1; L2 lowest
+                     id wins per word; L3 tie-break count DESC, id ASC)
+- project_news       dags/Transform.py:86-88
+- append_new_rows    dags/Load.py:8-28        (L7 composite key anti-join)
+- dedup_keep_first   dags/Main.py:28-47       (L7: lowest id survives)
+- generate_date_dim  closes the reference's Setup.py gap (dim never
+                     populated — SURVEY.md §3.2)
+
+Scale notes: dims and the keyword dictionary broadcast; the only fact-side
+shuffles are the dedup window (keyed on the dup key) and nothing else.
+`sha2` key-hashing keeps anti-join/dedup state narrow when titles are long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Final fact-table layout (reference COLUMNS, Transform.py:9-10 + rename
+#: at Transform.py:87).
+NEWS_COLUMNS = (
+    "id_country",
+    "id_source",
+    "id_date",
+    "title",
+    "link",
+    "description",
+    "media",
+)
+
+#: Composite dedup/append key — ledger L7 (Load.py:22, Main.py:30).
+NEWS_KEY = ("id_source", "id_date", "title")
+
+#: RFC-822 wall-clock formats, tz token stripped (ledger L9): the
+#: reference extracts Y/M/D/H from the *printed* wall clock, never
+#: normalizing to UTC; 4-digit year first, then 2-digit (Transform.py:52-57).
+_TZ_TOKEN = r"\s+(\+|-)[0-9]{4}$|\s+[A-Za-z]{2,5}$"
+#: Spark's post-3.0 parser refuses day-of-week fields when *parsing*
+#: ('EEE' is format-only), so the weekday prefix is stripped instead.
+_WEEKDAY = r"^[A-Za-z]{3},\s*"
+_WALLCLOCK_FMTS = ("dd MMM yyyy HH:mm:ss", "dd MMM yy HH:mm:ss")
+
+
+def parse_pubdate(
+    df: DataFrame, col: str = "date", out: str = "pub_ts", strict: bool = False
+) -> DataFrame:
+    """Multi-format RFC-822 parse with fallback chain.
+
+    oracle mode (default): reproduce the reference — fields come from the
+    printed wall clock (an aware datetime's ``.hour`` is local to its
+    offset; the ``%Z`` branch is naive anyway), so strip the tz token and
+    parse the rest. strict mode: honor the offset and normalize to UTC.
+    """
+    no_weekday = F.regexp_replace(F.col(col), _WEEKDAY, "")
+    if strict:
+        attempts = [
+            F.try_to_timestamp(no_weekday, F.lit("dd MMM yyyy HH:mm:ss Z")),
+            F.try_to_timestamp(no_weekday, F.lit("dd MMM yyyy HH:mm:ss zzz")),
+            F.try_to_timestamp(no_weekday, F.lit("dd MMM yy HH:mm:ss Z")),
+        ]
+    else:
+        stripped = F.regexp_replace(no_weekday, _TZ_TOKEN, "")
+        attempts = [
+            F.try_to_timestamp(stripped, F.lit(fmt)) for fmt in _WALLCLOCK_FMTS
+        ]
+    return df.withColumn(out, F.coalesce(*attempts))
+
+
+def explode_date_parts(df: DataFrame, ts_col: str = "pub_ts") -> DataFrame:
+    """Derive the date-dimension lookup fields (Transform.py:61-68).
+
+    Column names match the reference's ``date`` dim DDL (sql/date.sql:3-6):
+    hours/day/month/year (minute/second derived too, unused by the dim).
+    """
+    return (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+        .withColumn("hours", F.hour(ts_col))
+        .withColumn("minute", F.minute(ts_col))
+        .withColumn("second", F.second(ts_col))
+    )
+
+
+def resolve_date_key(
+    df: DataFrame, date_dim: DataFrame, check_misses: bool = True
+) -> DataFrame:
+    """Surrogate-key lookup against the time dimension.
+
+    The reference issues one SELECT per row (Transform.py:38-41, N+1);
+    here: one broadcast hash join on the 4-col key. ``check_misses``
+    preserves the fail-on-miss contract (L5, Transform.py:42-46) with a
+    single extra count over the (small) pre-join frame.
+    """
+    dim = date_dim.select(
+        F.col("id").alias("id_date"), "hours", "day", "month", "year"
+    )
+    joined = df.join(F.broadcast(dim), on=["hours", "day", "month", "year"], how="left")
+    if check_misses:
+        misses = joined.filter(F.col("id_date").isNull()).limit(1).count()
+        if misses:
+            raise ValueError(
+                "date dimension miss: an article's (hours, day, month, year) "
+                "has no surrogate row (reference raises at Transform.py:42-46)"
+            )
+    return joined.filter(F.col("id_date").isNotNull())
+
+
+def tokenize_text(
+    df: DataFrame, cols: tuple[str, ...] = ("title", "description"), out: str = "tokens"
+) -> DataFrame:
+    """Reference token hygiene, exactly (L4): concat with single space,
+    only ``, ; '`` replaced by spaces, lowercase, split on ONE literal
+    space (consecutive separators yield empty tokens — harmless, they
+    never appear in the dictionary)."""
+    text = F.lower(F.translate(F.concat_ws(" ", *cols), ",;'", "   "))
+    return df.withColumn(out, F.split(text, " ", -1))
+
+
+def flatten_references(references: DataFrame, strict: bool = False) -> DataFrame:
+    """references(id, name, words:array<string>) → (kw, id) with the L2
+    rule pinned: a keyword claimed by several countries resolves to the
+    LOWEST id. oracle mode keeps mixed-case entries unmatchable (L4);
+    strict mode lowercases the dictionary."""
+    kw = F.explode("words").alias("kw")
+    flat = references.select(kw, "id")
+    if strict:
+        flat = flat.select(F.lower("kw").alias("kw"), "id")
+    return flat.groupBy("kw").agg(F.min("id").alias("ref_id"))
+
+
+def tag_country(
+    df: DataFrame,
+    references: DataFrame,
+    row_key: str = "article_id",
+    default_id: int = 1,
+    strict: bool = False,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Majority-vote country tagging (Transform.py:14-29).
+
+    explode tokens → broadcast-join the flattened dictionary → count votes
+    per (row, country) → rank with the pinned tie-break (count DESC, id
+    ASC — L3) → rn=1, default id on no match (L1).
+
+    The dictionary side is tiny → broadcast; the exploded token stream
+    aggregates map-side before its only shuffle (on row_key).
+    """
+    refs_flat = flatten_references(references, strict=strict)
+    tokens = df.select(row_key, F.explode(tokens_col).alias("word"))
+    votes = tokens.join(
+        F.broadcast(refs_flat), tokens.word == refs_flat.kw, how="inner"
+    )
+    counted = votes.groupBy(row_key, "ref_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(row_key).orderBy(F.desc("cnt"), F.asc("ref_id"))
+    winners = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(row_key, F.col("ref_id"))
+    )
+    return df.join(winners, on=row_key, how="left").withColumn(
+        "id_country", F.coalesce(F.col("ref_id"), F.lit(default_id))
+    ).drop("ref_id")
+
+
+def project_news(df: DataFrame, source_col: str = "id_source") -> DataFrame:
+    """Rename + project to the 7-column fact layout (Transform.py:86-88)."""
+    cols = [c for c in NEWS_COLUMNS]
+    renamed = df
+    if "source" in df.columns and "id_source" not in df.columns:
+        renamed = df.withColumnRenamed("source", "id_source")
+    return renamed.select(*cols)
+
+
+def append_new_rows(
+    new: DataFrame, existing: DataFrame, keys: tuple[str, ...] = NEWS_KEY
+) -> DataFrame:
+    """Idempotent-append filter: keep only rows whose composite key is
+    absent from the target (Load.py:8-25) — a hash left-anti join instead
+    of the reference's O(n·m) Python loop. Broadcast-eligible when the
+    existing-keys side is small; otherwise a key-partitioned anti join."""
+    existing_keys = existing.select(*keys).dropDuplicates(list(keys))
+    return new.join(existing_keys, on=list(keys), how="left_anti")
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: tuple[str, ...] = NEWS_KEY,
+    order_col: str = "id",
+) -> DataFrame:
+    """Keep-first dedup: survivors have the lowest ``order_col`` per key
+    (L7; replaces the scan + per-row DELETE loop at Main.py:28-47 with one
+    window over one shuffle)."""
+    w = Window.partitionBy(*keys).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def generate_date_dim(
+    spark: SparkSession, start: str, end: str
+) -> DataFrame:
+    """Hour-grain time dimension, *generated* (the reference creates the
+    table but never fills it — SURVEY.md §3.2). Surrogate id is the
+    deterministic yyyymmddhh so regeneration is stable across runs/scales."""
+    hours = spark.sql(
+        f"""
+        SELECT explode(sequence(
+            timestamp'{start}', timestamp'{end}', interval 1 hour
+        )) AS h
+        """
+    )
+    return hours.select(
+        (
+            F.year("h") * 1000000
+            + F.month("h") * 10000
+            + F.dayofmonth("h") * 100
+            + F.hour("h")
+        ).cast("int").alias("id"),
+        F.hour("h").alias("hours"),
+        F.dayofmonth("h").alias("day"),
+        F.month("h").alias("month"),
+        F.year("h").alias("year"),
+    )
+
+
+def run_pipeline(
+    articles: DataFrame,
+    references: DataFrame,
+    date_dim: DataFrame,
+    news_existing: DataFrame,
+    default_country: int = 1,
+    strict: bool = False,
+    check_misses: bool = True,
+) -> DataFrame:
+    """The full reference DAG as one lazy plan: returns the NEW fact rows
+    (what the reference INSERTs at Load.py:28)."""
+    df = articles.withColumn("article_id", F.monotonically_increasing_id())
+    df = parse_pubdate(df, strict=strict)
+    df = explode_date_parts(df)
+    df = resolve_date_key(df, date_dim, check_misses=check_misses)
+    df = tokenize_text(df)
+    df = tag_country(df, references, default_id=default_country, strict=strict)
+    df = project_news(df)
+    return append_new_rows(df, news_existing)
