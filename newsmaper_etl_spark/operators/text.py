@@ -1,0 +1,159 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in JVM expressions (split/aggregate/filter
+higher-order functions) — no Python in the per-row path, so every operator
+whole-stage-codegens and scales linearly with input splits. These
+generalize the reference's token hygiene (Transform.py:15-17) to the
+document-corpus surface mandated by the north star.
+
+Operators:
+- tokenize           whitespace tokenization (reference semantics: single
+                     literal space, no punctuation stripping)
+- token_stats        n_tokens / avg token length / stopword ratio
+- language_id        stopword-vote heuristic (argmax language, pinned
+                     tie-break), default 'und'
+- quality_score      length + punctuation-density + stopword-ratio score
+- token_count_bpe    cheap BPE-ish subword estimate: ceil(len(w)/4) summed
+- fingerprint        order-aware document fingerprint (position-weighted
+                     token hash, engine-portable: no xxhash dependency)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the vote heuristic. Deliberately
+#: small + lowercase; extend per deployment. Order-free: the vote uses a
+#: pinned tie-break (count DESC, lang ASC).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un"),
+    "es": ("el", "la", "los", "de", "y", "es", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+}
+
+_ALL_STOPWORDS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+def tokens_col(col: str | Column) -> Column:
+    """Whitespace tokens (single literal space — reference F3 semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ", -1)
+
+
+def tokenize(df: DataFrame, col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_col(col))
+
+
+def token_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document token statistics, all in one projection (no shuffle)."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    # floor-scaled instead of ROUND: ROUND(x, d) on a decimal tie (e.g.
+    # 4.475) differs between JVM (shortest-repr half-up → 4.48) and
+    # engines rounding the raw binary double (4.47…). floor of an exact
+    # integer-scaled quotient is bit-identical everywhere.
+    return df.withColumn("n_tokens", n.cast("long")).withColumn(
+        "avg_token_len", F.floor(F.lit(100) * total_len / n) / 100
+    ).withColumn("stopword_ratio", F.floor(F.lit(10000) * n_stop / n) / 10000)
+
+
+def language_id(
+    df: DataFrame, col: str = "text", out: str = "lang_pred", default: str = "und"
+) -> DataFrame:
+    """Stopword-vote language ID.
+
+    For each language, count how many tokens are in its stopword list (a
+    per-row array intersection — zero shuffles, zero UDFs); predict the
+    argmax with the pinned tie-break (count DESC, lang ASC); no hit at all
+    → ``default``. The same shape as the reference's country vote
+    (Transform.py:14-29) applied to language detection.
+    """
+    toks = tokens_col(col)
+    # one struct per language: (-count, lang). sort_array orders struct
+    # elements field-by-field ascending, so the head is (max count, min
+    # lang) — the pinned argmax tie-break (count DESC, lang ASC).
+    # NB: the membership lambda must take exactly ONE parameter — PySpark
+    # dispatches on arity, and a second param (even a defaulted closure
+    # capture) turns it into the (element, index) form.
+    def _in(arr):
+        return lambda w: F.array_contains(arr, w)
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        cnt = F.size(F.filter(toks, _in(arr)))
+        scores.append(
+            F.struct((-cnt).cast("int").alias("neg"), F.lit(lang).alias("lang"))
+        )
+    best = F.sort_array(F.array(*scores), asc=True).getItem(0)
+    return df.withColumn(
+        out, F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit(default))
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Cheap document-quality heuristics: length band + punctuation density
+    + stopword ratio, combined into [0, 1]. Thresholds are heuristic; the
+    value is the *shape* (pure column expressions, pushdown-friendly)."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    text_len = F.length(col)
+    n_punct = text_len - F.length(F.translate(col, ".,;:!?'\"", ""))
+    punct_ratio = F.when(text_len > 0, n_punct / text_len).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    stop_ratio = F.when(
+        n > 0, F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))) / n
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((text_len >= 20) & (text_len <= 10000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    score = F.round(
+        len_ok * 0.4 + punct_ok * 0.3 + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3, 4
+    )
+    return (
+        df.withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality", score)
+    )
+
+
+def token_count_bpe(df: DataFrame, col: str = "text", out: str = "n_bpe") -> DataFrame:
+    """BPE-ish token estimate: every ~4 characters of a word is one
+    subword (the industry rule-of-thumb for byte-pair vocabularies) —
+    sum(ceil(len(w)/4)). Exact tokenizers are model-specific; pipelines
+    budget with estimates like this."""
+    toks = tokens_col(col)
+    est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)),
+    )
+    return df.withColumn(out, est)
+
+
+def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
+    """Order-aware document fingerprint.
+
+    Position-weighted token feature: sum over tokens of
+    ``position * (ascii(first_char) + 131 * length)``. Reorderings and
+    edits change it; it is engine-portable (unlike xxhash64/md5-based
+    rolling hashes, any SQL engine reproduces it bit-for-bit, which keeps
+    it oracle-checkable). For adversarial dedup use minhash/simhash in
+    operators/dedup.py instead.
+    """
+    toks = tokens_col(col)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    weighted = F.zip_with(
+        idx,
+        toks,
+        lambda i, w: i.cast("long") * (F.ascii(F.substring(w, 1, 1)) + 131 * F.length(w)),
+    )
+    return df.withColumn(
+        out, F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    )

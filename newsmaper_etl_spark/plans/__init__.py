@@ -11,4 +11,5 @@ from newsmaper_etl_spark.plans import (  # noqa: F401
     timeops,
     asofjoin,
     newsmaper_e2e,
+    extensions,
 )

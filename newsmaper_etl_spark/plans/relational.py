@@ -248,7 +248,9 @@ def q_token_dict_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stream", "streaming"), ("batch", "streaming"), ("window", "streaming"),
         ("vector", "ml"), ("embedding", "ml"), ("model", "ml"),
     ]
-    dict_df = spark.createDataFrame(dict_rows, schema="word string, label string")
+    from newsmaper_etl_spark.fixtures import values_df
+
+    dict_df = values_df(spark, dict_rows, ["word", "label"])
     tokens = docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
     return (
         tokens.join(F.broadcast(dict_df), on="word")

@@ -31,9 +31,24 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # This rig's /etc/resolv.conf points at a blackholed resolver, so ANY
+    # JVM DNS query hangs until timeout — and the JDK re-resolves cached
+    # names every ~30s, which showed up as random 10-120s stalls with an
+    # idle CPU. Pin every address to loopback before the JVM launches and
+    # cache resolutions forever.
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    os.environ.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
+    dns_opts = (
+        "-Dsun.net.inetaddr.ttl=-1 -Dsun.net.inetaddr.negative.ttl=-1 "
+        "-Djava.net.preferIPv4Stack=true"
+    )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+        .config("spark.driver.extraJavaOptions", dns_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -45,6 +60,7 @@ def get_spark(
         # reader rejects outright; read as long and convert in io.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     if extra_conf:

@@ -1,0 +1,159 @@
+"""Incremental (streaming) mode of the news pipeline.
+
+The reference is a hand-rolled micro-batch stream: a 20-minute Airflow
+schedule (Main.py:23), exactly-once-by-anti-join (Load.py:22-25), and a
+corrective dedup task (Main.py:28-47). Structured Streaming replaces all
+three mechanisms natively:
+
+- trigger: ``processingTime='20 minutes'`` (or ``availableNow`` for
+  catch-up runs — the analog of ``catchup=False``);
+- exactly-once: ``dropDuplicatesWithinWatermark`` on the composite key
+  (L7) + an idempotent sink — no target anti-join scan per batch;
+- late/duplicate repair: subsumed by the watermark; the batch
+  ``dedup_keep_first`` remains available as a repair job.
+
+The batch operators from operators/newsmaper.py are expression-only, so
+they compose unchanged into the streaming plan — one definition of the
+semantics for both modes.
+
+State sizing at scale: the dedup state key is sha2(concat(keys)) rather
+than the raw 3-column key (titles are long strings; hashing keeps state
+rows ~32 bytes), and the watermark bounds state growth to the lateness
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from newsmaper_etl_spark.operators.newsmaper import (
+    NEWS_KEY,
+    explode_date_parts,
+    parse_pubdate,
+    reference_keyword_map,
+    resolve_date_key,
+    tag_country_expr,
+    tokenize_text,
+)
+
+#: Pinned source schema for streaming article ingestion (in-flight RSS
+#: items — FIXTURES.md B2; schema inference is dev-only).
+ARTICLES_SCHEMA = T.StructType(
+    [
+        T.StructField("article_id", T.LongType(), False),
+        T.StructField("id_source", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("link", T.StringType(), False),
+        T.StructField("description", T.StringType(), False),
+        T.StructField("media", T.StringType(), True),
+        T.StructField("date", T.StringType(), False),
+    ]
+)
+
+
+def read_article_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based article stream (one JSON file per fetch batch — the
+    streaming stand-in for the RSS poller; a Spark 4 Python DataSource
+    doing live HTTP would slot in here unchanged)."""
+    reader = spark.readStream.schema(ARTICLES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def transform_stream(
+    articles: DataFrame,
+    references: DataFrame,
+    date_dim: DataFrame,
+    default_country: int = 1,
+    strict: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The reference transform chain on a streaming frame + watermarked
+    within-stream dedup on the composite key (L7).
+
+    ``tag_country`` votes per article_id — a streaming-safe groupBy
+    because each article's tokens arrive in one row (no cross-batch
+    state). The target-table anti-join of batch mode is replaced by the
+    dedup state + idempotent sink.
+    """
+    from newsmaper_etl_spark.operators.newsmaper import NEWS_COLUMNS
+
+    df = parse_pubdate(articles, strict=strict)
+    df = explode_date_parts(df)
+    df = resolve_date_key(df, date_dim, check_misses=False)
+    df = tokenize_text(df)
+    # expression tagger: per-row vote, stateless → streaming-legal (the
+    # join+rank form would be a disallowed non-windowed agg on a stream)
+    kw_map = reference_keyword_map(references, strict=strict)
+    df = tag_country_expr(df, kw_map, default_id=default_country)
+    keyed = df.select(*NEWS_COLUMNS, "pub_ts").withColumn(
+        "__key", F.sha2(F.concat_ws("\x1f", *NEWS_KEY), 256)
+    )
+    return (
+        keyed.withWatermark("pub_ts", watermark)
+        .dropDuplicatesWithinWatermark(["__key"])
+        .drop("__key", "pub_ts")
+    )
+
+
+def write_stream(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Parquet append sink with checkpointing. Idempotence: the sink is
+    append-only parquet + the dedup state guarantees each key once within
+    the watermark; exactly-once file commit comes from the streaming
+    file-sink log."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def run_once(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    references: DataFrame,
+    date_dim: DataFrame,
+) -> None:
+    """availableNow catch-up run: process whatever article files exist,
+    then stop — the streaming analog of one reference DAG run."""
+    articles = read_article_stream(spark, source_dir)
+    result = transform_stream(articles, references, date_dim)
+    q = write_stream(result, out_dir, checkpoint_dir)
+    q.awaitTermination()
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window aggregation (the streaming form of
+    q_tumbling_window's epoch-div buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(F.col("win.start").alias("win_start"), "c", "sum_v")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows (native session_window operator — the
+    streaming form of q_session_window's lag+cumsum batch analog)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )

@@ -1,0 +1,134 @@
+"""Property tests for the sketch-based extension operators (the ones the
+DuckDB oracle can't check): planted near-duplicates must be found, LSH
+must recall exact-identical vectors, the fake media decoder must agree
+with local hashing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.fixtures import values_df
+from newsmaper_etl_spark.operators import dedup as D
+from newsmaper_etl_spark.operators import multimodal as M
+from newsmaper_etl_spark.operators import similarity as S
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank today "
+    "while the miller grinds wheat into flour for the village bakery stand"
+)
+_NEAR = _BASE.replace("lazy", "sleepy")  # one-token edit → high jaccard
+_FAR = (
+    "completely different text about spark shuffle partitions and adaptive "
+    "query execution planning with broadcast hash joins at massive scale"
+)
+
+_DOCS = [
+    (1, _BASE, "src0"),
+    (2, _NEAR, "src0"),
+    (3, _FAR, "src0"),
+    (4, _BASE, "src1"),  # exact dup of 1
+    (5, "tiny", "src1"),
+]
+
+
+def _docs_df(spark):
+    return values_df(spark, _DOCS, ["doc_id", "text", "source"])
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = D.exact_dedup(_docs_df(spark), ["text"], id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 5]  # 4 is the exact dup of 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    cands = D.minhash_lsh_candidates(_docs_df(spark), "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # one-token edit shares most shingles
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_dedup_removes_planted_dups(spark):
+    out = D.minhash_dedup(_docs_df(spark), "doc_id", "text", threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 4 not in ids and 2 not in ids
+    assert 3 in ids and 5 in ids
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(
+            _docs_df(spark), "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical text → identical signature
+    assert (1, 2) in pairs  # near-dup within hamming 10
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_values(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            _docs_df(spark), scope_col=None, threshold=0.4
+        ).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert 0.8 < out[(1, 2)] < 1.0
+
+
+def test_lsh_recalls_identical_vectors(spark, sf_dir):
+    """Queries that ARE corpus vectors (fresh ids) must find their twin as
+    the top neighbor with sim 1.0 — identical vectors share every LSH
+    bucket, so recall here is exact by construction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            (F.col("vec_id") + 10000).alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    out = S.lsh_cosine_topk(queries, emb, dim=64, k=1, n_planes=8)
+    top = {r["qid"] - 10000: (r["neighbor_id"], r["sim"]) for r in out.collect()}
+    for vid in range(5):
+        assert top[vid][0] == vid and abs(top[vid][1] - 1.0) < 1e-6
+
+
+def test_exact_knn_matches_lsh_on_identical(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = S.cosine_topk(queries, emb, k=1)
+    top = {r["qid"] - 10000: r["neighbor_id"] for r in exact.collect()}
+    assert top == {0: 0, 1: 1, 2: 2}
+
+
+def test_media_features_fake_decode(spark):
+    df = values_df(spark, [(1, "hello world"), (2, "spark")], ["doc_id", "text"])
+    blobs = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    out = {
+        r["id"]: r
+        for r in M.media_features(
+            blobs, id_col="doc_id", binary_col="media", fake=True
+        ).collect()
+    }
+    h = hashlib.sha256(b"hello world").hexdigest()
+    assert out[1]["content_sha256"] == h
+    assert out[1]["size_bytes"] == len(b"hello world")
+    assert out[1]["width"] == (int(h[:4], 16) % 1920) + 1
+    assert 1 <= out[1]["height"] <= 1080
+
+
+def test_media_features_real_decode_is_stubbed(spark):
+    import pytest
+
+    df = values_df(spark, [(1, "x")], ["doc_id", "text"])
+    blobs = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        M.media_features(blobs, id_col="doc_id", binary_col="media", fake=False).collect()
