@@ -67,13 +67,21 @@ def minhash_signature(
     df: DataFrame, text_col: str = "text", num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
     """Append ``sig: array<bigint>`` — per seed s, min over shingles of
-    xxhash64(s, shingle). Single projection, no shuffle, no Python."""
-    sh = shingles_col(text_col, k)
+    xxhash64(s, shingle). No shuffle, no Python.
+
+    The shingle array is materialized as its own named column first: the
+    sig expression references it ``num_hashes`` times, and CollapseProject
+    declines to inline a non-cheap expression with multiple references —
+    so the O(n_tokens·k) shingle construction runs once per row instead of
+    once per seed."""
+    sh_df = df.withColumn("__shingles", shingles_col(text_col, k))
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(F.lit(s), x)))
+        F.array_min(
+            F.transform(F.col("__shingles"), lambda x, s=s: F.xxhash64(F.lit(s), x))
+        )
         for s in range(num_hashes)
     ])
-    return df.withColumn("sig", sig)
+    return sh_df.withColumn("sig", sig).drop("__shingles")
 
 
 def minhash_lsh_candidates(
