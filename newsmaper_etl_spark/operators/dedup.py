@@ -147,9 +147,17 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: explode each side's
     distinct shingles, count the intersection with a join keyed on
-    (pair, shingle) — never materializes a cross product."""
+    (pair, shingle) — never materializes a cross product. Shingles are
+    xxhash64-compressed before the explode: the shuffle/join key is 8
+    bytes instead of a ~3-token string (collisions at 2^-64 are noise
+    next to the MinHash approximation this verifies)."""
     sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s")
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_col(text_col, k), lambda x: F.xxhash64(x))
+            )
+        ).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_a")

@@ -190,8 +190,12 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = S.cosine_sim(F.col("va"), F.col("vb"))
-    return pairs.select("id_a", "id_b", F.round(sim, 4).alias("sim")).filter(
-        sim >= 0.35
+    # filter on the raw sim column, not a fresh `sim` expression — the
+    # latter would evaluate the whole dot-product aggregate twice per pair
+    return (
+        pairs.select("id_a", "id_b", F.col("va"), F.col("vb"), sim.alias("__sim"))
+        .filter(F.col("__sim") >= 0.35)
+        .select("id_a", "id_b", F.round("__sim", 4).alias("sim"))
     )
 
 
