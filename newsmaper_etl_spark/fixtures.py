@@ -101,7 +101,10 @@ def _spark_lit(v) -> str:
     if v is None:
         return "CAST(NULL AS STRING)"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # backslashes first: Spark SQL literals process backslash escapes
+        # (escapedStringLiterals=false default) while the DuckDB _lit side
+        # is literal — unescaped they'd silently diverge (ADVICE r1)
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     if isinstance(v, list):
         return "array(" + ", ".join(_spark_lit(x) for x in v) + ")"
     return str(v)

@@ -34,6 +34,35 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _tune_session(spark: SparkSession, sf_dir: str) -> None:
+    """Right-size runtime-settable SQL conf for the data scale.
+
+    The driver's correctness harness hands us its own vanilla session
+    (shuffle.partitions=200); at sf0.01 that is 200 near-empty shuffle
+    tasks per exchange — pure scheduling overhead. Partition count is a
+    per-scale tuning knob, not a session property, so set it where the
+    scale is known: 8 tasks for the tiny correctness SFs, one per core at
+    bench scale. On a real cluster this maps to AQE's coalesce decisions;
+    here the *initial* number matters because each task costs ~1ms of
+    scheduler time regardless of data.
+    """
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 1.0
+    if sf <= 0.02:
+        parts = 8
+    else:
+        parts = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # Arrow makes the driver's toPandas() collection columnar instead
+        # of row-pickled — runtime-settable, safe everywhere.
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:  # noqa: BLE001 — conf may be locked on managed sessions
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Lazy: no job is triggered.
 
@@ -43,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType by integer-dividing to microseconds (DuckDB's reader
     truncates nanos→micros the same way, keeping the oracle in lockstep).
     """
+    _tune_session(spark, sf_dir)
     if name == "events":
         # runtime-settable; required even when the session wasn't built by
         # get_spark (the driver hands us its own vanilla session)

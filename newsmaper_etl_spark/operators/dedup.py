@@ -135,7 +135,7 @@ def minhash_dedup(
     iterative connected-components pass; good enough when dup clusters
     are small, which LSH banding makes likely)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k)
-    verified = jaccard_verify(df, cands, id_col, text_col, k).filter(
+    verified = jaccard_verify(df, cands, id_col, text_col, k, round_digits=None).filter(
         F.col("jaccard") >= threshold
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
@@ -143,14 +143,23 @@ def minhash_dedup(
 
 
 def jaccard_verify(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: explode each side's
     distinct shingles, count the intersection with a join keyed on
     (pair, shingle) — never materializes a cross product. Shingles are
     xxhash64-compressed before the explode: the shuffle/join key is 8
     bytes instead of a ~3-token string (collisions at 2^-64 are noise
-    next to the MinHash approximation this verifies)."""
+    next to the MinHash approximation this verifies).
+
+    ``round_digits=None`` returns the raw ratio — callers that THRESHOLD
+    on jaccard must use the raw value (rounding first admits pairs in
+    [threshold-ulp, threshold) that an exact engine rejects)."""
     sh = df.select(
         F.col(id_col),
         F.explode(
@@ -170,13 +179,12 @@ def jaccard_verify(
     )
     na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
     nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    jacc = raw if round_digits is None else F.round(raw, round_digits)
     return (
         inter.join(na, on="id_a")
         .join(nb, on="id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
-        )
+        .withColumn("jaccard", jacc)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -297,13 +305,14 @@ def ngram_jaccard_pairs(
     )
     na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
     nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    # threshold on the RAW ratio; round only in the projected output —
+    # rounding first would admit pairs in [threshold-ulp, threshold) that
+    # the exact oracle rejects (ADVICE r1)
+    raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.join(na, on="id_a")
         .join(nb, on="id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__jacc", raw)
+        .filter(F.col("__jacc") >= threshold)
+        .select("id_a", "id_b", F.round("__jacc", 4).alias("jaccard"))
     )

@@ -107,20 +107,28 @@ def resolve_date_key(
 
     The reference issues one SELECT per row (Transform.py:38-41, N+1);
     here: one broadcast hash join on the 4-col key. ``check_misses``
-    preserves the fail-on-miss contract (L5, Transform.py:42-46) with a
-    single extra count over the (small) pre-join frame.
+    preserves the fail-on-miss contract (L5, Transform.py:42-46) by
+    folding a ``raise_error`` guard into the projected key — the check
+    runs inside the SAME job as the real work (no eager pre-count that
+    would double the pre-join scan at scale); a miss aborts the action
+    with the L5 message.
     """
     dim = date_dim.select(
         F.col("id").alias("id_date"), "hours", "day", "month", "year"
     )
     joined = df.join(F.broadcast(dim), on=["hours", "day", "month", "year"], how="left")
     if check_misses:
-        misses = joined.filter(F.col("id_date").isNull()).limit(1).count()
-        if misses:
-            raise ValueError(
-                "date dimension miss: an article's (hours, day, month, year) "
-                "has no surrogate row (reference raises at Transform.py:42-46)"
-            )
+        guard = F.when(
+            F.col("id_date").isNull(),
+            F.raise_error(
+                F.lit(
+                    "date dimension miss: an article's (hours, day, month, "
+                    "year) has no surrogate row (reference raises at "
+                    "Transform.py:42-46)"
+                )
+            ).cast("int"),
+        ).otherwise(F.col("id_date"))
+        return joined.withColumn("id_date", guard)
     return joined.filter(F.col("id_date").isNotNull())
 
 
@@ -228,13 +236,16 @@ def tag_country_expr(
     )
 
 
-def project_news(df: DataFrame, source_col: str = "id_source") -> DataFrame:
-    """Rename + project to the 7-column fact layout (Transform.py:86-88)."""
-    cols = [c for c in NEWS_COLUMNS]
+def project_news(df: DataFrame, source_col: str = "source") -> DataFrame:
+    """Rename + project to the 7-column fact layout (Transform.py:86-88).
+
+    ``source_col`` names the incoming source-id column; it is renamed to
+    ``id_source`` when present (the reference's rename at Transform.py:87).
+    """
     renamed = df
-    if "source" in df.columns and "id_source" not in df.columns:
-        renamed = df.withColumnRenamed("source", "id_source")
-    return renamed.select(*cols)
+    if source_col in df.columns and "id_source" not in df.columns:
+        renamed = df.withColumnRenamed(source_col, "id_source")
+    return renamed.select(*NEWS_COLUMNS)
 
 
 def append_new_rows(

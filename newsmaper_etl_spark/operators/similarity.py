@@ -57,6 +57,7 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     k: int = 3,
     round_digits: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
@@ -64,10 +65,14 @@ def cosine_topk(
     contract), computes similarities corpus-parallel, then takes the
     per-query top-k with a rank window over (sim DESC, id ASC) — rounded
     before ranking so float noise can't flip near-ties across engines.
+
+    ``exclude_self`` (default) drops pairs where query_id == corpus_id —
+    correct when queries are drawn from the corpus. Pass False when the
+    query id space is external and may coincidentally overlap corpus ids.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
-        F.col(query_id) != F.col(corpus_id)
-    )
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
     sim = F.round(cosine_sim(F.col(query_vec), F.col(corpus_vec)), round_digits)
     scored = pairs.select(
         query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")
@@ -107,17 +112,20 @@ def lsh_cosine_topk(
     k: int = 3,
     n_planes: int = 8,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket (the scale path —
     the corpus never meets queries outside their bucket), exact cosine +
     rank inside the bucket. Recall < 1 by construction; raise n_planes
-    for precision, lower it (or multi-probe) for recall."""
+    for precision, lower it (or multi-probe) for recall.
+
+    ``exclude_self`` as in :func:`cosine_topk`."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(corpus_vec), planes))
     q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec), planes))
-    pairs = c.join(F.broadcast(q), on="__bucket").filter(
-        F.col(query_id) != F.col(corpus_id)
-    )
+    pairs = c.join(F.broadcast(q), on="__bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
     sim = F.round(cosine_sim(F.col(query_vec), F.col(corpus_vec)), 4)
     scored = pairs.select(
         query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")

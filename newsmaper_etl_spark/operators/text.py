@@ -101,7 +101,14 @@ def language_id(
 def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Cheap document-quality heuristics: length band + punctuation density
     + stopword ratio, combined into [0, 1]. Thresholds are heuristic; the
-    value is the *shape* (pure column expressions, pushdown-friendly)."""
+    value is the *shape* (pure column expressions, pushdown-friendly).
+
+    Ratios are floor-scaled, not ROUND()ed: ROUND on a decimal tie differs
+    between JVM shortest-repr half-up and engines rounding the raw binary
+    double, while floor of an integer-scaled quotient is bit-identical
+    everywhere (same convention as token_stats). Thresholds compare the
+    RAW ratios, so scaling never flips a branch.
+    """
     toks = tokens_col(col)
     n = F.size(toks)
     text_len = F.length(col)
@@ -113,13 +120,13 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     len_ok = F.when((text_len >= 20) & (text_len <= 10000), 1.0).otherwise(0.3)
     punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
-    score = F.round(
-        len_ok * 0.4 + punct_ok * 0.3 + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3, 4
+    score = (
+        len_ok * 0.4 + punct_ok * 0.3 + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
     )
     return (
-        df.withColumn("punct_ratio", F.round(punct_ratio, 4))
-        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
-        .withColumn("quality", score)
+        df.withColumn("punct_ratio", F.floor(F.lit(10000) * punct_ratio) / 10000)
+        .withColumn("stopword_ratio", F.floor(F.lit(10000) * stop_ratio) / 10000)
+        .withColumn("quality", F.floor(F.lit(10000) * score) / 10000)
     )
 
 

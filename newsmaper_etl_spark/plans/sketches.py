@@ -1,0 +1,59 @@
+"""Rows-only declared queries: hash-sketch candidates (MinHash, SimHash)
+and LSH-approximate kNN.
+
+These are deliberately registered LAST (plans/__init__.py import order):
+their signatures depend on engine-local hash functions (xxhash64, the
+token-hash inside simhash), so the driver records only the weaker
+rows-only check — accuracy is property-tested against planted duplicates
+in tests/test_extensions.py instead. Keeping them at the registry tail
+means a time-budgeted correctness run drops the weakest checks first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.operators import dedup as D
+from newsmaper_etl_spark.operators import similarity as S
+from newsmaper_etl_spark.registry import query
+
+from pyspark.sql import functions as F
+
+
+@query("q_minhash_candidates", oracle=None, tags=("DEDUP", "LSH"))
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (rows-only: xxhash64 signatures are not
+    portable to the oracle engine; accuracy is property-tested against
+    planted near-duplicates in tests/test_extensions.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "doc_id", "text")
+
+
+@query("q_minhash_dedup", oracle=None, tags=("DEDUP", "LSH"))
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after MinHash near-dup removal (rows-only; see above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select(
+        "doc_id", "source"
+    )
+
+
+@query("q_simhash_pairs", oracle=None, tags=("DEDUP", "SIMHASH"))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs, hamming ≤ 3 via 16-bit chunk buckets
+    (rows-only: xxhash64-based signature; property-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query("q_ann_lsh", oracle=None, tags=("ANN", "LSH"))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN (rows-only: recall-vs-exact is
+    property-tested; the oracle can't reproduce bucket membership without
+    the hyperplane literals)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.lsh_cosine_topk(queries, emb, dim=64, k=3, n_planes=8)

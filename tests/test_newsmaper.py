@@ -35,8 +35,9 @@ def _pipeline(spark, **kw):
 
 def test_l5_date_dim_miss_raises(spark):
     """L5: a missing (hours,day,month,year) row must raise, like
-    Transform.py:42-46."""
-    with pytest.raises(ValueError, match="date dimension miss"):
+    Transform.py:42-46. The guard is a raise_error CASE folded into the
+    plan (one job), so it fires at action time as a Spark runtime error."""
+    with pytest.raises(Exception, match="date dimension miss"):
         run_pipeline(
             articles=FX.articles_df(spark),
             references=FX.references_df(spark),
