@@ -58,6 +58,80 @@ def test_minhash_dedup_removes_planted_dups(spark):
     assert 3 in ids and 5 in ids
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-chain, a triangle, and a disjoint pair
+    each collapse to their min id, independent of edge orientation."""
+    edges = values_df(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comps = {r["id"]: r["comp"] for r in D.connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+_CHAIN_TOKENS = [f"tok{i:02d}" for i in range(40)]
+
+
+def _chain_doc(replacements: dict[int, str]) -> str:
+    toks = list(_CHAIN_TOKENS)
+    for pos, word in replacements.items():
+        toks[pos] = word
+    return " ".join(toks)
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    """Planted 3-chain: b links two ends that are NOT near-dups of each
+    other (jaccard(a,b)=jaccard(b,c)=0.8537 ≥ 0.8 > jaccard(a,c)=0.7273).
+    Connected components keep exactly ONE survivor for the whole chain."""
+    docs = values_df(
+        spark,
+        [
+            (1, _chain_doc({}), "s"),
+            (2, _chain_doc({10: "sleepy"}), "s"),
+            (3, _chain_doc({10: "sleepy", 30: "misty"}), "s"),
+            (9, "unrelated words entirely elsewhere altogether", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = D.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=8
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 9]
+
+
+def test_minhash_dedup_component_vs_single_link_orientation(spark):
+    """When the chain's mid element has the highest id (verified edges
+    (1,3) and (2,3)), single-link keeps BOTH 1 and 2; components still
+    collapse the cluster to its min — one survivor regardless of pair
+    orientation."""
+    docs = values_df(
+        spark,
+        [
+            (1, _chain_doc({}), "s"),
+            (3, _chain_doc({10: "sleepy"}), "s"),
+            (2, _chain_doc({10: "sleepy", 30: "misty"}), "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    cc = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=8
+        ).collect()
+    )
+    sl = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=8,
+            transitive=False,
+        ).collect()
+    )
+    assert cc == [1]
+    assert sl == [1, 2]
+
+
 def test_simhash_near_pairs(spark):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
