@@ -15,6 +15,8 @@ Layout:
     operators/   — reusable DataFrame→DataFrame operators (reference-domain
                    pipeline ops + scale extensions: dedup, similarity, text)
     sources/     — non-parquet sources (RSS/CSV/JSON) with pinned schemas
+    sinks        — batch parquet sinks + warehouse bootstrap (idempotent
+                   append, maintenance dedup rewrite)
     streaming/   — Structured Streaming composition of the pipeline
 """
 

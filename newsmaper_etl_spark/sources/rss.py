@@ -1,0 +1,182 @@
+"""RSS source: a Spark 4 Python DataSource registering the ``rss`` format.
+
+The reference's primary entry point is an HTTP fetch + XML parse per feed
+(Extract.py:9-27: requests.get → BeautifulSoup('xml') → per-<item>
+title/link/description/pubDate, media falling back <content>→<enclosure>→
+the literal string 'null' — ledger L6). Re-expressed Spark-first:
+
+- one input partition PER FEED, so a 10-feed registry fans out to 10
+  parallel fetch+parse tasks on executors (the reference loops feeds
+  serially on one worker) — and a 10,000-feed registry to 10,000 tasks;
+- the parse is stdlib ``xml.etree`` matched on tag *localnames*, so
+  namespaced ``media:content`` behaves like BeautifulSoup's
+  namespace-agnostic ``find('content')``;
+- the fetch is ``urllib`` for http(s) URLs and plain ``open`` for local
+  paths / file:// URLs (tests and air-gapped rigs use files; the HTTP
+  path is the same code shape).
+
+Semantics pinned to the reference, with deviations documented:
+
+- media fallback: first <content> with a url attribute, else first
+  <enclosure> with a url, else 'null' (string sentinel, NOT SQL NULL —
+  L6, Extract.py:14-24). A media element without a url attribute falls
+  through to the next choice (the reference would KeyError; crashing on
+  a malformed feed is not a behavior worth preserving).
+- missing title/link/description/pubDate yield NULL (the reference
+  raises AttributeError mid-extract; same deviation rationale).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+#: In-flight article schema — the frame Extract.py:43 builds, pinned.
+ARTICLE_SCHEMA = StructType(
+    [
+        StructField("id_source", IntegerType(), True),
+        StructField("title", StringType(), True),
+        StructField("link", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("date", StringType(), True),
+        StructField("media", StringType(), True),
+    ]
+)
+
+_ITEM_FIELDS = ("title", "link", "description", "pubDate")
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+
+def parse_rss_items(xml_bytes: bytes) -> Iterator[dict]:
+    """Yield one dict per ``<item>`` (any namespace), reference field set.
+
+    Pure function of the payload — shared by the DataSource executor path
+    and any driver-side use; unit-testable without Spark.
+    """
+    root = ET.fromstring(xml_bytes)
+    for elem in root.iter():
+        if _localname(elem.tag) != "item":
+            continue
+        fields: dict[str, str | None] = {f: None for f in _ITEM_FIELDS}
+        content_url = None
+        enclosure_url = None
+        for child in elem:
+            name = _localname(child.tag)
+            if name in fields and fields[name] is None:
+                fields[name] = (child.text or "").strip() or None
+            elif name == "content" and content_url is None:
+                content_url = child.get("url")
+            elif name == "enclosure" and enclosure_url is None:
+                enclosure_url = child.get("url")
+        # L6: content → enclosure → 'null' string sentinel
+        media = content_url or enclosure_url or "null"
+        yield {
+            "title": fields["title"],
+            "link": fields["link"],
+            "description": fields["description"],
+            "date": fields["pubDate"],
+            "media": media,
+        }
+
+
+def _fetch(location: str, timeout: float) -> bytes:
+    if location.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(location, timeout=timeout) as resp:  # noqa: S310
+            return resp.read()
+    if location.startswith("file://"):
+        location = location[len("file://") :]
+    with open(location, "rb") as fh:
+        return fh.read()
+
+
+class _FeedPartition(InputPartition):
+    def __init__(self, source_id: int, location: str):
+        self.source_id = source_id
+        self.location = location
+
+
+class _RssReader(DataSourceReader):
+    def __init__(self, options: dict):
+        import json
+
+        feeds_opt = options.get("feeds")
+        if feeds_opt:
+            self.feeds = [
+                (int(f["id"]), str(f["rss"])) for f in json.loads(feeds_opt)
+            ]
+        elif options.get("path"):
+            self.feeds = [(int(options.get("source_id", 0)), options["path"])]
+        else:
+            raise ValueError(
+                "rss source needs a `feeds` option (JSON list of "
+                '{"id": ..., "rss": ...}) or a `path` option'
+            )
+        self.timeout = float(options.get("timeout", 10.0))
+
+    def partitions(self):
+        # one partition per feed: the unit of fetch parallelism
+        return [_FeedPartition(sid, loc) for sid, loc in self.feeds]
+
+    def read(self, partition: _FeedPartition):
+        payload = _fetch(partition.location, self.timeout)
+        for item in parse_rss_items(payload):
+            yield (
+                partition.source_id,
+                item["title"],
+                item["link"],
+                item["description"],
+                item["date"],
+                item["media"],
+            )
+
+
+class RssDataSource(DataSource):
+    """``spark.read.format("rss")`` after :func:`register_rss_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rss"
+
+    def schema(self) -> StructType:
+        return ARTICLE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _RssReader(dict(self.options))
+
+
+def register_rss_source(spark: SparkSession) -> None:
+    """Idempotently register the ``rss`` format on this session."""
+    spark.dataSource.register(RssDataSource)
+
+
+def read_rss(spark: SparkSession, sources: DataFrame) -> DataFrame:
+    """Read every feed in a ``sources`` registry frame (id, rss, ...) —
+    the Spark form of Extract.py:30-43's scan→loop→concat.
+
+    The registry is dimension-sized by contract (the reference's has 10
+    rows), so collecting it to build the reader options is the same
+    sanctioned driver-side materialization as the keyword map; the
+    fetches themselves run on executors, one task per feed.
+    """
+    import json
+
+    register_rss_source(spark)
+    feeds = [
+        {"id": r["id"], "rss": r["rss"]}
+        for r in sources.select("id", "rss").collect()
+    ]
+    return (
+        spark.read.format("rss")
+        .option("feeds", json.dumps(feeds))
+        .schema(ARTICLE_SCHEMA)
+        .load()
+    )

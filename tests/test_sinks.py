@@ -1,0 +1,60 @@
+"""Batch sink + bootstrap tests (S6/S7/S8): bootstrap → pipeline → append
+→ re-append adds zero rows; maintenance rewrite dedups in place."""
+
+from __future__ import annotations
+
+from newsmaper_etl_spark import fixtures as FX
+from newsmaper_etl_spark import sinks
+from newsmaper_etl_spark.operators.newsmaper import run_pipeline
+
+
+def _pipeline_rows(spark, warehouse):
+    articles = FX.articles_df(spark)
+    references = FX.references_df(spark)
+    date_dim = spark.read.parquet(warehouse["date"])
+    existing = sinks.read_news(spark, warehouse["__dir"])
+    return run_pipeline(
+        articles=articles,
+        references=references,
+        date_dim=date_dim,
+        news_existing=existing,
+    )
+
+
+def test_bootstrap_seeds_all_tables(spark, tmp_path):
+    wd = str(tmp_path / "wh")
+    paths = sinks.bootstrap(spark, wd, references=FX.references_df(spark))
+    countries = spark.read.parquet(paths["countries"])
+    assert countries.count() == 12  # L8: reference seed breaks after 4
+    dim = spark.read.parquet(paths["date"])
+    assert dim.count() == 365 * 24  # generated, not left empty (§3.2 gap)
+    assert sinks.read_news(spark, wd).count() == 0
+    assert spark.read.parquet(paths["sources"]).count() > 0
+
+
+def test_append_is_idempotent(spark, tmp_path):
+    wd = str(tmp_path / "wh")
+    paths = sinks.bootstrap(spark, wd)
+    paths["__dir"] = wd
+
+    first = sinks.append_news(spark, _pipeline_rows(spark, paths), wd)
+    assert first > 0
+    # identical batch again: the anti-join filter keeps nothing
+    second = sinks.append_news(spark, _pipeline_rows(spark, paths), wd)
+    assert second == 0
+    assert sinks.read_news(spark, wd).count() == first
+
+
+def test_rewrite_dedup_keeps_one_per_key(spark, tmp_path):
+    wd = str(tmp_path / "wh")
+    sinks.bootstrap(spark, wd)
+    # seed the fact table with known duplicates (fixture news has a dup
+    # group on (9, 2023010216, 'evening brief'))
+    dup_rows = FX.news_existing_df(spark).drop("id")
+    dup_rows.write.mode("append").parquet(sinks.news_path(wd))
+    before = sinks.read_news(spark, wd).count()
+    sinks.rewrite_dedup(spark, wd)
+    after_df = sinks.read_news(spark, wd)
+    after = after_df.count()
+    assert after == before - 1  # exactly the one dup victim removed
+    assert after_df.select("id_source", "id_date", "title").distinct().count() == after

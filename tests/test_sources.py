@@ -1,0 +1,163 @@
+"""Source-layer tests (S1/S4/S5): the rss DataSource parses canned feed
+XML into the ARTICLES schema with the L6 media fallback; CSV/JSON readers
+pin their schemas and surrogate ids."""
+
+from __future__ import annotations
+
+import textwrap
+
+from newsmaper_etl_spark.fixtures import values_df
+from newsmaper_etl_spark.sources import (
+    ARTICLE_SCHEMA,
+    parse_rss_items,
+    read_references_json,
+    read_rss,
+    read_sources_csv,
+    register_rss_source,
+)
+
+_FEED_XML = textwrap.dedent(
+    """\
+    <?xml version="1.0" encoding="UTF-8"?>
+    <rss version="2.0" xmlns:media="http://search.yahoo.com/mrss/">
+      <channel>
+        <title>canned feed</title>
+        <item>
+          <title>alpha story</title>
+          <link>https://example.test/a</link>
+          <description>desc alpha</description>
+          <pubDate>Mon, 02 Jan 2023 15:04:05 +0100</pubDate>
+          <media:content url="https://example.test/a.jpg" type="image/jpeg"/>
+        </item>
+        <item>
+          <title>beta story</title>
+          <link>https://example.test/b</link>
+          <description>desc beta</description>
+          <pubDate>Tue, 03 Jan 2023 09:00:00 GMT</pubDate>
+          <enclosure url="https://example.test/b.mp3" length="1" type="audio/mpeg"/>
+        </item>
+        <item>
+          <title>gamma story</title>
+          <link>https://example.test/c</link>
+          <description>desc gamma</description>
+          <pubDate>Wed, 04 Jan 23 10:00:00 +0000</pubDate>
+        </item>
+      </channel>
+    </rss>
+    """
+)
+
+_FEED2_XML = _FEED_XML.replace("alpha", "delta").replace("beta", "epsilon").replace(
+    "gamma", "zeta"
+)
+
+
+def test_parse_rss_items_media_fallback():
+    """L6: content url → enclosure url → 'null' string sentinel."""
+    items = list(parse_rss_items(_FEED_XML.encode()))
+    assert [i["media"] for i in items] == [
+        "https://example.test/a.jpg",
+        "https://example.test/b.mp3",
+        "null",
+    ]
+    assert items[0]["title"] == "alpha story"
+    assert items[0]["date"] == "Mon, 02 Jan 2023 15:04:05 +0100"
+
+
+def test_parse_rss_missing_fields_are_null():
+    xml = b"<rss><channel><item><title>only title</title></item></channel></rss>"
+    (item,) = parse_rss_items(xml)
+    assert item["title"] == "only title"
+    assert item["link"] is None and item["date"] is None
+    assert item["media"] == "null"
+
+
+def test_rss_datasource_single_path(spark, tmp_path):
+    feed = tmp_path / "feed.xml"
+    feed.write_text(_FEED_XML)
+    register_rss_source(spark)
+    df = (
+        spark.read.format("rss")
+        .option("path", str(feed))
+        .option("source_id", "7")
+        .load()
+    )
+    assert df.schema == ARTICLE_SCHEMA
+    rows = {r["title"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["gamma story"]["media"] == "null"
+    assert all(r["id_source"] == 7 for r in rows.values())
+
+
+def test_read_rss_fans_out_per_feed(spark, tmp_path):
+    """One partition per feed; id_source tags rows with their registry id."""
+    f1, f2 = tmp_path / "f1.xml", tmp_path / "f2.xml"
+    f1.write_text(_FEED_XML)
+    f2.write_text(_FEED2_XML)
+    sources = values_df(
+        spark,
+        [(1, "s1", "https://one.test", str(f1)), (2, "s2", "https://two.test", str(f2))],
+        ["id", "name", "website", "rss"],
+    )
+    df = read_rss(spark, sources)
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.collect()
+    assert len(rows) == 6
+    by_src = {sid: sorted(r["title"] for r in rows if r["id_source"] == sid) for sid in (1, 2)}
+    assert by_src[1] == ["alpha story", "beta story", "gamma story"]
+    assert by_src[2] == ["delta story", "epsilon story", "zeta story"]
+
+
+def test_rss_pipeline_end_to_end(spark, tmp_path):
+    """Feed XML → rss source → full reference pipeline → fact rows: the
+    user journey the reference serves (Extract→Transform→Load), on files."""
+    from newsmaper_etl_spark import fixtures as FX
+    from newsmaper_etl_spark.operators.newsmaper import (
+        generate_date_dim,
+        run_pipeline,
+    )
+
+    feed = tmp_path / "feed.xml"
+    feed.write_text(_FEED_XML)
+    sources = values_df(
+        spark, [(1, "s1", "w", str(feed))], ["id", "name", "website", "rss"]
+    )
+    articles = read_rss(spark, sources).withColumnRenamed("id_source", "source")
+    dim = generate_date_dim(spark, "2023-01-01 00:00:00", "2023-01-07 23:00:00")
+    news = FX.news_existing_df(spark).drop("id").limit(0)
+    out = run_pipeline(
+        articles=articles.withColumnRenamed("source", "id_source"),
+        references=FX.references_df(spark),
+        date_dim=dim,
+        news_existing=news,
+    )
+    rows = {r["title"]: r for r in out.collect()}
+    assert len(rows) == 3
+    # wall-clock hour of the +0100 pubDate is kept (L9 oracle mode)
+    assert rows["alpha story"]["id_date"] == 2023010215
+    assert rows["gamma story"]["id_date"] == 2023010410  # 2-digit year form
+    assert rows["alpha story"]["media"] == "https://example.test/a.jpg"
+
+
+def test_read_sources_csv_assigns_serial_ids(spark, tmp_path):
+    csv = tmp_path / "sources.csv"
+    csv.write_text(
+        "name,website,rss\n"
+        "First,https://a.test,https://a.test/rss\n"
+        "Second,https://b.test,https://b.test/rss\n"
+    )
+    df = read_sources_csv(spark, str(csv))
+    rows = sorted(map(tuple, df.select("id", "name").collect()))
+    assert rows == [(1, "First"), (2, "Second")]
+
+
+def test_read_references_json(spark, tmp_path):
+    j = tmp_path / "references.json"
+    j.write_text(
+        '[{"id": 7, "name": "Espagne", "words": ["madrid", "barcelone"]},'
+        ' {"id": 44, "name": "Royaume-Uni", "words": ["londres"]}]'
+    )
+    df = read_references_json(spark, str(j))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[7]["words"] == ["madrid", "barcelone"]
+    assert rows[44]["name"] == "Royaume-Uni"
