@@ -2,11 +2,23 @@
 """Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "duckdb_sec": {name: sec}, "sf": ...}.
 
-Each query is fully evaluated via the noop sink (computes every projected
-column, writes nothing) — count() alone would let Catalyst prune the work.
-One warmup query amortizes JVM/codegen startup out of the measurements.
+Methodology:
+
+- each Spark query is fully evaluated via the noop sink (computes every
+  projected column, writes nothing) — count() alone would let Catalyst
+  prune the work; one warmup query amortizes JVM/codegen startup;
+- BEST-OF-N per query (default 3, $SPARK_GRAFT_BENCH_REPEAT): single-shot
+  numbers on a contended rig were 10-20x inflated in round 1
+  (q_dedup_keep_first 16.7s recorded vs 0.98s isolated); best-of-N is the
+  standard de-noising for a throughput benchmark;
+- the DuckDB oracle runs the SAME workload in-process (fetchall = full
+  materialization), also best-of-N, so the gate ratio is computable from
+  this file's output alone;
+- failed queries are counted and surfaced ("failed": n, names in
+  "failed_queries") instead of silently shrinking the total — a
+  regression must not read as a speedup.
 """
 
 from __future__ import annotations
@@ -33,6 +45,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
     _ensure_loaded()
     spark = get_spark(app_name="newsmaper-bench")
@@ -52,27 +65,67 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        try:
-            evaluate(QUERIES[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — a failing query must not kill the bench
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                evaluate(QUERIES[name].fn(spark, sf_dir))
+            except Exception as e:  # noqa: BLE001 — a failing query must not kill the bench
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        if best is None:
             timings[name] = -1.0
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            failed.append(name)
+        else:
+            timings[name] = round(best, 3)
+
+    # DuckDB side: identical workload for every oracle-bearing query
+    duck: dict[str, float] = {}
+    try:
+        from newsmaper_etl_spark.oracle import duckdb_conn
+
+        con = duckdb_conn(sf_dir)
+        for name in sorted(QUERIES):
+            sql = QUERIES[name].oracle
+            if sql is None:
+                continue
+            best = None
+            try:
+                for _ in range(repeat):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                duck[name] = round(best, 4)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: duckdb {name} FAILED: {e}", file=sys.stderr)
+        con.close()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: duckdb side unavailable: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query wall clock (noop sink, warm JVM)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    shared = [n for n in duck if timings.get(n, -1) >= 0]
+    duck_total = round(sum(duck[n] for n in shared), 3)
+    spark_shared = round(sum(timings[n] for n in shared), 3)
+    out = {
+        "metric": f"declared-query wall clock (noop sink, warm JVM, best of {repeat})",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "failed": len(failed),
+        "failed_queries": failed,
+        "duckdb_sec": duck,
+        "duckdb_total": duck_total,
+        "spark_total_shared": spark_shared,
+        "ratio_vs_duckdb": round(spark_shared / duck_total, 2) if duck_total else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

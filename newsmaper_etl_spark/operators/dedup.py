@@ -30,13 +30,18 @@ from pyspark.sql import functions as F
 # Exact
 # --------------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str = "doc_id", salt: int | None = None
+) -> DataFrame:
     """Survivor per exact-duplicate group = lowest id (deterministic,
-    matches the reference's keep-first — ledger L7). One shuffle."""
-    w = Window.partitionBy(*cols).orderBy(F.asc(id_col))
-    return df.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    matches the reference's keep-first — ledger L7). One shuffle.
+
+    ``salt=N`` → two-phase skew-hardened ranking (identical output); see
+    operators.newsmaper.dedup_keep_first for the rationale — AQE splits
+    skewed joins, not skewed window partitions."""
+    from newsmaper_etl_spark.operators.newsmaper import dedup_keep_first
+
+    return dedup_keep_first(df, tuple(cols), order_col=id_col, salt=salt)
 
 
 def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:

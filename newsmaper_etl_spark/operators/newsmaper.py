@@ -171,6 +171,13 @@ def tag_country(
 
     The dictionary side is tiny → broadcast; the exploded token stream
     aggregates map-side before its only shuffle (on row_key).
+
+    Skew posture: the explode→join is broadcast (no shuffle to skew); the
+    vote groupBy partial-aggregates map-side, so a heavy row_key arrives
+    at the shuffle already collapsed to ≤|dictionary| rows; the rank
+    window partitions on row_key with ≤|dictionary| rows each. No salting
+    needed anywhere in this operator — the skew-sensitive window is
+    dedup_keep_first's (see its ``salt`` flag).
     """
     refs_flat = flatten_references(references, strict=strict)
     tokens = df.select(row_key, F.explode(tokens_col).alias("word"))
@@ -263,10 +270,36 @@ def dedup_keep_first(
     df: DataFrame,
     keys: tuple[str, ...] = NEWS_KEY,
     order_col: str = "id",
+    salt: int | None = None,
 ) -> DataFrame:
     """Keep-first dedup: survivors have the lowest ``order_col`` per key
     (L7; replaces the scan + per-row DELETE loop at Main.py:28-47 with one
-    window over one shuffle)."""
+    window over one shuffle).
+
+    ``salt=N`` enables the skew-hardened two-phase form: AQE splits skewed
+    JOIN partitions but not skewed WINDOW partitions, so a heavy-hitter
+    key (one title carrying 10% of the corpus) serializes into a single
+    task. Phase 1 ranks within (keys, salt) — the hot key fans out over N
+    tasks and keeps ≤N candidate rows; phase 2 ranks the ≤N·|keys|
+    candidates per key. min-by is decomposable, so the result is
+    IDENTICAL to the unsalted window for any N.
+    """
+    if salt and salt > 1:
+        w1 = Window.partitionBy(*keys, "__salt").orderBy(F.asc(order_col))
+        cand = (
+            df.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt))
+            )
+            .withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        w2 = Window.partitionBy(*keys).orderBy(F.asc(order_col))
+        return (
+            cand.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__salt")
+        )
     w = Window.partitionBy(*keys).orderBy(F.asc(order_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

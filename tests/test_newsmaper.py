@@ -93,6 +93,23 @@ def test_dedup_keep_first_lowest_id_survives(spark):
     assert len(briefs) == 1 and briefs[0]["id"] == 2
 
 
+def test_dedup_keep_first_salted_identical_on_skew(spark):
+    """Skew hardening: 90% of rows share ONE key; the salted two-phase
+    window must produce byte-identical survivors to the unsalted form."""
+    rows = spark.range(0, 2000).selectExpr(
+        "id",
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id % 37 AS INT) END AS id_source",
+        "CAST(2023010100 AS INT) AS id_date",
+        "CASE WHEN id % 10 < 9 THEN 'hot title' ELSE concat('t', id % 37) END AS title",
+    )
+    plain = dedup_keep_first(rows)
+    salted = dedup_keep_first(rows, salt=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the hot key kept exactly its lowest id
+    hot = [r for r in salted.collect() if r["title"] == "hot title"]
+    assert len(hot) == 1 and hot[0]["id"] == 0
+
+
 def test_strict_mode_normalizes_tz(spark):
     """L9: oracle mode keeps the printed wall clock; strict mode applies
     the offset (15:04:05 +0100 → 14:04:05 UTC)."""
