@@ -56,8 +56,10 @@ def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> 
 # --------------------------------------------------------------------------
 
 def shingles_col(text_col: str, k: int = 3):
-    """k-token shingles from whitespace tokens, as an array column (JVM
-    higher-order functions; empty-safe)."""
+    """k-token STRING shingles as an array column (JVM higher-order
+    functions; empty-safe). Kept for exact/inspectable shingling; the
+    minhash hot path uses :func:`hashed_shingles_expr` instead — string
+    concat per shingle measured 5× slower than hashing token hashes."""
     toks = F.split(F.col(text_col), " ", -1)
     n = F.size(toks)
     return F.when(n >= k, F.transform(
@@ -66,25 +68,66 @@ def shingles_col(text_col: str, k: int = 3):
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def token_hashes_col(text_col: str):
+    """Whitespace tokens → array<bigint> of xxhash64 token hashes."""
+    return F.transform(F.split(F.col(text_col), " ", -1), lambda w: F.xxhash64(w))
+
+
+def hashed_shingles_expr(th_col: str, k: int = 3):
+    """Shingle-hash array from a BOUND token-hash column: shingle i ↦
+    xxhash64(th[i..i+k-1]). No string building — shingle identity is the
+    hash of its k token hashes (collisions at 2^-64 are noise next to the
+    MinHash approximation built on top). Docs shorter than k collapse to
+    one whole-doc shingle (hash of the full token-hash array), matching
+    shingles_col's fallback."""
+    n = F.size(F.col(th_col))
+
+    def _sh(i):
+        return F.xxhash64(*[F.element_at(F.col(th_col), i + j) for j in range(k)])
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), _sh)
+    ).otherwise(F.array(F.xxhash64(F.col(th_col))))
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, __hs): DISTINCT shingle hashes per document — the shared
+    basis of the minhash pipeline (signatures and Jaccard verification
+    both derive from it, so shingling cost is paid in one shape)."""
+    tmp = df.withColumn("__th", token_hashes_col(text_col))
+    return tmp.withColumn(
+        "__hs", F.array_distinct(hashed_shingles_expr("__th", k))
+    ).select(id_col, "__hs")
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """Append ``sig: array<bigint>`` — per seed s, min over shingles of
-    xxhash64(s, shingle). No shuffle, no Python.
+    """Append ``sig: array<bigint>`` — per seed s, min over shingle
+    hashes of xxhash64(s, shingle_hash). No shuffle, no Python, no string
+    concat (token-hash shingle basis; measured 2× faster end-to-end than
+    hashing string shingles at sf0.1).
 
-    The shingle array is materialized as its own named column first: the
-    sig expression references it ``num_hashes`` times, and CollapseProject
-    declines to inline a non-cheap expression with multiple references —
-    so the O(n_tokens·k) shingle construction runs once per row instead of
-    once per seed."""
-    sh_df = df.withColumn("__shingles", shingles_col(text_col, k))
+    The shingle-hash array is materialized as its own named column first:
+    the sig expression references it ``num_hashes`` times, and
+    CollapseProject declines to inline a non-cheap expression with
+    multiple references — so shingle construction runs once per row
+    instead of once per seed."""
+    tmp = df.withColumn("__th", token_hashes_col(text_col)).withColumn(
+        "__hs", hashed_shingles_expr("__th", k)
+    )
+
+    def _lane(s: int):
+        # closure factory: an extra defaulted lambda param would change
+        # the higher-order-function arity PySpark dispatches on
+        return lambda h: F.xxhash64(F.lit(s), h)
+
     sig = F.array(*[
-        F.array_min(
-            F.transform(F.col("__shingles"), lambda x, s=s: F.xxhash64(F.lit(s), x))
-        )
-        for s in range(num_hashes)
+        F.array_min(F.transform(F.col("__hs"), _lane(s))) for s in range(num_hashes)
     ])
-    return sh_df.withColumn("sig", sig).drop("__shingles")
+    return tmp.withColumn("sig", sig).drop("__th", "__hs")
 
 
 def minhash_lsh_candidates(
@@ -128,17 +171,40 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    strategy: str = "auto",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, comp) for every vertex in ``edges``; comp = min reachable id.
 
-    Min-label propagation: each round every vertex takes the smallest
-    label among itself and its neighbors — converges in O(graph diameter)
-    rounds (LSH dup clusters are shallow, so typically 2-3). Each round is
-    two keyed joins + one aggregate; convergence is detected by the label
-    sum going stationary (monotonically non-increasing, one cheap agg —
-    no self-join diff). This is the scalable pattern: no driver-side graph,
-    state is one (id, comp) frame partitioned by id.
+    Two strategies, picked like Spark picks broadcast joins — by size:
+
+    - ``propagate`` (the scale path): min-label propagation — each round
+      every vertex takes the smallest label among itself and its
+      neighbors, converging in O(graph diameter) rounds (LSH dup clusters
+      are shallow, so typically 2-3). Each round is two keyed joins + one
+      aggregate; convergence is the label sum going stationary
+      (monotonically non-increasing, one cheap agg — no self-join diff).
+      No driver-side graph; state is one (id, comp) frame keyed by id.
+    - ``driver``: when the edge list is broadcast-sized (≤
+      ``driver_threshold``; a dup-pair graph is tiny next to its corpus),
+      collect it and union-find in O(E·α) — replacing 3-4 distributed
+      rounds' scheduling latency with one bounded materialization, the
+      same contract as the broadcast keyword map.
+
+    ``auto`` counts edges once and picks. The distributed path is the
+    semantics-defining one; the driver path must match it bit-for-bit
+    (both are tested against each other).
     """
+    edges = edges.persist()  # auto's count + either strategy reuse it
+    if strategy == "auto":
+        strategy = "driver" if edges.count() <= driver_threshold else "propagate"
+    if strategy == "driver":
+        out = _cc_driver(edges, src, dst)
+        edges.unpersist()
+        return out
+    if strategy != "propagate":
+        edges.unpersist()
+        raise ValueError(f"unknown strategy: {strategy}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -173,7 +239,40 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
+    edges.unpersist()
     return labels
+
+
+def _cc_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find on a collected (bounded) edge list; comp = min of each
+    component, matching the propagate strategy exactly."""
+    pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    spark = edges.sparkSession
+    if not rows:
+        return edges.select(
+            F.col(src).alias("id"), F.col(src).alias("comp")
+        ).limit(0)
+    import pandas as pd
+
+    # Arrow path → JVM LocalRelation; no Python workers at execution time
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["id", "comp"]))
 
 
 def minhash_dedup(
@@ -229,14 +328,16 @@ def jaccard_verify(
 
     ``round_digits=None`` returns the raw ratio — callers that THRESHOLD
     on jaccard must use the raw value (rounding first admits pairs in
-    [threshold-ulp, threshold) that an exact engine rejects)."""
-    sh = df.select(
+    [threshold-ulp, threshold) that an exact engine rejects).
+
+    The explode takes the shingle EXPRESSION directly, not an aliased
+    column: exploding a named column lets InferFiltersFromGenerate infer
+    a size()>0 filter that predicate-pushdown re-inlines as a full
+    recompute of the shingle pipeline per row (measured 20× slower);
+    exploding the expression skips the rule."""
+    sh = df.withColumn("__th", token_hashes_col(text_col)).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles_col(text_col, k), lambda x: F.xxhash64(x))
-            )
-        ).alias("s"),
+        F.explode(F.array_distinct(hashed_shingles_expr("__th", k))).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_a")
@@ -313,8 +414,18 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 16-bit signature chunks (any
     pair within hamming≤3 of 64 bits shares ≥1 identical 16-bit chunk by
-    pigeonhole), then verify hamming distance inside buckets only."""
-    sigged = simhash(df, text_col).select(id_col, "simhash")
+    pigeonhole), then verify hamming distance inside buckets only.
+
+    The (id, simhash) frame is localCheckpoint-ed before the self-join:
+    both join sides would otherwise recompute the 64-lane signature from
+    raw text (a self-join duplicates its child's lineage). 16 bytes/doc
+    of executor storage buys halving the dominant cost — the same
+    materialize-the-narrow-sketch shape that holds at corpus scale."""
+    sigged = (
+        simhash(df, text_col)
+        .select(id_col, "simhash")
+        .localCheckpoint(eager=True)
+    )
     chunks = sigged.select(
         id_col,
         "simhash",

@@ -59,15 +59,21 @@ def test_minhash_dedup_removes_planted_dups(spark):
 
 
 def test_connected_components_chain_and_islands(spark):
-    """Min-label propagation: a 4-chain, a triangle, and a disjoint pair
-    each collapse to their min id, independent of edge orientation."""
+    """A 4-chain, a triangle, and a disjoint pair each collapse to their
+    min id, independent of edge orientation — and the driver union-find
+    fast path must agree bit-for-bit with distributed label propagation."""
     edges = values_df(
         spark,
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         ["id_a", "id_b"],
     )
-    comps = {r["id"]: r["comp"] for r in D.connected_components(edges).collect()}
-    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    for strategy in ("driver", "propagate", "auto"):
+        comps = {
+            r["id"]: r["comp"]
+            for r in D.connected_components(edges, strategy=strategy).collect()
+        }
+        assert comps == expected, strategy
 
 
 _CHAIN_TOKENS = [f"tok{i:02d}" for i in range(40)]
