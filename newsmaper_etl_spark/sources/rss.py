@@ -32,7 +32,12 @@ import xml.etree.ElementTree as ET
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 #: In-flight article schema — the frame Extract.py:43 builds, pinned.
@@ -139,8 +144,39 @@ class _RssReader(DataSourceReader):
             )
 
 
+class _RssStreamReader(SimpleDataSourceStreamReader):
+    """Polling stream: each micro-batch re-fetches every feed and emits
+    all current items — the streaming form of the reference's 20-minute
+    schedule (Main.py:23); pair with ``trigger(processingTime='20
+    minutes')`` and the pipeline's watermarked dedup, which turns the
+    repeated-items-per-poll firehose into effectively-once per key.
+
+    Offsets count polls. A live feed is not replayable, so recovery
+    re-fetches (at-least-once at the source; the downstream dedup state
+    restores exactly-once per key) — documented, inherent to polling
+    sources without an upstream log.
+    """
+
+    def __init__(self, options: dict):
+        self._batch = _RssReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _rows(self):
+        for part in self._batch.partitions():
+            yield from self._batch.read(part)
+
+    def read(self, start: dict):
+        return iter(list(self._rows())), {"poll": int(start["poll"]) + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows()))
+
+
 class RssDataSource(DataSource):
-    """``spark.read.format("rss")`` after :func:`register_rss_source`."""
+    """``spark.read.format("rss")`` (batch) / ``spark.readStream`` (poll
+    stream) after :func:`register_rss_source`."""
 
     @classmethod
     def name(cls) -> str:
@@ -151,6 +187,9 @@ class RssDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _RssReader(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _RssStreamReader(dict(self.options))
 
 
 def register_rss_source(spark: SparkSession) -> None:

@@ -157,3 +157,75 @@ def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("win.start").alias("session_start"), "n_events")
     )
+
+
+#: Output/state schemas for the custom stateful operator below.
+_SOURCE_STATS_OUT = T.StructType(
+    [
+        T.StructField("id_source", T.IntegerType(), False),
+        T.StructField("n_total", T.LongType(), False),
+        T.StructField("n_batch", T.LongType(), False),
+        T.StructField("last_pub_ts", T.TimestampType(), True),
+    ]
+)
+_SOURCE_STATS_STATE = T.StructType(
+    [
+        T.StructField("n_total", T.LongType(), False),
+        T.StructField("last_pub_us", T.LongType(), True),
+    ]
+)
+
+
+def stateful_source_stats(articles: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.10: the flatMapGroupsWithState
+    surface): per-source CUMULATIVE article count + latest publication
+    timestamp, carried across micro-batches — and across RESTARTS — in
+    the state store via ``applyInPandasWithState``.
+
+    This is the operator class Structured Streaming's built-ins can't
+    express (the running total spans arbitrarily many batches; windowed
+    aggs reset, dropDuplicates only filters). State per key is two longs,
+    so a million sources cost ~32 MB of store — the shape that scales.
+
+    Input needs ``id_source`` and ``pub_ts`` columns (post-parse).
+    """
+    import pandas as pd
+
+    def _update(key, pdfs, state):
+        n_batch = 0
+        max_us = None
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            ts = pd.to_datetime(pdf["pub_ts"]).dropna()
+            if len(ts):
+                batch_max = ts.max().value // 1000  # ns → µs
+                max_us = batch_max if max_us is None else max(max_us, batch_max)
+        if state.exists:
+            n_total, last_us = state.get
+        else:
+            n_total, last_us = 0, None
+        n_total += n_batch
+        if max_us is not None:
+            last_us = max_us if last_us is None else max(last_us, max_us)
+        state.update((n_total, last_us))
+        out_ts = pd.Timestamp(last_us, unit="us") if last_us is not None else pd.NaT
+        yield pd.DataFrame(
+            {
+                "id_source": [key[0]],
+                "n_total": [n_total],
+                "n_batch": [n_batch],
+                "last_pub_ts": [out_ts],
+            }
+        )
+
+    return (
+        articles.select("id_source", "pub_ts")
+        .groupBy("id_source")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_SOURCE_STATS_OUT,
+            stateStructType=_SOURCE_STATS_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -139,6 +139,36 @@ def test_rss_pipeline_end_to_end(spark, tmp_path):
     assert rows["alpha story"]["media"] == "https://example.test/a.jpg"
 
 
+def test_rss_stream_polls_feed(spark, tmp_path):
+    """The rss format also reads as a polling STREAM (SimpleDataSource
+    StreamReader): one micro-batch = one poll of every feed."""
+    feed = tmp_path / "feed.xml"
+    feed.write_text(_FEED_XML)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_rss_source(spark)
+    stream = (
+        spark.readStream.format("rss")
+        .option("path", str(feed))
+        .option("source_id", "5")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["title"] for r in rows) == [
+        "alpha story", "beta story", "gamma story",
+    ]
+    assert all(r["id_source"] == 5 for r in rows)
+
+
 def test_read_sources_csv_assigns_serial_ids(spark, tmp_path):
     csv = tmp_path / "sources.csv"
     csv.write_text(

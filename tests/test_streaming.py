@@ -61,6 +61,60 @@ def test_streaming_restart_is_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == 5
 
 
+def test_stateful_source_stats_accumulates_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: the per-source running count must carry
+    across micro-batches AND across query restarts (state store), not
+    reset like a windowed agg."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from newsmaper_etl_spark.operators.newsmaper import parse_pubdate
+    from newsmaper_etl_spark.streaming.pipeline import stateful_source_stats
+
+    src = tmp_path / "arts_in"
+    src.mkdir()
+    out = str(tmp_path / "stats_out")
+    ckpt = str(tmp_path / "stats_ckpt")
+    cols = ["article_id", "id_source", "title", "link", "description", "media", "date"]
+
+    def run_batch(fname, rows):
+        with open(src / fname, "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(cols, row))) + "\n")
+        articles = parse_pubdate(read_article_stream(spark, str(src)))
+        stats = stateful_source_stats(articles)
+        # update-mode output → foreachBatch append (parquet sink is
+        # append-only); each batch appends its updated per-source rows
+        q = (
+            stats.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch("b0.json", FX.ARTICLES[:4])  # sources: per fixture rows
+    run_batch("b1.json", FX.ARTICLES[4:])  # restart; only the new file
+
+    rows = spark.read.parquet(out).collect()
+    # final totals: latest n_total per source == its full fixture count
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["id_source"])
+        if cur is None or r["n_total"] > cur:
+            latest[r["id_source"]] = r["n_total"]
+    from collections import Counter
+
+    expect = Counter(row[1] for row in FX.ARTICLES)
+    assert latest == dict(expect)
+    # and the second run really was incremental state, not a recount
+    assert any(r["n_batch"] < r["n_total"] for r in rows)
+
+
 def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     from newsmaper_etl_spark.io import load_table
 
