@@ -96,15 +96,98 @@ def media_features(
     return df.mapInPandas(_decode_batch, schema=MEDIA_FEATURES_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — interface stub.
+#: One output row per sampled frame.
+FRAME_SAMPLE_SCHEMA = (
+    "id long, frame_index int, frame_ts_ms long, frame binary"
+)
 
-    Real shape: mapInPandas over (media, media_meta) yielding one row per
-    sampled frame with a frame binary + index; requires libav. Raises
-    until a decoder is available.
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "id",
+    binary_col: str = "media",
+    n_frames: int = 4,
+    fps: float = 30.0,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling: mapInPandas exploding one video row into
+    ``n_frames`` frame rows (frame binary + index + timestamp) — the 1→N
+    generator shape a training pipeline feeds to vision encoders.
+
+    Decode is stubbed like media_features: ``fake=True`` slices the raw
+    payload into deterministic per-frame chunks (so row explosion, Arrow
+    binary transfer both directions, and the output schema are all real
+    and tested); the real kernel plugs libav into the same loop.
     """
-    raise NotImplementedError(
-        "frame sampling requires a video decoder not present in this "
-        "environment; the distributed shape is mapInPandas exploding one "
-        "input row into N frame rows (see media_features for the pattern)"
-    )
+
+    def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires a video decoder not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub (plumbing is identical)"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(blob) if blob is not None else b""
+                # fake decode: n_frames even slices of the payload stand in
+                # for decoded frames; timestamps from the nominal fps
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    tss.append(int(i * 1000 / fps))
+                    frames.append(data[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"id": ids, "frame_index": pd.array(idxs, dtype="int32"),
+                 "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+#: Resize output: same id space, transformed binary + recorded dims.
+RESIZE_SCHEMA = "id long, resized binary, out_width int, out_height int"
+
+
+def image_resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "id",
+    binary_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas kernel (1→1).
+
+    ``fake=True`` emits a deterministic transform of the payload
+    (truncate/pad to width*height bytes) so the batch shape and schema
+    are exercised; a real deployment swaps in PIL/opencv inside the same
+    per-batch loop, where the decoder cost amortizes across the batch.
+    """
+    target = width * height
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an image library not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub (plumbing is identical)"
+                )
+            blobs = pdf[binary_col].map(
+                lambda b: (bytes(b) + b"\x00" * target)[:target]
+                if b is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "resized": blobs,
+                    "out_width": pd.array([width] * len(pdf), dtype="int32"),
+                    "out_height": pd.array([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -212,3 +212,32 @@ def test_media_features_real_decode_is_stubbed(spark):
     blobs = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         M.media_features(blobs, id_col="doc_id", binary_col="media", fake=False).collect()
+
+
+def test_frame_sample_explodes_rows(spark):
+    """1→N generator shape: every video row yields n_frames frame rows
+    with deterministic fake frame payloads and fps-derived timestamps."""
+    df = values_df(
+        spark, [(1, "0123456789abcdef"), (2, "xy")], ["doc_id", "text"]
+    )
+    vids = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    out = M.frame_sample(
+        vids, id_col="doc_id", binary_col="media", n_frames=4, fps=2.0, fake=True
+    )
+    rows = sorted(
+        ((r["id"], r["frame_index"], r["frame_ts_ms"], bytes(r["frame"])) for r in out.collect())
+    )
+    assert len(rows) == 8
+    assert [r[1] for r in rows if r[0] == 1] == [0, 1, 2, 3]
+    assert [r[2] for r in rows if r[0] == 1] == [0, 500, 1000, 1500]
+    assert rows[0][3] == b"0123"  # 16 bytes / 4 frames → 4-byte slices
+
+
+def test_image_resize_batch_shape(spark):
+    df = values_df(spark, [(1, "abc")], ["doc_id", "text"])
+    imgs = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    (row,) = M.image_resize(
+        imgs, width=4, height=2, id_col="doc_id", binary_col="media", fake=True
+    ).collect()
+    assert bytes(row["resized"]) == b"abc" + b"\x00" * 5
+    assert (row["out_width"], row["out_height"]) == (4, 2)
