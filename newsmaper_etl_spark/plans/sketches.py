@@ -57,3 +57,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return S.lsh_cosine_topk(queries, emb, dim=64, k=3, n_planes=8)
+
+
+@query("q_ann_ivf", oracle=None, tags=("ANN", "IVF"))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN (rows-only: cell membership depends on the
+    sampled k-means centroids; recall-vs-exact is property-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.ivf_cosine_topk(queries, emb, k=3, n_centroids=16, nprobe=2)

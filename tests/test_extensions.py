@@ -179,6 +179,35 @@ def test_lsh_recalls_identical_vectors(spark, sf_dir):
         assert top[vid][0] == vid and abs(top[vid][1] - 1.0) < 1e-6
 
 
+def test_ivf_recalls_identical_vectors(spark, sf_dir):
+    """IVF: a query that IS a corpus vector always lands in its own top
+    cell, so nprobe>=1 guarantees the twin is found with sim 1.0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ivf_cosine_topk(queries, emb, k=1, n_centroids=8, nprobe=1)
+    top = {r["qid"] - 10000: (r["neighbor_id"], r["sim"]) for r in out.collect()}
+    for vid in range(5):
+        assert top[vid][0] == vid and abs(top[vid][1] - 1.0) < 1e-6
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """With generous probes (nprobe = half the cells) IVF top-1 must agree
+    with exact kNN for most queries — the tunable-recall contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {r["qid"]: r["neighbor_id"] for r in S.cosine_topk(queries, emb, k=1).collect()}
+    approx = {
+        r["qid"]: r["neighbor_id"]
+        for r in S.ivf_cosine_topk(queries, emb, k=1, n_centroids=8, nprobe=4).collect()
+    }
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits >= 7  # ≥70% top-1 recall at nprobe=cells/2 on this data
+
+
 def test_exact_knn_matches_lsh_on_identical(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
