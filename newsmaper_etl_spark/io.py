@@ -85,6 +85,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Optional JDBC table scan (the reference's S2/S3 source shape,
+    Extract.py:32-37 / Load.py:17-18). Untestable in this rig (no
+    database, no JDBC driver jar); the contract it encodes matters:
+    ALWAYS pass a numeric ``partition_column`` + bounds for fact-sized
+    tables, else the whole table arrives through one connection — the
+    JDBC analog of a single-split file scan. Predicate pushdown and
+    column pruning reach the remote engine via Catalyst as usual."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Optional JDBC append sink (Load.py:28's ``to_sql`` analog).
+    Idempotence stays the anti-join's job (operators.append_new_rows) —
+    the sink itself is plain append, same as the reference."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every testdata table and register each as a temp view.
 
