@@ -314,3 +314,44 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(F.col("c_nationkey").alias("nk")).subtract(
         supplier.select(F.col("s_nationkey").alias("nk"))
     )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+        WITH iv AS (
+            SELECT p_partkey,
+                   (p_partkey % 45) * 10.0 AS lo,
+                   (p_partkey % 45) * 10.0 + 15.0 AS hi
+            FROM part WHERE p_partkey <= 300
+        )
+        SELECT p_partkey, COUNT(*) AS n_points,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM iv JOIN events e ON e.value >= lo AND e.value <= hi
+        GROUP BY p_partkey
+    """,
+    tags=("J6", "RANGE"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval) join — no equi key anywhere: points
+    (events.value) against derived value bands. Spark's native plan for
+    this predicate is BroadcastNestedLoopJoin; operators.rangejoin turns
+    it into a bucketized hash join (interval → covered buckets, point →
+    its bucket, equi-join + exact refine) — the shape that survives when
+    neither side broadcasts. Aggregates are COUNT/MIN/MAX (order-free,
+    bit-stable across engines)."""
+    from newsmaper_etl_spark.operators.rangejoin import range_join
+
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+    lo = (F.col("p_partkey") % 45) * 10.0
+    intervals = part.filter(F.col("p_partkey") <= 300).select(
+        "p_partkey", lo.alias("lo"), (lo + 15.0).alias("hi")
+    )
+    points = events.select("value")
+    joined = range_join(points, intervals, "value", "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )

@@ -59,6 +59,31 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(queries, emb, dim=64, k=3, n_planes=8)
 
 
+@query("q_approx_distinct", oracle=None, tags=("AGG", "SKETCH"))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per group (rows-only: the sketch
+    estimate is engine-specific by construction; relative error vs exact
+    is property-tested in tests/test_extensions.py). The aggregate every
+    100 TB engine reaches for when COUNT(DISTINCT) would shuffle every
+    distinct key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx")
+    )
+
+
+@query("q_percentile_approx", oracle=None, tags=("AGG", "SKETCH"))
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (KLL-style sketch; rows-only,
+    error-bound property-tested) — single pass + mergeable partials,
+    versus an exact percentile's per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+    )
+
+
 @query("q_ann_ivf", oracle=None, tags=("ANN", "IVF"))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN (rows-only: cell membership depends on the

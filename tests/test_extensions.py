@@ -218,6 +218,52 @@ def test_exact_knn_matches_lsh_on_identical(spark, sf_dir):
     assert top == {0: 0, 1: 1, 2: 2}
 
 
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct count
+    for every group."""
+    from newsmaper_etl_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    approx = {
+        r["o_orderpriority"]: r["n_cust_approx"]
+        for r in QUERIES["q_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, approx[k], exact[k])
+
+
+def test_percentile_approx_error_bound(spark, sf_dir):
+    """Sketch percentiles within 2% relative error of exact."""
+    from newsmaper_etl_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in QUERIES["q_percentile_approx"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e <= 0.02, (k, a, e)
+
+
 def test_media_features_fake_decode(spark):
     df = values_df(spark, [(1, "hello world"), (2, "spark")], ["doc_id", "text"])
     blobs = df.select("doc_id", F.encode("text", "utf-8").alias("media"))

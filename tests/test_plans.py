@@ -99,6 +99,44 @@ def test_anti_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as a hash equi-join on the
+    bucket — never the BroadcastNestedLoopJoin Spark picks for a raw
+    range predicate."""
+    plan = _plan(QUERIES["q_range_join"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketized result == naive cross-filter on controlled data,
+    including boundary points sitting exactly on lo/hi and on bucket
+    edges."""
+    from newsmaper_etl_spark.fixtures import values_df
+    from newsmaper_etl_spark.operators.rangejoin import range_join
+
+    points = values_df(
+        spark, [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 30.0), (6, 31.0)],
+        ["pid", "v"],
+    )
+    intervals = values_df(
+        spark, [(100, 0.0, 10.0), (200, 10.0, 30.0), (300, 29.5, 29.6)],
+        ["iid", "lo", "hi"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "v", "lo", "hi", 7.0).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((points.v >= intervals.lo) & (points.v <= intervals.hi))
+        .collect()
+    )
+    assert got == naive
+    assert (3, 100) in got and (3, 200) in got  # boundary point in both
+
+
 def test_embedding_pairs_filter_evaluates_cosine_once(spark, sf_dir):
     """The near-dup pair filter must reference the bound similarity column,
     not re-expand the aggregate: one 'aggregate(' per zip_with dot product
