@@ -92,4 +92,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return S.ivf_cosine_topk(queries, emb, k=3, n_centroids=16, nprobe=2)
+    return S.ivf_cosine_topk(
+        queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512
+    )

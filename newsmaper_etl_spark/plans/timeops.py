@@ -225,6 +225,29 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_from_json",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    tags=("F9",),
+)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-projecting JSON parse (JsonToStructs, not per-path string
+    extraction): from_json with a pinned DDL schema, then typed field
+    access feeding an aggregate — the operator a pipeline uses when a
+    JSON column has known structure."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("__j", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("__j.k")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Time-bucketed windows (batch-checkable streaming analogs, §2.10)
 # --------------------------------------------------------------------------
