@@ -150,6 +150,30 @@ def bootstrap(
     return paths
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table (hash-clustered files per bucket
+    column, optionally sorted within buckets).
+
+    The 100 TB payoff: two tables bucketed on the same key with the same
+    bucket count join with ZERO exchange — the shuffle happened once at
+    write time and is amortized over every subsequent join/aggregation on
+    that key (verified in tests/test_plans.py by asserting the join plan
+    has no Exchange). This is the managed-table path (`saveAsTable` —
+    bucket metadata lives in the catalog; plain `.parquet()` writes can't
+    carry it)."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def _news_columns() -> tuple[str, ...]:
     return (
         "id_country",
