@@ -60,31 +60,58 @@ _NEWS_DDL = (
     "id_country INT, id_source INT, id_date INT, "
     "title STRING, link STRING, description STRING, media STRING"
 )
+#: Partition column: the yyyymmdd prefix of the yyyymmddhh surrogate —
+#: day-grain directories, so appends touch only new days and date-ranged
+#: reads prune at the file listing (see read_news_for_dates).
+_PART_COL = "p_date"
+_NEWS_DDL_STORED = _NEWS_DDL + f", {_PART_COL} INT"
 
 
 def news_path(warehouse_dir: str) -> str:
     return os.path.join(warehouse_dir, "news")
 
 
+def _with_partition(df: DataFrame) -> DataFrame:
+    return df.withColumn(_PART_COL, F.expr("id_date div 100").cast("int"))
+
+
 def read_news(spark: SparkSession, warehouse_dir: str) -> DataFrame:
-    return spark.read.schema(_NEWS_DDL).parquet(news_path(warehouse_dir))
+    return (
+        spark.read.schema(_NEWS_DDL_STORED)
+        .parquet(news_path(warehouse_dir))
+        .drop(_PART_COL)
+    )
+
+
+def read_news_for_dates(
+    spark: SparkSession, warehouse_dir: str, from_key: int, to_key: int
+) -> DataFrame:
+    """Date-ranged read with PARTITION PRUNING: the filter lands on the
+    partition column, so only the covered day directories are listed and
+    scanned (at 100 TB the difference between reading a week and reading
+    the table). Keys are yyyymmddhh surrogates, bounds inclusive."""
+    df = spark.read.schema(_NEWS_DDL_STORED).parquet(news_path(warehouse_dir))
+    return df.filter(
+        (F.col(_PART_COL) >= from_key // 100) & (F.col(_PART_COL) <= to_key // 100)
+    ).filter((F.col("id_date") >= from_key) & (F.col("id_date") <= to_key)).drop(
+        _PART_COL
+    )
 
 
 def append_news(
     spark: SparkSession, new_rows: DataFrame, warehouse_dir: str
 ) -> int:
     """Idempotent append (Load.py:8-28): anti-join on the composite key
-    against the existing table, append only the novel rows. Returns the
-    appended count (the reference logs it, Load.py:27).
-
-    The count comes from the SAME materialization as the write (count()
-    on the written files' metadata, not a second computation)."""
+    against the existing table, append only the novel rows — into
+    day-grain partitions, so an append only creates/extends the days it
+    carries. Returns the appended count (the reference logs it,
+    Load.py:27)."""
     path = news_path(warehouse_dir)
     existing = read_news(spark, warehouse_dir)
     novel = append_new_rows(new_rows.select(*_news_columns()), existing, NEWS_KEY)
-    novel.write.mode("append").parquet(path)
+    _with_partition(novel).write.partitionBy(_PART_COL).mode("append").parquet(path)
     # cheap: parquet row-count metadata, no recompute of the plan above
-    after = spark.read.parquet(path).count()
+    after = spark.read.schema(_NEWS_DDL_STORED).parquet(path).count()
     before = existing.count()
     return after - before
 
@@ -102,8 +129,8 @@ def rewrite_dedup(spark: SparkSession, warehouse_dir: str) -> None:
     survivors = dedup_keep_first(ordered, NEWS_KEY, order_col="__ord").drop("__ord")
     # two-phase overwrite via a staging dir would be the production shape
     # (or a Delta DELETE); single-writer batch is assumed here
-    staged = survivors.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(path)
+    staged = _with_partition(survivors).localCheckpoint(eager=True)
+    staged.write.partitionBy(_PART_COL).mode("overwrite").parquet(path)
 
 
 def bootstrap(
@@ -144,9 +171,9 @@ def bootstrap(
         paths["references"] = os.path.join(warehouse_dir, "references")
         references.write.mode("overwrite").parquet(paths["references"])
 
-    empty_news = spark.createDataFrame([], _NEWS_DDL)
+    empty_news = spark.createDataFrame([], _NEWS_DDL_STORED)
     paths["news"] = news_path(warehouse_dir)
-    empty_news.write.mode("overwrite").parquet(paths["news"])
+    empty_news.write.partitionBy(_PART_COL).mode("overwrite").parquet(paths["news"])
     return paths
 
 

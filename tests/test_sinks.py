@@ -45,13 +45,38 @@ def test_append_is_idempotent(spark, tmp_path):
     assert sinks.read_news(spark, wd).count() == first
 
 
+def test_date_range_read_prunes_partitions(spark, tmp_path):
+    """read_news_for_dates must push its bounds into PartitionFilters —
+    only the covered day directories get scanned."""
+    wd = str(tmp_path / "wh")
+    paths = sinks.bootstrap(spark, wd)
+    paths["__dir"] = wd
+    assert sinks.append_news(spark, _pipeline_rows(spark, paths), wd) > 0
+
+    ranged = sinks.read_news_for_dates(spark, wd, 2023010200, 2023010223)
+    jvm = spark._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        ranged._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    assert "p_date" in plan.split("PartitionFilters")[1][:200]
+    # and the rows really are the jan-2 ones only
+    assert all(
+        2023010200 <= r["id_date"] <= 2023010223 for r in ranged.collect()
+    )
+    assert ranged.count() > 0
+
+
 def test_rewrite_dedup_keeps_one_per_key(spark, tmp_path):
     wd = str(tmp_path / "wh")
     sinks.bootstrap(spark, wd)
     # seed the fact table with known duplicates (fixture news has a dup
-    # group on (9, 2023010216, 'evening brief'))
+    # group on (9, 2023010216, 'evening brief')) — written through the
+    # module's day-partitioned layout
     dup_rows = FX.news_existing_df(spark).drop("id")
-    dup_rows.write.mode("append").parquet(sinks.news_path(wd))
+    sinks._with_partition(dup_rows).write.partitionBy(
+        sinks._PART_COL
+    ).mode("append").parquet(sinks.news_path(wd))
     before = sinks.read_news(spark, wd).count()
     sinks.rewrite_dedup(spark, wd)
     after_df = sinks.read_news(spark, wd)
