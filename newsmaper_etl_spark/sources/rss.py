@@ -126,14 +126,35 @@ class _RssReader(DataSourceReader):
                 '{"id": ..., "rss": ...}) or a `path` option'
             )
         self.timeout = float(options.get("timeout", 10.0))
+        # permissive=true: a feed that fails to fetch/parse contributes
+        # zero rows instead of failing the task. Default strict — the
+        # reference's posture (a bad feed aborts the run) and the safer
+        # default for correctness-gated pipelines; flip it for always-on
+        # polling where one broken outlet must not stall the other 9,999.
+        self.permissive = str(options.get("permissive", "false")).lower() == "true"
 
     def partitions(self):
         # one partition per feed: the unit of fetch parallelism
         return [_FeedPartition(sid, loc) for sid, loc in self.feeds]
 
     def read(self, partition: _FeedPartition):
-        payload = _fetch(partition.location, self.timeout)
-        for item in parse_rss_items(payload):
+        try:
+            payload = _fetch(partition.location, self.timeout)
+            items = list(parse_rss_items(payload))
+        except Exception:  # noqa: BLE001 — gated by the permissive option
+            if self.permissive:
+                import sys
+                import traceback
+
+                print(
+                    f"rss: skipping feed {partition.location} "
+                    f"(source {partition.source_id}):\n"
+                    + traceback.format_exc(limit=1),
+                    file=sys.stderr,
+                )
+                return
+            raise
+        for item in items:
             yield (
                 partition.source_id,
                 item["title"],

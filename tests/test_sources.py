@@ -139,6 +139,31 @@ def test_rss_pipeline_end_to_end(spark, tmp_path):
     assert rows["alpha story"]["media"] == "https://example.test/a.jpg"
 
 
+def test_rss_permissive_skips_broken_feed(spark, tmp_path):
+    """permissive=true: one malformed feed yields zero rows while healthy
+    feeds still parse; default strict mode raises (reference posture)."""
+    import json
+
+    import pytest
+
+    good, bad = tmp_path / "good.xml", tmp_path / "bad.xml"
+    good.write_text(_FEED_XML)
+    bad.write_text("<rss><channel><item><broken")
+    register_rss_source(spark)
+    feeds = json.dumps(
+        [{"id": 1, "rss": str(good)}, {"id": 2, "rss": str(bad)}]
+    )
+    permissive = (
+        spark.read.format("rss").option("feeds", feeds)
+        .option("permissive", "true").load()
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3 and all(r["id_source"] == 1 for r in rows)
+    strict = spark.read.format("rss").option("feeds", feeds).load()
+    with pytest.raises(Exception):
+        strict.collect()
+
+
 def test_rss_stream_polls_feed(spark, tmp_path):
     """The rss format also reads as a polling STREAM (SimpleDataSource
     StreamReader): one micro-batch = one poll of every feed."""
