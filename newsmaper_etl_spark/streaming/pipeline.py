@@ -159,6 +159,39 @@ def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with the event-time range bound that makes it
+    STATEFUL-FINITE: right events join left events at most ``within``
+    later. Both sides carry watermarks, so the state store can expire
+    buffered rows once the other side's watermark passes — without the
+    range condition Spark would have to buffer both streams forever.
+
+    The attribution shape (click → purchase within N minutes) a training
+    -data or analytics pipeline runs on event streams; works unchanged on
+    batch frames (the time bound becomes a plain theta join).
+
+    ``on``: a join Column condition (e.g. ``l.user_id == r.buyer_id``);
+    column names must be disjoint across sides (alias beforehand).
+    """
+    l_w = left.withWatermark(left_ts, watermark)
+    r_w = right.withWatermark(right_ts, watermark)
+    cond = (
+        on
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l_w.join(r_w, cond, how)
+
+
 #: Output/state schemas for the custom stateful operator below.
 _SOURCE_STATS_OUT = T.StructType(
     [

@@ -115,6 +115,52 @@ def test_stateful_source_stats_accumulates_across_restarts(spark, tmp_path):
     assert any(r["n_batch"] < r["n_total"] for r in rows)
 
 
+def test_stream_stream_correlation_join(spark, tmp_path):
+    """Two file streams, time-range stream-stream join: purchases
+    attribute to the click ≤30min earlier for the same user; late/out-of
+    -window pairs don't match."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from newsmaper_etl_spark.streaming.pipeline import correlate_streams
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    clicks = [
+        {"user_id": 1, "click_id": 10, "click_ts": "2023-01-02 10:00:00"},
+        {"user_id": 2, "click_id": 20, "click_ts": "2023-01-02 10:00:00"},
+    ]
+    buys = [
+        {"buyer_id": 1, "buy_id": 100, "buy_ts": "2023-01-02 10:20:00"},  # in window
+        {"buyer_id": 2, "buy_id": 200, "buy_ts": "2023-01-02 11:30:00"},  # too late
+    ]
+    with open(clicks_dir / "c.json", "w") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in clicks)
+    with open(buys_dir / "b.json", "w") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in buys)
+
+    c_schema = "user_id INT, click_id INT, click_ts TIMESTAMP"
+    b_schema = "buyer_id INT, buy_id INT, buy_ts TIMESTAMP"
+    c_stream = spark.readStream.schema(c_schema).json(str(clicks_dir))
+    b_stream = spark.readStream.schema(b_schema).json(str(buys_dir))
+    joined = correlate_streams(
+        c_stream, b_stream,
+        on=F.col("user_id") == F.col("buyer_id"),
+        left_ts="click_ts", right_ts="buy_ts", within="30 minutes",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert [(r["click_id"], r["buy_id"]) for r in rows] == [(10, 100)]
+
+
 def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     from newsmaper_etl_spark.io import load_table
 
