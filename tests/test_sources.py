@@ -194,6 +194,34 @@ def test_rss_stream_polls_feed(spark, tmp_path):
     assert all(r["id_source"] == 5 for r in rows)
 
 
+def test_cli_end_to_end_idempotent(spark, tmp_path):
+    """python -m newsmaper_etl_spark: bootstrap + fetch + transform +
+    append in one command; a second run appends nothing (anti-join)."""
+    from newsmaper_etl_spark.__main__ import main
+
+    feed = tmp_path / "feed.xml"
+    feed.write_text(_FEED_XML)
+    csv = tmp_path / "sources.csv"
+    csv.write_text(f"name,website,rss\nLocal,https://l.test,{feed}\n")
+    refs = tmp_path / "references.json"
+    refs.write_text('[{"id": 7, "name": "Espagne", "words": ["madrid"]}]')
+    wh = str(tmp_path / "wh")
+    argv = [
+        "--warehouse", wh,
+        "--sources-csv", str(csv),
+        "--references-json", str(refs),
+        "--date-start", "2023-01-01 00:00:00",
+        "--date-end", "2023-01-07 23:00:00",
+    ]
+    assert main(argv) == 0
+    from newsmaper_etl_spark import sinks
+
+    after_first = sinks.read_news(spark, wh).count()
+    assert after_first == 3  # the three canned items
+    assert main(argv) == 0  # rerun: idempotent
+    assert sinks.read_news(spark, wh).count() == after_first
+
+
 def test_read_sources_csv_assigns_serial_ids(spark, tmp_path):
     csv = tmp_path / "sources.csv"
     csv.write_text(
