@@ -59,6 +59,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(queries, emb, dim=64, k=3, n_planes=8)
 
 
+@query("q_curate_corpus", oracle=None, tags=("DEDUP", "TEXT", "PIPELINE"))
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-corpus recipe (quality gate → exact dedup →
+    MinHash near-dup removal → annotation) as one lazy plan — rows-only
+    because the near-dup stage is sketch-based; each stage is separately
+    oracle-checked or property-tested."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs).select(
+        "doc_id", "source", "lang_pred", "n_tokens", "n_bpe", "quality"
+    )
+
+
 @query("q_approx_distinct", oracle=None, tags=("AGG", "SKETCH"))
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts per group (rows-only: the sketch

@@ -218,6 +218,33 @@ def test_exact_knn_matches_lsh_on_identical(spark, sf_dir):
     assert top == {0: 0, 1: 1, 2: 2}
 
 
+def test_curate_corpus_recipe(spark):
+    """Quality gate drops the junk doc, exact dedup drops the copy,
+    minhash drops the near-dup, annotations arrive on the survivors."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    docs = values_df(
+        spark,
+        [
+            (1, _chain_doc({}), "s"),
+            (2, _chain_doc({10: "sleepy"}), "s"),  # near-dup of 1
+            (3, _chain_doc({}), "s"),              # exact dup of 1
+            (4, "the quick brown fox jumps over the lazy dog and the miller", "s"),
+            (5, "x", "s"),                          # junk: fails quality gate
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus(
+        docs, min_quality=0.5, near_dup_threshold=0.8,
+        minhash_kwargs={"num_hashes": 16, "bands": 8},
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 4]
+    assert rows[4]["lang_pred"] == "en"
+    assert rows[1]["n_tokens"] == 40 and rows[1]["n_bpe"] > 0
+    assert {"quality", "fp", "stopword_ratio"} <= set(rows[1].asDict())
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     """HLL++ at rsd=0.02 must land within 5% of the exact distinct count
     for every group."""
