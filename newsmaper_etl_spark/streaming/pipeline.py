@@ -137,6 +137,53 @@ def run_once(
     q.awaitTermination()
 
 
+def run_rss_stream(
+    spark: SparkSession,
+    sources: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    references: DataFrame,
+    date_dim: DataFrame,
+    trigger: dict | None = None,
+    permissive: bool = True,
+):
+    """The COMPLETE streaming replacement for the reference's scheduler:
+    rss polling stream (one fetch per feed per micro-batch) → transform
+    chain → watermarked dedup → parquet sink. With
+    ``trigger={'processingTime': '20 minutes'}`` this IS the reference's
+    cadence (Main.py:23) minus Airflow; each poll re-emits current feed
+    items and the dedup state admits each composite key once.
+
+    Returns the StreamingQuery (caller stops/awaits). Default trigger is
+    one micro-batch (``once``) — a single poll, the test/catch-up shape.
+    ``permissive`` defaults True here: an always-on poller must outlive
+    one broken outlet."""
+    import json
+
+    from newsmaper_etl_spark.sources import register_rss_source
+
+    register_rss_source(spark)
+    feeds = json.dumps(
+        [{"id": r["id"], "rss": r["rss"]}
+         for r in sources.select("id", "rss").collect()]
+    )
+    articles = (
+        spark.readStream.format("rss")
+        .option("feeds", feeds)
+        .option("permissive", str(permissive).lower())
+        .load()
+    )
+    result = transform_stream(articles, references, date_dim)
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    trigger = trigger or {"once": True}
+    return writer.trigger(**trigger).start()
+
+
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Event-time tumbling window aggregation (the streaming form of
     q_tumbling_window's epoch-div buckets)."""

@@ -115,6 +115,34 @@ def test_stateful_source_stats_accumulates_across_restarts(spark, tmp_path):
     assert any(r["n_batch"] < r["n_total"] for r in rows)
 
 
+def test_rss_stream_pipeline_end_to_end(spark, tmp_path):
+    """Feed XML → rss polling stream → transform → watermarked dedup →
+    parquet: the full streaming replacement for the reference scheduler,
+    one poll."""
+    from tests.test_sources import _FEED_XML
+
+    from newsmaper_etl_spark.fixtures import values_df
+    from newsmaper_etl_spark.operators.newsmaper import generate_date_dim
+    from newsmaper_etl_spark.streaming.pipeline import run_rss_stream
+
+    feed = tmp_path / "feed.xml"
+    feed.write_text(_FEED_XML)
+    sources = values_df(
+        spark, [(1, "s1", "w", str(feed))], ["id", "name", "website", "rss"]
+    )
+    dim = generate_date_dim(spark, "2023-01-01 00:00:00", "2023-01-07 23:00:00")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_rss_stream(
+        spark, sources, out, ckpt,
+        references=FX.references_df(spark), date_dim=dim,
+    )
+    q.awaitTermination(120)
+    rows = {r["title"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 3
+    assert rows["alpha story"]["id_date"] == 2023010215  # L9 wall clock
+    assert rows["alpha story"]["media"] == "https://example.test/a.jpg"
+
+
 def test_stream_stream_correlation_join(spark, tmp_path):
     """Two file streams, time-range stream-stream join: purchases
     attribute to the click ≤30min earlier for the same user; late/out-of
