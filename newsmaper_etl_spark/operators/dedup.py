@@ -501,3 +501,56 @@ def ngram_jaccard_pairs(
         .filter(F.col("__jacc") >= threshold)
         .select("id_a", "id_b", F.round("__jacc", 4).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any n-gram with a benchmark/eval
+    set → ``(id, n_contam)`` with n_contam = #distinct contaminated
+    n-grams (the n-gram-overlap decontamination rule used for LLM
+    training corpora; 8-13 token windows are the conventional range).
+
+    Plan shape: both sides explode to DISTINCT string n-grams (linear
+    generator, no shuffle), then one equi-join on the n-gram + one
+    count aggregate. The eval side is tiny by construction (benchmarks
+    are ~10³-10⁵ docs vs the corpus's ~10⁹), so it is broadcast by
+    default and the bulk corpus never shuffles: the only exchanged rows
+    are the JOIN HITS (grams actually shared with the benchmark — a
+    vanishingly small slice), which the post-join distinct + count
+    aggregate shuffle by (id, gram). An eval doc also present in the
+    corpus doesn't flag itself (id inequality).
+
+    String shingles (not xxhash64) on both sides keep the op
+    engine-portable and therefore oracle-checkable.
+    """
+    c_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
+    )
+    e_grams = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        e_grams = F.broadcast(e_grams)
+    hits = (
+        c_grams.join(e_grams, on="g")
+        .filter(F.col("id") != F.col("eval_id"))
+        .select("id", "g")
+        .distinct()
+    )
+    return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_contam"))

@@ -1,0 +1,135 @@
+"""Corpus sampling / batching operators for training-data pipelines.
+
+The mixture-construction side of a 100 TB curation run: deterministic
+stratified sampling (per-stratum mixture weights), token-budget sequence
+packing (training batch assignment), and fixed-size document chunking
+(context-window splits). All three are pure DataFrame plans:
+
+- ``stratified_sample`` is a single filter — no shuffle at all; at scale
+  it fuses into the scan and prunes with pushed-down stratum predicates.
+- ``pack_sequences`` is one window (one shuffle on the stream key);
+  parallelism = number of streams, so partition by a high-cardinality
+  key (source/shard), never a constant.
+- ``chunk_documents`` is a generator projection (no shuffle); output
+  size ≈ input token count / chunk_tokens rows.
+
+Determinism is engine-portable on purpose (no rand(), no xxhash64):
+every sampled set is reproducible bit-for-bit from ids alone, which is
+what makes dataset ablations and decontamination audits possible — and
+what lets the DuckDB oracle check the exact same rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Engine-portable deterministic mixer (LCG constants from glibc's
+# rand(3)). The id is folded mod 1e6+3 BEFORE the multiply so the
+# arithmetic stays far inside int64 for arbitrarily large ids — DuckDB
+# raises on BIGINT overflow while the JVM wraps, so unfolded products
+# would silently diverge between engine and oracle at scale.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_FOLD = 1_000_003
+_MOD = 2_147_483_647
+
+
+def mix_bucket(id_col: str | Column, buckets: int = 10_000) -> Column:
+    """Deterministic pseudo-random bucket in [0, buckets) from an id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    mixed = (c.cast("long") % _FOLD * _LCG_A + _LCG_C) % _MOD
+    return (mixed % buckets).cast("int")
+
+
+def mix_bucket_sql(id_expr: str, buckets: int = 10_000) -> str:
+    """The oracle-side rendering of :func:`mix_bucket` (same arithmetic)."""
+    return (
+        f"CAST(((CAST({id_expr} AS BIGINT) % {_FOLD}) * {_LCG_A} + {_LCG_C})"
+        f" % {_MOD} % {buckets} AS INTEGER)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    *,
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its id-derived
+    bucket falls under the stratum's rate (e.g. ``{'en': 0.5, 'fr': 0.25}``
+    keeps ~50% of English and ~25% of French rows, always the SAME rows).
+
+    This is how mixture weights are applied when assembling a training
+    corpus from heterogeneous sources: one scan, one filter, no shuffle,
+    reproducible across runs and engines.
+    """
+    bucket = mix_bucket(id_col)
+    rate: Column = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, float(r)).otherwise(rate)
+    return df.filter(bucket < rate * 10_000)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    size_col: str,
+    budget: int,
+    stream_col: str,
+    order_col: str,
+    out: str = "bin_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin.
+
+    Next-fit-by-cumulative-sum packing: within each stream (ordered by
+    ``order_col``), bin k covers the documents whose preceding cumulative
+    size lands in [k*budget, (k+1)*budget). One window = one shuffle on
+    the stream key; bins are contiguous in stream order, which is exactly
+    what a sequence-packing data loader wants (sequential reads, no
+    re-sort). A document larger than the budget gets a bin of its own
+    (its successor starts a new cumsum block past it).
+    """
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn(out, F.floor(cum_before / budget).cast("bigint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size token windows → one row per chunk
+    ``(id, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    The chunk array is built with JVM higher-order functions
+    (sequence → slice → array_join) and exploded DIRECTLY as an
+    expression — never via a withColumn alias, which Catalyst's
+    InferFiltersFromGenerate would re-inline per row (measured ~20× on
+    the dedup shingle path; see operators/dedup.py::jaccard_verify).
+    Generator output is ~n_tokens/chunk_tokens rows per doc: purely
+    narrow, no shuffle, safe at any scale.
+    """
+    toks = F.split(F.col(text_col), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split("chunk_text", " ", -1)).cast("int")
+    )

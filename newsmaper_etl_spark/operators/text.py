@@ -16,6 +16,9 @@ Operators:
 - token_count_bpe    cheap BPE-ish subword estimate: ceil(len(w)/4) summed
 - fingerprint        order-aware document fingerprint (position-weighted
                      token hash, engine-portable: no xxhash dependency)
+- repetition_stats   within-doc repetition signals (dup-token fraction,
+                     top-bigram fraction) — the Gopher-style quality gate
+- pii_redact         email/phone scrub with redaction counts
 """
 
 from __future__ import annotations
@@ -163,4 +166,86 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
     )
     return df.withColumn(
         out, F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals — the filters repetitive
+    machine-generated text fails (the "repetition" rules of the Gopher /
+    MassiveText quality pipeline, re-expressed relationally):
+
+    - ``dup_token_frac``: 1 - distinct_tokens/total_tokens. Pure per-row
+      array expression, no shuffle.
+    - ``top_bigram_frac``: occurrences of the most frequent bigram /
+      total bigrams. Computed by exploding bigrams and aggregating —
+      linear work + one shuffle on (id, bigram), NOT a per-row O(n²)
+      self-scan, so a pathological 1M-token document costs 1M rows, not
+      10¹² comparisons.
+
+    Output fractions are floor-scaled to 4 decimals (oracle convention).
+    """
+    toks = tokens_col(col)
+    n = F.size(toks)
+    dup_frac = F.when(
+        n > 0, 1 - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+    per_doc = df.select(
+        F.col(id_col), F.floor(F.lit(10000) * dup_frac).cast("long").alias("__df")
+    )
+
+    # bigram i ↦ tokens[i] ' ' tokens[i+1]; exploded directly as an
+    # expression (withColumn-alias explode re-inlines the generator —
+    # see operators/dedup.py::jaccard_verify).
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col(col)) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tokens_col(col), i), F.element_at(tokens_col(col), i + 1)
+        ),
+    )
+    bg_counts = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__mx"), F.sum("c").alias("__tot"))
+    )
+    out = per_doc.join(bg_counts, on=id_col, how="left")
+    return out.select(
+        id_col,
+        (F.col("__df") / 10000).alias("dup_token_frac"),
+        (
+            F.floor(
+                F.lit(10000) * F.coalesce(F.col("__mx") / F.col("__tot"), F.lit(0.0))
+            )
+            / 10000
+        ).alias("top_bigram_frac"),
+    )
+
+
+#: PII patterns kept to constructs with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): literal classes, bounded repeats — no
+#: lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9\-() ]{6,}[0-9]"
+
+
+def pii_redact(
+    df: DataFrame, col: str = "text", out: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and international-format phone numbers, appending the
+    redacted text plus per-kind match counts. Pure regexp projection —
+    no shuffle, fuses into the scan; at corpus scale this is the shape a
+    PII pass must have (single pass, no Python)."""
+    c = F.col(col)
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("int")
+    n_phone = F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("int")
+    red = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn("n_email", n_email)
+        .withColumn("n_phone", n_phone)
+        .withColumn(out, red)
     )

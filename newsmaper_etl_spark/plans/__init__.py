@@ -19,5 +19,7 @@ from newsmaper_etl_spark.plans import (  # noqa: F401  (registers on import)
     windows,
     asofjoin,
     timeops,
+    curation,
+    tpch,
     sketches,
 )

@@ -1,0 +1,266 @@
+"""Declared queries for corpus-curation operators: repetition quality
+signals, PII redaction, benchmark decontamination, mixture sampling,
+sequence packing, and context-window chunking.
+
+These extend the training-data-pipeline surface of plans/extensions.py
+with the steps between "dedup" and "train": filter repetitive junk,
+scrub PII, drop eval contamination, apply mixture weights, pack the
+token budget, chunk to context windows. All are oracle-checked
+(engine-portable arithmetic; floor-scaled ratios per the established
+convention — ROUND on decimal ties diverges between engines).
+
+Registered after the relational/extension corpus and before the
+rows-only sketches: a budget-cut correctness run drops the weakest
+checks first (see plans/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.operators import dedup as D
+from newsmaper_etl_spark.operators import sampling as SP
+from newsmaper_etl_spark.operators import text as TX
+from newsmaper_etl_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Repetition / quality signals
+# --------------------------------------------------------------------------
+
+@query(
+    "q_repetition_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) > 0
+                        THEN FLOOR(10000 * (1 - len(list_distinct(t)) / len(t)))
+                        ELSE 0 END AS df_scaled
+            FROM toks
+        ),
+        big AS (
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+            FROM toks, unnest(range(1, len(t))) u(i)
+        ),
+        cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+        agg AS (
+            SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               p.df_scaled / 10000 AS dup_token_frac,
+               FLOOR(10000 * COALESCE(a.mx / a.tot, 0.0)) / 10000
+                   AS top_bigram_frac
+        FROM per_doc p LEFT JOIN agg a ON p.doc_id = a.doc_id
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals (dup-token fraction, top-bigram
+    fraction) — the Gopher-style repetition gate, computed by linear
+    explode+agg, never a per-row O(n²) scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so both sides inject a
+# deterministic payload first (same expression, same ids) — the check
+# then exercises real multi-pattern scrubbing on non-trivial rows.
+_PII_INJECT_SQL = """
+    CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact user' || doc_id || '@example.com now'
+         WHEN doc_id % 11 = 0
+             THEN text || ' call +33 1-' || doc_id || '-5551212 today'
+         ELSE text END
+"""
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +33 1-"),
+                did.cast("string"),
+                F.lit("-5551212 today"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '{TX.PII_EMAIL_RE}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '{TX.PII_PHONE_RE}')) AS INTEGER) AS n_phone,
+               regexp_replace(
+                   regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{TX.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM injected
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone scrub with per-kind counts over deterministically
+    injected payloads (patterns restricted to Java-regex ∩ RE2 so the
+    oracle runs them verbatim)."""
+    docs = _pii_injected(load_table(spark, sf_dir, "documents"))
+    return TX.pii_redact(docs).select("doc_id", "n_email", "n_phone", "redacted")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+@query(
+    "q_contamination",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - 6)) u(i)
+            UNION
+            SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 8
+        ),
+        etoks AS (
+            SELECT doc_id + 1000000 AS doc_id, t[1 : 20] AS t
+            FROM toks WHERE doc_id % 97 = 0
+        ),
+        eg AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+            FROM etoks, unnest(range(1, len(t) - 6)) u(i)
+            UNION
+            SELECT doc_id, array_to_string(t, ' ') FROM etoks WHERE len(t) < 8
+        ),
+        hits AS (
+            SELECT DISTINCT c.doc_id AS id, c.g
+            FROM cg c JOIN eg e ON c.g = e.g AND c.doc_id <> e.doc_id
+        )
+        SELECT id, COUNT(*) AS n_contam FROM hits GROUP BY id
+    """,
+    tags=("DEDUP", "CURATION"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram benchmark-overlap decontamination. The "benchmark" is
+    synthesized the way real contamination happens: eval prompts (the
+    first-20-token slice of every 97th doc, under fresh ids) that were
+    scraped into the training corpus — so every eval doc's source is
+    flagged with its shared-gram count, plus any coincidental overlaps."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    return D.contamination_check(docs, eval_df, n=8)
+
+
+# --------------------------------------------------------------------------
+# Mixture sampling / packing / chunking
+# --------------------------------------------------------------------------
+
+_RATES = {"en": 0.5, "fr": 0.25, "de": 0.1}
+_DEFAULT_RATE = 0.05
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {SP.mix_bucket_sql('doc_id')} <
+              (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                         WHEN 'de' THEN 0.1 ELSE 0.05 END) * 10000
+    """,
+    tags=("CURATION",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling: the id-derived bucket
+    decides membership, so engine and oracle select the exact same rows
+    (and re-runs are reproducible — the property dataset ablations need)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.stratified_sample(
+        docs, "lang", _RATES, default_rate=_DEFAULT_RATE
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_token_pack",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, ANY_VALUE(source) AS source,
+                   CAST(SUM(CAST(CEIL(len(w) / 4.0) AS BIGINT)) AS BIGINT)
+                       AS n_bpe
+            FROM (
+                SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+            GROUP BY doc_id
+        )
+        SELECT doc_id, source, n_bpe,
+               CAST(FLOOR(
+                   (SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_bpe) / 2048) AS BIGINT) AS bin_id
+        FROM sized
+    """,
+    tags=("CURATION",),
+)
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per-source cumulative BPE estimate
+    → 2048-token training bins (one window shuffle, bins contiguous in
+    stream order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = TX.token_count_bpe(docs).select("doc_id", "source", "n_bpe")
+    return SP.pack_sequences(
+        sized, size_col="n_bpe", budget=2048, stream_col="source", order_col="doc_id"
+    )
+
+
+@query(
+    "q_chunk_docs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id AS id, CAST(i AS INTEGER) AS chunk_id,
+               array_to_string(t[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text,
+               CAST(len(string_split(
+                   array_to_string(t[i * 50 + 1 : i * 50 + 50], ' '), ' '))
+                   AS INTEGER) AS n_chunk_tokens
+        FROM toks,
+             unnest(range(0, CAST(CEIL(len(t) / 50.0) AS BIGINT))) u(i)
+    """,
+    tags=("CURATION",),
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed 50-token windows, one output row
+    per chunk (generator projection — no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.chunk_documents(docs, chunk_tokens=50)

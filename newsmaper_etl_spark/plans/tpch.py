@@ -1,0 +1,182 @@
+"""Composite analytics queries in the TPC-H shape (Q1 / Q3 / Q5
+adapted to the synthetic star schema — the testdata lacks o_shippriority
+and the TPC-H date ranges, so literals are shifted into the generated
+1995-2001 span).
+
+The reference never aggregates anything numeric (SURVEY §2.4 A4); these
+are the "full query surface" proof: multi-join + agg + top-k pipelines a
+user of the engine would actually run, expressed so Catalyst produces
+the canonical distributed plans —
+
+- Q1: scan → partial hash-agg → exchange on the 6-value group key →
+  final agg (map-side combine does ~all the work; the exchange moves a
+  handful of rows).
+- Q3: selective dim filter (customer segment) broadcast into the
+  orders⋈lineitem join, then TakeOrderedAndProject for the top-10 (no
+  global sort materialization).
+- Q5: star joins with every dimension side broadcast; one exchange for
+  the final per-nation agg.
+
+Sums are ROUND(...,2)-stabilized (established convention: q_group_agg
+proved sum/avg-of-double stability at these scales); ranked outputs
+carry a full deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.registry import query
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               ROUND(AVG(l_quantity), 2) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(AVG(l_discount), 2) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical scan→partial-agg→
+    exchange→final-agg pipeline; the date predicate pushes into the
+    parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 via TakeOrderedAndProject
+    with a pinned (revenue DESC, l_orderkey) tie-break.
+
+    customer scales WITH the data (unlike nation/region), so it carries
+    no broadcast hint — AQE converts the join to broadcast when the
+    filtered side is small at runtime, and falls back to shuffle joins
+    at the 100 TB end where a hint would OOM the executors."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): full star join. Only the
+    fixed-cardinality dims (nation, region) carry broadcast hints;
+    customer/supplier scale with the data, so their join strategy is
+    left to AQE (broadcast at small SF, shuffle join at 100 TB). The
+    local-supplier constraint (c_nationkey = s_nationkey) folds into
+    the supplier join condition."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    orders = sf("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        sf("lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            sf("customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            sf("supplier").select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(sf("nation")), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(sf("region")).filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

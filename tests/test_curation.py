@@ -1,0 +1,157 @@
+"""Unit + plan audits for the corpus-curation operators (sampling,
+packing, chunking, repetition, PII, contamination) and the TPC-H-shape
+composite queries. The oracle hash-gate for their declared queries runs
+in tests/test_oracle.py automatically; these tests pin the operator
+semantics on hand-built inputs and the physical-plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.operators import sampling as SP
+from newsmaper_etl_spark.operators import text as TX
+from newsmaper_etl_spark.operators.dedup import contamination_check
+from newsmaper_etl_spark.registry import QUERIES, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        __import__("pyspark").sql.SparkSession.getActiveSession()
+        ._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampling / packing / chunking semantics
+# --------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = SP.stratified_sample(df, "lang", {"en": 0.5, "fr": 0.1}, id_col="doc_id")
+    got = {r.doc_id for r in out.collect()}
+    again = {r.doc_id for r in out.collect()}
+    assert got == again  # reproducible: same rows every run
+    en = sum(1 for i in got if i % 2 == 0) / 1000
+    fr = sum(1 for i in got if i % 2 == 1) / 1000
+    assert 0.4 < en < 0.6 and 0.03 < fr < 0.2  # rates realized per stratum
+    # default_rate=0 drops unknown strata entirely
+    df2 = spark.createDataFrame([(1, "zz")], "doc_id: long, lang: string")
+    assert SP.stratified_sample(df2, "lang", {"en": 1.0}, id_col="doc_id").count() == 0
+
+
+def test_pack_sequences_bins_are_contiguous_budget_blocks(spark):
+    rows = [("s", i, 100) for i in range(10)] + [("s", 10, 5000), ("s", 11, 100)]
+    df = spark.createDataFrame(rows, "src: string, doc_id: long, n: long")
+    out = SP.pack_sequences(
+        df, size_col="n", budget=250, stream_col="src", order_col="doc_id"
+    )
+    bins = {r.doc_id: r.bin_id for r in out.collect()}
+    # docs 0,1,2 fill [0,300) -> cum_before 0,100,200 -> bin 0; doc 3 starts bin 1
+    assert bins[0] == bins[1] == 0 and bins[2] == 0 and bins[3] == 1
+    # the oversized doc occupies its own bin; its successor starts past it
+    assert bins[11] > bins[10] >= bins[9]
+    # bin ids never decrease in stream order
+    ordered = [bins[i] for i in range(12)]
+    assert ordered == sorted(ordered)
+
+
+def test_chunk_documents_roundtrip(spark):
+    text = " ".join(f"w{i}" for i in range(125))
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id: long, text: string")
+    out = SP.chunk_documents(df, chunk_tokens=50).collect()
+    one = sorted((r.chunk_id, r.chunk_text) for r in out if r.id == 1)
+    assert len(one) == 3  # 125 tokens -> 50/50/25
+    assert " ".join(t for _, t in one) == text  # lossless reassembly
+    assert [r.n_chunk_tokens for r in sorted(out, key=lambda r: (r.id, r.chunk_id))][
+        :3
+    ] == [50, 50, 25]
+    two = [r for r in out if r.id == 2]
+    assert len(two) == 1 and two[0].chunk_text == "a b"
+
+
+def test_chunking_plan_has_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_chunk_docs"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan  # generator projection: purely narrow
+
+
+# --------------------------------------------------------------------------
+# Repetition / PII / contamination semantics
+# --------------------------------------------------------------------------
+
+def test_repetition_stats_hand_example(spark):
+    # "x y x y x": 5 tokens, 2 distinct -> dup 0.6; bigrams: "x y"x2,
+    # "y x"x2 -> top 2/4 = 0.5
+    df = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "a b c d")], "doc_id: long, text: string"
+    )
+    got = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert abs(got[1].dup_token_frac - 0.6) < 1e-9
+    assert abs(got[1].top_bigram_frac - 0.5) < 1e-9
+    assert got[2].dup_token_frac == 0.0
+    assert abs(got[2].top_bigram_frac - 0.3333) < 1e-9  # 1/3 floor-scaled
+
+
+def test_pii_redact_hand_examples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org and b@x.io ok"),
+            (2, "call +44 (0)20-7946-0958 now"),
+            (3, "clean text only"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in TX.pii_redact(df).collect()}
+    assert got[1].n_email == 2 and got[1].n_phone == 0
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> ok"
+    assert got[2].n_phone == 1 and got[2].redacted == "call <PHONE> now"
+    assert got[3].n_email == got[3].n_phone == 0
+    assert got[3].redacted == "clean text only"
+
+
+def test_contamination_flags_planted_overlap_not_self(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 tail stuff"),  # shares 8-gram w/ eval
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8 other words"),  # no overlap
+        ],
+        "doc_id: long, text: string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "prefix t1 t2 t3 t4 t5 t6 t7 t8")], "doc_id: long, text: string"
+    )
+    got = {r.id: r.n_contam for r in contamination_check(corpus, eval_df, n=8).collect()}
+    assert got == {1: 1}
+    # an eval doc that IS a corpus doc (same id) does not flag itself
+    self_eval = corpus.filter(F.col("doc_id") == 2)
+    assert contamination_check(corpus, self_eval, n=8).count() == 0
+
+
+def test_contamination_plan_broadcasts_eval_side(spark, sf_dir):
+    plan = _plan(QUERIES["q_contamination"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# TPC-H composite plan shapes
+# --------------------------------------------------------------------------
+
+def test_tpch_q1_pushes_date_filter_and_combines_map_side(spark, sf_dir):
+    plan = _plan(QUERIES["q_tpch_q1"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    simple = _plan(QUERIES["q_tpch_q1"].fn(spark, sf_dir), "simple")
+    assert simple.find("Exchange") < simple.find("partial_sum")  # partial agg first
+
+
+def test_tpch_q3_is_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(QUERIES["q_tpch_q3"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_broadcasts_fixed_dims_only(spark, sf_dir):
+    plan = _plan(QUERIES["q_tpch_q5"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -69,6 +69,9 @@ def test_relational_core_never_launches_python(spark, sf_dir):
         "q_embedding_cosine_pairs", "q_doc_token_stats", "q_lang_id",
         "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
         "q_simhash_pairs", "q_minhash_candidates",
+        "q_repetition_stats", "q_pii_redact", "q_contamination",
+        "q_stratified_sample", "q_token_pack", "q_chunk_docs",
+        "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
     ]
     offenders = []
     for name in python_free:
