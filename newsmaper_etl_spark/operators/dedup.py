@@ -515,6 +515,7 @@ def contamination_check(
     text_col: str = "text",
     n: int = 8,
     broadcast_eval: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """Flag training documents sharing any n-gram with a benchmark/eval
     set → ``(id, n_contam)`` with n_contam = #distinct contaminated
@@ -531,20 +532,32 @@ def contamination_check(
     aggregate shuffle by (id, gram). An eval doc also present in the
     corpus doesn't flag itself (id inequality).
 
-    String shingles (not xxhash64) on both sides keep the op
-    engine-portable and therefore oracle-checkable.
+    ``hashed=False`` (default) uses string shingles — engine-portable,
+    therefore oracle-checkable. ``hashed=True`` is the 100 TB path: grams
+    become 8-byte xxhash64 values over token hashes (the minhash shingle
+    basis), cutting the exploded corpus volume ~6× and turning the join
+    key comparison into a long equality; a 2⁻⁶⁴ collision can at worst
+    over-flag one doc by one gram, which decontamination tolerates.
+    Tested equivalent on the test corpus (tests/test_curation.py).
     """
-    c_grams = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
-    )
-    e_grams = (
-        eval_df.select(
-            F.col(id_col).alias("eval_id"),
-            F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
-        )
-        .distinct()
-    )
+    if hashed:
+        def _grams(d: DataFrame, out_id: str) -> DataFrame:
+            tmp = d.withColumn("__th", token_hashes_col(text_col))
+            return tmp.select(
+                F.col(id_col).alias(out_id),
+                F.explode(
+                    F.array_distinct(hashed_shingles_expr("__th", n))
+                ).alias("g"),
+            )
+    else:
+        def _grams(d: DataFrame, out_id: str) -> DataFrame:
+            return d.select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
+            )
+
+    c_grams = _grams(corpus, "id")
+    e_grams = _grams(eval_df, "eval_id").distinct()
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
     hits = (

@@ -100,6 +100,33 @@ def pack_sequences(
     return df.withColumn(out, F.floor(cum_before / budget).cast("bigint"))
 
 
+def sample_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group sampling (balanced draws — e.g. "5 docs
+    from every source" for eval sets or per-domain caps).
+
+    Rank rows inside each group by their id-derived mix bucket (with the
+    id as tie-break) and keep the first k: a reproducible, engine-portable
+    stand-in for reservoir sampling. One window = one shuffle on the
+    group key; groups are independent, so skew only matters if one group
+    dominates — cap it upstream or salt the window (see
+    operators.newsmaper.dedup_keep_first).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        mix_bucket(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     *,

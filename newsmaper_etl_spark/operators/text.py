@@ -19,9 +19,14 @@ Operators:
 - repetition_stats   within-doc repetition signals (dup-token fraction,
                      top-bigram fraction) — the Gopher-style quality gate
 - pii_redact         email/phone scrub with redaction counts
+- normalize_text     Unicode NFC + casefold + whitespace collapse (the
+                     one sanctioned pandas-UDF hot path here: the JVM has
+                     no Unicode-normalization builtin)
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf string type hints resolve here
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -186,26 +191,35 @@ def repetition_stats(
 
     Output fractions are floor-scaled to 4 decimals (oracle convention).
     """
-    toks = tokens_col(col)
-    n = F.size(toks)
+    # bind the token array ONCE as a named column: the bigram lambda
+    # below references it 3× (sequence bound + two element_at), and an
+    # inline split() would be re-evaluated per reference (the HOF
+    # recompute pitfall — same fix as dedup.py::minhash_signature)
+    tmp = df.withColumn("__t", tokens_col(col))
+    t = F.col("__t")
+    n = F.size(t)
     dup_frac = F.when(
-        n > 0, 1 - F.size(F.array_distinct(toks)) / n
+        n > 0, 1 - F.size(F.array_distinct(t)) / n
     ).otherwise(F.lit(0.0))
-    per_doc = df.select(
+    per_doc = tmp.select(
         F.col(id_col), F.floor(F.lit(10000) * dup_frac).cast("long").alias("__df")
     )
 
-    # bigram i ↦ tokens[i] ' ' tokens[i+1]; exploded directly as an
-    # expression (withColumn-alias explode re-inlines the generator —
-    # see operators/dedup.py::jaccard_verify).
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens_col(col)) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tokens_col(col), i), F.element_at(tokens_col(col), i + 1)
+    # bigram i ↦ tokens[i] ' ' tokens[i+1]; n<2 must yield an EMPTY array
+    # (sequence(1, 0) would generate a DESCENDING [1,0] and index 0 out of
+    # range); exploded directly as an expression (withColumn-alias explode
+    # re-inlines the generator — see operators/dedup.py::jaccard_verify).
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     bg_counts = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        tmp.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
@@ -249,3 +263,27 @@ def pii_redact(
         .withColumn("n_phone", n_phone)
         .withColumn(out, red)
     )
+
+
+def normalize_text(df: DataFrame, col: str = "text", out: str = "norm") -> DataFrame:
+    """Unicode NFC normalization + lowercase + whitespace collapse.
+
+    The only text operator here that runs Python: Spark's JVM expression
+    library has no Unicode normalizer, so this is the sanctioned shape
+    for that gap — an Arrow-batched pandas UDF using pandas' vectorized
+    ``str`` pipeline (no per-row Python lambda). Everything else in this
+    module stays JVM-side; keep it that way.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return (
+            s.str.normalize("NFC")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return df.withColumn(out, _norm(c))

@@ -244,6 +244,63 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_per_group",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {SP.mix_bucket_sql('doc_id')}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source FROM ranked WHERE rn <= 5
+    """,
+    tags=("CURATION",),
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source balanced draw (the per-domain cap /
+    eval-set shape of reservoir sampling, made reproducible by ranking on
+    the id-derived mix bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.sample_per_group(docs, group_col="source", k=5).select(
+        "doc_id", "source"
+    )
+
+
+# NFC parity needs non-ASCII input; the corpus is ASCII, so both sides
+# inject a decomposed 'a' + COMBINING ACUTE (U+0301) on every 13th doc —
+# NFC must re-compose it to 'á' identically in pandas and DuckDB.
+@query(
+    "q_normalize_text",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   lower(nfc_normalize(
+                       CASE WHEN doc_id % 13 = 0
+                            THEN replace(text, 'a', 'a' || chr(769))
+                            ELSE text END)),
+                   '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + lowercase + whitespace collapse — the sanctioned
+    pandas-UDF path (no JVM Unicode normalizer), oracle-checked against
+    DuckDB's nfc_normalize on injected decomposed characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.regexp_replace(F.col("text"), "a", "a\u0301"),
+        ).otherwise(F.col("text")),
+    )
+    return TX.normalize_text(injected).select("doc_id", "norm")
+
+
+@query(
     "q_chunk_docs",
     oracle="""
         WITH toks AS (
@@ -264,3 +321,49 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per chunk (generator projection — no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     return SP.chunk_documents(docs, chunk_tokens=50)
+
+# --------------------------------------------------------------------------
+# UDTF surface (Spark 4 Python user-defined table function)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id AS id, CAST(i AS INTEGER) AS chunk_id,
+               array_to_string(t[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text
+        FROM toks,
+             unnest(range(0, CAST(CEIL(len(t) / 50.0) AS BIGINT))) u(i)
+    """,
+    tags=("CURATION", "UDF"),
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking semantics as q_chunk_docs, via a Spark 4 Python
+    UDTF under a LATERAL join — completing the §2.9 extension surface
+    (scalar pandas_udf / grouped applyInPandas / table-valued udtf), each
+    hash-checked against the same oracle as its JVM twin.
+
+    The JVM generator (q_chunk_docs) is the production path; a UDTF is
+    per-row Python and belongs only where row-to-rows logic genuinely
+    can't be expressed with JVM expressions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, chunk_text: string")
+    class ChunkUDTF:
+        def eval(self, text: str):  # noqa: D102 — row → chunk rows
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), 50):
+                yield i // 50, " ".join(toks[i : i + 50])
+
+    spark.udtf.register("__chunk_udtf", ChunkUDTF)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_udtf_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id AS id, c.chunk_id, c.chunk_text
+        FROM __docs_udtf_in d, LATERAL __chunk_udtf(d.text) c
+        """
+    )

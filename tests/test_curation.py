@@ -58,6 +58,28 @@ def test_pack_sequences_bins_are_contiguous_budget_blocks(spark):
     assert ordered == sorted(ordered)
 
 
+def test_sample_per_group_exactly_k_and_deterministic(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = SP.sample_per_group(df, group_col="source", k=5)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert len(got) == 15  # exactly k per group
+    assert got == sorted((r.source, r.doc_id) for r in out.collect())
+    # a group smaller than k yields all its rows
+    small = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id: long, source: string")
+    assert SP.sample_per_group(small, group_col="source", k=5).count() == 2
+
+
+def test_normalize_text_nfc_case_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Cafe\u0301  au   LAIT "), (2, "plain text")],  # decomposed e+U+0301
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.norm for r in TX.normalize_text(df).collect()}
+    assert got[1] == "café au lait"  # composed, lowered, collapsed
+    assert got[2] == "plain text"
+
+
 def test_chunk_documents_roundtrip(spark):
     text = " ".join(f"w{i}" for i in range(125))
     df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id: long, text: string")
@@ -127,6 +149,24 @@ def test_contamination_flags_planted_overlap_not_self(spark):
     # an eval doc that IS a corpus doc (same id) does not flag itself
     self_eval = corpus.filter(F.col("doc_id") == 2)
     assert contamination_check(corpus, self_eval, n=8).count() == 0
+
+
+def test_contamination_hashed_path_matches_string_path(spark, sf_dir):
+    """The xxhash64 gram variant (the 100 TB path) must produce the same
+    flags and counts as the oracle-checkable string-gram variant."""
+    from newsmaper_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    s = sorted(map(tuple, contamination_check(docs, eval_df, n=8).collect()))
+    h = sorted(
+        map(tuple, contamination_check(docs, eval_df, n=8, hashed=True).collect())
+    )
+    assert s == h and len(s) > 0
 
 
 def test_contamination_plan_broadcasts_eval_side(spark, sf_dir):
