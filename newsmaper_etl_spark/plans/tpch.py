@@ -1,7 +1,7 @@
-"""Composite analytics queries in the TPC-H shape (Q1 / Q3 / Q5
-adapted to the synthetic star schema — the testdata lacks o_shippriority
-and the TPC-H date ranges, so literals are shifted into the generated
-1995-2001 span).
+"""Composite analytics queries in the TPC-H shape (Q1 / Q3 / Q5 / Q10 /
+Q18 adapted to the synthetic star schema — the testdata lacks
+o_shippriority and the TPC-H date ranges, so literals are shifted into
+the generated 1995-2001 span).
 
 The reference never aggregates anything numeric (SURVEY §2.4 A4); these
 are the "full query surface" proof: multi-join + agg + top-k pipelines a
@@ -178,5 +178,94 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter + returnflag filters
+    push into the scans, nation broadcasts, top-20 customers by lost
+    revenue via TakeOrderedAndProject with a pinned tie-break."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS total,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING SUM(l_quantity) > 300
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): group on the order key (already
+    the join key, so the agg reuses the join's partitioning — no extra
+    exchange) with a HAVING gate on the raw (unrounded) sum."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round("__sq", 2).alias("sum_qty"),
         )
     )
