@@ -55,17 +55,27 @@ def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> 
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def shingles_col(text_col: str, k: int = 3):
-    """k-token STRING shingles as an array column (JVM higher-order
-    functions; empty-safe). Kept for exact/inspectable shingling; the
-    minhash hot path uses :func:`hashed_shingles_expr` instead — string
-    concat per shingle measured 5× slower than hashing token hashes."""
-    toks = F.split(F.col(text_col), " ", -1)
+def shingles_from_tokens(toks, k: int = 3):
+    """k-token STRING shingles from a BOUND token-array column. Callers
+    must pass a NAMED column (withColumn first), not an inline split()
+    expression — the lambda references ``toks`` per element, and an
+    inline split would be re-evaluated per shingle (the HOF recompute
+    pitfall; measured ~5× on the contamination path)."""
     n = F.size(toks)
     return F.when(n >= k, F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles_col(text_col: str, k: int = 3):
+    """k-token STRING shingles as an array column (JVM higher-order
+    functions; empty-safe). Kept for exact/inspectable shingling on
+    SMALL inputs; hot paths must bind the token array first and use
+    :func:`shingles_from_tokens` (or the hashed basis
+    :func:`hashed_shingles_expr` — string concat per shingle measured
+    5× slower than hashing token hashes)."""
+    return shingles_from_tokens(F.split(F.col(text_col), " ", -1), k)
 
 
 def token_hashes_col(text_col: str):
@@ -551,9 +561,12 @@ def contamination_check(
             )
     else:
         def _grams(d: DataFrame, out_id: str) -> DataFrame:
-            return d.select(
+            tmp = d.withColumn("__tk", F.split(F.col(text_col), " ", -1))
+            return tmp.select(
                 F.col(id_col).alias(out_id),
-                F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
+                F.explode(
+                    F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
+                ).alias("g"),
             )
 
     c_grams = _grams(corpus, "id")

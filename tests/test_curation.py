@@ -42,6 +42,27 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     assert SP.stratified_sample(df2, "lang", {"en": 1.0}, id_col="doc_id").count() == 0
 
 
+def test_stratified_sample_membership_is_row_local(spark):
+    """A row's sample membership depends only on its own (id, stratum) —
+    filtering the input never changes which of the remaining rows are
+    kept (the property that makes incremental re-runs and shard-parallel
+    sampling consistent)."""
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    rates = {"en": 0.3, "fr": 0.7}
+    full = {
+        r.doc_id
+        for r in SP.stratified_sample(df, "lang", rates, id_col="doc_id").collect()
+    }
+    sub = {
+        r.doc_id
+        for r in SP.stratified_sample(
+            df.filter(F.col("doc_id") < 500), "lang", rates, id_col="doc_id"
+        ).collect()
+    }
+    assert sub == {i for i in full if i < 500}
+
+
 def test_pack_sequences_bins_are_contiguous_budget_blocks(spark):
     rows = [("s", i, 100) for i in range(10)] + [("s", 10, 5000), ("s", 11, 100)]
     df = spark.createDataFrame(rows, "src: string, doc_id: long, n: long")
