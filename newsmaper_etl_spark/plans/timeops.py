@@ -248,6 +248,46 @@ def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_map_funcs",
+    oracle="""
+        SELECT event_id,
+               CAST(len(json_keys(props)) + 1 AS INTEGER) AS n_keys,
+               array_to_string(
+                   list_sort(list_append(json_keys(props), 'type_len')), ',')
+                   AS keys_sorted,
+               CAST(props->>'k' AS INTEGER) AS k_val,
+               CAST((CASE WHEN CAST(props->>'k' AS INTEGER) > 50
+                          THEN 1 ELSE 0 END)
+                    + (CASE WHEN len(event_type) > 50 THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_big
+        FROM events
+    """,
+    tags=("F9",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (the F9 family member with no other query):
+    from_json to a typed map, map_concat with a constructed entry,
+    map_keys/element_at access, and a (k, v) -> bool map_filter — all
+    JVM expressions. The oracle mirrors the map through DuckDB's JSON
+    functions (json_keys / ->> extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.from_json("props", "map<string,int>"),
+        F.create_map(F.lit("type_len"), F.length("event_type")),
+    )
+    tmp = ev.withColumn("__m", m)
+    return tmp.select(
+        "event_id",
+        F.size("__m").cast("int").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys("__m")), ",").alias("keys_sorted"),
+        F.element_at("__m", F.lit("k")).cast("int").alias("k_val"),
+        F.size(
+            F.map_filter("__m", lambda k, v: v > 50)
+        ).cast("int").alias("n_big"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Time-bucketed windows (batch-checkable streaming analogs, §2.10)
 # --------------------------------------------------------------------------

@@ -63,7 +63,7 @@ def test_relational_core_never_launches_python(spark, sf_dir):
         "q_window_frame_sum", "q_order_limit", "q_topk_per_group",
         "q_string_funcs", "q_string_split", "q_ts_parse", "q_date_parts",
         "q_coalesce", "q_case_when", "q_array_contains", "q_math_round",
-        "q_json_extract", "q_tumbling_window", "q_sliding_window",
+        "q_json_extract", "q_map_funcs", "q_tumbling_window", "q_sliding_window",
         "q_session_window", "q_asof_join", "q_newsmaper_e2e",
         "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
         "q_embedding_cosine_pairs", "q_doc_token_stats", "q_lang_id",
