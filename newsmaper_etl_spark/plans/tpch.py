@@ -1,5 +1,5 @@
-"""Composite analytics queries in the TPC-H shape (Q1 / Q3 / Q5 / Q10 /
-Q18 adapted to the synthetic star schema — the testdata lacks
+"""Composite analytics queries in the TPC-H shape (Q1 / Q3 / Q5 / Q6 /
+Q10 / Q18 adapted to the synthetic star schema — the testdata lacks
 o_shippriority and the TPC-H date ranges, so literals are shifted into
 the generated 1995-2001 span).
 
@@ -267,5 +267,41 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             F.round("o_totalprice", 2).alias("total"),
             F.round("__sq", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure filter-and-sum —
+    every predicate pushes to the parquet scan, the agg is a single
+    global partial+final pair; the query that shows pushdown working or
+    not at a glance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
         )
     )

@@ -72,7 +72,7 @@ def test_relational_core_never_launches_python(spark, sf_dir):
         "q_repetition_stats", "q_pii_redact", "q_contamination",
         "q_stratified_sample", "q_token_pack", "q_chunk_docs",
         "q_sample_per_group", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
-        "q_tpch_q10", "q_tpch_q18",
+        "q_tpch_q10", "q_tpch_q18", "q_tpch_q6",
     ]
     offenders = []
     for name in python_free:
