@@ -367,3 +367,103 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf_in d, LATERAL __chunk_udtf(d.text) c
         """
     )
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary / term weighting
+# --------------------------------------------------------------------------
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY c DESC, w
+        LIMIT 50
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (explode → count →
+    TakeOrderedAndProject; deterministic (count DESC, token ASC) order).
+    The first step of any tokenizer/vocab build over a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+            GROUP BY doc_id, w
+        ),
+        dfreq AS (
+            SELECT w, COUNT(*) AS dfreq FROM (SELECT DISTINCT doc_id, w FROM tf)
+            GROUP BY w
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w,
+                   tf.tf * n.n_docs / dfreq.dfreq AS raw
+            FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, w, raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY raw DESC, w
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, w, FLOOR(10000 * raw) / 10000 AS tfidf, rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    IDF is the UNLOGGED ratio N/df: ln() differs in the last ulp between
+    JVM and libm implementations, which would break hash-compare — the
+    ranking is identical for any monotone transform, so the log adds
+    nothing the oracle could check. Plan: two hash aggregates (term
+    frequency, document frequency), the scalar corpus count broadcast
+    via cross join, and a per-doc top-3 window — every stage shuffles on
+    a key that scales (doc_id or token), nothing collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("raw", F.col("tf") * F.col("n_docs") / F.col("dfreq"))
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "w",
+            (F.floor(F.lit(10000) * F.col("raw")) / 10000).alias("tfidf"),
+            "rnk",
+        )
+    )
