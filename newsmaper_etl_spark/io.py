@@ -45,7 +45,13 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     bench scale. On a real cluster this maps to AQE's coalesce decisions;
     here the *initial* number matters because each task costs ~1ms of
     scheduler time regardless of data.
+
+    Tuned ONCE per session (first load wins — no flip-flopping when one
+    session mixes scale dirs), and only when the conf still holds Spark's
+    200 default: a value set by get_spark() or the user is theirs to keep.
     """
+    if getattr(spark, "_newsmaper_tuned", False):
+        return
     import re
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -55,10 +61,12 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     else:
         parts = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         # Arrow makes the driver's toPandas() collection columnar instead
         # of row-pickled — runtime-settable, safe everywhere.
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark._newsmaper_tuned = True
     except Exception:  # noqa: BLE001 — conf may be locked on managed sessions
         pass
 

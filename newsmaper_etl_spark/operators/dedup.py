@@ -31,16 +31,42 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 def exact_dedup(
-    df: DataFrame, cols: list[str], id_col: str = "doc_id", salt: int | None = None
+    df: DataFrame,
+    cols: list[str],
+    id_col: str = "doc_id",
+    salt: int | None = None,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Survivor per exact-duplicate group = lowest id (deterministic,
     matches the reference's keep-first — ledger L7). One shuffle.
 
     ``salt=N`` → two-phase skew-hardened ranking (identical output); see
     operators.newsmaper.dedup_keep_first for the rationale — AQE splits
-    skewed joins, not skewed window partitions."""
+    skewed joins, not skewed window partitions.
+
+    ``hash_keys=True`` → the corpus-scale shape for WIDE keys (e.g.
+    ``cols=['text']``): the window partitions on a 128-bit hash of the key
+    tuple (two independent xxhash64 lanes) instead of the raw columns, so
+    the shuffle's partition/sort key is 16 bytes rather than a full
+    document string — the same narrow-state trick the streaming dedup
+    path uses (streaming/pipeline.py sha2 keys). Null positions are
+    disambiguated with interleaved is-null flags (xxhash64 skips nulls,
+    so ('x', NULL) and (NULL, 'x') would otherwise chain to the same
+    hash). A cross-lane collision merging two distinct key groups needs
+    2^-128 — below hardware error rates; output is bit-identical to the
+    raw-key window on any real corpus (tested both ways)."""
     from newsmaper_etl_spark.operators.newsmaper import dedup_keep_first
 
+    if hash_keys:
+        parts = []
+        for c in cols:
+            parts += [F.col(c), F.isnull(F.col(c))]
+        hashed = df.withColumn("__hk1", F.xxhash64(*parts)).withColumn(
+            "__hk2", F.xxhash64(F.lit(42), *parts)
+        )
+        return dedup_keep_first(
+            hashed, ("__hk1", "__hk2"), order_col=id_col, salt=salt
+        ).drop("__hk1", "__hk2")
     return dedup_keep_first(df, tuple(cols), order_col=id_col, salt=salt)
 
 
@@ -250,7 +276,13 @@ def connected_components(
         prev_sum = cur_sum
     sym.unpersist()
     edges.unpersist()
-    return labels
+    # Detach the result from the iteration's persisted lineage: checkpoint
+    # the final (id, comp) frame — tiny, two longs per duplicate-cluster
+    # vertex — and release the persist, so repeated invocations don't
+    # accumulate executor storage that no caller owns unpersisting.
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def _cc_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:

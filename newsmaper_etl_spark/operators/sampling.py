@@ -39,17 +39,24 @@ _MOD = 2_147_483_647
 
 
 def mix_bucket(id_col: str | Column, buckets: int = 10_000) -> Column:
-    """Deterministic pseudo-random bucket in [0, buckets) from an id."""
+    """Deterministic pseudo-random bucket in [0, buckets) from an id.
+
+    The fold is POSITIVE modulus (pmod, rendered portably as
+    ``(x % m + m) % m`` so the SQL twin is the same expression): a
+    sign-preserving ``%`` on a negative id would yield a negative bucket
+    that every rate filter silently keeps (bucket < rate*10000 is true
+    for any negative value, even at rate 0.0)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    mixed = (c.cast("long") % _FOLD * _LCG_A + _LCG_C) % _MOD
+    folded = (c.cast("long") % _FOLD + _FOLD) % _FOLD
+    mixed = (folded * _LCG_A + _LCG_C) % _MOD
     return (mixed % buckets).cast("int")
 
 
 def mix_bucket_sql(id_expr: str, buckets: int = 10_000) -> str:
     """The oracle-side rendering of :func:`mix_bucket` (same arithmetic)."""
     return (
-        f"CAST(((CAST({id_expr} AS BIGINT) % {_FOLD}) * {_LCG_A} + {_LCG_C})"
-        f" % {_MOD} % {buckets} AS INTEGER)"
+        f"CAST((((CAST({id_expr} AS BIGINT) % {_FOLD} + {_FOLD}) % {_FOLD})"
+        f" * {_LCG_A} + {_LCG_C}) % {_MOD} % {buckets} AS INTEGER)"
     )
 
 
@@ -87,13 +94,17 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training bin.
 
-    Next-fit-by-cumulative-sum packing: within each stream (ordered by
-    ``order_col``), bin k covers the documents whose preceding cumulative
-    size lands in [k*budget, (k+1)*budget). One window = one shuffle on
-    the stream key; bins are contiguous in stream order, which is exactly
-    what a sequence-packing data loader wants (sequential reads, no
-    re-sort). A document larger than the budget gets a bin of its own
-    (its successor starts a new cumsum block past it).
+    Cumulative-sum block packing: within each stream (ordered by
+    ``order_col``), bin k covers the documents whose PRECEDING cumulative
+    size lands in [k*budget, (k+1)*budget). Bins are cumsum blocks, not
+    hard-capped: a document straddling a block boundary stays in the
+    earlier bin, so a bin can overflow the budget by up to one document
+    (budget 10, sizes [6, 6] → both in bin 0, total 12). That is the
+    standard loader contract (greedy fill, trailing overflow truncated or
+    split downstream); use chunk_documents first if documents must never
+    exceed the budget. One window = one shuffle on the stream key; bins
+    are contiguous in stream order, which is exactly what a
+    sequence-packing data loader wants (sequential reads, no re-sort).
     """
     w = Window.partitionBy(stream_col).orderBy(order_col)
     cum_before = F.sum(size_col).over(w) - F.col(size_col)

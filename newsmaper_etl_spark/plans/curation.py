@@ -183,6 +183,24 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(docs, eval_df, n=8)
 
 
+@query("q_contamination_hashed", oracle=None, tags=("DEDUP", "CURATION"))
+def q_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale decontamination variant (``hashed=True``): grams
+    are 8-byte xxhash64 values over token hashes instead of materialized
+    strings — ~6× less exploded volume, long-equality join keys. Rows-only
+    here (gram hashing is engine-specific); tests/test_curation.py proves
+    it returns the exact rows of the string-gram oracle query, which IS
+    hash-checked (q_contamination). This is the documented default for
+    100 TB runs; the string path remains for portability/audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    return D.contamination_check(docs, eval_df, n=8, hashed=True)
+
+
 # --------------------------------------------------------------------------
 # Mixture sampling / packing / chunking
 # --------------------------------------------------------------------------

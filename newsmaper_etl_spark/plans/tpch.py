@@ -249,18 +249,28 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("TPCH",),
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 (large-volume orders): group on the order key (already
-    the join key, so the agg reuses the join's partitioning — no extra
-    exchange) with a HAVING gate on the raw (unrounded) sum."""
+    """TPC-H Q18 (large-volume orders), aggregate-BEFORE-join: sum
+    lineitem by ``l_orderkey`` and apply the ``HAVING > 300`` gate first,
+    so only the tiny survivor set (a vanishing fraction of orders) ever
+    reaches the orders/customer joins — at 100× scale this cuts the join
+    input by ~1000× vs joining the full lineitem through first. The
+    survivor side is left unhinted: AQE broadcasts it when it is small
+    (always at these SFs) and falls back to a shuffle join if a future
+    corpus makes it wide. HAVING gates on the raw (unrounded) sum; the
+    grouping key is the join key, so the agg's exchange is the only
+    lineitem shuffle in the plan."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__sq"))
         .filter(F.col("__sq") > 300)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",

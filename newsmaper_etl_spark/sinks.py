@@ -27,8 +27,10 @@ partitions' files.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from newsmaper_etl_spark.operators.newsmaper import (
@@ -109,28 +111,70 @@ def append_news(
     path = news_path(warehouse_dir)
     existing = read_news(spark, warehouse_dir)
     novel = append_new_rows(new_rows.select(*_news_columns()), existing, NEWS_KEY)
-    _with_partition(novel).write.partitionBy(_PART_COL).mode("append").parquet(path)
-    # cheap: parquet row-count metadata, no recompute of the plan above
-    after = spark.read.schema(_NEWS_DDL_STORED).parquet(path).count()
-    before = existing.count()
-    return after - before
+    # observe() counts the appended rows ON the write job itself — one
+    # pass, no post-write re-listing of the table (a before/after count
+    # is a full file listing per micro-append at warehouse scale)
+    obs = Observation()
+    staged = _with_partition(novel).observe(obs, F.count(F.lit(1)).alias("n"))
+    staged.write.partitionBy(_PART_COL).mode("append").parquet(path)
+    return int(obs.get["n"])
 
 
 def rewrite_dedup(spark: SparkSession, warehouse_dir: str) -> None:
     """Maintenance dedup (Main.py:28-47): keep-first per composite key,
     rewrite the table with survivors. The window orders by a stable row
     fingerprint of the full tuple (parquet rows carry no SERIAL id), so
-    the survivor choice is deterministic."""
+    the survivor choice is deterministic.
+
+    Crash-safe two-phase rewrite: survivors stream into a STAGING
+    directory (so the job never overwrites the path it is reading — no
+    whole-table localCheckpoint materialization either), then the swap is
+    two directory renames. A crash anywhere during the write leaves the
+    live table untouched; only the rename pair itself is a non-atomic
+    window, and :func:`recover_rewrite` rolls a half-swap back. On a
+    transactional table format this is a single ``DELETE WHERE``; on
+    object stores the swap becomes a manifest/pointer flip."""
     path = news_path(warehouse_dir)
+    staging = _write_survivors_staged(spark, warehouse_dir)
+    _swap_table_dir(path, staging)
+
+
+def _write_survivors_staged(spark: SparkSession, warehouse_dir: str) -> str:
+    """Phase 1: compute keep-first survivors and write them to a staging
+    dir next to the live table. Returns the staging path; the live table
+    is not touched."""
     df = read_news(spark, warehouse_dir)
     ordered = df.withColumn(
         "__ord", F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
     )
     survivors = dedup_keep_first(ordered, NEWS_KEY, order_col="__ord").drop("__ord")
-    # two-phase overwrite via a staging dir would be the production shape
-    # (or a Delta DELETE); single-writer batch is assumed here
-    staged = _with_partition(survivors).localCheckpoint(eager=True)
-    staged.write.partitionBy(_PART_COL).mode("overwrite").parquet(path)
+    staging = news_path(warehouse_dir) + f".staging-{uuid.uuid4().hex[:8]}"
+    _with_partition(survivors).write.partitionBy(_PART_COL).mode("overwrite").parquet(staging)
+    return staging
+
+
+def _swap_table_dir(path: str, staging: str) -> None:
+    """Phase 2: retire the live dir and promote staging via two renames."""
+    retired = path + ".old"
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired)
+
+
+def recover_rewrite(warehouse_dir: str) -> None:
+    """Roll back a crash inside :func:`_swap_table_dir`'s rename window:
+    if the live dir is missing, restore the retired copy; drop any
+    leftover staging dirs (safe to re-run anytime)."""
+    path = news_path(warehouse_dir)
+    retired = path + ".old"
+    if not os.path.exists(path) and os.path.exists(retired):
+        os.rename(retired, path)
+    parent, base = os.path.dirname(path), os.path.basename(path)
+    for d in os.listdir(parent):
+        if d.startswith(base + ".staging-"):
+            shutil.rmtree(os.path.join(parent, d))
 
 
 def bootstrap(

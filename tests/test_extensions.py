@@ -43,6 +43,31 @@ def test_exact_dedup_keeps_lowest_id(spark):
     assert ids == [1, 2, 3, 5]  # 4 is the exact dup of 1
 
 
+def test_exact_dedup_hashed_keys_identical(spark):
+    """hash_keys=True (16-byte shuffle key for wide keys) must match the
+    raw-key window bit-for-bit, including rows where a key column is NULL
+    in different positions (the xxhash64 null-skip ambiguity)."""
+    docs = values_df(
+        spark,
+        _DOCS + [(6, None, "src0"), (7, None, "src1")],
+        ["doc_id", "text", "source"],
+    )
+    for cols in (["text"], ["text", "source"]):
+        raw = {r["doc_id"] for r in D.exact_dedup(docs, cols, "doc_id").collect()}
+        hashed = {
+            r["doc_id"]
+            for r in D.exact_dedup(docs, cols, "doc_id", hash_keys=True).collect()
+        }
+        assert raw == hashed
+    # null-position disambiguation: ('x', NULL) vs (NULL, 'x') are
+    # DIFFERENT keys and must both survive under the hashed window
+    tricky = values_df(
+        spark, [(1, "x", None), (2, None, "x")], ["doc_id", "a", "b"]
+    )
+    out = D.exact_dedup(tricky, ["a", "b"], "doc_id", hash_keys=True)
+    assert out.count() == 2
+
+
 def test_minhash_finds_planted_near_dup(spark):
     cands = D.minhash_lsh_candidates(_docs_df(spark), "doc_id", "text")
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}

@@ -83,3 +83,38 @@ def test_rewrite_dedup_keeps_one_per_key(spark, tmp_path):
     after = after_df.count()
     assert after == before - 1  # exactly the one dup victim removed
     assert after_df.select("id_source", "id_date", "title").distinct().count() == after
+
+
+def test_rewrite_crash_before_swap_leaves_table_readable(spark, tmp_path):
+    """The two-phase rewrite's crash contract: dying anywhere during the
+    survivor WRITE (i.e. before the swap) must leave the live table
+    bit-identical; recover_rewrite then clears the orphan staging dir."""
+    import os
+
+    wd = str(tmp_path / "wh")
+    sinks.bootstrap(spark, wd)
+    dup_rows = FX.news_existing_df(spark).drop("id")
+    sinks._with_partition(dup_rows).write.partitionBy(
+        sinks._PART_COL
+    ).mode("append").parquet(sinks.news_path(wd))
+    before = sinks.read_news(spark, wd).count()
+
+    # phase 1 only — simulate a crash between write and swap
+    staging = sinks._write_survivors_staged(spark, wd)
+    assert os.path.exists(staging)
+    assert sinks.read_news(spark, wd).count() == before  # live table intact
+
+    sinks.recover_rewrite(wd)
+    assert not os.path.exists(staging)
+    assert sinks.read_news(spark, wd).count() == before
+
+    # a half-swap (live dir retired, staging not yet promoted) also rolls back
+    staging2 = sinks._write_survivors_staged(spark, wd)
+    os.rename(sinks.news_path(wd), sinks.news_path(wd) + ".old")
+    sinks.recover_rewrite(wd)
+    assert sinks.read_news(spark, wd).count() == before
+    assert not os.path.exists(staging2)
+
+    # and the full rewrite still works end-to-end after recovery
+    sinks.rewrite_dedup(spark, wd)
+    assert sinks.read_news(spark, wd).count() == before - 1
