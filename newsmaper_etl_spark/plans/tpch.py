@@ -282,6 +282,485 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; the testdata lacks
+    commit/receipt dates, so the EXISTS predicate is "any line shipped
+    after the order date"): a LEFT SEMI join with a non-equi component —
+    the quarter filter prunes orders first, and the semi join never
+    widens rows (existence only, no multiplicity)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the nation dim
+    joins twice under different roles — both broadcast — and the
+    pair-disjunction lands AFTER both lookups (it needs both names).
+    Ship-date range pushes to the lineitem scan; the 2-nation filters
+    shrink supplier/customer before their joins."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+        SELECT o_year,
+               FLOOR(10000 * SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                      ELSE 0 END) / SUM(volume)) / 10000
+                   AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest join tree in the
+    corpus — part prunes lineitem (selective type filter joins before the
+    fact widens), fixed dims broadcast, and the share is a conditional
+    aggregate over one pass (no self-join on the grouped frame).
+    Ratio is floor-scaled (established oracle convention for ratio
+    columns — ROUND's banker's-tie behavior diverges between engines)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    ))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    ))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.floor(
+                    10000
+                    * F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                    / F.sum(vol)
+                )
+                / 10000
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts; the testdata lacks
+    l_shipmode/commit/receipt dates, so the group key is l_returnflag and
+    the filter is the ship-date year): pivot-style conditional counts in
+    ONE aggregate pass over the join — no per-category scans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    zero-order customers survive with c_count = 0; COUNT(o_orderkey)
+    counts only matches (null-skipping). Two aggregations: the first
+    reuses the join's c_custkey partitioning (no extra exchange), the
+    second shuffles a #distinct-counts-sized frame — nothing at fact
+    scale moves twice."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+        SELECT FLOOR(10000 *
+                   SUM(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount))) / 10000
+                   AS promo_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to part
+    for the type flag — the month filter cuts the fact ~98% before the
+    join, and the share is a single conditional-aggregate pass. part
+    scales with the data so it carries no hint (AQE broadcasts it while
+    it fits)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.floor(
+                    10000
+                    * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                    / F.sum(vol)
+                )
+                / 10000
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        ),
+        top AS (
+            SELECT supplier_no, total_revenue FROM revenue
+            ORDER BY total_revenue DESC, supplier_no LIMIT 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN top ON s_suppkey = supplier_no
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, then the
+    argmax via orderBy+limit — Spark plans TakeOrderedAndProject over the
+    supplier-cardinality agg output (no global sort, no single-partition
+    window). Tie-break pinned (revenue DESC, suppkey ASC) on the ROUNDED
+    revenue so both engines rank identical values."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.orderBy(F.desc("total_revenue"), F.asc("supplier_no")).limit(1)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+            SELECT l_partkey AS a_partkey, 0.2 * AVG(l_quantity) AS qty_cap
+            FROM lineitem GROUP BY l_partkey
+        ) caps ON a_partkey = p_partkey
+        WHERE p_brand = 'Brand#3' AND p_size <= 5 AND l_quantity < qty_cap
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; correlated scalar
+    subquery decorrelated by hand): the per-part 0.2×avg cap is an
+    aggregate-before-join — computed once per part key, joined back on
+    the same key, never a per-row subquery. The brand/size filter prunes
+    part before it touches the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    caps = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(caps, F.col("a_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the OR of
+    per-branch conjunctions spans both tables, but each side's derivable
+    envelope (brand ∈ {4,14,24} + size ≤ 15; quantity ∈ [1,30]) is pushed
+    to its scan by Catalyst's constraint propagation — the join only sees
+    rows that can satisfy SOME branch; the exact disjunction lands after
+    the join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ),
+        cutoff AS (
+            SELECT AVG(c_acctbal) AS avg_bal FROM pool WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM pool, cutoff
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity; country code = nation key —
+    the testdata has no phone column): a scalar aggregate broadcast as a
+    cross-join cutoff, then an ANTI join against orders for "never
+    ordered". The anti join's build side is just order custkeys (one
+    column); the scalar cutoff is a 1-row broadcast, not a re-scan per
+    row."""
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    cutoff = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "q_tpch_q6",
     oracle="""
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,

@@ -72,7 +72,9 @@ def test_relational_core_never_launches_python(spark, sf_dir):
         "q_repetition_stats", "q_pii_redact", "q_contamination",
         "q_stratified_sample", "q_token_pack", "q_chunk_docs",
         "q_sample_per_group", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
-        "q_tpch_q10", "q_tpch_q18", "q_tpch_q6",
+        "q_tpch_q10", "q_tpch_q18", "q_tpch_q6", "q_tpch_q4", "q_tpch_q7",
+        "q_tpch_q8", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+        "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     ]
     offenders = []
     for name in python_free:
@@ -80,6 +82,42 @@ def test_relational_core_never_launches_python(spark, sf_dir):
         if "EvalPython" in plan or "PythonUDF" in plan:
             offenders.append(name)
     assert not offenders, f"Python eval nodes in: {offenders}"
+
+
+def test_q18_aggregates_below_joins(spark, sf_dir):
+    """Q18's lineitem aggregate (and its HAVING gate) must sit BELOW both
+    joins — the only fact-scale shuffle is the group-by exchange; the
+    orders/customer joins see just the >300-sum survivors."""
+    plan = _plan(QUERIES["q_tpch_q18"].fn(spark, sf_dir), "simple")
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # top-down print: every Join line precedes the partial agg feeding it
+    assert join_pos < agg_pos
+    assert plan.count("Exchange") <= 4  # one lineitem agg + join/bcast exchanges
+
+
+def test_q15_argmax_is_topk_not_sort(spark, sf_dir):
+    plan = _plan(QUERIES["q_tpch_q15"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_no_nested_loop(spark, sf_dir):
+    """Q4's EXISTS compiles to a LEFT SEMI hash join even with the
+    non-equi shipdate component (it rides the equi key as a condition)."""
+    plan = _plan(QUERIES["q_tpch_q4"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q19_envelope_predicates_reach_scans(spark, sf_dir):
+    """Each side's projection of the cross-table disjunction must push
+    into its scan: part sees the brand/size branch OR, lineitem the
+    quantity-range branch OR (Catalyst splits the condition per side)."""
+    plan = _plan(QUERIES["q_tpch_q19"].fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "EqualTo(p_brand,Brand#4)" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
 
 
 def test_group_agg_combines_map_side(spark, sf_dir):
