@@ -26,6 +26,10 @@ from newsmaper_etl_spark.registry import query
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX._ALL_STOPWORDS) + "]"
 
+#: testdata embeddings are fixed 64-dim float vectors (TESTDATA.md); the
+#: known dim lets every dot/norm unroll to whole-stage-codegen arithmetic
+EMB_DIM = 64
+
 
 # --------------------------------------------------------------------------
 # Text analysis
@@ -302,7 +306,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = S.cosine_topk(queries, emb, k=3)
+    out = S.cosine_topk(queries, emb, k=3, dim=EMB_DIM)
     return out.select("qid", "neighbor_id", "sim", F.col("rank").alias("rnk"))
 
 
@@ -330,16 +334,30 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, exact (sliced to vec_id<200 so the
     all-pairs check stays oracle-sized; the LSH-bucketed scale path is
-    q_ann_lsh / operators.similarity.embedding_near_dups)."""
+    q_ann_lsh / operators.similarity.embedding_near_dups).
+
+    Norms are projected once per SIDE before the theta join (a vector in
+    199 pairs pays its O(dim) norm once, not 199×), and the dot unrolls
+    to fixed-dim codegen arithmetic — the r03 8.1 s plan was recomputing
+    both norms per pair through interpreted HOFs."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    emb_n = emb.select(
+        "vec_id", "embedding", S._norm2("embedding", EMB_DIM).alias("__n")
+    )
+    a = emb_n.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("__n").alias("__na"),
+    )
+    b = emb_n.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("__n").alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = S.cosine_sim(F.col("va"), F.col("vb"))
-    # filter on the raw sim column, not a fresh `sim` expression — the
-    # latter would evaluate the whole dot-product aggregate twice per pair
+    sim = F.expr(f"({S._dot_sql('va', 'vb', EMB_DIM)})/(`__na`*`__nb`)")
+    # filter on the bound sim column, not a fresh `sim` expression — the
+    # latter would evaluate the whole dot product twice per pair
     return (
-        pairs.select("id_a", "id_b", F.col("va"), F.col("vb"), sim.alias("__sim"))
+        pairs.select("id_a", "id_b", sim.alias("__sim"))
         .filter(F.col("__sim") >= 0.35)
         .select("id_a", "id_b", F.round("__sim", 4).alias("sim"))
     )

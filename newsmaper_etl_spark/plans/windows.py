@@ -134,10 +134,34 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("SORT", "W"),
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(*_li_order())
+    """Top-3 per return flag via SALTED two-phase ranking.
+
+    l_returnflag has 3 values — a single row_number window over it
+    serializes the whole fact table into 3 tasks (5.2 s at sf0.1, and a
+    straight scale-killer at 100 TB). Same cure as dedup_keep_first's
+    skew path (operators/newsmaper.py): phase 1 ranks within
+    (flag, salt) — parallelism × SALT — and keeps ≤ k rows per salted
+    partition; phase 2 re-ranks the ≤ k·SALT·|flags| survivors. top-k is
+    decomposable, so the result is identical to the unsalted window.
+    Only the 4 output columns are projected before the phase-1 shuffle.
+    """
+    SALT = 32
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w1 = Window.partitionBy("l_returnflag", "__salt").orderBy(*_li_order())
+    cand = (
+        li.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)),
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(*_li_order())
     return (
-        li.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "rn")
     )

@@ -34,14 +34,22 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 #: Queries with a green row in a PRIOR driver correctness record
-#: (CORRECTNESS_r01/r02). The driver's per-round run is budget-capped at 50
-#: entries and records them in ``queries()`` iteration order, so the registry
-#: emits oracle-checked queries WITHOUT a driver row yet first (the round-2
-#: cut: TPC-H, curation, streaming analogs, pandas-UDF parity — plus anything
-#: newly added this round), then the already-recorded core, then the
-#: rows-only sketch queries (weakest check) last. Across consecutive rounds
-#: every oracle query therefore gets a driver-recorded verification.
-DRIVER_RECORDED: frozenset[str] = frozenset({
+#: (CORRECTNESS_r01 ∪ r02 ∪ r03). The driver's per-round run is budget-capped
+#: at 50 entries and records them in ``queries()`` iteration order, so the
+#: registry emits, in order:
+#:
+#: 1. oracle-checked queries WITHOUT a driver row yet (anything newly added
+#:    or newly upgraded to an oracle this round);
+#: 2. rows-only queries (``oracle=None``) — the driver's weaker rows-only
+#:    check is still the ONLY driver-side record these can ever get, and
+#:    r1-r3 starved them behind the 81-strong oracle core (VERDICT r03
+#:    "What's wrong" #3), so they now outrank already-banked re-records;
+#: 3. recorded oracle queries, least-recently-recorded first (r01/r02
+#:    before r03) so stale records refresh ahead of fresh ones.
+#:
+#: Across consecutive rounds every registered query therefore carries a
+#: driver record, and the sketch/ANN family finally appears in r04.
+DRIVER_RECORDED_R12: frozenset[str] = frozenset({
     "q_scan_project", "q_filter", "q_join_multi_key", "q_star_join",
     "q_anti_join", "q_semi_join", "q_theta_join", "q_cross_join",
     "q_token_dict_join", "q_union_all", "q_intersect", "q_except",
@@ -58,14 +66,35 @@ DRIVER_RECORDED: frozenset[str] = frozenset({
     "q_map_funcs",
 })
 
+DRIVER_RECORDED_R03: frozenset[str] = frozenset({
+    "q_tumbling_window", "q_sliding_window", "q_session_window",
+    "q_pandas_udf_parity", "q_repetition_stats", "q_pii_redact",
+    "q_contamination", "q_stratified_sample", "q_token_pack",
+    "q_sample_per_group", "q_normalize_text", "q_chunk_docs",
+    "q_udtf_chunks", "q_vocab_topk", "q_tfidf_topterms", "q_tpch_q1",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q18", "q_tpch_q22",
+    "q_scan_project", "q_filter", "q_join_multi_key", "q_star_join",
+    "q_anti_join", "q_semi_join", "q_theta_join", "q_cross_join",
+    "q_token_dict_join", "q_union_all", "q_intersect", "q_except",
+    "q_range_join", "q_newsmaper_e2e", "q_doc_token_stats", "q_lang_id",
+    "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
+})
+
+DRIVER_RECORDED: frozenset[str] = DRIVER_RECORDED_R12 | DRIVER_RECORDED_R03
+
 
 def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
-    """Driver-facing iteration order: unrecorded-oracle → recorded-oracle →
-    rows-only; registration order within each class."""
+    """Driver-facing iteration order: unrecorded-oracle → rows-only →
+    recorded-oracle (stalest records first); registration order within
+    each class. See the DRIVER_RECORDED comment for the rationale."""
     def klass(s: QuerySpec) -> int:
         if s.oracle is None:
-            return 2
-        return 1 if s.name in DRIVER_RECORDED else 0
+            return 1
+        if s.name not in DRIVER_RECORDED:
+            return 0
+        return 3 if s.name in DRIVER_RECORDED_R03 else 2
 
     names = list(specs)
     return sorted(names, key=lambda n: (klass(specs[n]), names.index(n)))
