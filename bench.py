@@ -13,12 +13,20 @@ Methodology:
   numbers on a contended rig were 10-20x inflated in round 1
   (q_dedup_keep_first 16.7s recorded vs 0.98s isolated); best-of-N is the
   standard de-noising for a throughput benchmark;
+- fast queries get extra repeats (up to 5 while the best sits under
+  100 ms): the sub-100 ms floor is scheduler-dominated and the ratio
+  gate was moving 2x between runs on those entries (ADVICE r03);
 - the DuckDB oracle runs the SAME workload in-process (fetchall = full
   materialization), also best-of-N, so the gate ratio is computable from
-  this file's output alone;
+  this file's output alone. A fixed probe query is timed at the start
+  and the end ("duckdb_drift") so a contended rig is visible in the
+  record instead of silently skewing ratio_vs_duckdb;
 - failed queries are counted and surfaced ("failed": n, names in
   "failed_queries") instead of silently shrinking the total — a
-  regression must not read as a speedup.
+  regression must not read as a speedup;
+- stdout gets ONE compact JSON line (the driver's capture truncates long
+  lines — BENCH_r02/r03 lost their parsed form); the full pretty record
+  is also written to BENCH_LOCAL.json next to this file.
 """
 
 from __future__ import annotations
@@ -36,9 +44,28 @@ from pyspark.sql import functions as F
 from newsmaper_etl_spark.session import get_spark
 from newsmaper_etl_spark.registry import QUERIES, _ensure_loaded
 
+#: extra repeats while a query's best stays under this many seconds
+FAST_CUTOFF = 0.1
+FAST_REPEAT = 5
+
+DRIFT_PROBE = "SELECT COUNT(*), SUM(l_extendedprice) FROM lineitem"
+
 
 def evaluate(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _best(fn, repeat: int) -> float | None:
+    """Best-of-N with extra repeats for sub-cutoff results."""
+    best = None
+    runs = 0
+    while runs < repeat or (best is not None and best < FAST_CUTOFF and runs < FAST_REPEAT):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        runs += 1
+    return best
 
 
 def main() -> None:
@@ -48,7 +75,14 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
     _ensure_loaded()
-    spark = get_spark(app_name="newsmaper-bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # shuffle partitions sized to the benchmark scale, mirroring
+    # io._tune_session: at sf<=0.2 every exchange is tens of MB at most
+    # and 32 reduce tasks are pure scheduling overhead
+    spark = get_spark(
+        app_name="newsmaper-bench",
+        shuffle_partitions=8 if 0 < sf <= 0.2 else cpus,
+    )
 
     # warmup: JVM + codegen + parquet footer caches
     evaluate(QUERIES["q_star_join"].fn(spark, sf_dir))
@@ -59,7 +93,6 @@ def main() -> None:
     def _warm(s: pd.Series) -> pd.Series:
         return s * 1.0
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     evaluate(
         spark.range(0, cpus * 100, 1, cpus).select(_warm(F.col("id").cast("double")))
     )
@@ -67,17 +100,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name in sorted(QUERIES):
-        best = None
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            try:
-                evaluate(QUERIES[name].fn(spark, sf_dir))
-            except Exception as e:  # noqa: BLE001 — a failing query must not kill the bench
-                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                best = None
-                break
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+        try:
+            best = _best(
+                lambda: evaluate(QUERIES[name].fn(spark, sf_dir)), repeat
+            )
+        except Exception as e:  # noqa: BLE001 — a failing query must not kill the bench
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            best = None
         if best is None:
             timings[name] = -1.0
             failed.append(name)
@@ -86,24 +115,26 @@ def main() -> None:
 
     # DuckDB side: identical workload for every oracle-bearing query
     duck: dict[str, float] = {}
+    drift: list[float] = []
     try:
         from newsmaper_etl_spark.oracle import duckdb_conn
 
         con = duckdb_conn(sf_dir)
+        t0 = time.perf_counter()
+        con.execute(DRIFT_PROBE).fetchall()
+        drift.append(round(time.perf_counter() - t0, 4))
         for name in sorted(QUERIES):
             sql = QUERIES[name].oracle
             if sql is None:
                 continue
-            best = None
             try:
-                for _ in range(repeat):
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None or dt < best else best
+                best = _best(lambda: con.execute(sql).fetchall(), repeat)
                 duck[name] = round(best, 4)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: duckdb {name} FAILED: {e}", file=sys.stderr)
+        t0 = time.perf_counter()
+        con.execute(DRIFT_PROBE).fetchall()
+        drift.append(round(time.perf_counter() - t0, 4))
         con.close()
     except Exception as e:  # noqa: BLE001
         print(f"bench: duckdb side unavailable: {e}", file=sys.stderr)
@@ -122,10 +153,17 @@ def main() -> None:
         "failed_queries": failed,
         "duckdb_sec": duck,
         "duckdb_total": duck_total,
+        "duckdb_drift": drift,
         "spark_total_shared": spark_shared,
         "ratio_vs_duckdb": round(spark_shared / duck_total, 2) if duck_total else None,
     }
-    print(json.dumps(out))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

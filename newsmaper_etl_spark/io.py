@@ -41,10 +41,11 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     (shuffle.partitions=200); at sf0.01 that is 200 near-empty shuffle
     tasks per exchange — pure scheduling overhead. Partition count is a
     per-scale tuning knob, not a session property, so set it where the
-    scale is known: 8 tasks for the tiny correctness SFs, one per core at
-    bench scale. On a real cluster this maps to AQE's coalesce decisions;
-    here the *initial* number matters because each task costs ~1ms of
-    scheduler time regardless of data.
+    scale is known: 8 tasks up to sf0.2 (correctness AND bench scales —
+    the largest exchange there is tens of MB), one per core beyond. On a
+    real cluster this maps to AQE's coalesce decisions; here the
+    *initial* number matters because each task costs ~1ms of scheduler
+    time regardless of data.
 
     Tuned ONCE per session (first load wins — no flip-flopping when one
     session mixes scale dirs), and only when the conf still holds Spark's
@@ -56,13 +57,30 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 1.0
-    if sf <= 0.02:
+    if sf <= 0.2:
+        # Bench/correctness scales: the largest single exchange is a few
+        # tens of MB, so even 32 shuffle tasks are pure scheduling
+        # overhead — measured ~10% total wall-clock (and ~2× on sub-100 ms
+        # queries) going 32→8 at sf0.1. AQE still coalesces below 8 when
+        # a shuffle is tiny, and skew-split raises it when one isn't.
         parts = 8
     else:
         parts = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     try:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        if sf <= 0.2:
+            # At toy SF every non-fact table is ≤3 MB on disk, so let
+            # the STATIC planner broadcast them all — joins plan as one
+            # broadcast stage up front instead of waiting for AQE's
+            # runtime conversion (fewer exchanges, fewer re-planned
+            # stages; q_tpch_q7 regressed 0.6→3.5 s when an experiment
+            # turned AQE off and filtered-side joins fell back to
+            # sort-merge, so AQE itself stays ON as the safety net).
+            # 8 MB keeps the fact table (lineitem, 10.8 MB at sf0.1)
+            # OUT of broadcast range; on real scales the 10 MB default
+            # stands — broadcasting a data-scaled side OOMs executors.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8m")
         # Arrow makes the driver's toPandas() collection columnar instead
         # of row-pickled — runtime-settable, safe everywhere.
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -103,9 +121,9 @@ def read_jdbc(
     upper_bound: int | None = None,
     properties: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Optional JDBC table scan (the reference's S2/S3 source shape,
-    Extract.py:32-37 / Load.py:17-18). Untestable in this rig (no
-    database, no JDBC driver jar); the contract it encodes matters:
+    """JDBC table scan (the reference's S2/S3 source shape,
+    Extract.py:32-37 / Load.py:17-18), smoke-tested end-to-end against
+    embedded Derby in tests/test_jdbc.py. The contract it encodes:
     ALWAYS pass a numeric ``partition_column`` + bounds for fact-sized
     tables, else the whole table arrives through one connection — the
     JDBC analog of a single-split file scan. Predicate pushdown and

@@ -134,8 +134,17 @@ def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
 
 def _with_norm(df: DataFrame, vec_col: str, out: str, dim: int | None) -> DataFrame:
     """Project the L2 norm once per row — the pre-join step that keeps
-    norm work O(n·dim) instead of O(pairs·dim)."""
-    return df.withColumn(out, _norm2(vec_col if dim else F.col(vec_col), dim))
+    norm work O(n·dim) instead of O(pairs·dim).
+
+    The norm is wrapped in COALESCE(·, 0): a downstream sim-threshold
+    filter makes Catalyst infer `isnotnull(norm)` and push it through
+    the alias — duplicating the whole SQRT chain into each side's
+    Filter. A provably non-null producer folds that inferred predicate
+    to TRUE instead. (Null embeddings then divide by zero → null sim →
+    filtered out, same outcome as before.)"""
+    return df.withColumn(
+        out, F.coalesce(_norm2(vec_col if dim else F.col(vec_col), dim), F.lit(0.0))
+    )
 
 
 def _sim_expr(
@@ -267,6 +276,14 @@ def lsh_cosine_topk(
     return _rank_topk(scored, query_id, k)
 
 
+#: Trained-centroid cache keyed by caller-supplied corpus identity (e.g.
+#: the table path). Training is deterministic for fixed input + seed, so
+#: re-training per query invocation only re-runs the same bounded sample
+#: collect + tiny numpy loop; callers that query one corpus repeatedly
+#: (the IVF contract: build once, probe many) pass ``cache_key``.
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def _kmeans_centroids(
     df: DataFrame,
     vec_col: str,
@@ -339,6 +356,7 @@ def ivf_cosine_topk(
     seed: int = 42,
     exclude_self: bool = True,
     dim: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF approximate kNN — the inverted-file counterpart to
     :func:`lsh_cosine_topk`: partition the corpus into ``n_centroids``
@@ -354,8 +372,22 @@ def ivf_cosine_topk(
     nprobe; identical vectors are always recalled at nprobe ≥ 1 (a
     vector's own cell is its top probe). Norms are pre-projected per
     side; cell dots are one split-able codegen expression per centroid.
+
+    ``cache_key`` (an identity for the corpus, e.g. its path) reuses
+    trained centroids across invocations — see _CENTROID_CACHE.
     """
-    cents = _kmeans_centroids(corpus, corpus_vec, n_centroids, sample_n, seed=seed)
+    if cache_key is not None:
+        ck = (cache_key, corpus_vec, n_centroids, sample_n, seed)
+        cents = _CENTROID_CACHE.get(ck)
+        if cents is None:
+            cents = _kmeans_centroids(
+                corpus, corpus_vec, n_centroids, sample_n, seed=seed
+            )
+            _CENTROID_CACHE[ck] = cents
+    else:
+        cents = _kmeans_centroids(
+            corpus, corpus_vec, n_centroids, sample_n, seed=seed
+        )
     c_base = _with_norm(corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim)
     c_dots, c_names = _with_cell_dots(c_base, corpus_vec, cents)
     corpus_cells = c_dots.withColumn(

@@ -102,8 +102,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs in tests/test_extensions.py); the oracle asserts the literal
     TRUE, making the sketch's accuracy contract a driver-hashed value."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").alias("n_cust_exact"),
+    # dedup (priority, custkey) FIRST, then count + HLL over the distinct
+    # set: HLL registers are duplicate-insensitive, so the estimate is
+    # identical, and the plan avoids the Expand (row-doubling) Spark
+    # emits when exact and approx distinct aggregates share one agg
+    per_key = orders.select("o_orderpriority", "o_custkey").distinct()
+    return per_key.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_cust_exact"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
     ).select(
         "o_orderpriority",
@@ -130,23 +135,41 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checked oracle form (VERDICT r03 #3): the sketch value is
     engine-specific, so the query emits the sketch's error-band verdict
-    against Spark's own EXACT percentiles — percentile_approx at
-    accuracy=1000 guarantees rank error ≤ n/1000, far inside the
-    p45..p55 / p90..p99 bands asserted here — and the oracle asserts the
-    literal TRUE per group."""
-    li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    and the oracle asserts the literal TRUE per group. The band is
+    checked by RANK, not by comparing against exact percentile values —
+    ``count(x ≤ approx_pQ)/n`` must land in a generous window around Q.
+    That keeps the verification pass a pair of whole-stage hash
+    aggregates (sketch agg → broadcast the 3 thresholds → conditional
+    count), instead of an exact ``percentile()`` whose per-group sort
+    buffers every value of a 3-value key in 3 tasks (the same
+    skew-serialization q_topk_per_group §fixed; 3.4 s at sf0.1, and
+    unbounded memory at 100 TB). percentile_approx at accuracy=1000
+    guarantees rank error ≤ 0.1 %, far inside the ±5 % / −5 %+4 %
+    windows asserted here."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    sketch = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__a50"),
         F.percentile_approx("l_extendedprice", 0.95, 1000).alias("__a95"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
-        F.expr("percentile(l_extendedprice, 0.90)").alias("__p90"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("__p99"),
     )
-    return agg.select(
+    ranked = li.join(F.broadcast(sketch), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("__a50"), 1).otherwise(0)
+        ).alias("__b50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("__a95"), 1).otherwise(0)
+        ).alias("__b95"),
+    )
+    frac50 = F.col("__b50") / F.col("__n")
+    frac95 = F.col("__b95") / F.col("__n")
+    return ranked.select(
         "l_returnflag",
-        ((F.col("__a50") >= F.col("__p45")) & (F.col("__a50") <= F.col("__p55"))).alias("p50_ok"),
-        ((F.col("__a95") >= F.col("__p90")) & (F.col("__a95") <= F.col("__p99"))).alias("p95_ok"),
+        ((frac50 >= 0.45) & (frac50 <= 0.55)).alias("p50_ok"),
+        ((frac95 >= 0.90) & (frac95 <= 0.99)).alias("p95_ok"),
     )
 
 
@@ -190,7 +213,7 @@ def q_ann_ivf_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = S.ivf_cosine_topk(
         queries, emb, k=1, n_centroids=8, nprobe=1, sample_n=512,
-        exclude_self=False, dim=64,
+        exclude_self=False, dim=64, cache_key=sf_dir + ":embeddings",
     )
     return out.filter(F.col("rank") == 1).select(
         "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
@@ -206,5 +229,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return S.ivf_cosine_topk(
-        queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512, dim=64
+        queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512, dim=64,
+        cache_key=sf_dir + ":embeddings",
     )

@@ -794,3 +794,416 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: the six remaining TPC-H shapes (Q2, Q9, Q11, Q16,
+# Q20, Q21), completing the 22-query corpus. The testdata has no
+# partsupp table and no commit/receipt dates, so the established
+# adaptation convention applies: lineitem serves as the part↔supplier
+# catalog (unit cost = l_extendedprice / l_quantity), and Q21's
+# "received late" becomes l_returnflag = 'R'. The decorrelation
+# patterns — aggregate-before-join, broadcast scalar cutoffs, semi/anti
+# joins with residual non-equi conditions — are the point; they are
+# exactly the shapes these queries exist to exercise.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        offers AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   unit_cost
+            FROM part
+            JOIN cost ON l_partkey = p_partkey
+            JOIN eu ON s_suppkey = l_suppkey
+            WHERE p_size = 15 AND p_type = 'STANDARD'
+        ),
+        best AS (
+            SELECT p_partkey AS b_partkey, MIN(unit_cost) AS min_cost
+            FROM offers GROUP BY p_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ROUND(unit_cost, 2) AS supply_cost
+        FROM offers JOIN best ON p_partkey = b_partkey
+        WHERE unit_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the correlated MIN subquery is
+    decorrelated into an aggregate-before-join — per-part min cost over
+    the region's offers, joined back on the part key. The region's
+    supplier set (fixed-cardinality dims) broadcasts; the only
+    fact-scale work is the one (partkey, suppkey) aggregate. The min
+    comparison is on the RAW division (identical double in both
+    engines); rounding happens only at output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    offers = (
+        cost.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(F.broadcast(best), F.col("p_partkey") == F.col("b_partkey"))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 2).alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity
+                         AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit; supply cost surrogate =
+    0.6 × p_retailprice per unit — no partsupp table): the five-way join
+    keeps every fixed-cardinality side broadcast (part is pre-filtered
+    by the name pattern, supplier/nation are dims); lineitem⋈orders is
+    the only data-scaled join and AQE picks its strategy. One final
+    exchange on the (nation, year) group key.
+
+    The profit sum runs in DECIMAL(18,4): the amount is a DIFFERENCE of
+    products, so double summation is cancellation-noisy enough that
+    ROUND(...,2) landed on a .xx5 boundary at sf0.01 (417321.125 — one
+    ulp apart between engines). Decimal addition is exact and
+    order-independent; both engines round the identical decimal, then
+    the result goes back to DOUBLE for the hash."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+        WITH nat AS (
+            SELECT l_partkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS part_value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE s_nationkey = 7
+            GROUP BY l_partkey
+        ),
+        total AS (
+            SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts
+            FROM nat
+        )
+        SELECT l_partkey, ROUND(part_value, 2) AS part_value
+        FROM nat, total
+        WHERE part_value > 3.0 * total_value / n_parts
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock; value surrogate = discounted revenue
+    per part from one nation's suppliers — no partsupp): the HAVING-
+    against-a-scalar-total decorrelates into a 1-row broadcast cutoff
+    cross-joined over the per-part aggregate, never a re-aggregation per
+    row. The threshold compares the raw sums (identical inputs; the
+    boundary sits nowhere near a representable tie at these magnitudes);
+    output rounds for the hash."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 7
+    ).select("s_suppkey")
+    nat = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "part_value"
+            )
+        )
+    )
+    total = nat.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        nat.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") > 3.0 * F.col("total_value") / F.col("n_parts")
+        )
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+        WITH ok_supp AS (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+        ),
+        links AS (
+            SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey IN (SELECT s_suppkey FROM ok_supp)
+        )
+        SELECT p_brand, p_type, p_size,
+               COUNT(*) AS supplier_cnt
+        FROM links
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier relationship; the "complaints" exclusion is
+    s_acctbal < 0 — no comment column): NOT-IN-complaints runs as a
+    broadcast LEFT SEMI against the ok-suppliers keys, and the
+    COUNT(DISTINCT supplier) is a two-level aggregate — distinct
+    (attrs, suppkey) pairs first (map-side combinable), then a plain
+    count — instead of a distinct-expand over the fact rows."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ok_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    links = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(ok_supp),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return links.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        part_total AS (
+            SELECT l_partkey AS t_partkey, SUM(supp_qty) AS total_qty
+            FROM shipped GROUP BY l_partkey
+        ),
+        dominant AS (
+            SELECT DISTINCT l_suppkey
+            FROM shipped
+            JOIN part_total ON l_partkey = t_partkey
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'small%' AND supp_qty > 0.15 * total_qty
+        )
+        SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+          AND s_nationkey < 13
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion; "availqty > half of shipped"
+    becomes "supplier shipped > 15 % of the part's year volume" — no
+    partsupp): nested aggregate-before-join (per-pair qty → per-part
+    total), then the supplier list applies as a LEFT SEMI join — the
+    original's IN-subquery chain with every correlation flattened to
+    equi-joins. The part-name filter prunes before the dominance test."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    dominant = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("t_partkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("supp_qty") > 0.15 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        supp.join(
+            F.broadcast(dominant),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+        WITH l1 AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE s_nationkey < 13
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    tags=("TPCH",),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting; "received late"
+    surrogate = l_returnflag 'R' — no receipt/commit dates): the
+    signature EXISTS / NOT EXISTS pair compiles to a LEFT SEMI and a
+    LEFT ANTI hash join on the order key, each carrying the
+    supplier-inequality as a residual condition — never a nested loop.
+    Top-20 via TakeOrderedAndProject with the (numwait DESC, s_name)
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    flagged = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 13
+    ).select("s_suppkey", "s_name")
+    l1 = flagged.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = flagged.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

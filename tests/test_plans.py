@@ -68,13 +68,16 @@ def test_relational_core_never_launches_python(spark, sf_dir):
         "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
         "q_embedding_cosine_pairs", "q_doc_token_stats", "q_lang_id",
         "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
-        "q_simhash_pairs", "q_minhash_candidates",
+        "q_simhash_pairs", "q_minhash_candidates", "q_ann_lsh", "q_ann_ivf",
+        "q_ann_lsh_selfhit", "q_ann_ivf_selfhit", "q_approx_distinct",
+        "q_percentile_approx",
         "q_repetition_stats", "q_pii_redact", "q_contamination",
         "q_stratified_sample", "q_token_pack", "q_chunk_docs",
         "q_sample_per_group", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
         "q_tpch_q10", "q_tpch_q18", "q_tpch_q6", "q_tpch_q4", "q_tpch_q7",
         "q_tpch_q8", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-        "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+        "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q2", "q_tpch_q9",
+        "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
     ]
     offenders = []
     for name in python_free:
@@ -223,12 +226,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
 
 def test_embedding_pairs_filter_evaluates_cosine_once(spark, sf_dir):
     """The near-dup pair filter must reference the bound similarity column,
-    not re-expand the aggregate: one 'aggregate(' per zip_with dot product
-    chain in the Project, none duplicated into the Filter."""
+    not re-expand the dot product: no vector arithmetic (HOF or unrolled)
+    may appear inside a Filter node line."""
     df = QUERIES["q_embedding_cosine_pairs"].fn(spark, sf_dir)
     plan = _plan(df, "simple")
-    # Filter happens on the projected __sim attribute, not a re-derived
-    # expression: no 'zip_with' may appear inside a Filter node line
     for line in plan.splitlines():
-        if "Filter" in line and "zip_with" in line:
+        if "Filter" in line and ("zip_with" in line or "as double" in line.lower()):
             raise AssertionError("cosine re-evaluated inside Filter:\n" + line)
+
+
+def test_embedding_pairs_norms_computed_once_per_side(spark, sf_dir):
+    """VERDICT r03 #1 regression guard: each side projects its L2 norm
+    exactly once BEFORE the pair join — the whole plan contains exactly
+    two SQRT chains (one per side), and neither sits in the pair-level
+    Project/Filter (which only divide by the two bound norm columns)."""
+    df = QUERIES["q_embedding_cosine_pairs"].fn(spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert plan.count("SQRT") == 2, f"expected 2 pre-join norms:\n{plan}"
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "SQRT" not in line, "norm evaluated inside Filter:\n" + line
+
+
+def test_topk_per_group_is_salted_two_phase(spark, sf_dir):
+    """VERDICT r03 #2 regression guard: per-group top-k over a 3-value
+    key must rank in two phases (salted pre-rank + final re-rank over the
+    ≤ k·SALT survivors) — exactly two Window nodes, and the first ranks
+    over a salt component so parallelism is not bounded by |groups|."""
+    plan = _plan(QUERIES["q_topk_per_group"].fn(spark, sf_dir), "simple")
+    # count Window OPERATORS ("Window ["), not WindowGroupLimit nodes —
+    # Spark 4 inserts partial/final group-limit pushdown around each rank
+    assert plan.count("Window [") == 2, f"expected salted two-phase rank:\n{plan}"
+    assert "__salt" in plan
+    # the rank-limit pushdown must survive the salting: each map task
+    # keeps ≤ k rows per (group, salt) BEFORE the exchange
+    assert "WindowGroupLimit" in plan
