@@ -1,0 +1,240 @@
+"""Manifest-committed parquet tables — the transactional upgrade path
+documented at sinks.py (rewrite_dedup: "on object stores the swap
+becomes a manifest/pointer flip"), implemented.
+
+Plain directory-of-parquet tables have two failure modes at warehouse
+scale: a crashed overwrite leaves a half-written table (sinks.py's
+rename-swap narrows but cannot close the window), and readers racing an
+append can list a directory mid-write. The fix — the same design Delta
+Lake / Iceberg use, reduced to its load-bearing core — is to make the
+set of live files an immutable, versioned VALUE and commits a single
+atomic pointer flip:
+
+    table/
+      _manifests/v0000000001.json   immutable snapshot: file list + stats
+      _LATEST                       tiny file holding the current version
+      data/b-<uuid>/part-*.parquet  immutable data files
+
+- **Writers** only ever ADD data files (under a fresh batch dir) and
+  manifests; nothing live is mutated. The commit is `os.replace` on
+  `_LATEST` — atomic on POSIX. A crash anywhere before the flip leaves
+  the table at the previous snapshot with some invisible orphan files
+  (reclaimed by :func:`vacuum`).
+- **Readers** resolve `_LATEST` → manifest → EXPLICIT file list. No
+  directory listing races; `version=` gives time travel for free.
+- **Conflicts**: commits carry the base version they were computed
+  from; if `_LATEST` moved meanwhile, :class:`ConcurrentWriteError` —
+  optimistic concurrency, single-winner. (On an object store without
+  atomic rename, the flip needs a conditional put or a lock service —
+  exactly Delta's LogStore contract; the protocol here is unchanged.)
+- **Data skipping**: the manifest records per-file min/max for declared
+  stat columns (read from parquet footers, driver-side, no data scan).
+  :func:`read_table` prunes the FILE LIST against a predicate range
+  before Spark ever sees it — partition pruning without partition
+  directories, at file granularity.
+
+Scale posture: a manifest holds one JSON row per file; at 100 TB with
+~1 GB files that is ~10⁵ entries — megabytes, driver-trivial. (Iceberg
+splits manifests hierarchically for 10⁸ files; out of scope here, the
+pointer-flip commit is the part that matters.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another commit landed since this write's snapshot was taken."""
+
+
+_LATEST = "_LATEST"
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFESTS, f"v{version:010d}.json")
+
+
+def current_version(table: str) -> int:
+    """The committed version (0 = empty table, no commits yet)."""
+    latest = os.path.join(table, _LATEST)
+    if not os.path.exists(latest):
+        return 0
+    with open(latest) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(table: str, version: int) -> dict:
+    if version == 0:
+        return {"version": 0, "files": []}
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _file_stats(path: str, stat_cols: list[str]) -> dict[str, list]:
+    """Per-file min/max for the stat columns, read from the parquet
+    FOOTER (row-group statistics) — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for col in stat_cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[col] = [lo, hi]
+    return out
+
+
+def _write_batch(df, table: str, stat_cols: list[str]) -> list[dict]:
+    """Write a fresh immutable batch dir; return file entries + stats."""
+    batch = os.path.join(table, _DATA, f"b-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(batch)
+    entries = []
+    for name in sorted(os.listdir(batch)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(batch, name)
+        entries.append({
+            "path": os.path.relpath(full, table),
+            "bytes": os.path.getsize(full),
+            "stats": _file_stats(full, stat_cols),
+        })
+    return entries
+
+
+def _commit(table: str, base_version: int, files: list[dict], op: str) -> int:
+    """Atomically publish a new snapshot computed against base_version.
+
+    The manifest is written first (immutable, invisible), then _LATEST
+    flips via os.replace. The base-version check makes racing writers
+    single-winner instead of silently-last-winner; the residual
+    check-to-flip window is the documented single-writer/lock-service
+    caveat shared with every rename-based log store."""
+    if current_version(table) != base_version:
+        raise ConcurrentWriteError(
+            f"table moved past v{base_version}; recompute and retry"
+        )
+    new_version = base_version + 1
+    manifest = {"version": new_version, "op": op, "files": files}
+    mpath = _manifest_path(table, new_version)
+    if os.path.exists(mpath):
+        raise ConcurrentWriteError(f"manifest v{new_version} already exists")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    tmp = os.path.join(table, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, os.path.join(table, _LATEST))  # THE commit point
+    return new_version
+
+
+def create_table(table: str) -> None:
+    os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
+    os.makedirs(os.path.join(table, _DATA), exist_ok=True)
+
+
+def append(df, table: str, stat_cols: tuple[str, ...] = ()) -> int:
+    """Transactional append: new files + manifest, one pointer flip.
+    Returns the committed version."""
+    create_table(table)
+    base = current_version(table)
+    prev = _load_manifest(table, base)
+    new_files = _write_batch(df, table, list(stat_cols))
+    return _commit(table, base, prev["files"] + new_files, op="append")
+
+
+def overwrite(df, table: str, stat_cols: tuple[str, ...] = ()) -> int:
+    """Transactional full rewrite (the atomic form of sinks.rewrite_dedup's
+    rename swap): the new snapshot references ONLY the fresh batch; old
+    files stay on disk for time travel until vacuumed. Safe to compute
+    ``df`` FROM the live table — reads resolve to the old snapshot's
+    explicit file list, which the write never touches."""
+    create_table(table)
+    base = current_version(table)
+    new_files = _write_batch(df, table, list(stat_cols))
+    return _commit(table, base, new_files, op="overwrite")
+
+
+def read_table(
+    spark,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+):
+    """Snapshot read from the explicit manifest file list.
+
+    ``version`` time-travels to an older snapshot. ``prune=(col, lo, hi)``
+    drops files whose footer min/max range for ``col`` cannot intersect
+    [lo, hi] BEFORE Spark plans the scan — manifest-level data skipping
+    (files without recorded stats are conservatively kept). Returns an
+    empty-but-typed DataFrame only if the snapshot has files; reading an
+    empty table requires the caller's schema, so it raises instead."""
+    v = current_version(table) if version is None else version
+    manifest = _load_manifest(table, v)
+    files = manifest["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for entry in files:
+            rng = entry.get("stats", {}).get(col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                kept.append(entry)
+        files = kept
+    if not files:
+        raise ValueError(
+            f"snapshot v{v} of {table} is empty — no schema to infer"
+        )
+    paths = [os.path.join(table, e["path"]) for e in files]
+    return spark.read.parquet(*paths)
+
+
+def history(table: str) -> list[dict]:
+    """All committed snapshots, oldest first (version/op/file count)."""
+    out = []
+    for v in range(1, current_version(table) + 1):
+        m = _load_manifest(table, v)
+        out.append({"version": v, "op": m.get("op"), "n_files": len(m["files"])})
+    return out
+
+
+def vacuum(table: str, keep_versions: int = 1) -> int:
+    """Delete data files not referenced by the newest ``keep_versions``
+    snapshots (and drop the older manifests). Orphans from crashed or
+    lost-race writes are removed too — they were never referenced.
+    Returns the number of files deleted."""
+    cur = current_version(table)
+    keep = set()
+    kept_versions = range(max(1, cur - keep_versions + 1), cur + 1)
+    for v in kept_versions:
+        for e in _load_manifest(table, v)["files"]:
+            keep.add(os.path.normpath(e["path"]))
+    deleted = 0
+    data_root = os.path.join(table, _DATA)
+    for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+        for name in filenames:
+            full = os.path.join(dirpath, name)
+            rel = os.path.normpath(os.path.relpath(full, table))
+            if rel not in keep:
+                os.remove(full)
+                deleted += 1
+        if not os.listdir(dirpath) and os.path.normpath(dirpath) != os.path.normpath(data_root):
+            os.rmdir(dirpath)
+    for v in range(1, min(kept_versions)):
+        mp = _manifest_path(table, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+    return deleted

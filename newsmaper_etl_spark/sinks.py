@@ -11,8 +11,13 @@ transactional DELETE/append, so the rebuild's contracts are:
                     zero rows.
 - ``rewrite_dedup`` the maintenance path (Main.py:28-47): one window per
                     key, overwrite with survivors — set-oriented, no
-                    per-row round trips. On a Delta-style table this
-                    becomes ``DELETE WHERE``; documented, not required.
+                    per-row round trips. Two forms: the rename-swap here
+                    (narrow non-atomic window + recover_rewrite), and the
+                    fully atomic ``rewrite_dedup_tx`` /
+                    ``append_news_tx`` on the manifest-committed table
+                    format (newsmaper_etl_spark/manifest.py — snapshot
+                    pointer flip, time travel, footer-stats file
+                    skipping, vacuum).
 - ``bootstrap``     creates the warehouse layout: all four tables seeded
                     (the reference *creates* the ``date`` dim but never
                     fills it — Setup.py's gap, SURVEY §3.2 — and its
@@ -254,4 +259,62 @@ def _news_columns() -> tuple[str, ...]:
         "link",
         "description",
         "media",
+    )
+
+
+# --------------------------------------------------------------------------
+# Manifest-committed variants (transactional upgrade of the paths above —
+# see newsmaper_etl_spark/manifest.py for the protocol)
+# --------------------------------------------------------------------------
+
+def append_news_tx(spark: SparkSession, new_rows: DataFrame, table: str) -> int:
+    """Transactional idempotent append: same anti-join contract as
+    :func:`append_news`, committed as one manifest pointer flip instead
+    of bare directory appends — a crash mid-write leaves the previous
+    snapshot fully intact and readers never see a half-batch. Per-file
+    ``id_date`` min/max land in the manifest, so date-ranged reads prune
+    files without partition directories. Returns the appended count."""
+    from newsmaper_etl_spark import manifest as M
+
+    novel = new_rows.select(*_news_columns())
+    if M.current_version(table) > 0:
+        existing = M.read_table(spark, table)
+        novel = append_new_rows(novel, existing, NEWS_KEY)
+    obs = Observation()
+    staged = novel.observe(obs, F.count(F.lit(1)).alias("n"))
+    M.append(staged, table, stat_cols=("id_date",))
+    return int(obs.get["n"])
+
+
+def rewrite_dedup_tx(spark: SparkSession, table: str) -> int:
+    """Transactional maintenance dedup: survivors are computed FROM the
+    live snapshot (explicit file list — the write can't clobber its own
+    input) and published with :func:`manifest.overwrite` — the atomic
+    form of :func:`rewrite_dedup`'s two-rename swap; no recovery hook
+    needed. Returns the new version."""
+    from newsmaper_etl_spark import manifest as M
+
+    df = M.read_table(spark, table)
+    ordered = df.withColumn(
+        "__ord",
+        F.xxhash64(*[
+            F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns
+        ]),
+    )
+    survivors = dedup_keep_first(ordered, NEWS_KEY, order_col="__ord").drop("__ord")
+    return M.overwrite(survivors, table, stat_cols=("id_date",))
+
+
+def read_news_tx_for_dates(
+    spark: SparkSession, table: str, from_key: int, to_key: int
+) -> DataFrame:
+    """Date-ranged snapshot read with MANIFEST-level file skipping: files
+    whose footer id_date range cannot intersect [from_key, to_key] are
+    dropped before Spark plans the scan (the tx analog of
+    :func:`read_news_for_dates`'s partition pruning, at file grain)."""
+    from newsmaper_etl_spark import manifest as M
+
+    df = M.read_table(spark, table, prune=("id_date", from_key, to_key))
+    return df.filter(
+        (F.col("id_date") >= from_key) & (F.col("id_date") <= to_key)
     )

@@ -1,0 +1,142 @@
+"""Manifest-committed table protocol (newsmaper_etl_spark/manifest.py):
+atomic commits, snapshot isolation, time travel, conflict detection,
+footer-stats file skipping, vacuum — plus the transactional news sink
+variants built on it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark import manifest as M
+from newsmaper_etl_spark.fixtures import values_df
+
+
+def _news_rows(spark, keys):
+    rows = [
+        (1, 1, 2023010100 + k, f"title{k}", f"link{k}", f"desc{k}", "m")
+        for k in keys
+    ]
+    return values_df(
+        spark, rows,
+        ["id_country", "id_source", "id_date", "title", "link", "description", "media"],
+    )
+
+
+def test_append_and_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t1")
+    df = values_df(spark, [(1, "a"), (2, "b")], ["id", "v"])
+    v = M.append(df, t, stat_cols=("id",))
+    assert v == 1
+    got = sorted((r["id"], r["v"]) for r in M.read_table(spark, t).collect())
+    assert got == [(1, "a"), (2, "b")]
+    v2 = M.append(values_df(spark, [(3, "c")], ["id", "v"]), t, stat_cols=("id",))
+    assert v2 == 2
+    assert M.read_table(spark, t).count() == 3
+
+
+def test_crashed_write_is_invisible(spark, tmp_path):
+    """A batch written WITHOUT a commit (crash before the pointer flip)
+    must not change what readers see; vacuum reclaims the orphans."""
+    t = str(tmp_path / "t2")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    # simulate a writer dying after data write, before _commit
+    M._write_batch(values_df(spark, [(99, "zz")], ["id", "v"]), t, [])
+    assert [r["id"] for r in M.read_table(spark, t).collect()] == [1]
+    deleted = M.vacuum(t, keep_versions=1)
+    assert deleted >= 1  # the orphan batch is gone
+    assert [r["id"] for r in M.read_table(spark, t).collect()] == [1]
+
+
+def test_overwrite_is_snapshot_isolated_and_time_travels(spark, tmp_path):
+    t = str(tmp_path / "t3")
+    M.append(values_df(spark, [(1, "a"), (1, "a"), (2, "b")], ["id", "v"]), t)
+    live = M.read_table(spark, t)  # resolved against v1's file list
+    M.overwrite(live.distinct(), t)
+    assert M.read_table(spark, t).count() == 2          # v2: deduped
+    assert M.read_table(spark, t, version=1).count() == 3  # time travel
+    hist = M.history(t)
+    assert [h["op"] for h in hist] == ["append", "overwrite"]
+
+
+def test_concurrent_commit_single_winner(spark, tmp_path):
+    t = str(tmp_path / "t4")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    base = M.current_version(t)
+    files_a = M._write_batch(values_df(spark, [(2, "b")], ["id", "v"]), t, [])
+    files_b = M._write_batch(values_df(spark, [(3, "c")], ["id", "v"]), t, [])
+    prev = M._load_manifest(t, base)["files"]
+    M._commit(t, base, prev + files_a, op="append")  # writer A wins
+    with pytest.raises(M.ConcurrentWriteError):
+        M._commit(t, base, prev + files_b, op="append")  # B must not clobber
+    ids = sorted(r["id"] for r in M.read_table(spark, t).collect())
+    assert ids == [1, 2]
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    """Two appends with disjoint id ranges → a range read resolves to
+    only the matching snapshot files, before Spark plans the scan."""
+    t = str(tmp_path / "t5")
+    M.append(
+        values_df(spark, [(i, "lo") for i in range(10)], ["id", "v"]).coalesce(1),
+        t, stat_cols=("id",),
+    )
+    M.append(
+        values_df(spark, [(i, "hi") for i in range(1000, 1010)], ["id", "v"]).coalesce(1),
+        t, stat_cols=("id",),
+    )
+    all_files = M.read_table(spark, t).inputFiles()
+    pruned = M.read_table(spark, t, prune=("id", 1000, 2000))
+    assert len(pruned.inputFiles()) < len(all_files)
+    assert pruned.count() == 10
+    # files without recorded stats are conservatively KEPT
+    unpruned = M.read_table(spark, t, prune=("v", 0, 1))  # no stats for v? strings recorded
+    assert unpruned.count() >= 10
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    t = str(tmp_path / "t6")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    M.overwrite(values_df(spark, [(2, "b")], ["id", "v"]), t)
+    M.vacuum(t, keep_versions=1)
+    assert M.read_table(spark, t).count() == 1  # live snapshot intact
+    with pytest.raises(FileNotFoundError):
+        M.read_table(spark, t, version=1).count()  # v1 manifest dropped
+
+
+def test_append_news_tx_idempotent(spark, tmp_path):
+    from newsmaper_etl_spark.sinks import append_news_tx
+
+    t = str(tmp_path / "news_tx")
+    batch = _news_rows(spark, [0, 1, 2])
+    assert append_news_tx(spark, batch, t) == 3
+    assert append_news_tx(spark, batch, t) == 0  # rerun: zero novel rows
+    assert append_news_tx(spark, _news_rows(spark, [2, 3]), t) == 1
+    assert M.read_table(spark, t).count() == 4
+
+
+def test_rewrite_dedup_tx_atomic(spark, tmp_path):
+    from newsmaper_etl_spark.sinks import rewrite_dedup_tx
+
+    t = str(tmp_path / "news_tx2")
+    M.append(_news_rows(spark, [0, 1]), t, stat_cols=("id_date",))
+    M.append(_news_rows(spark, [1, 2]), t, stat_cols=("id_date",))  # dup key 1
+    v = rewrite_dedup_tx(spark, t)
+    deduped = M.read_table(spark, t)
+    assert deduped.count() == 3
+    assert M.read_table(spark, t, version=v - 1).count() == 4  # old snapshot intact
+
+
+def test_read_news_tx_for_dates_prunes(spark, tmp_path):
+    from newsmaper_etl_spark.sinks import append_news_tx, read_news_tx_for_dates
+
+    t = str(tmp_path / "news_tx3")
+    append_news_tx(spark, _news_rows(spark, [0, 1]).coalesce(1), t)
+    append_news_tx(spark, _news_rows(spark, [50, 51]).coalesce(1), t)
+    out = read_news_tx_for_dates(spark, t, 2023010150, 2023010151)
+    assert out.count() == 2
+    assert len(out.inputFiles()) < len(M.read_table(spark, t).inputFiles())
