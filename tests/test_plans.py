@@ -123,6 +123,48 @@ def test_q19_envelope_predicates_reach_scans(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
 
 
+def test_q21_exists_pair_is_hash_semi_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair must compile to LEFT SEMI + LEFT
+    ANTI hash joins on the order key (supplier inequality riding as a
+    residual condition) — never a nested loop over the fact."""
+    plan = _plan(QUERIES["q_tpch_q21"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q2_min_cost_is_aggregate_before_join(spark, sf_dir):
+    """Q2's correlated MIN decorrelates to aggregate-before-join: a
+    per-part min over the offers feeding an equi-join back — no nested
+    loop, and the (partkey, suppkey) cost aggregate partial-aggregates
+    before its exchange."""
+    plan = _plan(QUERIES["q_tpch_q2"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_min" in plan
+
+
+def test_tpch_corpus_has_no_nested_loop_joins(spark, sf_dir):
+    """Sweep: every TPC-H query must plan equi/hash joins only — a
+    nested loop appearing anywhere in the 22-query corpus is a planning
+    regression (all adaptations were designed to keep joins keyed).
+
+    Exemption: Q11/Q22 cross-join a ONE-ROW broadcast scalar cutoff —
+    a BroadcastNestedLoopJoin against a single-row build side IS the
+    scalar-subquery execution shape (each probe row meets exactly one
+    build row; nothing quadratic exists to avoid). CartesianProduct is
+    never acceptable."""
+    scalar_cutoff = {"q_tpch_q11", "q_tpch_q22"}
+    offenders = []
+    tpch = [n for n in QUERIES if n.startswith("q_tpch_")]
+    assert len(tpch) == 22
+    for name in tpch:
+        plan = _plan(QUERIES[name].fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        elif "BroadcastNestedLoopJoin" in plan and name not in scalar_cutoff:
+            offenders.append(name)
+    assert not offenders, f"nested-loop joins in: {offenders}"
+
+
 def test_group_agg_combines_map_side(spark, sf_dir):
     """The aggregate must partial-aggregate BEFORE its exchange (map-side
     combine): the shuffle carries one row per group per task, not one per
