@@ -16,7 +16,10 @@ Layout:
                    pipeline ops + scale extensions: dedup, similarity, text)
     sources/     — non-parquet sources (RSS/CSV/JSON) with pinned schemas
     sinks        — batch parquet sinks + warehouse bootstrap (idempotent
-                   append, maintenance dedup rewrite)
+                   append, maintenance dedup rewrite; _tx variants commit
+                   through the manifest table format)
+    manifest     — manifest-committed tables: atomic snapshot pointer-flip
+                   commits, time travel, footer-stats file skipping, vacuum
     streaming/   — Structured Streaming composition of the pipeline
 """
 

@@ -116,7 +116,10 @@ def _write_batch(df, table: str, stat_cols: list[str]) -> list[dict]:
     return entries
 
 
-def _commit(table: str, base_version: int, files: list[dict], op: str) -> int:
+def _commit(
+    table: str, base_version: int, files: list[dict], op: str,
+    meta: dict | None = None,
+) -> int:
     """Atomically publish a new snapshot computed against base_version.
 
     The manifest is written first (immutable, invisible), then _LATEST
@@ -130,6 +133,8 @@ def _commit(table: str, base_version: int, files: list[dict], op: str) -> int:
         )
     new_version = base_version + 1
     manifest = {"version": new_version, "op": op, "files": files}
+    if meta:
+        manifest["meta"] = meta
     mpath = _manifest_path(table, new_version)
     if os.path.exists(mpath):
         raise ConcurrentWriteError(f"manifest v{new_version} already exists")
@@ -147,14 +152,29 @@ def create_table(table: str) -> None:
     os.makedirs(os.path.join(table, _DATA), exist_ok=True)
 
 
-def append(df, table: str, stat_cols: tuple[str, ...] = ()) -> int:
+def append(
+    df, table: str, stat_cols: tuple[str, ...] = (), meta: dict | None = None
+) -> int:
     """Transactional append: new files + manifest, one pointer flip.
-    Returns the committed version."""
+    ``meta`` is recorded verbatim on the commit (e.g. a streaming batch
+    id for exactly-once sinks). Returns the committed version."""
     create_table(table)
     base = current_version(table)
     prev = _load_manifest(table, base)
     new_files = _write_batch(df, table, list(stat_cols))
-    return _commit(table, base, prev["files"] + new_files, op="append")
+    return _commit(table, base, prev["files"] + new_files, op="append", meta=meta)
+
+
+def committed_meta_values(table: str, key: str) -> set:
+    """All values of ``meta[key]`` across committed snapshots — the
+    idempotence lookup for exactly-once writers (is batch N committed?).
+    Scans only manifests (driver-side JSON), never data."""
+    out = set()
+    for v in range(1, current_version(table) + 1):
+        m = _load_manifest(table, v).get("meta") or {}
+        if key in m:
+            out.add(m[key])
+    return out
 
 
 def overwrite(df, table: str, stat_cols: tuple[str, ...] = ()) -> int:

@@ -309,3 +309,42 @@ def stateful_source_stats(articles: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def write_stream_manifest(
+    df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    stat_cols: tuple[str, ...] = (),
+):
+    """Exactly-once streaming sink onto a manifest-committed table
+    (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
+
+    Spark's foreachBatch contract is at-least-once: after a crash
+    between "user function ran" and "checkpoint advanced", the SAME
+    batch id is replayed. The manifest makes the replay idempotent —
+    every commit records its batch id, and a replayed batch that is
+    already committed SKIPS instead of double-appending. Combined with
+    the atomic pointer-flip commit (readers never see a half-batch),
+    the table observes each micro-batch exactly once, without relying
+    on the parquet file-sink's _spark_metadata log — and the table
+    stays readable by the snapshot/time-travel/pruning API instead of
+    only by Spark's file-sink-aware reader.
+    """
+    from newsmaper_etl_spark import manifest as M
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in M.committed_meta_values(table, "batch_id"):
+            return  # replay of an already-committed batch: exactly-once
+        M.append(
+            batch_df, table, stat_cols=stat_cols, meta={"batch_id": batch_id}
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()

@@ -207,3 +207,44 @@ def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_manifest_sink_exactly_once_across_restart_and_replay(spark, tmp_path):
+    """write_stream_manifest: each micro-batch commits atomically with
+    its batch id recorded; a restart picks up NEW files only, and a
+    forced replay of an already-committed batch id is a no-op (the
+    at-least-once foreachBatch contract made exactly-once)."""
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    src = tmp_path / "mstream_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n')
+    table = str(tmp_path / "mtable")
+    ckpt = str(tmp_path / "mckpt")
+
+    stream = spark.readStream.schema("id INT, v STRING").json(str(src))
+    write_stream_manifest(stream, table, ckpt, stat_cols=("id",)).awaitTermination()
+    assert sorted(r["id"] for r in M.read_table(spark, table).collect()) == [1, 2]
+    committed = M.committed_meta_values(table, "batch_id")
+
+    # restart with one NEW file: only the new rows commit, under a new batch id
+    with open(src / "b.json", "w") as f:
+        f.write('{"id": 3, "v": "c"}\n')
+    stream2 = spark.readStream.schema("id INT, v STRING").json(str(src))
+    write_stream_manifest(stream2, table, ckpt, stat_cols=("id",)).awaitTermination()
+    assert sorted(r["id"] for r in M.read_table(spark, table).collect()) == [1, 2, 3]
+    assert len(M.committed_meta_values(table, "batch_id")) == len(committed) + 1
+
+    # replay: a FRESH checkpoint re-delivers everything as batch 0 —
+    # already committed, so the sink's own skip branch must fire and
+    # the table must not move (this is the crash-between-commit-and-
+    # checkpoint scenario foreachBatch replays)
+    v_before = M.current_version(table)
+    stream3 = spark.readStream.schema("id INT, v STRING").json(str(src))
+    write_stream_manifest(
+        stream3, table, str(tmp_path / "mckpt_fresh"), stat_cols=("id",)
+    ).awaitTermination()
+    assert M.current_version(table) == v_before
+    assert M.read_table(spark, table).count() == 3
