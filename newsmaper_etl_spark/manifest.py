@@ -118,7 +118,7 @@ def _write_batch(df, table: str, stat_cols: list[str]) -> list[dict]:
 
 def _commit(
     table: str, base_version: int, files: list[dict], op: str,
-    meta: dict | None = None,
+    meta: dict | None = None, schema: list[list[str]] | None = None,
 ) -> int:
     """Atomically publish a new snapshot computed against base_version.
 
@@ -135,6 +135,8 @@ def _commit(
     manifest = {"version": new_version, "op": op, "files": files}
     if meta:
         manifest["meta"] = meta
+    if schema is not None:
+        manifest["schema"] = schema
     mpath = _manifest_path(table, new_version)
     if os.path.exists(mpath):
         raise ConcurrentWriteError(f"manifest v{new_version} already exists")
@@ -152,17 +154,42 @@ def create_table(table: str) -> None:
     os.makedirs(os.path.join(table, _DATA), exist_ok=True)
 
 
+def _schema_fields(df) -> list[list[str]]:
+    """(name, dataType) pairs — the compatibility contract. Nullability
+    is excluded on purpose: parquet files carry their own nullability
+    and relaxing it never corrupts a read."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _check_schema(df, prev_manifest: dict, table: str) -> list[list[str]]:
+    fields = _schema_fields(df)
+    prev = prev_manifest.get("schema")
+    if prev is not None and prev != fields:
+        raise ValueError(
+            f"schema mismatch appending to {table}:\n  table: {prev}\n"
+            f"  batch: {fields}\nuse overwrite() for an intentional "
+            "schema change (old snapshots stay readable via time travel)"
+        )
+    return fields
+
+
 def append(
     df, table: str, stat_cols: tuple[str, ...] = (), meta: dict | None = None
 ) -> int:
     """Transactional append: new files + manifest, one pointer flip.
     ``meta`` is recorded verbatim on the commit (e.g. a streaming batch
-    id for exactly-once sinks). Returns the committed version."""
+    id for exactly-once sinks). The batch schema must match the table's
+    recorded schema — a drifted producer fails the COMMIT, not some
+    future read over mixed files. Returns the committed version."""
     create_table(table)
     base = current_version(table)
     prev = _load_manifest(table, base)
+    fields = _check_schema(df, prev, table)
     new_files = _write_batch(df, table, list(stat_cols))
-    return _commit(table, base, prev["files"] + new_files, op="append", meta=meta)
+    return _commit(
+        table, base, prev["files"] + new_files, op="append", meta=meta,
+        schema=fields,
+    )
 
 
 def committed_meta_values(table: str, key: str) -> set:
@@ -186,7 +213,9 @@ def overwrite(df, table: str, stat_cols: tuple[str, ...] = ()) -> int:
     create_table(table)
     base = current_version(table)
     new_files = _write_batch(df, table, list(stat_cols))
-    return _commit(table, base, new_files, op="overwrite")
+    return _commit(
+        table, base, new_files, op="overwrite", schema=_schema_fields(df)
+    )
 
 
 def read_table(

@@ -279,7 +279,9 @@ def append_news_tx(spark: SparkSession, new_rows: DataFrame, table: str) -> int:
     novel = new_rows.select(*_news_columns())
     if M.current_version(table) > 0:
         existing = M.read_table(spark, table)
-        novel = append_new_rows(novel, existing, NEWS_KEY)
+        # re-project: the anti-join moves its key columns to the front,
+        # and the manifest's schema contract pins column ORDER too
+        novel = append_new_rows(novel, existing, NEWS_KEY).select(*_news_columns())
     obs = Observation()
     staged = novel.observe(obs, F.count(F.lit(1)).alias("n"))
     M.append(staged, table, stat_cols=("id_date",))

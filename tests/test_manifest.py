@@ -140,3 +140,19 @@ def test_read_news_tx_for_dates_prunes(spark, tmp_path):
     out = read_news_tx_for_dates(spark, t, 2023010150, 2023010151)
     assert out.count() == 2
     assert len(out.inputFiles()) < len(M.read_table(spark, t).inputFiles())
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """A drifted producer must fail at COMMIT time, not poison reads
+    over mixed files; overwrite() performs intentional evolution and
+    old snapshots stay readable via time travel."""
+    t = str(tmp_path / "t7")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.append(values_df(spark, [(2.5, "b")], ["id", "v"]), t)  # id double
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.append(values_df(spark, [(2, "b", 1)], ["id", "v", "extra"]), t)
+    assert M.read_table(spark, t).count() == 1
+    M.overwrite(values_df(spark, [(2, "b", 1)], ["id", "v", "extra"]), t)
+    assert len(M.read_table(spark, t).columns) == 3
+    assert len(M.read_table(spark, t, version=1).columns) == 2

@@ -124,3 +124,29 @@ def test_pubdate_roundtrip_all_variants(spark, ts, offset_minutes):
     strict = {r["i"]: r["pub_ts"] for r in parse_pubdate(df, strict=True).collect()}
     expect_utc = aware.astimezone(timezone.utc).replace(tzinfo=None)
     assert strict[0] == expect_utc
+
+
+@given(
+    vectors=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=7, max_size=7,
+        ),
+        min_size=2, max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_tree_dot_matches_hof_dot_after_rounding(spark, vectors):
+    """The balanced-tree unrolled dot (codegen SQL path) must agree with
+    the sequential HOF dot after the round-before-compare convention —
+    the property that licenses the re-association in
+    operators/similarity._tree (module invariant 3)."""
+    from newsmaper_etl_spark.operators import similarity as S
+    rows = [(i, vectors[i], vectors[(i + 1) % len(vectors)]) for i in range(len(vectors))]
+    df = spark.createDataFrame(rows, "i INT, a ARRAY<FLOAT>, b ARRAY<FLOAT>")
+    out = df.select(
+        F.round(F.expr(S._dot_sql("a", "b", 7)), 4).alias("tree"),
+        F.round(S._dot(F.col("a"), F.col("b")), 4).alias("hof"),
+    ).collect()
+    for r in out:
+        assert r["tree"] == r["hof"], (r["tree"], r["hof"])
