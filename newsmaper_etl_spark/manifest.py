@@ -16,17 +16,27 @@ atomic pointer flip:
       data/b-<uuid>/part-*.parquet  immutable data files
 
 - **Writers** only ever ADD data files (under a fresh batch dir) and
-  manifests; nothing live is mutated. The commit is `os.replace` on
-  `_LATEST` — atomic on POSIX. A crash anywhere before the flip leaves
-  the table at the previous snapshot with some invisible orphan files
-  (reclaimed by :func:`vacuum`).
+  manifests; nothing live is mutated. A manifest is staged to a temp
+  name and CLAIMED with ``os.link`` (atomic create — a half-written or
+  already-claimed manifest can never be clobbered), then `_LATEST`
+  flips via ``os.replace`` — atomic on POSIX. A crash anywhere before
+  the flip leaves the table at the previous snapshot with some
+  invisible orphans (reclaimed by :func:`vacuum` / :func:`repair`).
 - **Readers** resolve `_LATEST` → manifest → EXPLICIT file list. No
   directory listing races; `version=` gives time travel for free.
-- **Conflicts**: commits carry the base version they were computed
-  from; if `_LATEST` moved meanwhile, :class:`ConcurrentWriteError` —
-  optimistic concurrency, single-winner. (On an object store without
-  atomic rename, the flip needs a conditional put or a lock service —
-  exactly Delta's LogStore contract; the protocol here is unchanged.)
+- **Conflicts**: commits carry the base version their content was
+  computed from (callers that read-then-write pin it — see
+  sinks.append_news_tx); if `_LATEST` moved meanwhile, or another
+  writer claimed the next manifest first, :class:`ConcurrentWriteError`
+  — optimistic concurrency, single-winner, losers recompute. (On an
+  object store without atomic rename/link, claim + flip need a
+  conditional put or a lock service — exactly Delta's LogStore
+  contract; the protocol here is unchanged.)
+- **Exactly-once writers**: a commit may carry a ``txn=(app_id,
+  txn_version)`` pair; the CUMULATIVE per-app high-water mark is
+  carried forward on every subsequent manifest (Delta's txn action),
+  so :func:`last_txn_version` is one read of the LATEST manifest —
+  O(1), and immune to :func:`vacuum` dropping old manifests.
 - **Data skipping**: the manifest records per-file min/max for declared
   stat columns (read from parquet footers, driver-side, no data scan).
   :func:`read_table` prunes the FILE LIST against a predicate range
@@ -75,9 +85,18 @@ def _load_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _json_safe(v):
+    """Footer statistics arrive as python objects; only types that
+    round-trip through JSON *and* compare correctly against prune bounds
+    are recorded (bool is excluded — it would satisfy isinstance(int))."""
+    return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+
 def _file_stats(path: str, stat_cols: list[str]) -> dict[str, list]:
     """Per-file min/max for the stat columns, read from the parquet
-    FOOTER (row-group statistics) — no data pages touched."""
+    FOOTER (row-group statistics) — no data pages touched. Columns whose
+    stats aren't JSON-safe (timestamps, decimals, binary) are skipped:
+    the file is then conservatively kept by every prune."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -94,7 +113,7 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict[str, list]:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+        if lo is not None and _json_safe(lo) and _json_safe(hi):
             out[col] = [lo, hi]
     return out
 
@@ -119,33 +138,50 @@ def _write_batch(df, table: str, stat_cols: list[str]) -> list[dict]:
 def _commit(
     table: str, base_version: int, files: list[dict], op: str,
     meta: dict | None = None, schema: list[list[str]] | None = None,
+    txn: tuple[str, int] | None = None,
+    prev_txns: dict | None = None,
 ) -> int:
     """Atomically publish a new snapshot computed against base_version.
 
-    The manifest is written first (immutable, invisible), then _LATEST
-    flips via os.replace. The base-version check makes racing writers
-    single-winner instead of silently-last-winner; the residual
-    check-to-flip window is the documented single-writer/lock-service
-    caveat shared with every rename-based log store."""
+    The manifest is fully written to a temp name, then CLAIMED with
+    ``os.link`` — atomic create, so a crashed writer can only ever leave
+    an unreferenced temp file (never a half-written or clobbered
+    manifest), and two racers for the same version get exactly one
+    winner. `_LATEST` then flips via os.replace. The base-version check
+    makes a writer whose snapshot went stale fail loudly instead of
+    silently dropping the interleaved commit's rows."""
     if current_version(table) != base_version:
         raise ConcurrentWriteError(
             f"table moved past v{base_version}; recompute and retry"
         )
     new_version = base_version + 1
+    txns = dict(prev_txns or {})
+    if txn is not None:
+        app, tv = txn
+        txns[app] = max(int(tv), int(txns.get(app, -1)))
     manifest = {"version": new_version, "op": op, "files": files}
     if meta:
         manifest["meta"] = meta
     if schema is not None:
         manifest["schema"] = schema
+    if txns:
+        manifest["txns"] = txns
     mpath = _manifest_path(table, new_version)
-    if os.path.exists(mpath):
-        raise ConcurrentWriteError(f"manifest v{new_version} already exists")
-    with open(mpath, "w") as f:
-        json.dump(manifest, f)
-    tmp = os.path.join(table, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, mpath)  # atomic claim: exactly one writer wins v{n+1}
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"manifest v{new_version} already claimed by another writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    latest_tmp = os.path.join(table, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(latest_tmp, "w") as f:
         f.write(str(new_version))
-    os.replace(tmp, os.path.join(table, _LATEST))  # THE commit point
+    os.replace(latest_tmp, os.path.join(table, _LATEST))  # THE commit point
     return new_version
 
 
@@ -174,48 +210,75 @@ def _check_schema(df, prev_manifest: dict, table: str) -> list[list[str]]:
 
 
 def append(
-    df, table: str, stat_cols: tuple[str, ...] = (), meta: dict | None = None
+    df,
+    table: str,
+    stat_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
+    txn: tuple[str, int] | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Transactional append: new files + manifest, one pointer flip.
-    ``meta`` is recorded verbatim on the commit (e.g. a streaming batch
-    id for exactly-once sinks). The batch schema must match the table's
-    recorded schema — a drifted producer fails the COMMIT, not some
-    future read over mixed files. Returns the committed version."""
+
+    ``meta`` is recorded verbatim on the commit; ``txn=(app_id,
+    txn_version)`` additionally advances the per-app exactly-once
+    high-water mark (see :func:`last_txn_version`). ``base_version``
+    pins the commit to the snapshot the CALLER's content was computed
+    against (a caller that read the table to decide what to append —
+    e.g. an anti-join — must pass the version it read, else a commit
+    landing in between is silently double-counted). The batch schema
+    must match the table's recorded schema — a drifted producer fails
+    the COMMIT, not some future read over mixed files. Returns the
+    committed version."""
     create_table(table)
-    base = current_version(table)
+    base = current_version(table) if base_version is None else base_version
     prev = _load_manifest(table, base)
     fields = _check_schema(df, prev, table)
     new_files = _write_batch(df, table, list(stat_cols))
     return _commit(
         table, base, prev["files"] + new_files, op="append", meta=meta,
-        schema=fields,
+        schema=fields, txn=txn, prev_txns=prev.get("txns"),
     )
 
 
-def committed_meta_values(table: str, key: str) -> set:
-    """All values of ``meta[key]`` across committed snapshots — the
-    idempotence lookup for exactly-once writers (is batch N committed?).
-    Scans only manifests (driver-side JSON), never data."""
-    out = set()
-    for v in range(1, current_version(table) + 1):
-        m = _load_manifest(table, v).get("meta") or {}
-        if key in m:
-            out.add(m[key])
-    return out
-
-
-def overwrite(df, table: str, stat_cols: tuple[str, ...] = ()) -> int:
+def overwrite(
+    df,
+    table: str,
+    stat_cols: tuple[str, ...] = (),
+    base_version: int | None = None,
+) -> int:
     """Transactional full rewrite (the atomic form of sinks.rewrite_dedup's
     rename swap): the new snapshot references ONLY the fresh batch; old
     files stay on disk for time travel until vacuumed. Safe to compute
     ``df`` FROM the live table — reads resolve to the old snapshot's
-    explicit file list, which the write never touches."""
+    explicit file list, which the write never touches. Pass the version
+    the input was read at as ``base_version`` so an interleaved commit
+    fails this write instead of being silently erased. Per-app txn
+    high-water marks are carried forward — a maintenance rewrite must
+    not amnesia the exactly-once state of streaming writers."""
     create_table(table)
-    base = current_version(table)
+    base = current_version(table) if base_version is None else base_version
+    prev = _load_manifest(table, base)
     new_files = _write_batch(df, table, list(stat_cols))
     return _commit(
-        table, base, new_files, op="overwrite", schema=_schema_fields(df)
+        table, base, new_files, op="overwrite", schema=_schema_fields(df),
+        prev_txns=prev.get("txns"),
     )
+
+
+def last_txn_version(table: str, app_id: str) -> int:
+    """The highest committed ``txn_version`` for ``app_id`` (-1 if none)
+    — ONE read of the latest manifest (the high-water marks are carried
+    forward on every commit), so the exactly-once check is O(1) and
+    survives :func:`vacuum` dropping old manifests."""
+    m = _load_manifest(table, current_version(table))
+    return int((m.get("txns") or {}).get(app_id, -1))
+
+
+def _schema_ddl(manifest: dict) -> str | None:
+    fields = manifest.get("schema")
+    if not fields:
+        return None
+    return ", ".join(f"`{n}` {t}" for n, t in fields)
 
 
 def read_table(
@@ -229,9 +292,10 @@ def read_table(
     ``version`` time-travels to an older snapshot. ``prune=(col, lo, hi)``
     drops files whose footer min/max range for ``col`` cannot intersect
     [lo, hi] BEFORE Spark plans the scan — manifest-level data skipping
-    (files without recorded stats are conservatively kept). Returns an
-    empty-but-typed DataFrame only if the snapshot has files; reading an
-    empty table requires the caller's schema, so it raises instead."""
+    (files without recorded stats are conservatively kept). A prune that
+    eliminates every file returns an EMPTY DataFrame typed from the
+    manifest's recorded schema — an empty query result is not an error;
+    only a genuinely empty table with no recorded schema raises."""
     v = current_version(table) if version is None else version
     manifest = _load_manifest(table, v)
     files = manifest["files"]
@@ -244,28 +308,64 @@ def read_table(
                 kept.append(entry)
         files = kept
     if not files:
-        raise ValueError(
-            f"snapshot v{v} of {table} is empty — no schema to infer"
-        )
+        ddl = _schema_ddl(manifest)
+        if ddl is None:
+            raise ValueError(
+                f"snapshot v{v} of {table} is empty and records no schema"
+            )
+        return spark.createDataFrame([], ddl)
     paths = [os.path.join(table, e["path"]) for e in files]
     return spark.read.parquet(*paths)
 
 
 def history(table: str) -> list[dict]:
-    """All committed snapshots, oldest first (version/op/file count)."""
+    """Committed snapshots, oldest first (version/op/file count).
+    Manifests dropped by :func:`vacuum` appear as ``{"vacuumed": True}``
+    placeholders instead of crashing the listing."""
     out = []
     for v in range(1, current_version(table) + 1):
-        m = _load_manifest(table, v)
+        try:
+            m = _load_manifest(table, v)
+        except FileNotFoundError:
+            out.append({"version": v, "vacuumed": True})
+            continue
         out.append({"version": v, "op": m.get("op"), "n_files": len(m["files"])})
     return out
+
+
+def repair(table: str) -> int:
+    """Remove claimed-but-never-committed manifests (version above
+    `_LATEST`) left by writers that crashed between claim and flip —
+    they block their version number forever otherwise. ONLY safe with
+    no writer active (same externally-coordinated assumption as any
+    rename-based log store's cleanup). Returns manifests removed."""
+    cur = current_version(table)
+    removed = 0
+    mdir = os.path.join(table, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return 0
+    for name in os.listdir(mdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-5])
+        except ValueError:
+            continue
+        if v > cur:
+            os.remove(os.path.join(mdir, name))
+            removed += 1
+    return removed
 
 
 def vacuum(table: str, keep_versions: int = 1) -> int:
     """Delete data files not referenced by the newest ``keep_versions``
     snapshots (and drop the older manifests). Orphans from crashed or
     lost-race writes are removed too — they were never referenced.
+    Exactly-once txn marks survive (they ride the latest manifest).
     Returns the number of files deleted."""
     cur = current_version(table)
+    if cur == 0:
+        return 0
     keep = set()
     kept_versions = range(max(1, cur - keep_versions + 1), cur + 1)
     for v in kept_versions:

@@ -341,12 +341,10 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fixed-dim codegen arithmetic — the r03 8.1 s plan was recomputing
     both norms per pair through interpreted HOFs."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    # coalesce: see similarity._with_norm — keeps the inferred
-    # isnotnull(norm) from re-materializing the SQRT chain in the Filter
-    emb_n = emb.select(
-        "vec_id",
-        "embedding",
-        F.coalesce(S._norm2("embedding", EMB_DIM), F.lit(0.0)).alias("__n"),
+    # _with_norm carries the coalesce-to-non-null trick that keeps the
+    # inferred isnotnull(norm) out of each side's Filter — reuse it
+    emb_n = S._with_norm(
+        emb.select("vec_id", "embedding"), "embedding", "__n", EMB_DIM
     )
     a = emb_n.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),

@@ -277,14 +277,18 @@ def append_news_tx(spark: SparkSession, new_rows: DataFrame, table: str) -> int:
     from newsmaper_etl_spark import manifest as M
 
     novel = new_rows.select(*_news_columns())
-    if M.current_version(table) > 0:
-        existing = M.read_table(spark, table)
+    # pin the base: the anti-join decides novelty against THIS snapshot,
+    # so the commit must fail (ConcurrentWriteError) if another writer
+    # lands in between — not silently re-append rows it couldn't see
+    base = M.current_version(table)
+    if base > 0:
+        existing = M.read_table(spark, table, version=base)
         # re-project: the anti-join moves its key columns to the front,
         # and the manifest's schema contract pins column ORDER too
         novel = append_new_rows(novel, existing, NEWS_KEY).select(*_news_columns())
     obs = Observation()
     staged = novel.observe(obs, F.count(F.lit(1)).alias("n"))
-    M.append(staged, table, stat_cols=("id_date",))
+    M.append(staged, table, stat_cols=("id_date",), base_version=base)
     return int(obs.get["n"])
 
 
@@ -296,7 +300,10 @@ def rewrite_dedup_tx(spark: SparkSession, table: str) -> int:
     needed. Returns the new version."""
     from newsmaper_etl_spark import manifest as M
 
-    df = M.read_table(spark, table)
+    # pin the base: survivors are computed from THIS snapshot's file
+    # list; an interleaved append must fail this rewrite, not vanish
+    base = M.current_version(table)
+    df = M.read_table(spark, table, version=base)
     ordered = df.withColumn(
         "__ord",
         F.xxhash64(*[
@@ -304,7 +311,7 @@ def rewrite_dedup_tx(spark: SparkSession, table: str) -> int:
         ]),
     )
     survivors = dedup_keep_first(ordered, NEWS_KEY, order_col="__ord").drop("__ord")
-    return M.overwrite(survivors, table, stat_cols=("id_date",))
+    return M.overwrite(survivors, table, stat_cols=("id_date",), base_version=base)
 
 
 def read_news_tx_for_dates(

@@ -317,28 +317,42 @@ def write_stream_manifest(
     checkpoint_dir: str,
     trigger: dict | None = None,
     stat_cols: tuple[str, ...] = (),
+    app_id: str | None = None,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
-    batch id is replayed. The manifest makes the replay idempotent —
-    every commit records its batch id, and a replayed batch that is
-    already committed SKIPS instead of double-appending. Combined with
-    the atomic pointer-flip commit (readers never see a half-batch),
-    the table observes each micro-batch exactly once, without relying
-    on the parquet file-sink's _spark_metadata log — and the table
-    stays readable by the snapshot/time-travel/pruning API instead of
-    only by Spark's file-sink-aware reader.
+    batch id is replayed. Each commit advances a per-WRITER high-water
+    mark ``txn=(app_id, batch_id)`` in the manifest (Delta's txn
+    action); a replayed batch at or below the mark skips instead of
+    double-appending. The identity is the (app_id, batch_id) PAIR —
+    batch ids alone are meaningless across queries, so a different
+    pipeline (its own app_id / checkpoint) writing to the same table is
+    never silently dropped. ``app_id`` defaults to the checkpoint
+    location, which IS the streaming query's identity: a rolled-back or
+    crash-replayed checkpoint keeps its id (replays skip), a brand-new
+    checkpoint is a brand-new writer (its batches land). The mark rides
+    the LATEST manifest, so the check is O(1) per batch and survives
+    vacuum. Combined with the atomic pointer-flip commit (readers never
+    see a half-batch), the table observes each micro-batch exactly
+    once, without relying on the parquet file-sink's _spark_metadata
+    log — and the output stays readable by the snapshot / time-travel /
+    pruning API instead of only by Spark's file-sink-aware reader.
     """
+    import os as _os
+
     from newsmaper_etl_spark import manifest as M
 
+    app = app_id or f"stream:{_os.path.abspath(checkpoint_dir)}"
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in M.committed_meta_values(table, "batch_id"):
+        if batch_id <= M.last_txn_version(table, app):
             return  # replay of an already-committed batch: exactly-once
         M.append(
-            batch_df, table, stat_cols=stat_cols, meta={"batch_id": batch_id}
+            batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),
+            meta={"app": app, "batch_id": int(batch_id)},
         )
 
     writer = (

@@ -156,3 +156,52 @@ def test_append_rejects_schema_drift(spark, tmp_path):
     M.overwrite(values_df(spark, [(2, "b", 1)], ["id", "v", "extra"]), t)
     assert len(M.read_table(spark, t).columns) == 3
     assert len(M.read_table(spark, t, version=1).columns) == 2
+
+
+def test_prune_to_empty_returns_typed_empty_df(spark, tmp_path):
+    """A no-match prune is an empty RESULT, not an error — the schema
+    comes from the manifest record."""
+    t = str(tmp_path / "t8")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]).coalesce(1), t, stat_cols=("id",))
+    out = M.read_table(spark, t, prune=("id", 1000, 2000))
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_vacuum_on_empty_table_is_noop(tmp_path):
+    t = str(tmp_path / "t9")
+    M.create_table(t)
+    assert M.vacuum(t) == 0
+
+
+def test_repair_unblocks_crashed_claim(spark, tmp_path):
+    """A writer that crashed between manifest claim and pointer flip
+    leaves its version claimed; repair() removes the orphan so the next
+    commit can proceed (run only with no writers active)."""
+    t = str(tmp_path / "t10")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    # simulate: claim v2's manifest, die before flipping _LATEST
+    import json as _json
+
+    with open(M._manifest_path(t, 2), "w") as f:
+        _json.dump({"version": 2, "files": []}, f)
+    with pytest.raises(M.ConcurrentWriteError):
+        M.append(values_df(spark, [(2, "b")], ["id", "v"]), t)
+    assert M.repair(t) == 1
+    M.append(values_df(spark, [(2, "b")], ["id", "v"]), t)
+    assert M.read_table(spark, t).count() == 2
+
+
+def test_timestamp_stat_cols_do_not_break_commit(spark, tmp_path):
+    """Footer stats for non-JSON-safe types (timestamps) are skipped,
+    not serialized-and-crashed; pruning then conservatively keeps the
+    files."""
+    t = str(tmp_path / "t11")
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS ts "
+        "FROM range(3)"
+    )
+    M.append(df, t, stat_cols=("ts", "id"))
+    m = M._load_manifest(t, 1)
+    assert all("ts" not in e["stats"] for e in m["files"])  # skipped, not crashed
+    assert M.read_table(spark, t, prune=("ts", 0, 1)).count() == 3  # kept

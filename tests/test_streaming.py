@@ -225,26 +225,47 @@ def test_manifest_sink_exactly_once_across_restart_and_replay(spark, tmp_path):
     ckpt = str(tmp_path / "mckpt")
 
     stream = spark.readStream.schema("id INT, v STRING").json(str(src))
-    write_stream_manifest(stream, table, ckpt, stat_cols=("id",)).awaitTermination()
+    write_stream_manifest(
+        stream, table, ckpt, stat_cols=("id",), app_id="qA"
+    ).awaitTermination()
     assert sorted(r["id"] for r in M.read_table(spark, table).collect()) == [1, 2]
-    committed = M.committed_meta_values(table, "batch_id")
+    mark = M.last_txn_version(table, "qA")
+    assert mark >= 0
 
-    # restart with one NEW file: only the new rows commit, under a new batch id
+    # restart with one NEW file: only the new rows commit, mark advances
     with open(src / "b.json", "w") as f:
         f.write('{"id": 3, "v": "c"}\n')
     stream2 = spark.readStream.schema("id INT, v STRING").json(str(src))
-    write_stream_manifest(stream2, table, ckpt, stat_cols=("id",)).awaitTermination()
+    write_stream_manifest(
+        stream2, table, ckpt, stat_cols=("id",), app_id="qA"
+    ).awaitTermination()
     assert sorted(r["id"] for r in M.read_table(spark, table).collect()) == [1, 2, 3]
-    assert len(M.committed_meta_values(table, "batch_id")) == len(committed) + 1
+    assert M.last_txn_version(table, "qA") == mark + 1
 
-    # replay: a FRESH checkpoint re-delivers everything as batch 0 —
-    # already committed, so the sink's own skip branch must fire and
-    # the table must not move (this is the crash-between-commit-and-
-    # checkpoint scenario foreachBatch replays)
+    # replay: SAME writer identity with a rolled-back (fresh) checkpoint
+    # re-delivers everything as batch 0 — at or below qA's high-water
+    # mark, so the sink's own skip branch must fire and the table must
+    # not move (the crash-between-commit-and-checkpoint scenario)
     v_before = M.current_version(table)
     stream3 = spark.readStream.schema("id INT, v STRING").json(str(src))
     write_stream_manifest(
-        stream3, table, str(tmp_path / "mckpt_fresh"), stat_cols=("id",)
+        stream3, table, str(tmp_path / "mckpt_fresh"), stat_cols=("id",),
+        app_id="qA",
     ).awaitTermination()
     assert M.current_version(table) == v_before
     assert M.read_table(spark, table).count() == 3
+
+    # a DIFFERENT writer (new app id) is NOT the same transaction: its
+    # batch 0 must land — batch ids are only meaningful per writer
+    stream4 = spark.readStream.schema("id INT, v STRING").json(str(src))
+    write_stream_manifest(
+        stream4, table, str(tmp_path / "mckpt_qB"), stat_cols=("id",),
+        app_id="qB",
+    ).awaitTermination()
+    assert M.read_table(spark, table).count() == 6
+    assert M.last_txn_version(table, "qB") >= 0
+
+    # the exactly-once marks survive a maintenance rewrite + vacuum
+    M.overwrite(M.read_table(spark, table).distinct(), table)
+    M.vacuum(table, keep_versions=1)
+    assert M.last_txn_version(table, "qA") == mark + 1
