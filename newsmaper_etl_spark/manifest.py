@@ -345,6 +345,10 @@ def repair(table: str) -> int:
     if not os.path.isdir(mdir):
         return 0
     for name in os.listdir(mdir):
+        if ".tmp-" in name:  # staged-but-never-claimed manifest writes
+            os.remove(os.path.join(mdir, name))
+            removed += 1
+            continue
         if not (name.startswith("v") and name.endswith(".json")):
             continue
         try:
