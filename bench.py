@@ -24,9 +24,12 @@ Methodology:
 - failed queries are counted and surfaced ("failed": n, names in
   "failed_queries") instead of silently shrinking the total — a
   regression must not read as a speedup;
-- stdout gets ONE compact JSON line (the driver's capture truncates long
-  lines — BENCH_r02/r03 lost their parsed form); the full pretty record
-  is also written to BENCH_LOCAL.json next to this file.
+- stdout gets ONE SHORT JSON line (<1 KB): totals, the gate ratio, the
+  drift probe, failure names, and the worst-10 (spark_sec, duckdb_sec)
+  pairs under "queries". The driver's capture truncates long lines —
+  the compact-but-complete ~6 KB line of r04 STILL lost its parsed form
+  (VERDICT r04 "what's missing" #3) — so the full per-query record
+  lives only in BENCH_LOCAL.json next to this file.
 """
 
 from __future__ import annotations
@@ -167,7 +170,29 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(out, separators=(",", ":")))
+
+    # stdout: a SHORT summary line the driver's capture cannot truncate.
+    # "queries" holds only the worst-10 spark-vs-duckdb pairs (the
+    # entries a reader acts on); the complete per-query map is in
+    # BENCH_LOCAL.json.
+    worst = sorted(shared, key=lambda n: timings[n], reverse=True)[:10]
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_shared": len(shared),
+        "failed": len(failed),
+        "failed_queries": failed,
+        "spark_total_shared": spark_shared,
+        "duckdb_total": duck_total,
+        "ratio_vs_duckdb": out["ratio_vs_duckdb"],
+        "duckdb_drift": drift,
+        "queries": {n: [timings[n], duck[n]] for n in worst},
+        "full_record": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -304,7 +304,14 @@ def read_table(
         kept = []
         for entry in files:
             rng = entry.get("stats", {}).get(col)
-            if rng is None or not (rng[1] < lo or rng[0] > hi):
+            try:
+                skip = rng is not None and (rng[1] < lo or rng[0] > hi)
+            except TypeError:
+                # mismatched types (e.g. string footer stats pruned with
+                # numeric bounds) are a bad prune ARGUMENT, not a bad
+                # file — conservatively keep, same as missing stats
+                skip = False
+            if not skip:
                 kept.append(entry)
         files = kept
     if not files:
@@ -336,14 +343,22 @@ def history(table: str) -> list[dict]:
 def repair(table: str) -> int:
     """Remove claimed-but-never-committed manifests (version above
     `_LATEST`) left by writers that crashed between claim and flip —
-    they block their version number forever otherwise. ONLY safe with
-    no writer active (same externally-coordinated assumption as any
-    rename-based log store's cleanup). Returns manifests removed."""
+    they block their version number forever otherwise — plus staged
+    temps in BOTH temp locations: `_manifests/*.tmp-*` (manifest staged
+    but never claimed) and the table root's `_LATEST.tmp-*` (pointer
+    staged but never flipped). ONLY safe with no writer active (same
+    externally-coordinated assumption as any rename-based log store's
+    cleanup). Returns files removed."""
     cur = current_version(table)
     removed = 0
+    if os.path.isdir(table):
+        for name in os.listdir(table):
+            if name.startswith(_LATEST + ".tmp-"):
+                os.remove(os.path.join(table, name))
+                removed += 1
     mdir = os.path.join(table, _MANIFESTS)
     if not os.path.isdir(mdir):
-        return 0
+        return removed
     for name in os.listdir(mdir):
         if ".tmp-" in name:  # staged-but-never-claimed manifest writes
             os.remove(os.path.join(mdir, name))
@@ -361,12 +376,48 @@ def repair(table: str) -> int:
     return removed
 
 
-def vacuum(table: str, keep_versions: int = 1) -> int:
+def repair_claimed_orphan(table: str, app_id: str, txn_version: int) -> bool:
+    """Remove a claimed-but-never-committed next-version manifest IF its
+    txn mark shows it was written by THIS writer for THIS txn — the
+    targeted, writer-safe subset of :func:`repair`. A crash between the
+    ``os.link`` claim and the `_LATEST` flip otherwise wedges the
+    writer's own replay forever: every retry of the same batch raises
+    ConcurrentWriteError against its own orphan (ADVICE r04). Only the
+    writer's own claim is removed — a live racer's claim has a different
+    (or absent) mark and is left alone. Returns True if an orphan was
+    cleared (the caller should retry its commit)."""
+    cur = current_version(table)
+    mpath = _manifest_path(table, cur + 1)
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+    if int((m.get("txns") or {}).get(app_id, -1)) == int(txn_version):
+        os.remove(mpath)
+        return True
+    return False
+
+
+def vacuum(
+    table: str, keep_versions: int = 1, retain_seconds: float = 86400.0
+) -> int:
     """Delete data files not referenced by the newest ``keep_versions``
     snapshots (and drop the older manifests). Orphans from crashed or
     lost-race writes are removed too — they were never referenced.
     Exactly-once txn marks survive (they ride the latest manifest).
-    Returns the number of files deleted."""
+    Returns the number of files deleted.
+
+    ``retain_seconds`` (default 24 h — Delta's ``RETAIN N HOURS``
+    pattern) keeps unreferenced files younger than the window: an
+    IN-FLIGHT writer's freshly staged batch is unreferenced until its
+    commit, and deleting it would make that commit publish a manifest
+    pointing at deleted files — silent data loss on the live snapshot.
+    The age guard makes vacuum safe to run alongside healthy writers;
+    ``retain_seconds=0`` (reclaim everything now) is ONLY safe with no
+    writer active, like :func:`repair`."""
+    import time
+
     cur = current_version(table)
     if cur == 0:
         return 0
@@ -375,13 +426,14 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
     for v in kept_versions:
         for e in _load_manifest(table, v)["files"]:
             keep.add(os.path.normpath(e["path"]))
+    cutoff = time.time() - retain_seconds
     deleted = 0
     data_root = os.path.join(table, _DATA)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for name in filenames:
             full = os.path.join(dirpath, name)
             rel = os.path.normpath(os.path.relpath(full, table))
-            if rel not in keep:
+            if rel not in keep and os.path.getmtime(full) <= cutoff:
                 os.remove(full)
                 deleted += 1
         if not os.listdir(dirpath) and os.path.normpath(dirpath) != os.path.normpath(data_root):

@@ -90,6 +90,46 @@ def _dot_lit_sql(a: str, xs: list[float]) -> str:
     )
 
 
+# --- compact (HOF) forms -------------------------------------------------
+#
+# The unrolled expressions above are the ROW-THROUGHPUT choice: native
+# codegen arithmetic, ~50× faster per element than an interpreted
+# higher-order function. But they cost a fixed multi-KB parse + janino
+# compile per query invocation (~1 s for the 4-plane × 64-dim bucket +
+# sim pipeline). For verification-sized workloads — hundreds of pairs,
+# not millions — that fixed cost dwarfs the per-row saving, so the
+# contract queries use these compact HOF forms instead: one short
+# expression each, nothing to janino-compile, interpreted eval at
+# ~2 µs/element over trivially little data. Same values either way
+# (sequential HOF accumulation vs balanced-tree re-association is
+# absorbed by the round-to-4-digits convention, verified over all
+# sf0.01 oracle pairs).
+
+def _dot_hof_sql(a: str, b: str) -> str:
+    """Compact dot of two array columns (by NAME) via aggregate/zip_with."""
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot_lit_hof_sql(a: str, xs: list[float]) -> str:
+    """Compact dot of an array column with a literal vector."""
+    lits = ",".join(f"{float(x)!r}D" for x in xs)
+    return (
+        f"aggregate(zip_with(`{a}`, array({lits}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sqnorm_hof_sql(a: str) -> str:
+    return (
+        f"aggregate(`{a}`, 0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+
+
 def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product of two array columns in double precision.
 
@@ -132,7 +172,9 @@ def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
     return _dot(a, b) / (_norm2(a) * _norm2(b))
 
 
-def _with_norm(df: DataFrame, vec_col: str, out: str, dim: int | None) -> DataFrame:
+def _with_norm(
+    df: DataFrame, vec_col: str, out: str, dim: int | None, unroll: bool = True
+) -> DataFrame:
     """Project the L2 norm once per row — the pre-join step that keeps
     norm work O(n·dim) instead of O(pairs·dim).
 
@@ -142,6 +184,10 @@ def _with_norm(df: DataFrame, vec_col: str, out: str, dim: int | None) -> DataFr
     Filter. A provably non-null producer folds that inferred predicate
     to TRUE instead. (Null embeddings then divide by zero → null sim →
     filtered out, same outcome as before.)"""
+    if not unroll:
+        return df.withColumn(
+            out, F.expr(f"COALESCE(SQRT({_sqnorm_hof_sql(vec_col)}), 0D)")
+        )
     return df.withColumn(
         out, F.coalesce(_norm2(vec_col if dim else F.col(vec_col), dim), F.lit(0.0))
     )
@@ -149,9 +195,14 @@ def _with_norm(df: DataFrame, vec_col: str, out: str, dim: int | None) -> DataFr
 
 def _sim_expr(
     query_vec: str, corpus_vec: str, qn: str, cn: str, dim: int | None,
-    digits: int = 4,
+    digits: int = 4, unroll: bool = True,
 ) -> Column:
     """round(dot(q, c) / (||q||·||c||), digits) with pre-bound norms."""
+    if not unroll:
+        return F.expr(
+            f"ROUND(({_dot_hof_sql(query_vec, corpus_vec)})"
+            f"/(`{qn}`*`{cn}`), {digits})"
+        )
     if dim is not None:
         return F.expr(
             f"ROUND(({_dot_sql(query_vec, corpus_vec, dim)})"
@@ -215,21 +266,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).astype(float).tolist()
 
 
-def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+def _bucket_sql(vec: str, planes: list[list[float]], unroll: bool = True) -> str:
     """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0. One SQL
-    string; each plane dot is an unrolled balanced tree."""
+    string; each plane dot is an unrolled balanced tree (or a compact
+    HOF when ``unroll`` is off — see the compact-forms comment)."""
+    dot = _dot_lit_sql if unroll else _dot_lit_hof_sql
     bits = [
-        f"(CASE WHEN ({_dot_lit_sql(vec, plane)}) > 0D THEN {1 << p}L ELSE 0L END)"
+        f"(CASE WHEN ({dot(vec, plane)}) > 0D THEN {1 << p}L ELSE 0L END)"
         for p, plane in enumerate(planes)
     ]
     return _tree(bits)
 
 
-def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+def lsh_bucket(
+    vec: Column | str, planes: list[list[float]], unroll: bool = True
+) -> Column:
     """Sign-bit bucket id column for an array column (by NAME for the
     codegen path; a Column falls back to HOF dots)."""
     if isinstance(vec, str):
-        return F.expr(_bucket_sql(vec, planes))
+        return F.expr(_bucket_sql(vec, planes, unroll))
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(x)) for x in plane])
@@ -251,6 +306,7 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     seed: int = 42,
     exclude_self: bool = True,
+    unroll: bool = True,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket (the scale path —
     the corpus never meets queries outside their bucket), exact cosine +
@@ -258,18 +314,21 @@ def lsh_cosine_topk(
     for precision, lower it for recall.
 
     Norms and bucket ids are projected per side before the bucket join.
-    ``exclude_self`` as in :func:`cosine_topk`."""
+    ``exclude_self`` as in :func:`cosine_topk`. ``unroll=False`` picks
+    the compact interpreted expressions — right for verification-sized
+    corpora where the fixed parse+compile cost of the unrolled forms
+    dwarfs their per-row advantage (see the compact-forms comment)."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = _with_norm(
-        corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim
-    ).withColumn("__bucket", lsh_bucket(corpus_vec, planes))
+        corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim, unroll
+    ).withColumn("__bucket", lsh_bucket(corpus_vec, planes, unroll))
     q = _with_norm(
-        queries.select(query_id, query_vec), query_vec, "__qn", dim
-    ).withColumn("__bucket", lsh_bucket(query_vec, planes))
+        queries.select(query_id, query_vec), query_vec, "__qn", dim, unroll
+    ).withColumn("__bucket", lsh_bucket(query_vec, planes, unroll))
     pairs = c.join(F.broadcast(q), on="__bucket")
     if exclude_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
-    sim = _sim_expr(query_vec, corpus_vec, "__qn", "__cn", dim)
+    sim = _sim_expr(query_vec, corpus_vec, "__qn", "__cn", dim, unroll=unroll)
     scored = pairs.select(
         query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")
     )
@@ -313,7 +372,7 @@ def _kmeans_centroids(
 
 
 def _with_cell_dots(
-    df: DataFrame, vec_col: str, cents: list[list[float]]
+    df: DataFrame, vec_col: str, cents: list[list[float]], unroll: bool = True
 ) -> tuple[DataFrame, list[str]]:
     """Project one dot-product column per UNIT centroid (argmax over dots
     == argmax over cosine; ||v|| constant per row). Each dot is its own
@@ -321,8 +380,9 @@ def _with_cell_dots(
     a single array-of-structs expression holding all n_centroids × dim
     terms overflows janino (observed compile crash, re-attempted every
     run). Returns (df, dot column names)."""
+    dot = _dot_lit_sql if unroll else _dot_lit_hof_sql
     names = [f"__cd{i}" for i in range(len(cents))]
-    cols = [F.expr(_dot_lit_sql(vec_col, c)).alias(n) for c, n in zip(cents, names)]
+    cols = [F.expr(dot(vec_col, c)).alias(n) for c, n in zip(cents, names)]
     return df.select("*", *cols), names
 
 
@@ -357,6 +417,7 @@ def ivf_cosine_topk(
     exclude_self: bool = True,
     dim: int | None = None,
     cache_key: str | None = None,
+    unroll: bool = True,
 ) -> DataFrame:
     """IVF approximate kNN — the inverted-file counterpart to
     :func:`lsh_cosine_topk`: partition the corpus into ``n_centroids``
@@ -388,20 +449,24 @@ def ivf_cosine_topk(
         cents = _kmeans_centroids(
             corpus, corpus_vec, n_centroids, sample_n, seed=seed
         )
-    c_base = _with_norm(corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim)
-    c_dots, c_names = _with_cell_dots(c_base, corpus_vec, cents)
+    c_base = _with_norm(
+        corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim, unroll
+    )
+    c_dots, c_names = _with_cell_dots(c_base, corpus_vec, cents, unroll)
     corpus_cells = c_dots.withColumn(
         "__cell", _cell_rank_array(c_names)[0]
     ).drop(*c_names)
-    q_base = _with_norm(queries.select(query_id, query_vec), query_vec, "__qn", dim)
-    q_dots, q_names = _with_cell_dots(q_base, query_vec, cents)
+    q_base = _with_norm(
+        queries.select(query_id, query_vec), query_vec, "__qn", dim, unroll
+    )
+    q_dots, q_names = _with_cell_dots(q_base, query_vec, cents, unroll)
     q_cells = q_dots.withColumn(
         "__cell", F.explode(F.slice(_cell_rank_array(q_names), 1, nprobe))
     ).drop(*q_names)
     pairs = corpus_cells.join(F.broadcast(q_cells), on="__cell")
     if exclude_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
-    sim = _sim_expr(query_vec, corpus_vec, "__qn", "__cn", dim)
+    sim = _sim_expr(query_vec, corpus_vec, "__qn", "__cn", dim, unroll=unroll)
     scored = pairs.select(
         query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")
     )

@@ -340,6 +340,14 @@ def write_stream_manifest(
     once, without relying on the parquet file-sink's _spark_metadata
     log — and the output stays readable by the snapshot / time-travel /
     pruning API instead of only by Spark's file-sink-aware reader.
+
+    Crash windows (ADVICE r04): a writer dying between the manifest
+    CLAIM and the pointer flip leaves its own claim blocking the next
+    version — the replay detects that case via the claim's txn mark and
+    clears it (manifest.repair_claimed_orphan) before retrying, so the
+    query self-heals instead of raising ConcurrentWriteError forever.
+    A claim held by a DIFFERENT writer is a genuine race and still
+    raises.
     """
     import os as _os
 
@@ -350,10 +358,19 @@ def write_stream_manifest(
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= M.last_txn_version(table, app):
             return  # replay of an already-committed batch: exactly-once
-        M.append(
-            batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),
-            meta={"app": app, "batch_id": int(batch_id)},
-        )
+        def _append() -> None:
+            M.append(
+                batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),
+                meta={"app": app, "batch_id": int(batch_id)},
+            )
+        try:
+            _append()
+        except M.ConcurrentWriteError:
+            # our own orphaned claim from a prior crashed attempt of
+            # THIS batch? clear it and retry once; else re-raise
+            if not M.repair_claimed_orphan(table, app, int(batch_id)):
+                raise
+            _append()
 
     writer = (
         df.writeStream.foreachBatch(_commit_batch)

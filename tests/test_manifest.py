@@ -41,14 +41,18 @@ def test_append_and_read_roundtrip(spark, tmp_path):
 
 def test_crashed_write_is_invisible(spark, tmp_path):
     """A batch written WITHOUT a commit (crash before the pointer flip)
-    must not change what readers see; vacuum reclaims the orphans."""
+    must not change what readers see; vacuum reclaims the orphans —
+    but only past the retention window (ADVICE r04): a fresh
+    unreferenced batch could be a LIVE writer's staged-but-uncommitted
+    data, so the default age guard keeps it."""
     t = str(tmp_path / "t2")
     M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
     # simulate a writer dying after data write, before _commit
     M._write_batch(values_df(spark, [(99, "zz")], ["id", "v"]), t, [])
     assert [r["id"] for r in M.read_table(spark, t).collect()] == [1]
-    deleted = M.vacuum(t, keep_versions=1)
-    assert deleted >= 1  # the orphan batch is gone
+    assert M.vacuum(t, keep_versions=1) == 0  # default retention: kept
+    deleted = M.vacuum(t, keep_versions=1, retain_seconds=0)
+    assert deleted >= 1  # quiesced-writers reclaim: the orphan is gone
     assert [r["id"] for r in M.read_table(spark, t).collect()] == [1]
 
 
@@ -190,6 +194,97 @@ def test_repair_unblocks_crashed_claim(spark, tmp_path):
     assert M.repair(t) == 1
     M.append(values_df(spark, [(2, "b")], ["id", "v"]), t)
     assert M.read_table(spark, t).count() == 2
+
+
+def test_repair_sweeps_root_latest_temp(spark, tmp_path):
+    """A crash between staging `_LATEST.tmp-<hex>` and os.replace leaves
+    the temp in the table ROOT; repair() must sweep it (ADVICE r04 —
+    vacuum ignores the root, so these otherwise accumulate forever)."""
+    t = str(tmp_path / "t12")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    orphan = os.path.join(t, "_LATEST.tmp-deadbeef")
+    with open(orphan, "w") as f:
+        f.write("2")
+    assert M.repair(t) == 1
+    assert not os.path.exists(orphan)
+    assert M.current_version(t) == 1  # the real pointer is untouched
+
+
+def test_repair_claimed_orphan_is_writer_scoped(spark, tmp_path):
+    """repair_claimed_orphan clears ONLY this writer's own crashed claim
+    (matched by txn mark) — another writer's live claim is left alone."""
+    import json as _json
+
+    t = str(tmp_path / "t13")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t, txn=("me", 0))
+    # simulate MY crash between claim and flip for txn 1
+    with open(M._manifest_path(t, 2), "w") as f:
+        _json.dump({"version": 2, "files": [], "txns": {"me": 1}}, f)
+    assert M.repair_claimed_orphan(t, "someone_else", 1) is False
+    assert M.repair_claimed_orphan(t, "me", 0) is False  # wrong txn
+    assert os.path.exists(M._manifest_path(t, 2))
+    assert M.repair_claimed_orphan(t, "me", 1) is True
+    assert not os.path.exists(M._manifest_path(t, 2))
+    # and the writer can now commit its retry
+    M.append(values_df(spark, [(2, "b")], ["id", "v"]), t, txn=("me", 1))
+    assert M.read_table(spark, t).count() == 2
+
+
+def test_concurrent_writers_stress(tmp_path):
+    """Protocol stress (VERDICT r04 'do this' #6): N threads × M commits
+    each, racing the optimistic claim/flip with retry-on-conflict. The
+    invariants that make the format trustworthy: the version sequence is
+    gapless (every claim that won has a manifest), no committed entry is
+    ever lost (files carry forward), and per-writer txn marks are
+    monotone and end at each writer's last txn. Pure protocol — no Spark
+    jobs — so the race window gets hammered thousands of times."""
+    import threading
+
+    t = str(tmp_path / "t14")
+    M.create_table(t)
+    n_writers, n_commits = 8, 25
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for i in range(n_commits):
+                entry = {"path": f"data/w{wid}-{i}.parquet", "bytes": 1, "stats": {}}
+                while True:
+                    base = M.current_version(t)
+                    prev = M._load_manifest(t, base)
+                    try:
+                        M._commit(
+                            t, base, prev["files"] + [entry], op="append",
+                            txn=(f"w{wid}", i), prev_txns=prev.get("txns"),
+                        )
+                        break
+                    except M.ConcurrentWriteError:
+                        continue  # lost the race: recompute against new base
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    total = n_writers * n_commits
+    assert M.current_version(t) == total  # gapless: every commit got a version
+    for v in range(1, total + 1):
+        assert os.path.exists(M._manifest_path(t, v))
+    final = M._load_manifest(t, total)
+    paths = {e["path"] for e in final["files"]}
+    assert len(paths) == total  # no committed entry was ever lost
+    for w in range(n_writers):
+        assert final["txns"][f"w{w}"] == n_commits - 1  # marks are cumulative
+    # txn marks are monotone along the version history
+    for w in range(n_writers):
+        last = -1
+        for v in range(1, total + 1):
+            mark = int(M._load_manifest(t, v).get("txns", {}).get(f"w{w}", -1))
+            assert mark >= last
+            last = mark
 
 
 def test_timestamp_stat_cols_do_not_break_commit(spark, tmp_path):
