@@ -201,6 +201,67 @@ def q_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(docs, eval_df, n=8, hashed=True)
 
 
+@query(
+    "q_contamination_parity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id < 250
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - 6)) u(i)
+            UNION
+            SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 8
+        ),
+        etoks AS (
+            SELECT doc_id + 1000000 AS doc_id, t[1 : 20] AS t
+            FROM toks WHERE doc_id % 97 = 0
+        ),
+        eg AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+            FROM etoks, unnest(range(1, len(t) - 6)) u(i)
+            UNION
+            SELECT doc_id, array_to_string(t, ' ') FROM etoks WHERE len(t) < 8
+        ),
+        hits AS (
+            SELECT DISTINCT c.doc_id AS id, c.g
+            FROM cg c JOIN eg e ON c.g = e.g AND c.doc_id <> e.doc_id
+        )
+        SELECT id, COUNT(*) AS n_contam, TRUE AS agree
+        FROM hits GROUP BY id
+    """,
+    tags=("DEDUP", "CURATION"),
+)
+def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the hashed decontamination path (VERDICT
+    r04 'do this' #4): run the STRING-gram and HASHED-gram paths over the
+    same corpus slice and emit, per flagged doc, the string count plus a
+    per-row equality verdict. The oracle recomputes the string side and
+    asserts the literal TRUE — so a hashed path that over-flags (a row
+    the string path lacks), under-flags (a missing row), or miscounts
+    produces a row-count or hash mismatch at the driver. This upgrades
+    the builder-side parity test (tests/test_curation.py) into a
+    driver-recorded contract; the slice keeps both passes bench-cheap."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    toks = F.split(F.col("text"), " ", -1)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    s = D.contamination_check(docs, eval_df, n=8).withColumnRenamed(
+        "n_contam", "__n_s"
+    )
+    h = D.contamination_check(docs, eval_df, n=8, hashed=True).withColumnRenamed(
+        "n_contam", "__n_h"
+    )
+    return s.join(h, on="id", how="full").select(
+        "id",
+        F.col("__n_s").alias("n_contam"),
+        F.col("__n_s").eqNullSafe(F.col("__n_h")).alias("agree"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Mixture sampling / packing / chunking
 # --------------------------------------------------------------------------

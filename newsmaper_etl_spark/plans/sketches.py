@@ -230,6 +230,68 @@ def q_ann_ivf_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLANT_OFFSET = 1_000_000
+_PLANT_SLICE = 50
+
+_MINHASH_SELFPAIR_ORACLE = f"""
+    SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b
+    FROM documents WHERE doc_id < {_PLANT_SLICE}
+"""
+
+
+def _planted_copies(docs):
+    """A slice of the corpus plus an EXACT copy of every slice doc under
+    a shifted id — the deterministic fixture for sketch self-pair
+    contracts: identical text ⇒ identical token hashes ⇒ identical
+    sketch, whatever the sketch."""
+    sl = docs.filter(F.col("doc_id") < _PLANT_SLICE).select("doc_id", "text")
+    copies = sl.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return sl.unionAll(copies)
+
+
+@query("q_minhash_selfpair", oracle=_MINHASH_SELFPAIR_ORACLE, tags=("DEDUP", "LSH"))
+def q_minhash_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked MinHash-LSH contract (VERDICT r04 'do this' #4, the
+    selfhit pattern applied to the dedup family): an EXACT duplicate —
+    planted as a copy of every slice doc under id+offset — must appear
+    as a candidate pair, because identical text yields identical shingle
+    sets, identical signatures, and therefore identical band hashes in
+    EVERY band. Filtering candidates to (i, i+offset) pins exactly that
+    recall floor as driver-hashed rows: a missing pair means the banding
+    or the bucket join broke. Near-miss (statistical) recall stays
+    property-tested in tests/test_extensions.py; the corpus slice keeps
+    the contract bench-cheap."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(_planted_copies(docs), "doc_id", "text")
+    return cands.filter(
+        F.col("id_b") - F.col("id_a") == _PLANT_OFFSET
+    ).select("id_a", "id_b")
+
+
+_SIMHASH_SELFPAIR_ORACLE = f"""
+    SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id < {_PLANT_SLICE}
+"""
+
+
+@query("q_simhash_selfpair", oracle=_SIMHASH_SELFPAIR_ORACLE, tags=("DEDUP", "SIMHASH"))
+def q_simhash_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked SimHash contract: an exact copy has the identical
+    64-bit signature (same token hashes, same bit majorities), so the
+    pair shares all four 16-bit chunks, survives the pigeonhole bucket
+    join, and verifies at hamming exactly 0. Driver-hashes the planted
+    (i, i+offset, 0) rows; see q_minhash_selfpair for the pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        _planted_copies(docs), "doc_id", "text", max_hamming=3
+    )
+    return pairs.filter(
+        F.col("id_b") - F.col("id_a") == _PLANT_OFFSET
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @query("q_ann_ivf", oracle=None, tags=("ANN", "IVF"))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN (rows-only: cell membership depends on the

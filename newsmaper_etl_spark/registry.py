@@ -82,7 +82,28 @@ DRIVER_RECORDED_R03: frozenset[str] = frozenset({
     "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
 })
 
-DRIVER_RECORDED: frozenset[str] = DRIVER_RECORDED_R12 | DRIVER_RECORDED_R03
+#: Oracle queries whose LATEST driver record is CORRECTNESS_r04 (the 43
+#: hash-green rows there) — the r04 run recorded exactly the unrecorded +
+#: rows-only + stalest-R12 prefix, so these now rotate to the BACK and
+#: the r03-recorded block becomes the stale middle.
+DRIVER_RECORDED_R04: frozenset[str] = frozenset({
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    "q_tpch_q21", "q_approx_distinct", "q_percentile_approx",
+    "q_ann_lsh_selfhit", "q_ann_ivf_selfhit", "q_media_features",
+    "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
+    "q_embedding_cosine_pairs", "q_group_agg", "q_count_distinct",
+    "q_having", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_mode_per_group", "q_distinct", "q_dedup_keep_first",
+    "q_window_rank", "q_window_lag_lead", "q_window_frame_sum",
+    "q_order_limit", "q_topk_per_group", "q_asof_join", "q_string_funcs",
+    "q_string_split", "q_ts_parse", "q_date_parts", "q_coalesce",
+    "q_case_when", "q_array_contains", "q_math_round", "q_json_extract",
+    "q_from_json", "q_map_funcs", "q_scan_project", "q_filter",
+})
+
+DRIVER_RECORDED: frozenset[str] = (
+    DRIVER_RECORDED_R12 | DRIVER_RECORDED_R03 | DRIVER_RECORDED_R04
+)
 
 
 def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
@@ -94,7 +115,7 @@ def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
             return 1
         if s.name not in DRIVER_RECORDED:
             return 0
-        return 3 if s.name in DRIVER_RECORDED_R03 else 2
+        return 3 if s.name in DRIVER_RECORDED_R04 else 2
 
     names = list(specs)
     return sorted(names, key=lambda n: (klass(specs[n]), names.index(n)))
