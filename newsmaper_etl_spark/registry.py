@@ -55,7 +55,9 @@ DRIVER_RECORDED_R12: frozenset[str] = frozenset({
     "q_token_dict_join", "q_union_all", "q_intersect", "q_except",
     "q_range_join", "q_newsmaper_e2e", "q_doc_token_stats", "q_lang_id",
     "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
-    "q_media_features", "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
+    # q_media_features removed from the banked set (round 5): its oracle
+    # became the real header-decode contract, so it re-records as new
+    "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
     "q_embedding_cosine_pairs", "q_group_agg", "q_count_distinct",
     "q_having", "q_rollup", "q_cube", "q_grouping_sets", "q_mode_per_group",
     "q_distinct", "q_dedup_keep_first", "q_window_rank",
@@ -89,7 +91,10 @@ DRIVER_RECORDED_R03: frozenset[str] = frozenset({
 DRIVER_RECORDED_R04: frozenset[str] = frozenset({
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_tpch_q21", "q_approx_distinct", "q_percentile_approx",
-    "q_ann_lsh_selfhit", "q_ann_ivf_selfhit", "q_media_features",
+    "q_ann_lsh_selfhit", "q_ann_ivf_selfhit",
+    # q_media_features is deliberately NOT banked here despite its r04
+    # row: round 5 swapped its oracle to the real header-decode contract,
+    # so it must re-record as if never recorded
     "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
     "q_embedding_cosine_pairs", "q_group_agg", "q_count_distinct",
     "q_having", "q_rollup", "q_cube", "q_grouping_sets",

@@ -328,15 +328,83 @@ def test_media_features_fake_decode(spark):
     assert out[1]["size_bytes"] == len(b"hello world")
     assert out[1]["width"] == (int(h[:4], 16) % 1920) + 1
     assert 1 <= out[1]["height"] <= 1080
+    assert out[1]["format"] is None  # pseudo-decode carries no format
 
 
-def test_media_features_real_decode_is_stubbed(spark):
-    import pytest
+# real tiny binaries: a complete 1×1 PNG and GIF (valid files end to
+# end), a struct-built 1×1 BMP, and a spec-conformant JPEG marker
+# stream (SOI → APP0 → SOF0 with planted 2×3 dims)
+_PNG_1x1 = __import__("base64").b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+    "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+_GIF_1x1 = (
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff"
+    b"!\xf9\x04\x00\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+    b"\x02\x02D\x01\x00;"
+)
 
-    df = values_df(spark, [(1, "x")], ["doc_id", "text"])
-    blobs = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        M.media_features(blobs, id_col="doc_id", binary_col="media", fake=False).collect()
+
+def _bmp(w: int, h: int) -> bytes:
+    import struct as _s
+
+    row = (w * 3 + 3) // 4 * 4
+    pixels = b"\x00" * (row * h)
+    return (
+        b"BM" + _s.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_header_real_binaries():
+    P = M.parse_image_header
+    assert P(_PNG_1x1) == ("png", 1, 1)
+    assert P(_GIF_1x1) == ("gif", 1, 1)
+    assert P(_bmp(7, 5)) == ("bmp", 7, 5)
+    assert P(_jpeg(2, 3)) == ("jpeg", 2, 3)
+    # top-down BMP (negative height) reports magnitude
+    import struct as _s
+
+    neg = bytearray(_bmp(7, 5))
+    neg[22:26] = _s.pack("<i", -5)
+    assert P(bytes(neg)) == ("bmp", 7, 5)
+    assert P(b"not an image at all") is None
+    assert P(b"") is None
+    assert P(None) is None
+
+
+def test_media_features_real_decode(spark):
+    """The default (fake=False) path parses real container headers in the
+    distributed Arrow kernel; non-images get null dims, not a crash."""
+    rows = [
+        (1, bytearray(_PNG_1x1)),
+        (2, bytearray(_GIF_1x1)),
+        (3, bytearray(_bmp(7, 5))),
+        (4, bytearray(_jpeg(2, 3))),
+        (5, bytearray(b"just text bytes")),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {
+        r["id"]: r
+        for r in M.media_features(
+            blobs, id_col="doc_id", binary_col="media", fake=False
+        ).collect()
+    }
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 1, 1)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("gif", 1, 1)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("bmp", 7, 5)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"]) == ("jpeg", 2, 3)
+    assert out[5]["format"] is None and out[5]["width"] is None
+    assert out[5]["size_bytes"] == len(b"just text bytes")
 
 
 def test_frame_sample_explodes_rows(spark):
