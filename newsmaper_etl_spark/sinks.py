@@ -267,13 +267,23 @@ def _news_columns() -> tuple[str, ...]:
 # see newsmaper_etl_spark/manifest.py for the protocol)
 # --------------------------------------------------------------------------
 
-def append_news_tx(spark: SparkSession, new_rows: DataFrame, table: str) -> int:
+def append_news_tx(
+    spark: SparkSession, new_rows: DataFrame, table: str,
+    partitioned: bool = False,
+) -> int:
     """Transactional idempotent append: same anti-join contract as
     :func:`append_news`, committed as one manifest pointer flip instead
     of bare directory appends — a crash mid-write leaves the previous
     snapshot fully intact and readers never see a half-batch. Per-file
     ``id_date`` min/max land in the manifest, so date-ranged reads prune
-    files without partition directories. Returns the appended count."""
+    files without partition directories. Returns the appended count.
+
+    ``partitioned=True`` additionally lays batches out in day-grain
+    Hive subdirs (``p_date=yyyymmdd/``) and records each file's exact
+    partition value on its manifest entry — date-ranged reads then prune
+    on recorded values, no footer stats needed, and appends only create
+    the days they carry (the manifest analog of :func:`append_news`'s
+    partitionBy; the layout choice is committed and enforced table-wide)."""
     from newsmaper_etl_spark import manifest as M
 
     novel = new_rows.select(*_news_columns())
@@ -285,10 +295,19 @@ def append_news_tx(spark: SparkSession, new_rows: DataFrame, table: str) -> int:
         existing = M.read_table(spark, table, version=base)
         # re-project: the anti-join moves its key columns to the front,
         # and the manifest's schema contract pins column ORDER too
-        novel = append_new_rows(novel, existing, NEWS_KEY).select(*_news_columns())
+        novel = append_new_rows(
+            novel.select(*_news_columns()),
+            existing.select(*_news_columns()),
+            NEWS_KEY,
+        ).select(*_news_columns())
+    if partitioned:
+        novel = _with_partition(novel)
     obs = Observation()
     staged = novel.observe(obs, F.count(F.lit(1)).alias("n"))
-    M.append(staged, table, stat_cols=("id_date",), base_version=base)
+    M.append(
+        staged, table, stat_cols=("id_date",), base_version=base,
+        partition_by=((_PART_COL,) if partitioned else ()),
+    )
     return int(obs.get["n"])
 
 
@@ -303,6 +322,8 @@ def rewrite_dedup_tx(spark: SparkSession, table: str) -> int:
     # pin the base: survivors are computed from THIS snapshot's file
     # list; an interleaved append must fail this rewrite, not vanish
     base = M.current_version(table)
+    # a maintenance rewrite preserves the table's committed Hive layout
+    part_by = tuple(M._load_manifest(table, base).get("partition_by") or ())
     df = M.read_table(spark, table, version=base)
     ordered = df.withColumn(
         "__ord",
@@ -311,19 +332,30 @@ def rewrite_dedup_tx(spark: SparkSession, table: str) -> int:
         ]),
     )
     survivors = dedup_keep_first(ordered, NEWS_KEY, order_col="__ord").drop("__ord")
-    return M.overwrite(survivors, table, stat_cols=("id_date",), base_version=base)
+    return M.overwrite(
+        survivors, table, stat_cols=("id_date",), base_version=base,
+        partition_by=part_by,
+    )
 
 
 def read_news_tx_for_dates(
     spark: SparkSession, table: str, from_key: int, to_key: int
 ) -> DataFrame:
-    """Date-ranged snapshot read with MANIFEST-level file skipping: files
-    whose footer id_date range cannot intersect [from_key, to_key] are
-    dropped before Spark plans the scan (the tx analog of
-    :func:`read_news_for_dates`'s partition pruning, at file grain)."""
+    """Date-ranged snapshot read with MANIFEST-level file skipping: on a
+    day-partitioned table (append_news_tx partitioned=True) files prune
+    by their RECORDED partition value — exact, no footer read; otherwise
+    by footer id_date min/max. Either way the skip happens before Spark
+    plans the scan (the tx analog of :func:`read_news_for_dates`'s
+    partition pruning, at file grain)."""
     from newsmaper_etl_spark import manifest as M
 
-    df = M.read_table(spark, table, prune=("id_date", from_key, to_key))
+    m = M._load_manifest(table, M.current_version(table))
+    if _PART_COL in (m.get("partition_by") or []):
+        df = M.read_table(
+            spark, table, prune=(_PART_COL, from_key // 100, to_key // 100)
+        ).drop(_PART_COL)
+    else:
+        df = M.read_table(spark, table, prune=("id_date", from_key, to_key))
     return df.filter(
         (F.col("id_date") >= from_key) & (F.col("id_date") <= to_key)
     )

@@ -287,6 +287,59 @@ def test_concurrent_writers_stress(tmp_path):
             last = mark
 
 
+def test_partition_values_prune_without_footer_stats(spark, tmp_path):
+    """VERDICT r04 'do this' #7: a partitioned append records each
+    file's exact partition value on its manifest entry; a range read
+    prunes on those values with NO stat_cols recorded at all, and the
+    partition column is reconstructed on read (Hive layout + basePath)."""
+    t = str(tmp_path / "p1")
+    df = values_df(spark, [(1, 10, "a"), (2, 20, "b")], ["id", "day", "v"])
+    M.append(df, t, partition_by=("day",))  # note: no stat_cols
+    M.append(
+        values_df(spark, [(3, 30, "c")], ["id", "day", "v"]), t,
+        partition_by=("day",),
+    )
+    m = M._load_manifest(t, 2)
+    assert m["partition_by"] == ["day"]
+    assert all(e["partition"]["day"] in (10, 20, 30) for e in m["files"])
+    full = M.read_table(spark, t)
+    assert sorted(full.columns) == ["day", "id", "v"]  # col reconstructed
+    assert full.count() == 3
+    pruned = M.read_table(spark, t, prune=("day", 25, 35))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert [r["id"] for r in pruned.collect()] == [3]
+
+
+def test_partition_layout_is_enforced(spark, tmp_path):
+    t = str(tmp_path / "p2")
+    M.append(
+        values_df(spark, [(1, 10, "a")], ["id", "day", "v"]), t,
+        partition_by=("day",),
+    )
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        M.append(values_df(spark, [(2, 20, "b")], ["id", "day", "v"]), t)
+
+
+def test_news_tx_partitioned_end_to_end(spark, tmp_path):
+    from newsmaper_etl_spark.sinks import (
+        append_news_tx, read_news_tx_for_dates, rewrite_dedup_tx,
+    )
+
+    t = str(tmp_path / "news_part")
+    # ids 0/1 land on day 20230101, 150/151 on day 20230102 (the id_date
+    # surrogate is yyyymmddhh; day = id_date div 100)
+    assert append_news_tx(spark, _news_rows(spark, [0, 1]), t, partitioned=True) == 2
+    assert append_news_tx(spark, _news_rows(spark, [150, 151]), t, partitioned=True) == 2
+    assert append_news_tx(spark, _news_rows(spark, [1, 150]), t, partitioned=True) == 0
+    out = read_news_tx_for_dates(spark, t, 2023010250, 2023010251)
+    assert out.count() == 2
+    assert len(out.inputFiles()) < len(M.read_table(spark, t).inputFiles())
+    # maintenance rewrite preserves the committed layout
+    v = rewrite_dedup_tx(spark, t)
+    assert M._load_manifest(t, v)["partition_by"] == ["p_date"]
+    assert M.read_table(spark, t).count() == 4
+
+
 def test_timestamp_stat_cols_do_not_break_commit(spark, tmp_path):
     """Footer stats for non-JSON-safe types (timestamps) are skipped,
     not serialized-and-crashed; pruning then conservatively keeps the
