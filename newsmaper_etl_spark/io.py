@@ -72,23 +72,28 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         if sf <= 0.2:
-            # At toy SF every non-fact table is ≤3 MB on disk, so let
-            # the STATIC planner broadcast them all — joins plan as one
-            # broadcast stage up front instead of waiting for AQE's
-            # runtime conversion (fewer exchanges, fewer re-planned
-            # stages; q_tpch_q7 regressed 0.6→3.5 s when an experiment
-            # turned AQE off and filtered-side joins fell back to
-            # sort-merge, so AQE itself stays ON as the safety net).
-            # 8 MB keeps the fact table (lineitem, 10.8 MB at sf0.1)
-            # OUT of broadcast range; on real scales the 10 MB default
-            # stands — broadcasting a data-scaled side OOMs executors.
-            # Same guard as shuffle.partitions above: only replace
-            # Spark's default — a threshold set by get_spark() or the
-            # user is theirs to keep (ADVICE r04).
+            # At toy SF every table (lineitem is 10.8 MB at sf0.1) plus
+            # any plausible intermediate fits executor memory with room
+            # to spare, so let the STATIC planner broadcast everything
+            # under 32 MB: joins plan as one broadcast stage up front
+            # instead of waiting for AQE's runtime SMJ→BHJ conversion,
+            # and AQE has fewer exchange stages to materialize + replan
+            # (each materialized stage is an extra job round-trip, ~30–
+            # 100 ms on this rig). Measured at sf0.1 (interleaved A/B,
+            # best-of-3): the 8 MB→32 MB raise recovers q_tpch_q10
+            # 0.94→0.29 s, q17 1.57→0.23 s, q18 1.50→0.43 s on the
+            # static plan alone; with the threshold at 32 MB, AQE on-vs-
+            # off is within noise corpus-wide (41.3 vs 40.0 s), so AQE
+            # stays ON — runtime re-plan and skew-split remain the right
+            # safety net, and at real SF (where this branch never runs)
+            # the 10 MB default stands: broadcasting a data-scaled side
+            # OOMs executors. Same guard as shuffle.partitions above:
+            # only replace Spark's default (or this function's own old
+            # 8m value) — a threshold set by the user is theirs to keep.
             if spark.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760b"
-            ) in ("10485760b", "10485760", "10MB"):
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8m")
+            ) in ("10485760b", "10485760", "10MB", "8m"):
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32m")
         # Arrow makes the driver's toPandas() collection columnar instead
         # of row-pickled — runtime-settable, safe everywhere.
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -137,6 +142,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     cache[key] = df
     return df
+
+
+def is_toy(sf_dir: str) -> bool:
+    """True when ``sf_dir`` names a toy scale (sf ≤ 0.2) — the gate for
+    small-data-only physical choices (fan_out, interpreted-vs-unrolled
+    expression forms). Unknown dirs count as real scale: the conservative
+    default is the 100 TB posture."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return bool(m) and float(m.group(1)) <= 0.2
+
+
+def fan_out(df: DataFrame, sf_dir: str, parts: int = 16) -> DataFrame:
+    """Round-robin repartition of a small, CPU-heavy input at toy SF.
+
+    The toy parquet files are single row groups, so a scan is ONE task no
+    matter how many cores exist — and every downstream per-row expression
+    (explode, tokenize, regex) runs single-threaded while DuckDB
+    vectorizes the same file across all cores. Fanning a 600 KB documents
+    scan out to 16 partitions costs a trivial shuffle and buys ~2× on
+    every text/curation kernel (measured: contamination 1.29→0.65 s,
+    repetition_stats 1.01→0.54 s, lang_id 0.50→0.26 s at sf0.1).
+
+    At real SF this returns ``df`` unchanged — a 100 TB table scans as
+    thousands of splits and already fills the cluster; the repartition
+    would be a pure full-data shuffle. NOT for cheap-per-row inputs
+    (lineitem aggregates measured a regression: the shuffle outweighs
+    the parallelism — 0.79→0.93 s for percentile_approx)."""
+    if not is_toy(sf_dir):
+        return df
+    return df.repartition(parts)
 
 
 def read_jdbc(

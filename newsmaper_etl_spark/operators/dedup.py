@@ -430,29 +430,28 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     """
     hashes = F.transform(F.split(F.col(text_col), " ", -1), lambda w: F.xxhash64(w))
     tmp = df.withColumn("__th", hashes)
-    n = F.size(F.col("__th"))
-
-    def _lane(b: int):
-        # closure factory, NOT a defaulted extra lambda param: PySpark
-        # dispatches higher-order lambdas on arity, and an extra parameter
-        # would silently change the lambda form
-        return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
-
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        cnt = F.aggregate(F.col("__th"), F.lit(0).cast("long"), _lane(b))
-        # majority: bit set iff ones outnumber zeros (2*cnt > n);
-        # shiftleft wraps at b=63 into the sign bit, as intended
-        sig = sig.bitwiseOR(
-            F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return tmp.withColumn(out, sig).drop("__th")
+    # The 64-lane majority vote is assembled as ONE SQL string and parsed
+    # JVM-side in a single F.expr call. The Column-algebra form of the
+    # same tree (64 × aggregate/shiftright/when/bitwiseOR) cost ~400 py4j
+    # round-trips PER INVOCATION — ~0.5 s of pure driver-side build
+    # latency before any data moved (the dominant term of the planted
+    # selfpair contract query). The parsed tree is identical: same lanes,
+    # same majority rule, same b=63 sign-bit wrap.
+    lanes = " | ".join(
+        "(CASE WHEN 2 * aggregate(__th, 0L, (acc, h) -> "
+        f"acc + (shiftrightunsigned(h, {b}) & 1L)) > size(__th) "
+        f"THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(64)
+    )
+    return tmp.withColumn(out, F.expr(lanes)).drop("__th")
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 16-bit signature chunks (any
     pair within hamming≤3 of 64 bits shares ≥1 identical 16-bit chunk by
@@ -462,12 +461,13 @@ def simhash_near_pairs(
     both join sides would otherwise recompute the 64-lane signature from
     raw text (a self-join duplicates its child's lineage). 16 bytes/doc
     of executor storage buys halving the dominant cost — the same
-    materialize-the-narrow-sketch shape that holds at corpus scale."""
-    sigged = (
-        simhash(df, text_col)
-        .select(id_col, "simhash")
-        .localCheckpoint(eager=True)
-    )
+    materialize-the-narrow-sketch shape that holds at corpus scale.
+    ``checkpoint=False`` skips the eager materialization for callers on
+    tiny bounded inputs (the planted contract fixtures): there, the
+    extra job costs more than recomputing 100 signatures twice."""
+    sigged = simhash(df, text_col).select(id_col, "simhash")
+    if checkpoint:
+        sigged = sigged.localCheckpoint(eager=True)
     chunks = sigged.select(
         id_col,
         "simhash",

@@ -234,6 +234,7 @@ def cosine_topk(
     round_digits: int = 4,
     exclude_self: bool = True,
     dim: int | None = None,
+    unroll: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
@@ -249,12 +250,18 @@ def cosine_topk(
     correct when queries are drawn from the corpus. Pass False when the
     query id space is external and may coincidentally overlap corpus ids.
     """
-    q = _with_norm(queries.select(query_id, query_vec), query_vec, "__qn", dim)
-    c = _with_norm(corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim)
+    q = _with_norm(
+        queries.select(query_id, query_vec), query_vec, "__qn", dim, unroll
+    )
+    c = _with_norm(
+        corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim, unroll
+    )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
-    sim = _sim_expr(query_vec, corpus_vec, "__qn", "__cn", dim, round_digits)
+    sim = _sim_expr(
+        query_vec, corpus_vec, "__qn", "__cn", dim, round_digits, unroll
+    )
     scored = pairs.select(
         query_id, F.col(corpus_id).alias("neighbor_id"), sim.alias("sim")
     )

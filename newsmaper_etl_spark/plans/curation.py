@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.io import fan_out, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import sampling as SP
 from newsmaper_etl_spark.operators import text as TX
@@ -62,7 +62,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition signals (dup-token fraction, top-bigram
     fraction) — the Gopher-style repetition gate, computed by linear
     explode+agg, never a per-row O(n²) scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return TX.repetition_stats(docs)
 
 
@@ -130,7 +130,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone scrub with per-kind counts over deterministically
     injected payloads (patterns restricted to Java-regex ∩ RE2 so the
     oracle runs them verbatim)."""
-    docs = _pii_injected(load_table(spark, sf_dir, "documents"))
+    docs = _pii_injected(fan_out(load_table(spark, sf_dir, "documents"), sf_dir))
     return TX.pii_redact(docs).select("doc_id", "n_email", "n_phone", "redacted")
 
 
@@ -174,9 +174,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-20-token slice of every 97th doc, under fresh ids) that were
     scraped into the training corpus — so every eval doc's source is
     flagged with its shared-gram count, plus any coincidental overlaps."""
-    docs = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    docs = fan_out(raw, sf_dir)
     toks = F.split(F.col("text"), " ", -1)
-    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+    # eval side from the RAW scan, not the fanned frame: the broadcast
+    # subtree would otherwise re-run the full-corpus repartition just to
+    # keep 1/97th of the rows (lineage is duplicated, not shared)
+    eval_df = raw.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
     )
@@ -192,9 +196,10 @@ def q_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     it returns the exact rows of the string-gram oracle query, which IS
     hash-checked (q_contamination). This is the documented default for
     100 TB runs; the string path remains for portability/audit."""
-    docs = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    docs = fan_out(raw, sf_dir)
     toks = F.split(F.col("text"), " ", -1)
-    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+    eval_df = raw.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
     )
@@ -243,7 +248,11 @@ def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces a row-count or hash mismatch at the driver. This upgrades
     the builder-side parity test (tests/test_curation.py) into a
     driver-recorded contract; the slice keeps both passes bench-cheap."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
+        sf_dir,
+        8,
+    )
     toks = F.split(F.col("text"), " ", -1)
     eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -398,6 +407,8 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: fixed 50-token windows, one output row
     per chunk (generator projection — no shuffle)."""
+    # no fan_out here: chunking is a pure generator projection and its
+    # zero-shuffle plan shape is asserted (test_chunking_plan_has_no_shuffle)
     docs = load_table(spark, sf_dir, "documents")
     return SP.chunk_documents(docs, chunk_tokens=50)
 
@@ -467,7 +478,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency (explode → count →
     TakeOrderedAndProject; deterministic (count DESC, token ASC) order).
     The first step of any tokenizer/vocab build over a corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return (
         docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
         .filter(F.col("w") != "")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.io import fan_out, is_toy, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import multimodal as M
 from newsmaper_etl_spark.operators import similarity as S
@@ -59,7 +59,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics per document (oracle uses the identity
     sum(len(tokens)) == len(text) - (n_tokens - 1) for single-space
     splits)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return TX.token_stats(docs).select(
         "doc_id", "n_tokens", "avg_token_len", "stopword_ratio"
     )
@@ -93,7 +93,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID with pinned tie-break (count DESC, lang
     ASC) — the oracle's CASE chain evaluates languages alphabetically so
     the first max wins, matching the engine's sort_array argmax."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return TX.language_id(docs).select("doc_id", "lang_pred")
 
 
@@ -115,7 +115,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware position-weighted fingerprint (engine-portable — the
     reason it's hash-checkable while minhash/simhash are rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return TX.fingerprint(docs).select("doc_id", "fp")
 
 
@@ -170,7 +170,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics (length band + punctuation density +
     stopword ratio). Floor-scaled outputs per the oracle convention —
     ROUND on decimal ties diverges between engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return TX.quality_score(docs).select(
         "doc_id", "punct_ratio", "stopword_ratio", "quality"
     )
@@ -321,7 +321,13 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = S.cosine_topk(queries, emb, k=3, dim=EMB_DIM)
+    # Cost-based expression form: at toy SF the workload is ~10^4 pairs,
+    # where the fixed parse+analyze+compile of the unrolled 64-dim dot
+    # (a multi-KB expression, ~0.4 s per invocation) dwarfs its per-row
+    # advantage; the compact interpreted HOF wins. At real corpus sizes
+    # (≥10^6 pairs) the unrolled codegen form amortizes and wins ~50×
+    # per element — see operators/similarity.py module invariants.
+    out = S.cosine_topk(queries, emb, k=3, dim=EMB_DIM, unroll=not is_toy(sf_dir))
     return out.select("qid", "neighbor_id", "sim", F.col("rank").alias("rnk"))
 
 
@@ -356,10 +362,14 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fixed-dim codegen arithmetic — the r03 8.1 s plan was recomputing
     both norms per pair through interpreted HOFs."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    # Cost-based expression form, as in q_knn_cosine: unrolled codegen
+    # dot at real scale, compact interpreted HOF for the ~2·10^4-pair
+    # toy workload where fixed parse+compile dominates.
+    unroll = not is_toy(sf_dir)
     # _with_norm carries the coalesce-to-non-null trick that keeps the
     # inferred isnotnull(norm) out of each side's Filter — reuse it
     emb_n = S._with_norm(
-        emb.select("vec_id", "embedding"), "embedding", "__n", EMB_DIM
+        emb.select("vec_id", "embedding"), "embedding", "__n", EMB_DIM, unroll
     )
     a = emb_n.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
@@ -370,7 +380,10 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").alias("__nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.expr(f"({S._dot_sql('va', 'vb', EMB_DIM)})/(`__na`*`__nb`)")
+    dot = (
+        S._dot_sql("va", "vb", EMB_DIM) if unroll else S._dot_hof_sql("va", "vb")
+    )
+    sim = F.expr(f"({dot})/(`__na`*`__nb`)")
     # filter on the bound sim column, not a fresh `sim` expression — the
     # latter would evaluate the whole dot product twice per pair
     return (

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.io import fan_out, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import similarity as S
 from newsmaper_etl_spark.registry import query
@@ -32,14 +32,14 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (rows-only: xxhash64 signatures are not
     portable to the oracle engine; accuracy is property-tested against
     planted near-duplicates in tests/test_extensions.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return D.minhash_lsh_candidates(docs, "doc_id", "text")
 
 
 @query("q_minhash_dedup", oracle=None, tags=("DEDUP", "LSH"))
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus after MinHash near-dup removal (rows-only; see above)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select(
         "doc_id", "source"
     )
@@ -49,7 +49,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs, hamming ≤ 3 via 16-bit chunk buckets
     (rows-only: xxhash64-based signature; property-tested)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -73,7 +73,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked or property-tested."""
     from newsmaper_etl_spark.operators.curate import curate_corpus
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return curate_corpus(docs).select(
         "doc_id", "source", "lang_pred", "n_tokens", "n_bpe", "quality"
     )
@@ -149,9 +149,18 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # ONE sketch queried at both quantiles (array form), not two sketches
+    # — percentile_approx builds its QuantileSummaries per aggregate
+    # expression, so the scalar form paid the per-row insertion twice
+    # (measured 0.80 → 0.63 s at sf0.1; same contract either way)
     sketch = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__a50"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("__a95"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
+        ).alias("__qs")
+    ).select(
+        "l_returnflag",
+        F.col("__qs")[0].alias("__a50"),
+        F.col("__qs")[1].alias("__a95"),
     )
     ranked = li.join(F.broadcast(sketch), "l_returnflag").groupBy(
         "l_returnflag"
@@ -284,6 +293,10 @@ def q_simhash_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, and verifies at hamming exactly 0. Driver-hashes the planted
     (i, i+offset, 0) rows; see q_minhash_selfpair for the pattern."""
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint stays ON even for the planted slice: without it the
+    # self-join duplicates the 64-lane signature lineage into both sides
+    # and the analyzer/optimizer walk the doubled tree per invocation —
+    # measured 1.07 s vs 0.58 s with the one-job eager checkpoint.
     pairs = D.simhash_near_pairs(
         _planted_copies(docs), "doc_id", "text", max_hamming=3
     )

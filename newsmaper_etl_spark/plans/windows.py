@@ -149,12 +149,22 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+    # Phase 1 repartitions EXPLICITLY on (flag, salt) at width ≥ SALT:
+    # the whole point of salting is |flags|×SALT-way parallelism, so the
+    # shuffle width must not collapse to a small session
+    # shuffle.partitions (4 at toy SF — measured 1.10 s vs 0.58 s at
+    # width 32). The window's ClusteredDistribution(flag, salt) is
+    # satisfied by this HashPartitioning, so no second exchange is
+    # inserted; at real SF shuffle.partitions is cluster-sized and the
+    # max() keeps the full configured width.
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), SALT)
     w1 = Window.partitionBy("l_returnflag", "__salt").orderBy(*_li_order())
     cand = (
         li.withColumn(
             "__salt",
             F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)),
         )
+        .repartition(n_parts, "l_returnflag", "__salt")
         .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= 3)
         .drop("__rn", "__salt")
