@@ -97,6 +97,17 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     evaluate(QUERIES["q_star_join"].fn(spark, sf_dir))
+    # one untimed pass over the whole corpus (JMH-style warmup
+    # iteration): C2 JIT keeps compiling scheduler/codegen paths for
+    # minutes, so whichever queries ran first were absorbing the
+    # warm-up tax — measured 0.26 vs 0.08 s for the same floor query
+    # first-vs-later in one process. Exceptions are ignored here; the
+    # timed loop below still surfaces them as failures.
+    for _warm_name in sorted(QUERIES):
+        try:
+            evaluate(QUERIES[_warm_name].fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001
+            pass
     # prewarm the Python worker pool: a cold worker boots in ~10s+ on this
     # rig and local[N] launches N at once; pay that once, outside timings
     # (workers are reused afterwards — spark.python.worker.reuse default)
@@ -107,6 +118,18 @@ def main() -> None:
     evaluate(
         spark.range(0, cpus * 100, 1, cpus).select(_warm(F.col("id").cast("double")))
     )
+
+    # Self-measured per-query machinery floor: the cheapest possible
+    # evaluation (noop write of a one-row, one-partition range) carries
+    # everything a query pays regardless of its plan — job submission,
+    # DAG scheduling, task launch, V2 write commit. DuckDB's equivalent
+    # is ~1 ms in-process. Reported alongside the raw ratio as
+    # ratio_excl_floor = (shared − n·floor)/duck so the machinery-vs-
+    # compute split is visible in the record (full decomposition:
+    # tools/profile_floor.py + ROUND5_NOTES.md §1). The raw
+    # ratio_vs_duckdb remains the headline gate number.
+    tiny = spark.range(1)
+    floor_sec = _best(lambda: evaluate(tiny), 7) or 0.0
 
     timings: dict[str, float] = {}
     failed: list[str] = []
@@ -154,6 +177,9 @@ def main() -> None:
     shared = [n for n in duck if timings.get(n, -1) >= 0]
     duck_total = round(sum(duck[n] for n in shared), 3)
     spark_shared = round(sum(timings[n] for n in shared), 3)
+    excess = round(
+        sum(max(timings[n] - floor_sec, 0.0) for n in shared), 3
+    )
     out = {
         "metric": f"declared-query wall clock (noop sink, warm JVM, best of {repeat})",
         "value": total,
@@ -167,6 +193,9 @@ def main() -> None:
         "duckdb_drift": drift,
         "spark_total_shared": spark_shared,
         "ratio_vs_duckdb": round(spark_shared / duck_total, 2) if duck_total else None,
+        "sched_floor_sec": round(floor_sec, 4),
+        "spark_excess_shared": excess,
+        "ratio_excl_floor": round(excess / duck_total, 2) if duck_total else None,
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -192,6 +221,9 @@ def main() -> None:
         "spark_total_shared": spark_shared,
         "duckdb_total": duck_total,
         "ratio_vs_duckdb": out["ratio_vs_duckdb"],
+        "sched_floor_sec": out["sched_floor_sec"],
+        "spark_excess_shared": excess,
+        "ratio_excl_floor": out["ratio_excl_floor"],
         "duckdb_drift": drift,
         "queries": {n: [timings[n], duck[n]] for n in worst},
         "full_record": "BENCH_LOCAL.json",

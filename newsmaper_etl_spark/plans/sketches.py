@@ -122,9 +122,35 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_percentile_approx",
+    # The oracle runs the SAME rank-band verification against its own
+    # (exact) quantiles instead of asserting a literal TRUE: each engine
+    # proves its percentile implementation lands in the window, and the
+    # shared TRUE rows are now two independent verdicts that must agree.
+    # Exact quantiles always pass their own band (count(x ≤ exact_p50)/n
+    # is 0.5 up to interpolation on a near-unique column), so a FALSE
+    # here means the band arithmetic itself broke — the same failure the
+    # Spark side would surface.
     oracle="""
-        SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
-        FROM lineitem GROUP BY l_returnflag
+        WITH s AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS a50,
+                   quantile_cont(l_extendedprice, 0.95) AS a95
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        r AS (
+            SELECT l.l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN l.l_extendedprice <= s.a50
+                            THEN 1 ELSE 0 END) AS b50,
+                   SUM(CASE WHEN l.l_extendedprice <= s.a95
+                            THEN 1 ELSE 0 END) AS b95
+            FROM lineitem l JOIN s USING (l_returnflag)
+            GROUP BY l.l_returnflag
+        )
+        SELECT l_returnflag,
+               (b50 / n >= 0.45 AND b50 / n <= 0.55) AS p50_ok,
+               (b95 / n >= 0.90 AND b95 / n <= 0.99) AS p95_ok
+        FROM r
     """,
     tags=("AGG", "SKETCH"),
 )
@@ -182,10 +208,41 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle VERIFIES the recall contract instead of asserting it: it
+# computes the true brute-force cosine top-1 over the same slice (same
+# round-to-4, same (sim DESC, id ASC) tie-break). Self is the unique
+# global maximum (identical vector, sim 1.0; max cross-pair sim in the
+# corpus is 0.513), so a bucketing bug on the Spark side OR a broken
+# assumption about the corpus now surfaces as a row mismatch — the
+# previous literal-SELECT form rubber-stamped the expected rows.
 _SELFHIT_ORACLE = """
-    SELECT vec_id AS qid, vec_id AS neighbor_id,
-           CAST(1.0 AS DOUBLE) AS sim, 1 AS rnk
-    FROM embeddings WHERE vec_id < 5
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 1000
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    terms AS (
+        SELECT q.qid, e.vec_id AS nid,
+               unnest(q.qv) AS x, unnest(e.v) AS y
+        FROM q, e
+    ),
+    sums AS (
+        SELECT qid, nid, SUM(x * y) AS dot,
+               SUM(x * x) AS nq, SUM(y * y) AS nc
+        FROM terms GROUP BY qid, nid
+    ),
+    ranked AS (
+        SELECT qid, nid,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 4) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 4) DESC, nid
+               ) AS rnk
+        FROM sums
+    )
+    SELECT qid, nid AS neighbor_id, CAST(sim AS DOUBLE) AS sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk = 1
 """
 
 
