@@ -154,16 +154,16 @@ def minhash_signature(
     tmp = df.withColumn("__th", token_hashes_col(text_col)).withColumn(
         "__hs", hashed_shingles_expr("__th", k)
     )
-
-    def _lane(s: int):
-        # closure factory: an extra defaulted lambda param would change
-        # the higher-order-function arity PySpark dispatches on
-        return lambda h: F.xxhash64(F.lit(s), h)
-
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__hs"), _lane(s))) for s in range(num_hashes)
-    ])
-    return tmp.withColumn("sig", sig).drop("__th", "__hs")
+    # One SQL string parsed JVM-side instead of num_hashes × py4j
+    # Column-algebra lanes (same build-latency fix as simhash's 64-lane
+    # vote). `{s}` stays a plain INT literal — xxhash64 hashes by input
+    # type, and F.lit(int) was an INT, so an `L` suffix here would
+    # silently change every signature.
+    lanes = ", ".join(
+        f"array_min(transform(__hs, h -> xxhash64({s}, h)))"
+        for s in range(num_hashes)
+    )
+    return tmp.withColumn("sig", F.expr(f"array({lanes})")).drop("__th", "__hs")
 
 
 def minhash_lsh_candidates(
