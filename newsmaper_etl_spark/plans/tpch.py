@@ -859,10 +859,26 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens only at output."""
     from pyspark.sql import Window
 
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Star-schema prune: broadcast-SEMI the highly selective part filter
+    # UNDER the fact aggregate (Catalyst won't reorder an agg past a
+    # join on the group key itself). The per-(part, supp) min is
+    # partition-wise over l_partkey, so restricting partkeys first is
+    # result-identical and shrinks the aggregate's input by the filter's
+    # selectivity (~1/250) — the same shape that wins at 100 TB, where
+    # aggregating the whole fact to then drop 99.6 % of groups is pure
+    # waste.
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     supp = load_table(spark, sf_dir, "supplier")
@@ -873,9 +889,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_name")
     offers = (
         cost.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1103,22 +1116,31 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     total), then the supplier list applies as a LEFT SEMI join — the
     original's IN-subquery chain with every correlation flattened to
     equi-joins. The part-name filter prunes before the dominance test."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
-    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Same star-schema prune as Q2: the part-name filter is applied as a
+    # broadcast SEMI join under BOTH aggregates — per-part totals of
+    # non-"small" parts were aggregated only to be dropped by the final
+    # part join, and both aggs are partition-wise over l_partkey, so the
+    # early restriction is result-identical.
+    li_f = li.join(
+        F.broadcast(part),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    shipped = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
     )
     part_total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("supp_qty").alias("total_qty")
     )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("small%")
-    ).select("p_partkey")
     dominant = (
         shipped.join(part_total, F.col("l_partkey") == F.col("t_partkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(F.col("supp_qty") > 0.15 * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()

@@ -90,11 +90,12 @@ DRIVER_RECORDED_R03: frozenset[str] = frozenset({
 #: the r03-recorded block becomes the stale middle.
 DRIVER_RECORDED_R04: frozenset[str] = frozenset({
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_tpch_q21", "q_approx_distinct", "q_percentile_approx",
-    "q_ann_lsh_selfhit", "q_ann_ivf_selfhit",
-    # q_media_features is deliberately NOT banked here despite its r04
-    # row: round 5 swapped its oracle to the real header-decode contract,
-    # so it must re-record as if never recorded
+    "q_tpch_q21", "q_approx_distinct",
+    # q_media_features, q_percentile_approx, q_ann_lsh_selfhit and
+    # q_ann_ivf_selfhit are deliberately NOT banked here despite their
+    # r04 rows: round 5 swapped their oracles for real verification SQL
+    # (header-decode contract; exact-quantile band check; brute-force
+    # cosine top-1), so they must re-record as if never recorded
     "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
     "q_embedding_cosine_pairs", "q_group_agg", "q_count_distinct",
     "q_having", "q_rollup", "q_cube", "q_grouping_sets",

@@ -308,3 +308,43 @@ def test_topk_per_group_is_salted_two_phase(spark, sf_dir):
     # the rank-limit pushdown must survive the salting: each map task
     # keeps ≤ k rows per (group, salt) BEFORE the exchange
     assert "WindowGroupLimit" in plan
+
+
+def test_table_cache_value_parity(spark, sf_dir):
+    """The toy table cache (load_table's repartition+persist path,
+    disabled suite-wide by conftest so plan assertions see the raw scan)
+    must be value-transparent: same rows through a representative
+    aggregate and a projection, cached vs uncached. Uses a fresh memo
+    bucket so the suite's uncached frames are not disturbed."""
+    import os
+
+    from newsmaper_etl_spark import io as io_mod
+    from pyspark.sql import functions as F
+
+    def run(df):
+        agg = sorted(
+            (r.l_returnflag, r.n, float(r.s))
+            for r in df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("s"))
+            .collect()
+        )
+        proj = sorted(
+            (r.l_orderkey, r.l_linenumber) for r in df.select("l_orderkey", "l_linenumber").limit(0).collect()
+        )
+        return agg, proj
+
+    uncached = io_mod.load_table(spark, sf_dir, "lineitem")
+    base = run(uncached)
+
+    os.environ["SPARK_GRAFT_TABLE_CACHE"] = "1"
+    saved = dict(spark._newsmaper_table_cache)
+    try:
+        spark._newsmaper_table_cache = {}
+        cached = io_mod.load_table(spark, sf_dir, "lineitem")
+        # the cached frame really is the persisted, fanned layout
+        assert cached.rdd.getNumPartitions() == io_mod.TOY_PARTS
+        assert run(cached) == base
+        cached.unpersist()
+    finally:
+        os.environ["SPARK_GRAFT_TABLE_CACHE"] = "0"
+        spark._newsmaper_table_cache = saved
