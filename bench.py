@@ -161,6 +161,26 @@ def main() -> None:
         else:
             timings[name] = round(best, 3)
 
+    # Second-chance pass: a contention stall can inflate a query even
+    # through the convergence guard (all ≤8 samples inside the stall
+    # window). Stalls are transient, so re-timing the worst entries
+    # minutes later and keeping the min de-noises exactly the entries
+    # that dominate the total. Same treatment for DuckDB below — an
+    # inflated denominator would flatter the ratio just as dishonestly.
+    retry = sorted(
+        (n for n in timings if timings[n] >= 0),
+        key=lambda n: timings[n], reverse=True,
+    )[:12]
+    for name in retry:
+        try:
+            again = _best(
+                lambda: evaluate(QUERIES[name].fn(spark, sf_dir)), repeat
+            )
+        except Exception:  # noqa: BLE001
+            continue
+        if again is not None and again < timings[name]:
+            timings[name] = round(again, 3)
+
     # DuckDB side: identical workload for every oracle-bearing query
     duck: dict[str, float] = {}
     drift: list[float] = []
@@ -180,6 +200,15 @@ def main() -> None:
                 duck[name] = round(best, 4)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: duckdb {name} FAILED: {e}", file=sys.stderr)
+        # symmetric second-chance pass for the oracle engine
+        for name in sorted(duck, key=lambda n: duck[n], reverse=True)[:12]:
+            sql = QUERIES[name].oracle
+            try:
+                again = _best(lambda: con.execute(sql).fetchall(), repeat)
+            except Exception:  # noqa: BLE001
+                continue
+            if again is not None and again < duck[name]:
+                duck[name] = round(again, 4)
         t0 = time.perf_counter()
         con.execute(DRIFT_PROBE).fetchall()
         drift.append(round(time.perf_counter() - t0, 4))

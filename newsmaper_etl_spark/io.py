@@ -94,6 +94,19 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
                 "spark.sql.autoBroadcastJoinThreshold", "10485760b"
             ) in ("10485760b", "10485760", "10MB", "8m"):
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32m")
+            if _table_cache_on():
+                # With tables cached at a known 16-partition layout,
+                # nothing is left for AQE's runtime re-planning to earn
+                # (no scan stats to refine, 4 shuffle partitions to
+                # coalesce, 32 MB static broadcasts already planned),
+                # while its per-stage materialization still costs a job
+                # round-trip each — interleaved A/B at sf0.1 with the
+                # cache on: corpus 27.1 s (AQE on) vs 23.2 s (off), with
+                # q_tpch_q19 1.10→0.20 s and only two ~0.1 s regressions.
+                # When the cache is off (the plan-test configuration and
+                # any real-scale path), AQE stays ON: there it is the
+                # measured wash-to-win safety net.
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
         # Arrow makes the driver's toPandas() collection columnar instead
         # of row-pickled — runtime-settable, safe everywhere.
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
