@@ -84,8 +84,9 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
             # 0.94→0.29 s, q17 1.57→0.23 s, q18 1.50→0.43 s on the
             # static plan alone; with the threshold at 32 MB, AQE on-vs-
             # off is within noise corpus-wide (41.3 vs 40.0 s), so AQE
-            # stays ON — runtime re-plan and skew-split remain the right
-            # safety net, and at real SF (where this branch never runs)
+            # stays ON on the scan path — runtime re-plan and skew-split
+            # remain the right safety net (the cached-table branch below
+            # is the one exception), and at real SF (where none of this runs)
             # the 10 MB default stands: broadcasting a data-scaled side
             # OOMs executors. Same guard as shuffle.partitions above:
             # only replace Spark's default (or this function's own old
