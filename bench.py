@@ -8,14 +8,32 @@ Methodology:
 
 - each Spark query is fully evaluated via the noop sink (computes every
   projected column, writes nothing) — count() alone would let Catalyst
-  prune the work; one warmup query amortizes JVM/codegen startup;
+  prune the work. collect()/toPandas() were measured and rejected:
+  collect row-pickles large results (q_math_round 0.70→5.1 s), toPandas
+  hits slow Arrow conversions on map/struct outputs, and the matching
+  DuckDB .df() methodology speeds the denominator more (ROUND5_NOTES §1);
+- one untimed FULL-CORPUS warmup pass precedes timing (JMH-style): C2
+  keeps compiling for minutes, and alphabetically-early queries were
+  otherwise absorbing the warm-up tax (0.26 vs 0.08 s for the same
+  floor query first-vs-later in one process);
 - BEST-OF-N per query (default 3, $SPARK_GRAFT_BENCH_REPEAT): single-shot
   numbers on a contended rig were 10-20x inflated in round 1
-  (q_dedup_keep_first 16.7s recorded vs 0.98s isolated); best-of-N is the
-  standard de-noising for a throughput benchmark;
-- fast queries get extra repeats (up to 5 while the best sits under
-  100 ms): the sub-100 ms floor is scheduler-dominated and the ratio
-  gate was moving 2x between runs on those entries (ADVICE r03);
+  (q_dedup_keep_first 16.7s recorded vs 0.98s isolated); fast queries
+  get extra repeats (up to 5 while the best sits under 100 ms), and a
+  CONVERGENCE GUARD keeps sampling (≤8) while the two best samples
+  disagree >30% — min-of-N only rejects a stall if one sample lands
+  outside it;
+- a SECOND-CHANCE pass re-times the worst 12 entries of BOTH engines
+  after the main loops (stalls are transient; re-visiting minutes later
+  de-noises exactly the entries that dominate the totals — and doing it
+  for DuckDB too keeps an inflated denominator from flattering the
+  ratio);
+- the per-query machinery floor (job submission + scheduling + V2
+  commit, measured as a best-of-7 noop write of range(1), min of a
+  before/after probe) is reported as "sched_floor_sec" with
+  "ratio_excl_floor" = (shared − n·floor)/duck, making the
+  machinery-vs-compute split auditable per record — the raw
+  ratio_vs_duckdb stays the headline gate number;
 - the DuckDB oracle runs the SAME workload in-process (fetchall = full
   materialization), also best-of-N, so the gate ratio is computable from
   this file's output alone. A fixed probe query is timed at the start
