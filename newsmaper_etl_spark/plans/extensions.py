@@ -225,6 +225,93 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(blobs, id_col="id", binary_col="media", fake=False)
 
 
+def _u16le(x: str) -> str:
+    """SQL building a 2-byte little-endian hex string for expression
+    ``x`` — portable across Spark and DuckDB (concat/lpad/hex/%)."""
+    return (
+        f"concat(lpad(hex(({x}) % 256), 2, '0'), "
+        f"lpad(hex((({x}) {{div}} 256) % 256), 2, '0'))"
+    )
+
+
+def _u32le(x: str) -> str:
+    return (
+        f"concat(lpad(hex(({x}) % 256), 2, '0'), "
+        f"lpad(hex((({x}) {{div}} 256) % 256), 2, '0'), "
+        f"lpad(hex((({x}) {{div}} 65536) % 256), 2, '0'), "
+        f"lpad(hex((({x}) {{div}} 16777216) % 256), 2, '0'))"
+    )
+
+
+#: Planted WAV recipe, shared by the Spark query and the oracle: every
+#: field derives from doc_id, the payload is n 0x41 bytes, and the
+#: whole file is assembled as a HEX STRING (the header needs exact NUL
+#: bytes, which string concat can't plant byte-transparently — the GIF
+#: trick caps at chr(127)). `{div}` is the engine's integer division.
+_WAV_FIELDS = {
+    "ch": "1 + doc_id % 2",
+    "sr": "8000 + (doc_id % 128) * 125",
+    "bits": "8 * (1 + doc_id % 2)",
+    "n": "40 + doc_id % 200",
+}
+_WAV_HEX = (
+    "concat('52494646', "                                  # 'RIFF'
+    + _u32le("36 + ({n})") + ", "
+    "'57415645', "                                         # 'WAVE'
+    "'666d7420', " + _u32le("16") + ", "                   # 'fmt ', len 16
+    + _u16le("1") + ", "                                   # PCM
+    + _u16le("{ch}") + ", "
+    + _u32le("{sr}") + ", "
+    + _u32le("({sr}) * ({ch}) * ({bits}) {div} 8") + ", "  # byte rate
+    + _u16le("({ch}) * ({bits}) {div} 8") + ", "           # block align
+    + _u16le("{bits}") + ", "
+    "'64617461', " + _u32le("{n}") + ", "                  # 'data', size
+    "repeat('41', {n}))"                                   # payload
+)
+
+
+@query(
+    "q_audio_features",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(44 + ({n}) AS BIGINT) AS size_bytes,
+               'wav' AS "format",
+               CAST({sr} AS INTEGER) AS sample_rate,
+               CAST({ch} AS INTEGER) AS channels,
+               CAST({bits} AS INTEGER) AS bits_per_sample,
+               CAST(({n}) * 1000 {div}
+                    (({sr}) * ({ch}) * ({bits}) {div} 8) AS BIGINT)
+                   AS duration_ms
+        FROM documents
+        """
+    ).format(div="//", **_WAV_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline on the REAL header decoder: every document
+    id derives a complete, valid PCM WAV file (RIFF/fmt/data chunks,
+    id-planted sample rate, channels, bit depth, payload size) assembled
+    as hex and unhex'd to binary; the Arrow-batched kernel then PARSES
+    the header back (operators/multimodal.py parse_audio_header, pure
+    stdlib — chunk walk, not fixed offsets) and the driver hash-checks
+    parser output against the planted arithmetic. The oracle recomputes
+    the same fields from doc_id — including duration, which the parser
+    must derive as data_size·1000 // byte_rate. sha256 is omitted here
+    (DuckDB's sha256 is VARCHAR-only and the blob contains NULs); blob
+    hashing is already contract-checked by q_media_features."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _WAV_HEX.format(div="div", **_WAV_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    out = M.audio_features(blobs, id_col="id", binary_col="media")
+    return out.select(
+        "id", "size_bytes", "format", "sample_rate", "channels",
+        "bits_per_sample", "duration_ms",
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------

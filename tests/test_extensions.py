@@ -434,3 +434,71 @@ def test_image_resize_batch_shape(spark):
     ).collect()
     assert bytes(row["resized"]) == b"abc" + b"\x00" * 5
     assert (row["out_width"], row["out_height"]) == (4, 2)
+
+
+def test_parse_audio_header_real_wav_and_flac():
+    """WAV from the stdlib wave module (a real writer, LIST-free but
+    word-aligned), a hand-built WAV with an INFO chunk BEFORE data (the
+    chunk walk must skip it), a spec-packed FLAC STREAMINFO, and
+    non-audio payloads."""
+    import io as _io
+    import struct
+    import wave
+
+    buf = _io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x00\x01" * 800)  # 100 ms
+    w.close()
+    assert M.parse_audio_header(buf.getvalue()) == ("wav", 8000, 1, 16, 100)
+
+    # WAV whose 'data' chunk follows an odd-length LIST chunk (pad byte)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+    payload = b"\x00" * (44100 * 4)  # exactly 1 s
+    parts = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    blob = b"RIFF" + struct.pack("<I", len(parts)) + parts
+    assert M.parse_audio_header(blob) == ("wav", 44100, 2, 16, 1000)
+
+    # FLAC: STREAMINFO with sr=48000, ch=2, bits=24, 96000 samples (2 s)
+    packed = (48000 << 44) | ((2 - 1) << 41) | ((24 - 1) << 36) | 96000
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    assert M.parse_audio_header(flac) == ("flac", 48000, 2, 24, 2000)
+
+    assert M.parse_audio_header(b"GIF89a\x01\x01\x01\x01") is None
+    assert M.parse_audio_header(None) is None
+    assert M.parse_audio_header(b"RIFFxxxxAVI LIST") is None
+
+
+def test_audio_features_distributed_kernel(spark):
+    """The Arrow kernel must carry real parse results and null out
+    unrecognized payloads without failing the batch."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4000) + b"\x41" * 4000
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r for r in M.audio_features(df).collect()}
+    good = rows[1]
+    assert (
+        good["format"], good["sample_rate"], good["channels"],
+        good["bits_per_sample"], good["duration_ms"],
+    ) == ("wav", 16000, 1, 8, 250)
+    assert good["size_bytes"] == len(wav)
+    bad = rows[2]
+    assert bad["format"] is None and bad["sample_rate"] is None
+    assert bad["size_bytes"] == 9 and bad["content_sha256"] is not None
