@@ -312,6 +312,73 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _u64be(x: str) -> str:
+    """SQL building an 8-byte big-endian hex string for expression ``x``
+    (the FLAC STREAMINFO packed field)."""
+    return "concat(" + ", ".join(
+        f"lpad(hex((({x}) {{div}} {256 ** (7 - i)}) % 256), 2, '0')"
+        for i in range(8)
+    ) + ")"
+
+
+#: Planted FLAC recipe: 'fLaC', a last+STREAMINFO block header, 34-byte
+#: STREAMINFO whose (sample rate | channels-1 | bits-1 | total samples)
+#: are bit-packed into a u64 big-endian at byte 10 — the exact field the
+#: parser unpacks. Multiplication stands in for the shifts (2^44 etc.),
+#: all inside bigint range.
+_FLAC_FIELDS = {
+    "sr": "32000 + (doc_id % 64) * 250",
+    "ch": "1 + doc_id % 8",
+    "bits": "16 + 8 * (doc_id % 2)",
+    "total": "1000 + doc_id % 9000",
+}
+_FLAC_PACKED = (
+    "({sr}) * 17592186044416 + (({ch}) - 1) * 2199023255552 "
+    "+ (({bits}) - 1) * 68719476736 + ({total})"
+)
+_FLAC_HEX = (
+    "concat('664C6143', "        # 'fLaC'
+    "'80', '000022', "           # last-block flag + type 0, length 34
+    "'10001000', "               # min/max blocksize 4096
+    "'000000000000', "           # min/max framesize (unknown)
+    + _u64be(_FLAC_PACKED) + ", "
+    "repeat('00', 16))"          # MD5 (unset)
+)
+
+
+@query(
+    "q_audio_flac",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(42 AS BIGINT) AS size_bytes,
+               'flac' AS "format",
+               CAST({sr} AS INTEGER) AS sample_rate,
+               CAST({ch} AS INTEGER) AS channels,
+               CAST({bits} AS INTEGER) AS bits_per_sample,
+               CAST(({total}) * 1000 {div} ({sr}) AS BIGINT) AS duration_ms
+        FROM documents
+        """
+    ).format(div="//", **_FLAC_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC branch of the audio parser under the same driver-hashed
+    contract as q_audio_features: each doc id derives a valid fLaC
+    stream header whose STREAMINFO bit-packs id-planted sample rate /
+    channels / bit depth / total samples; the kernel must unpack the
+    20/3/5/36-bit fields and derive duration as total·1000 // rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _FLAC_HEX.format(div="div", **_FLAC_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.audio_features(blobs, id_col="id", binary_col="media").select(
+        "id", "size_bytes", "format", "sample_rate", "channels",
+        "bits_per_sample", "duration_ms",
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------
