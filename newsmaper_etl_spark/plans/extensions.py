@@ -379,6 +379,133 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _u32be(x: str) -> str:
+    """SQL building a 4-byte big-endian hex string for expression ``x``
+    (ISO-BMFF box fields are big-endian, unlike RIFF)."""
+    return "concat(" + ", ".join(
+        f"lpad(hex((({x}) {{div}} {256 ** (3 - i)}) % 256), 2, '0')"
+        for i in range(4)
+    ) + ")"
+
+
+#: Planted MP4 recipe: a complete, valid ISO-BMFF file — ftyp, then a
+#: moov whose mvhd carries id-planted timescale/duration and whose
+#: trak/tkhd carries id-planted 16.16 fixed-point width/height (exactly
+#: the fields parse_video_header walks the box tree for). All constant
+#: segments (unity matrix, volume, next-track-id…) are literal hex so
+#: the file is 232 bytes of spec-conformant structure, not just the
+#: parsed fields.
+_MP4_FIELDS = {
+    "ts": "600 + (doc_id % 10) * 60",
+    "dur": "1000 + doc_id % 50000",
+    "w": "160 + (doc_id % 28) * 16",
+    "h": "90 + (doc_id % 12) * 30",
+}
+_MP4_MATRIX = "00010000" + "00" * 12 + "00010000" + "00" * 12 + "40000000"
+_MP4_HEX = (
+    "concat('00000010', '66747970', '69736f6d', '00000200', "  # ftyp
+    "'000000d8', '6d6f6f76', "                                 # moov hdr
+    "'0000006c', '6d766864', '00000000', "                     # mvhd hdr+vf
+    "'0000000000000000', "                                     # creation/mod
+    + _u32be("{ts}") + ", " + _u32be("{dur}") + ", "
+    "'00010000', '01000000', '0000000000000000', "             # rate/vol/res
+    f"'{_MP4_MATRIX}', '" + "00" * 24 + "', '00000002', "      # matrix/pre/next
+    "'00000064', '7472616b', "                                 # trak hdr
+    "'0000005c', '746b6864', '00000007', "                     # tkhd hdr+vf
+    "'0000000000000000', '00000001', '00000000', "             # cre/mod/id/res
+    + _u32be("{dur}") + ", "
+    "'" + "00" * 16 + f"', '{_MP4_MATRIX}', "                  # res/layer…/matrix
+    + _u32be("({w}) * 65536") + ", " + _u32be("({h}) * 65536") + ")"
+)
+
+
+@query(
+    "q_video_features",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(232 AS BIGINT) AS size_bytes,
+               'mp4' AS "format",
+               CAST({w} AS INTEGER) AS width,
+               CAST({h} AS INTEGER) AS height,
+               CAST(({dur}) * 1000 {div} ({ts}) AS BIGINT) AS duration_ms
+        FROM documents
+        """
+    ).format(div="//", **_MP4_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column pipeline on the REAL container-header decoder: every
+    document id derives a complete valid MP4 (ftyp + moov/mvhd +
+    trak/tkhd) whose timescale, duration and 16.16 fixed-point
+    dimensions are id-planted; the Arrow-batched kernel then WALKS the
+    box tree back (operators/multimodal.py parse_video_header — nested
+    box iteration, v0/v1 full-box offsets) and the driver hash-checks
+    parser output against the planted arithmetic, including duration_ms
+    = duration·1000 // timescale. sha256 omitted as in q_audio_features
+    (DuckDB sha256 is VARCHAR-only; blob hashing is contract-checked by
+    q_media_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _MP4_HEX.format(div="div", **_MP4_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.video_features(blobs, id_col="id", binary_col="media").select(
+        "id", "size_bytes", "format", "width", "height", "duration_ms"
+    )
+
+
+#: Planted AVI recipe: RIFF/'AVI ' + LIST(hdrl → avih) + empty
+#: LIST(movi); the avih main header carries u32le microseconds-per-frame,
+#: total frames and dimensions — duration must be derived as
+#: frames·uspf // 1000. 100 bytes, all-constant except the four fields.
+_AVI_FIELDS = {
+    "uspf": "33000 + (doc_id % 8) * 111",
+    "frames": "100 + doc_id % 900",
+    "w": "320 + (doc_id % 10) * 32",
+    "h": "240 + (doc_id % 10) * 24",
+}
+_AVI_HEX = (
+    "concat('52494646', " + _u32le("92") + ", '41564920', "    # RIFF/AVI
+    "'4c495354', " + _u32le("68") + ", '6864726c', "           # LIST hdrl
+    "'61766968', " + _u32le("56") + ", "                       # avih, len
+    + _u32le("{uspf}") + ", '" + "00" * 12 + "', "             # max/pad/flags
+    + _u32le("{frames}") + ", '00000000', '01000000', '00000000', "
+    + _u32le("{w}") + ", " + _u32le("{h}") + ", '" + "00" * 16 + "', "
+    "'4c495354', " + _u32le("4") + ", '6d6f7669')"             # LIST movi
+)
+
+
+@query(
+    "q_video_avi",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(100 AS BIGINT) AS size_bytes,
+               'avi' AS "format",
+               CAST({w} AS INTEGER) AS width,
+               CAST({h} AS INTEGER) AS height,
+               CAST(({frames}) * ({uspf}) {div} 1000 AS BIGINT) AS duration_ms
+        FROM documents
+        """
+    ).format(div="//", **_AVI_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AVI branch of the video parser under the same driver-hashed
+    contract as q_video_features: the RIFF chunk walk must find the
+    hdrl LIST, parse the avih main header's little-endian fields, and
+    derive duration as total_frames·µs_per_frame // 1000."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _AVI_HEX.format(div="div", **_AVI_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.video_features(blobs, id_col="id", binary_col="media").select(
+        "id", "size_bytes", "format", "width", "height", "duration_ms"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------

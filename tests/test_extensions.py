@@ -502,3 +502,106 @@ def test_audio_features_distributed_kernel(spark):
     bad = rows[2]
     assert bad["format"] is None and bad["sample_rate"] is None
     assert bad["size_bytes"] == 9 and bad["content_sha256"] is not None
+
+
+def _mp4(ts: int, dur: int, w: int, h: int, version: int = 0) -> bytes:
+    """A complete minimal ISO-BMFF file: ftyp + moov(mvhd, trak(tkhd)),
+    with v0 or v1 full boxes — the same structure a muxer writes."""
+    import struct as _s
+
+    u32 = lambda x: _s.pack(">I", x)  # noqa: E731
+    u64 = lambda x: _s.pack(">Q", x)  # noqa: E731
+    matrix = u32(0x10000) + u32(0) * 3 + u32(0x10000) + u32(0) * 3 + u32(0x40000000)
+    if version == 0:
+        times = u32(0) * 2 + u32(ts) + u32(dur)
+        tk_times = u32(0) * 2 + u32(1) + u32(0) + u32(dur)
+        vf = b"\x00"
+    else:
+        times = u64(0) * 2 + u32(ts) + u64(dur)
+        tk_times = u64(0) * 2 + u32(1) + u32(0) + u64(dur)
+        vf = b"\x01"
+    mvhd = (
+        vf + b"\x00\x00\x00" + times + u32(0x10000)
+        + _s.pack(">H", 0x100) + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(2)
+    )
+    mvhd = u32(8 + len(mvhd)) + b"mvhd" + mvhd
+    tkhd = (
+        vf + b"\x00\x00\x07" + tk_times + b"\x00" * 16
+        + matrix + u32(w << 16) + u32(h << 16)
+    )
+    tkhd = u32(8 + len(tkhd)) + b"tkhd" + tkhd
+    trak = u32(8 + len(tkhd)) + b"trak" + tkhd
+    moov = u32(8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    return u32(16) + b"ftyp" + b"isom" + u32(0x200) + moov
+
+
+def _avi(uspf: int, frames: int, w: int, h: int) -> bytes:
+    import struct as _s
+
+    u = lambda x: _s.pack("<I", x)  # noqa: E731
+    avih = (
+        u(uspf) + u(0) * 3 + u(frames) + u(0) + u(1) + u(0)
+        + u(w) + u(h) + b"\x00" * 16
+    )
+    hdrl = b"LIST" + u(4 + 8 + len(avih)) + b"hdrl" + b"avih" + u(len(avih)) + avih
+    body = b"AVI " + hdrl + b"LIST" + u(4) + b"movi"
+    return b"RIFF" + u(len(body)) + body
+
+
+def test_parse_video_header_real_binaries():
+    P = M.parse_video_header
+    assert P(_mp4(600, 3000, 640, 360)) == ("mp4", 640, 360, 5000)
+    # v1 (64-bit times) full boxes shift the tkhd dimension offsets
+    assert P(_mp4(90000, 90000 * 7, 1920, 1080, version=1)) == (
+        "mp4", 1920, 1080, 7000,
+    )
+    assert P(_avi(33333, 300, 320, 240)) == ("avi", 320, 240, 9999)
+    # an audio (0x0-dim) track BEFORE the video track must not win
+    import struct as _s
+
+    base = _mp4(600, 1200, 848, 480)
+    ftyp, moov_body = base[:16], base[16 + 8 :]
+    mvhd, trak_v = moov_body[:108], moov_body[108:]
+    u32 = lambda x: _s.pack(">I", x)  # noqa: E731
+    tkhd_a = bytearray(trak_v[8:])
+    tkhd_a[-8:] = b"\x00" * 8  # zero dims
+    trak_a = u32(8 + len(tkhd_a)) + b"trak" + bytes(tkhd_a)
+    moov2 = (
+        u32(8 + len(mvhd) + len(trak_a) + len(trak_v))
+        + b"moov" + mvhd + trak_a + trak_v
+    )
+    assert P(ftyp + moov2) == ("mp4", 848, 480, 2000)
+    # a WAV RIFF is audio, not video; truncated/garbage payloads are None
+    assert P(b"RIFF" + _s.pack("<I", 36) + b"WAVE" + b"\x00" * 32) is None
+    assert P(_mp4(600, 3000, 640, 360)[:40]) is None
+    assert P(b"not a video") is None
+    assert P(b"") is None
+    assert P(None) is None
+    # malformed box length must stop the walk, not overrun
+    evil = bytearray(_mp4(600, 3000, 640, 360))
+    evil[16:20] = _s.pack(">I", 2**31)  # moov claims 2 GiB
+    assert P(bytes(evil)) is None
+
+
+def test_video_features_distributed_kernel(spark):
+    """The Arrow kernel carries real MP4/AVI parse results and nulls out
+    unrecognized payloads without failing the batch."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_mp4(1000, 2500, 426, 240))),
+            (2, bytearray(_avi(40000, 250, 640, 480))),
+            (3, bytearray(b"not video")),
+        ],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r for r in M.video_features(df).collect()}
+    assert (
+        rows[1]["format"], rows[1]["width"], rows[1]["height"],
+        rows[1]["duration_ms"],
+    ) == ("mp4", 426, 240, 2500)
+    assert (
+        rows[2]["format"], rows[2]["width"], rows[2]["height"],
+        rows[2]["duration_ms"],
+    ) == ("avi", 640, 480, 10000)
+    assert rows[3]["format"] is None and rows[3]["width"] is None
+    assert rows[3]["size_bytes"] == 9 and rows[3]["content_sha256"] is not None
