@@ -150,3 +150,139 @@ def test_tree_dot_matches_hof_dot_after_rounding(spark, vectors):
     ).collect()
     for r in out:
         assert r["tree"] == r["hof"], (r["tree"], r["hof"])
+
+
+# --------------------------------------------------------------------------
+# Media header parsers: round-trip + totality (pure Python — no Spark, so
+# these afford real example counts)
+# --------------------------------------------------------------------------
+
+from newsmaper_etl_spark.operators import multimodal as _MM  # noqa: E402
+
+_PURE = dict(max_examples=60, deadline=None, derandomize=True)
+
+
+@settings(**_PURE)
+@given(
+    ch=st.integers(1, 8),
+    sr=st.integers(1, 192_000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n=st.integers(0, 400),
+    pre_len=st.integers(0, 9),
+)
+def test_wav_header_roundtrip(ch, sr, bits, n, pre_len):
+    """A WAV assembled from arbitrary valid field values — including an
+    arbitrary (possibly odd-length, hence padded) LIST chunk BEFORE
+    'fmt ' — parses back to exactly the planted fields."""
+    import struct
+
+    byte_rate = sr * ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, byte_rate, ch * bits // 8, bits)
+    parts = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", pre_len) + b"\x4c" * pre_len
+        + (b"\x00" if pre_len % 2 else b"")
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", n) + b"\x41" * n
+    )
+    blob = b"RIFF" + struct.pack("<I", len(parts)) + parts
+    assert _MM.parse_audio_header(blob) == ("wav", sr, ch, bits, n * 1000 // byte_rate)
+
+
+@settings(**_PURE)
+@given(
+    sr=st.integers(1, 2**20 - 1),
+    ch=st.integers(1, 8),
+    bits=st.integers(4, 32),
+    total=st.integers(0, 2**36 - 1),
+)
+def test_flac_header_roundtrip(sr, ch, bits, total):
+    """STREAMINFO bit-packing round-trips for the full field ranges the
+    20/3/5/36-bit layout admits."""
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    blob = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    assert _MM.parse_audio_header(blob) == ("flac", sr, ch, bits, total * 1000 // sr)
+
+
+def _mp4_bytes(ts: int, dur: int, w: int, h: int, version: int) -> bytes:
+    import struct
+
+    u32 = lambda x: struct.pack(">I", x)  # noqa: E731
+    u64 = lambda x: struct.pack(">Q", x)  # noqa: E731
+    matrix = u32(0x10000) + u32(0) * 3 + u32(0x10000) + u32(0) * 3 + u32(0x40000000)
+    if version == 0:
+        times, tk_times = u32(0) * 2 + u32(ts) + u32(dur), u32(0) * 2 + u32(1) + u32(0) + u32(dur)
+    else:
+        times, tk_times = u64(0) * 2 + u32(ts) + u64(dur), u64(0) * 2 + u32(1) + u32(0) + u64(dur)
+    vf = bytes([version, 0, 0, 0])
+    mvhd = (
+        vf[:1] + b"\x00\x00\x00" + times + u32(0x10000)
+        + struct.pack(">H", 0x100) + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(2)
+    )
+    mvhd = u32(8 + len(mvhd)) + b"mvhd" + mvhd
+    tkhd = vf[:1] + b"\x00\x00\x07" + tk_times + b"\x00" * 16 + matrix + u32(w << 16) + u32(h << 16)
+    tkhd = u32(8 + len(tkhd)) + b"tkhd" + tkhd
+    trak = u32(8 + len(tkhd)) + b"trak" + tkhd
+    moov = u32(8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    return u32(16) + b"ftyp" + b"isom" + u32(0x200) + moov
+
+
+@settings(**_PURE)
+@given(
+    ts=st.integers(1, 2**32 - 1),
+    dur=st.integers(0, 2**32 - 1),
+    w=st.integers(1, 32767),
+    h=st.integers(1, 32767),
+    version=st.sampled_from([0, 1]),
+    free_len=st.integers(0, 16),
+)
+def test_mp4_header_roundtrip(ts, dur, w, h, version, free_len):
+    """An ISO-BMFF file with arbitrary valid mvhd/tkhd field values —
+    and an arbitrary 'free' box between ftyp and moov, which the box
+    walk must skip — parses back to the planted fields (duration
+    truncated to the movie timescale)."""
+    import struct
+
+    blob = _mp4_bytes(ts, dur, w, h, version)
+    free = struct.pack(">I", 8 + free_len) + b"free" + b"\x00" * free_len
+    blob = blob[:16] + free + blob[16:]
+    assert _MM.parse_video_header(blob) == ("mp4", w, h, dur * 1000 // ts)
+
+
+@settings(**_PURE)
+@given(
+    uspf=st.integers(1, 1_000_000),
+    frames=st.integers(0, 1_000_000),
+    w=st.integers(0, 2**16),
+    h=st.integers(0, 2**16),
+)
+def test_avi_header_roundtrip(uspf, frames, w, h):
+    import struct
+
+    u = lambda x: struct.pack("<I", x)  # noqa: E731
+    avih = u(uspf) + u(0) * 3 + u(frames) + u(0) + u(1) + u(0) + u(w) + u(h) + b"\x00" * 16
+    hdrl = b"LIST" + u(4 + 8 + len(avih)) + b"hdrl" + b"avih" + u(len(avih)) + avih
+    body = b"AVI " + hdrl + b"LIST" + u(4) + b"movi"
+    blob = b"RIFF" + u(len(body)) + body
+    assert _MM.parse_video_header(blob) == ("avi", w, h, frames * uspf // 1000)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_header_parsers_total_on_garbage(data):
+    """Totality fuzz: arbitrary bytes must never raise from any header
+    parser — at corpus scale a corrupt blob is routine input, and the
+    kernels' null-out-don't-fail posture depends on parser totality.
+    Magic-byte prefixes steer the fuzz into the deep branches."""
+    for prefix in (
+        b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"fLaC",
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8",
+        b"\x00\x00\x00\x10ftyp", b"RIFF\x10\x00\x00\x00AVI ",
+    ):
+        blob = prefix + data
+        for parser in (
+            _MM.parse_image_header, _MM.parse_audio_header, _MM.parse_video_header
+        ):
+            out = parser(blob)
+            assert out is None or isinstance(out, tuple)
