@@ -248,6 +248,144 @@ def parse_video_header(
     return None
 
 
+def parse_mp4_samples(
+    data: bytes | None,
+) -> list[tuple[int, int, int, int, bool]] | None:
+    """Per-sample index from an MP4's sample tables, pure stdlib:
+    ``[(sample_index, file_offset, size, ts_ms, is_sync), …]`` — or None
+    when the payload is no MP4 or carries no usable ``stbl``.
+
+    This is the real mechanics of frame EXTRACTION (as opposed to pixel
+    decoding): ISO BMFF stores every sample's size (``stsz``), its
+    chunk's absolute file offset (``stco``/``co64``), the sample→chunk
+    mapping (``stsc`` run-length entries), decode timestamps as
+    time-to-sample deltas in the media timescale (``stts`` + ``mdhd``),
+    and the sync-sample (keyframe) numbers (``stss``; absent → every
+    sample is sync). Resolving those five tables yields the exact byte
+    range of each encoded access unit — a training pipeline slices
+    keyframe payloads for a downstream decoder without touching libav.
+    """
+    if data is None:
+        return None
+    b = bytes(data)
+    if len(b) < 12 or b[4:8] not in (b"ftyp", b"moov", b"styp"):
+        return None
+
+    def _boxes(lo: int, hi: int) -> Iterator[tuple[bytes, int, int]]:
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            typ = b[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if body + 8 > hi:
+                    return
+                (size,) = struct.unpack(">Q", b[body : body + 8])
+                body += 8
+            elif size == 0:
+                size = hi - i
+            if size < body - i or i + size > hi:
+                return
+            yield typ, body, i + size
+            i += size
+
+    def _find(path: tuple[bytes, ...], lo: int, hi: int) -> tuple[int, int] | None:
+        for typ, l2, h2 in _boxes(lo, hi):
+            if typ == path[0]:
+                return (l2, h2) if len(path) == 1 else _find(path[1:], l2, h2)
+        return None
+
+    trak = _find((b"moov", b"trak"), 0, len(b))
+    if trak is None:
+        return None
+    mdhd = _find((b"mdia", b"mdhd"), *trak)
+    stbl = _find((b"mdia", b"minf", b"stbl"), *trak)
+    if mdhd is None or stbl is None:
+        return None
+
+    # media timescale (mdhd v0: u32 at body+12; v1: u32 at body+20)
+    lo, hi = mdhd
+    v = b[lo]
+    ts_off = lo + (12 if v == 0 else 20)
+    if ts_off + 4 > hi:
+        return None
+    (timescale,) = struct.unpack(">I", b[ts_off : ts_off + 4])
+    if timescale == 0:
+        return None
+
+    def _table(name: bytes, width: int) -> list[tuple[int, ...]] | None:
+        box = _find((name,), *stbl)
+        if box is None:
+            return None
+        l2, h2 = box
+        if l2 + 8 > h2:
+            return None
+        (n,) = struct.unpack(">I", b[l2 + 4 : l2 + 8])
+        end = l2 + 8 + n * 4 * width
+        if end > h2:
+            return None
+        flat = struct.unpack(f">{n * width}I", b[l2 + 8 : end])
+        return [flat[i : i + width] for i in range(0, len(flat), width)]
+
+    stts = _table(b"stts", 2)
+    stsc = _table(b"stsc", 3)
+    stco = _table(b"stco", 1)
+    if stco is None:  # 64-bit chunk offsets
+        box = _find((b"co64",), *stbl)
+        if box is not None and box[0] + 8 <= box[1]:
+            (n,) = struct.unpack(">I", b[box[0] + 4 : box[0] + 8])
+            end = box[0] + 8 + n * 8
+            if end <= box[1]:
+                stco = [(x,) for x in struct.unpack(f">{n}Q", b[box[0] + 8 : end])]
+    # stsz: fullbox, then u32 uniform sample_size, u32 count, [sizes]
+    sizes: list[int] | None = None
+    box = _find((b"stsz",), *stbl)
+    if box is not None and box[0] + 12 <= box[1]:
+        uniform, n = struct.unpack(">II", b[box[0] + 4 : box[0] + 12])
+        if uniform:
+            sizes = [uniform] * n
+        elif box[0] + 12 + n * 4 <= box[1]:
+            sizes = list(struct.unpack(f">{n}I", b[box[0] + 12 : box[0] + 12 + n * 4]))
+    if not (stts and stsc and stco and sizes):
+        return None
+    stss_box = _table(b"stss", 1)
+    sync = {x[0] for x in stss_box} if stss_box is not None else None
+
+    # decode timestamps from the stts run-lengths
+    ts_units: list[int] = []
+    t = 0
+    for count, delta in stts:
+        for _ in range(min(count, len(sizes) - len(ts_units))):
+            ts_units.append(t)
+            t += delta
+    while len(ts_units) < len(sizes):  # stts shorter than stsz: carry last delta
+        ts_units.append(t)
+        t += stts[-1][1] if stts else 0
+
+    # walk chunks: stsc entries are (first_chunk, samples_per_chunk, _)
+    # run-length encoded over 1-based chunk numbers
+    out: list[tuple[int, int, int, int, bool]] = []
+    sample = 0
+    n_chunks = len(stco)
+    for ei, (first, per_chunk, _desc) in enumerate(stsc):
+        last = stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else n_chunks
+        for chunk in range(first, last + 1):
+            if chunk > n_chunks or sample >= len(sizes):
+                break
+            off = stco[chunk - 1][0]
+            for _ in range(per_chunk):
+                if sample >= len(sizes):
+                    break
+                size = sizes[sample]
+                is_sync = sync is None or (sample + 1) in sync
+                out.append(
+                    (sample, off, size, ts_units[sample] * 1000 // timescale, is_sync)
+                )
+                off += size
+                sample += 1
+    return out or None
+
+
 #: Metadata struct carried alongside every media binary.
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -405,6 +543,56 @@ def video_features(
             yield out
 
     return df.mapInPandas(_decode_batch, schema=VIDEO_FEATURES_SCHEMA)
+
+
+#: One output row per extracted sample (encoded access unit).
+VIDEO_KEYFRAMES_SCHEMA = (
+    "id long, sample_index int, ts_ms long, is_sync boolean, frame binary"
+)
+
+
+def video_keyframes(
+    df: DataFrame,
+    id_col: str = "id",
+    binary_col: str = "media",
+    max_frames: int | None = None,
+    keyframes_only: bool = True,
+) -> DataFrame:
+    """REAL frame extraction from MP4 sample tables — the 1→N generator
+    shape of :func:`frame_sample`, but the frame bytes are the actual
+    encoded access units sliced out of ``mdat`` at the offsets/sizes the
+    ``stbl`` tables declare (:func:`parse_mp4_samples`), with decode
+    timestamps from ``stts`` and keyframe flags from ``stss``. Pure
+    stdlib: extraction needs no codec — only pixel DECODING does
+    (:func:`frame_sample`'s stub). Non-MP4 / table-less payloads yield
+    no rows rather than failing the batch."""
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, syncs, frames = [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(blob) if blob is not None else b""
+                samples = parse_mp4_samples(data) or []
+                kept = 0
+                for sample, off, size, ts_ms, is_sync in samples:
+                    if keyframes_only and not is_sync:
+                        continue
+                    if max_frames is not None and kept >= max_frames:
+                        break
+                    if off + size > len(data):
+                        continue  # truncated mdat: skip, don't crash
+                    ids.append(rid)
+                    idxs.append(sample)
+                    tss.append(ts_ms)
+                    syncs.append(is_sync)
+                    frames.append(data[off : off + size])
+                    kept += 1
+            yield pd.DataFrame(
+                {"id": ids, "sample_index": pd.array(idxs, dtype="int32"),
+                 "ts_ms": tss, "is_sync": syncs, "frame": frames}
+            )
+
+    return df.mapInPandas(_extract, schema=VIDEO_KEYFRAMES_SCHEMA)
 
 
 #: One output row per sampled frame.

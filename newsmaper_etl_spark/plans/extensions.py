@@ -506,6 +506,92 @@ def q_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted sample-table MP4 recipe: a full stbl (stts/stsc/stsz/stco/
+#: stss) plus an mdat of 4 planted frames — uniform frame length L and a
+#: single chunk keep the stco offset a CONSTANT (every box has a fixed
+#: entry count, so the header is exactly 404 bytes and the mdat body
+#: starts at 412 for every doc). Frame j's bytes are L repeats of
+#: 65+(doc_id+j)%26; stts is one (4, d) run; stss marks samples 1 and 3
+#: (1-based), i.e. alternating keyframes.
+_KF_FIELDS = {
+    "d": "40 + doc_id % 100",   # stts delta (media timescale 1000 → ms)
+    "L": "8 + doc_id % 9",      # uniform sample size
+}
+_KF_HEX = (
+    "concat('00000010', '66747970', '69736f6d', '00000200', "  # ftyp
+    "'00000184', '6d6f6f76', "                                 # moov (388)
+    # mvhd, all-constant (timescale 1000; movie duration unset)
+    "'0000006c', '6d766864', '00000000', '0000000000000000', "
+    "'000003e8', '00000000', '00010000', '01000000', "
+    "'0000000000000000', " + f"'{_MP4_MATRIX}', '" + "00" * 24 + "', '00000002', "
+    "'00000110', '7472616b', "                                 # trak (272)
+    # tkhd, all-constant 640x360
+    "'0000005c', '746b6864', '00000007', '0000000000000000', "
+    "'00000001', '00000000', '00000000', '" + "00" * 16 + "', "
+    f"'{_MP4_MATRIX}', '02800000', '01680000', "
+    "'000000ac', '6d646961', "                                 # mdia (172)
+    # mdhd: media timescale 1000, und language
+    "'00000020', '6d646864', '00000000', '0000000000000000', "
+    "'000003e8', '00000000', '55c40000', "
+    "'00000084', '6d696e66', "                                 # minf (132)
+    "'0000007c', '7374626c', "                                 # stbl (124)
+    "'00000018', '73747473', '00000000', '00000001', "         # stts
+    "'00000004', " + _u32be("{d}") + ", "
+    "'0000001c', '73747363', '00000000', '00000001', "         # stsc
+    "'00000001', '00000004', '00000001', "
+    "'00000014', '7374737a', '00000000', "                     # stsz (uniform)
+    + _u32be("{L}") + ", '00000004', "
+    "'00000014', '7374636f', '00000000', '00000001', "         # stco
+    "'0000019c', "                                             # = offset 412
+    "'00000018', '73747373', '00000000', '00000002', "         # stss
+    "'00000001', '00000003', "
+    + _u32be("8 + 4 * ({L})") + ", '6d646174', "               # mdat hdr
+    + ", ".join(
+        f"repeat(lpad(hex(65 + (doc_id + {j}) % 26), 2, '0'), {{L}})"
+        for j in range(4)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_video_keyframes",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(j AS INTEGER) AS sample_index,
+               CAST(j * ({d}) AS BIGINT) AS ts_ms,
+               (j % 2 = 0) AS is_sync,
+               repeat(lpad(hex(65 + (doc_id + j) % 26), 2, '0'), {L})
+                   AS frame_hex
+        FROM documents
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)
+        """
+    ).format(**_KF_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction, driver-hashed end to end: every doc id
+    derives an MP4 with a complete sample table and 4 planted encoded
+    frames in mdat; the kernel (operators/multimodal.py
+    parse_mp4_samples + video_keyframes) must resolve stsc chunk runs,
+    stco offsets, uniform stsz sizes, stts decode times and stss sync
+    flags to slice the exact frame bytes back out — hash-compared (as
+    hex) with the planted payloads, timestamps and keyframe flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _KF_HEX.format(div="div", **_KF_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    out = M.video_keyframes(
+        blobs, id_col="id", binary_col="media", keyframes_only=False
+    )
+    return out.select(
+        "id", "sample_index", "ts_ms", "is_sync",
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------

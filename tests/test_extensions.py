@@ -583,6 +583,102 @@ def test_parse_video_header_real_binaries():
     assert P(bytes(evil)) is None
 
 
+def _mp4_with_samples(frames, deltas, timescale=1000, chunks=None, sync=None):
+    """A complete MP4 with a real sample table: frames → stsz/stco/stsc,
+    deltas → stts runs, sync → stss (1-based), split across ``chunks``
+    (list of per-chunk sample counts; default: one chunk)."""
+    import struct as _s
+
+    u32 = lambda x: _s.pack(">I", x)  # noqa: E731
+    box = lambda t, p: u32(8 + len(p)) + t + p  # noqa: E731
+    full = lambda t, p: box(t, b"\x00\x00\x00\x00" + p)  # noqa: E731
+    matrix = u32(0x10000) + u32(0) * 3 + u32(0x10000) + u32(0) * 3 + u32(0x40000000)
+    mvhd = full(b"mvhd", u32(0) * 2 + u32(600) + u32(3000) + u32(0x10000)
+                + _s.pack(">H", 0x100) + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + u32(0) * 2 + u32(1) + u32(0)
+               + u32(3000) + b"\x00" * 16 + matrix + u32(640 << 16) + u32(360 << 16))
+    mdhd = full(b"mdhd", u32(0) * 2 + u32(timescale) + u32(0) + _s.pack(">HH", 0x55C4, 0))
+    chunks = chunks or [len(frames)]
+    # run-length encode stsc from the per-chunk counts
+    stsc_entries = []
+    for ci, per in enumerate(chunks, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != per:
+            stsc_entries.append((ci, per))
+    stts_runs = []
+    for d in deltas:
+        if stts_runs and stts_runs[-1][1] == d:
+            stts_runs[-1][0] += 1
+        else:
+            stts_runs.append([1, d])
+    stts = full(b"stts", u32(len(stts_runs)) + b"".join(u32(c) + u32(d) for c, d in stts_runs))
+    stsc = full(b"stsc", u32(len(stsc_entries))
+                + b"".join(u32(f) + u32(p) + u32(1) for f, p in stsc_entries))
+    stsz = full(b"stsz", u32(0) + u32(len(frames)) + b"".join(u32(len(f)) for f in frames))
+    stss = b"" if sync is None else full(b"stss", u32(len(sync)) + b"".join(u32(s) for s in sync))
+
+    def assemble(offsets):
+        stco = full(b"stco", u32(len(offsets)) + b"".join(u32(o) for o in offsets))
+        stbl = box(b"stbl", stts + stsc + stsz + stco + stss)
+        mdia = box(b"mdia", mdhd + box(b"minf", stbl))
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        ftyp = u32(16) + b"ftyp" + b"isom" + u32(0x200)
+        return ftyp + moov
+
+    header = assemble([0] * len(chunks))
+    offsets, pos, si = [], len(header) + 8, 0
+    for per in chunks:
+        offsets.append(pos)
+        pos += sum(len(f) for f in frames[si : si + per])
+        si += per
+    return assemble(offsets) + box(b"mdat", b"".join(frames))
+
+
+def test_parse_mp4_samples_real_tables():
+    """The stbl walk must resolve multi-chunk stsc runs, per-sample
+    sizes, stts decode times and stss sync flags to byte-exact ranges."""
+    frames = [b"A" * 10, b"BB" * 6, b"C" * 7, b"DDD" * 3, b"E" * 20]
+    blob = _mp4_with_samples(
+        frames, deltas=[100, 100, 200, 200, 200], chunks=[2, 3], sync=[1, 4]
+    )
+    samples = M.parse_mp4_samples(blob)
+    assert [s[0] for s in samples] == [0, 1, 2, 3, 4]
+    assert [s[3] for s in samples] == [0, 100, 200, 400, 600]
+    assert [s[4] for s in samples] == [True, False, False, True, False]
+    for i, off, size, _ts, _sy in samples:
+        assert blob[off : off + size] == frames[i]
+    # no stss → every sample is sync; single chunk; uniform deltas
+    blob2 = _mp4_with_samples(frames[:3], deltas=[50, 50, 50])
+    assert [s[4] for s in M.parse_mp4_samples(blob2)] == [True] * 3
+    assert M.parse_mp4_samples(b"garbage") is None
+    assert M.parse_mp4_samples(None) is None
+    # header-only MP4 (no stbl) parses as video but yields no samples
+    hdr_only = _mp4(600, 3000, 640, 360)
+    assert M.parse_video_header(hdr_only) is not None
+    assert M.parse_mp4_samples(hdr_only) is None
+
+
+def test_video_keyframes_distributed_kernel(spark):
+    """The extraction kernel slices real access units: keyframes_only
+    honors stss, max_frames caps, non-MP4 rows contribute nothing."""
+    frames = [b"KEY0" * 3, b"p1", b"p2p2", b"KEY1" * 2, b"p3"]
+    blob = _mp4_with_samples(
+        frames, deltas=[40] * 5, chunks=[2, 3], sync=[1, 4]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not a video"))],
+        "id long, media binary",
+    )
+    keyed = M.video_keyframes(df, keyframes_only=True).collect()
+    assert sorted((r["id"], r["sample_index"], bytes(r["frame"])) for r in keyed) == [
+        (1, 0, b"KEY0" * 3), (1, 3, b"KEY1" * 2),
+    ]
+    all_rows = M.video_keyframes(df, keyframes_only=False, max_frames=3).collect()
+    assert sorted((r["sample_index"], r["ts_ms"]) for r in all_rows) == [
+        (0, 0), (1, 40), (2, 80),
+    ]
+
+
 def test_video_features_distributed_kernel(spark):
     """The Arrow kernel carries real MP4/AVI parse results and nulls out
     unrecognized payloads without failing the batch."""
