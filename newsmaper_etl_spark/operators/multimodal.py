@@ -50,6 +50,9 @@ def parse_image_header(data: bytes | None) -> tuple[str, int, int] | None:
       BITMAPCOREHEADER's u16 pair when the header-size field says 12.
     - JPEG: scan marker segments from SOI for any SOF frame header;
       height/width are big-endian u16 at +5/+7 inside it.
+    - WebP: RIFF + 'WEBP', then the first chunk decides the variant —
+      VP8X extended (u24le canvas dims-1), VP8L lossless (14+14-bit
+      packed dims-1), VP8 lossy (sync-coded u16le dims, low 14 bits).
     """
     if data is None:
         return None
@@ -68,6 +71,26 @@ def parse_image_header(data: bytes | None) -> tuple[str, int, int] | None:
         if hdr_size >= 40 and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
             return ("bmp", w, abs(h))
+        return None
+    if len(b) >= 25 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # three stream variants, distinguished by the first chunk:
+        # VP8X (extended): u24le canvas width-1 / height-1 at +4/+7 of
+        # the chunk body; VP8L (lossless): 1-byte 0x2f signature then
+        # 14-bit width-1 / height-1 packed little-endian; VP8 (lossy):
+        # 3-byte frame tag, 0x9d012a sync code, then u16le values whose
+        # low 14 bits are the dimensions.
+        cid, body = b[12:16], 20
+        if cid == b"VP8X" and len(b) >= body + 10:
+            w = int.from_bytes(b[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(b[body + 7 : body + 10], "little") + 1
+            return ("webp", w, h)
+        if cid == b"VP8L" and len(b) >= body + 5 and b[body] == 0x2F:
+            bits = int.from_bytes(b[body + 1 : body + 5], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if cid == b"VP8 " and len(b) >= body + 10:
+            if b[body + 3 : body + 6] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", b[body + 6 : body + 10])
+                return ("webp", w & 0x3FFF, h & 0x3FFF)
         return None
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2

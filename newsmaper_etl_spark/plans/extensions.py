@@ -225,6 +225,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(blobs, id_col="id", binary_col="media", fake=False)
 
 
+def _u24le(x: str) -> str:
+    """SQL building a 3-byte little-endian hex string for expression
+    ``x`` (the WebP VP8X canvas fields)."""
+    return (
+        f"concat(lpad(hex(({x}) % 256), 2, '0'), "
+        f"lpad(hex((({x}) {{div}} 256) % 256), 2, '0'), "
+        f"lpad(hex((({x}) {{div}} 65536) % 256), 2, '0'))"
+    )
+
+
 def _u16le(x: str) -> str:
     """SQL building a 2-byte little-endian hex string for expression
     ``x`` — portable across Spark and DuckDB (concat/lpad/hex/%)."""
@@ -309,6 +319,50 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "size_bytes", "format", "sample_rate", "channels",
         "bits_per_sample", "duration_ms",
+    )
+
+
+#: Planted WebP recipe: RIFF/'WEBP' + a VP8X extended-header chunk whose
+#: u24le canvas fields are dims-1 (the parser must add the +1 back).
+#: 30 bytes, all-constant except width/height.
+_WEBP_FIELDS = {
+    "w": "320 + (doc_id % 50) * 16",
+    "h": "180 + (doc_id % 40) * 12",
+}
+_WEBP_HEX = (
+    "concat('52494646', " + _u32le("22") + ", '57454250', "  # RIFF/WEBP
+    "'56503858', " + _u32le("10") + ", '00000000', "         # VP8X, flags
+    + _u24le("({w}) - 1") + ", " + _u24le("({h}) - 1") + ")"
+)
+
+
+@query(
+    "q_media_webp",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(30 AS BIGINT) AS size_bytes,
+               'webp' AS "format",
+               CAST({w} AS INTEGER) AS width,
+               CAST({h} AS INTEGER) AS height
+        FROM documents
+        """
+    ).format(**_WEBP_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_media_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebP branch of the image parser under the q_media_features
+    driver-hashed contract: each doc id derives a valid VP8X extended
+    header whose u24le canvas fields hold dims-1; the kernel must
+    recognize the RIFF/WEBP container, dispatch on the first chunk's
+    fourcc, and re-derive the planted width/height."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _WEBP_HEX.format(div="div", **_WEBP_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.media_features(blobs, id_col="id", binary_col="media").select(
+        "id", "size_bytes", "format", "width", "height"
     )
 
 

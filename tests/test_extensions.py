@@ -583,6 +583,38 @@ def test_parse_video_header_real_binaries():
     assert P(bytes(evil)) is None
 
 
+def test_parse_image_header_webp_variants():
+    """All three WebP stream variants round-trip their planted dims."""
+    import struct as _s
+
+    u = lambda x: _s.pack("<I", x)  # noqa: E731
+
+    def webp(cid, payload):
+        chunk = cid + u(len(payload)) + payload
+        return b"RIFF" + u(4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8x = webp(
+        b"VP8X",
+        b"\x00" * 4 + (639).to_bytes(3, "little") + (359).to_bytes(3, "little"),
+    )
+    assert M.parse_image_header(vp8x) == ("webp", 640, 360)
+    bits = 799 | (449 << 14)
+    assert M.parse_image_header(webp(b"VP8L", b"\x2f" + _s.pack("<I", bits))) == (
+        "webp", 800, 450,
+    )
+    vp8 = webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a" + _s.pack("<HH", 1024, 768) + b"\x00" * 4,
+    )
+    assert M.parse_image_header(vp8) == ("webp", 1024, 768)
+    # VP8 without the sync code is not a parseable frame
+    no_sync = webp(b"VP8 ", b"\x00" * 10)
+    assert M.parse_image_header(no_sync) is None
+    # a WAV RIFF is not an image
+    wav = b"RIFF" + u(36) + b"WAVE" + b"\x00" * 32
+    assert M.parse_image_header(wav) is None
+
+
 def _mp4_with_samples(frames, deltas, timescale=1000, chunks=None, sync=None):
     """A complete MP4 with a real sample table: frames → stsz/stco/stsc,
     deltas → stts runs, sync → stss (1-based), split across ``chunks``
@@ -650,6 +682,30 @@ def test_parse_mp4_samples_real_tables():
     # no stss → every sample is sync; single chunk; uniform deltas
     blob2 = _mp4_with_samples(frames[:3], deltas=[50, 50, 50])
     assert [s[4] for s in M.parse_mp4_samples(blob2)] == [True] * 3
+    # co64 (64-bit chunk offsets) resolves identically to stco
+    import struct as _s
+
+    stco_off = blob2.find(b"stco") - 4
+    (n,) = _s.unpack(">I", blob2[stco_off + 12 : stco_off + 16])
+    offsets = _s.unpack(
+        f">{n}I", blob2[stco_off + 16 : stco_off + 16 + n * 4]
+    )
+    co64_payload = b"\x00" * 4 + _s.pack(">I", n) + b"".join(
+        _s.pack(">Q", o + 4) for o in offsets  # box grows 4 bytes → shift
+    )
+    co64 = _s.pack(">I", 8 + len(co64_payload)) + b"co64" + co64_payload
+    old = blob2[stco_off : stco_off + 16 + n * 4]
+    blob3 = blob2.replace(old, co64)
+    # fix enclosing box sizes (stbl/minf/mdia/trak/moov each grow by 4)
+    grown = bytearray(blob3)
+    for name in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        i = grown.find(name) - 4
+        (sz,) = _s.unpack(">I", grown[i : i + 4])
+        grown[i : i + 4] = _s.pack(">I", sz + 4)
+    samples3 = M.parse_mp4_samples(bytes(grown))
+    assert samples3 is not None and len(samples3) == 3
+    for i, off, size, _ts, _sy in samples3:
+        assert bytes(grown)[off : off + size] == frames[i]
     assert M.parse_mp4_samples(b"garbage") is None
     assert M.parse_mp4_samples(None) is None
     # header-only MP4 (no stbl) parses as video but yields no samples
