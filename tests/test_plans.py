@@ -348,3 +348,18 @@ def test_table_cache_value_parity(spark, sf_dir):
     finally:
         os.environ["SPARK_GRAFT_TABLE_CACHE"] = "0"
         spark._newsmaper_table_cache = saved
+
+
+def test_multimodal_queries_are_map_only(spark, sf_dir):
+    """The media family's scale contract: blob synthesis + header parse /
+    frame extraction are pure 1→1 / 1→N projections over the scan — no
+    Exchange anywhere (binaries never shuffle; at 100 TB a shuffle of a
+    binary column would dominate the job)."""
+    for name in (
+        "q_media_features", "q_media_webp", "q_audio_features",
+        "q_audio_flac", "q_video_features", "q_video_avi",
+        "q_video_keyframes",
+    ):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
