@@ -111,6 +111,72 @@ def parse_image_header(data: bytes | None) -> tuple[str, int, int] | None:
             i += 2 + seglen
     return None
 
+#: MPEG audio spec tables: bitrates (kbps) by (version-group, layer),
+#: sample rates by version. Index 0 ("free") and 15 ("bad") are invalid.
+_MP3_BITRATES = {
+    # MPEG1: layer I, II, III
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG2/2.5 share tables: layer I vs II+III
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _parse_mp3(b: bytes) -> tuple[str, int, int, int, int] | None:
+    """MPEG-audio branch of parse_audio_header (see its docstring)."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe u32: 7 bits per byte
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        i = 10 + size
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+
+    def frame(j: int) -> tuple[int, int, int, int] | None:
+        """(size, sample_rate, samples, channels) of the frame at j."""
+        if j + 4 > len(b) or b[j] != 0xFF or (b[j + 1] & 0xE0) != 0xE0:
+            return None
+        ver_id = (b[j + 1] >> 3) & 3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_id = (b[j + 1] >> 1) & 3     # 3=I, 2=II, 1=III
+        if ver_id == 1 or layer_id == 0:
+            return None
+        layer = 4 - layer_id
+        vgroup = 1 if ver_id == 3 else 2
+        br_idx = (b[j + 2] >> 4) & 0xF
+        sr_idx = (b[j + 2] >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[ver_id][sr_idx]
+        padding = (b[j + 2] >> 1) & 1
+        channels = 1 if ((b[j + 3] >> 6) & 3) == 3 else 2
+        if layer == 1:
+            size = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (vgroup == 1 or layer == 2) else 576
+            size = (samples // 8) * bitrate // rate + padding
+        return (size, rate, samples, channels)
+
+    first = frame(i)
+    if first is None:
+        return None
+    _, rate, _, channels = first
+    total_samples = 0
+    while True:
+        f = frame(i)
+        if f is None:
+            break
+        size, _r, samples, _c = f
+        total_samples += samples
+        i += size
+    return ("mp3", rate, channels, 0, total_samples * 1000 // rate)
+
+
 def parse_audio_header(
     data: bytes | None,
 ) -> tuple[str, int, int, int, int] | None:
@@ -128,6 +194,13 @@ def parse_audio_header(
       rate 20 bits, channels-1 3 bits, bits-1 5 bits, total samples 36
       bits packed big-endian at byte 10 of the block body; duration =
       total_samples · 1000 // sample_rate.
+    - MP3 (MPEG audio): optional ID3v2 tag (syncsafe length) skipped,
+      then the first 0xFFE-sync frame header decides version/layer/
+      bitrate/samplerate/channels from the spec tables; duration comes
+      from WALKING every frame (size = 144·bitrate/rate + padding for
+      layers III/II) and summing samples-per-frame — exact for both CBR
+      and VBR, no Xing header needed. bits_per_sample is reported 0
+      (not a PCM notion).
     """
     if data is None:
         return None
@@ -151,6 +224,9 @@ def parse_audio_header(
             dur = (data_size or 0) * 1000 // byte_rate
             return ("wav", sr, ch, bits, dur)
         return None
+    mp3 = _parse_mp3(b)
+    if mp3 is not None:
+        return mp3
     if len(b) >= 4 + 4 + 34 and b[:4] == b"fLaC":
         # first metadata block header at 4: 1-byte (last<<7 | type),
         # 3-byte length; STREAMINFO is type 0 and REQUIRED to be first

@@ -433,6 +433,59 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted MP3 recipe: n CBR MPEG1 Layer III frames at 128 kbps with an
+#: id-planted sample-rate index; every frame is the 4-byte spec header
+#: (0xFFFB, bitrate idx 9, sr idx, stereo) plus a zero payload sized by
+#: the 144·bitrate/rate formula — so the parser must decode the header
+#: tables AND walk every frame to sum samples for the duration.
+_MP3_FIELDS = {
+    "n": "3 + doc_id % 5",
+    "sr": "CASE WHEN doc_id % 3 = 0 THEN 44100 "
+          "WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000 END",
+    "fsize": "CASE WHEN doc_id % 3 = 0 THEN 417 "
+             "WHEN doc_id % 3 = 1 THEN 384 ELSE 576 END",
+}
+_MP3_HEX = (
+    "repeat(concat('fffb', "
+    "CASE WHEN doc_id % 3 = 0 THEN '90' "
+    "WHEN doc_id % 3 = 1 THEN '94' ELSE '98' END, "
+    "'00', repeat('00', ({fsize}) - 4)), {n})"
+)
+
+
+@query(
+    "q_audio_mp3",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(({n}) * ({fsize}) AS BIGINT) AS size_bytes,
+               'mp3' AS "format",
+               CAST({sr} AS INTEGER) AS sample_rate,
+               CAST(2 AS INTEGER) AS channels,
+               CAST(({n}) * 1152 * 1000 // ({sr}) AS BIGINT) AS duration_ms
+        FROM documents
+        """
+    ).format(**_MP3_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MPEG-audio branch of the audio parser under the driver-hashed
+    contract: each doc id derives a CBR MP3 whose frame headers plant a
+    sample-rate index and whose frame COUNT plants the duration — the
+    kernel must decode the bitrate/samplerate tables and walk the frame
+    chain (sizes derived per frame, not assumed) to reproduce
+    n·1152·1000 // rate. bits_per_sample is dropped from the projection
+    (not a PCM notion; reported 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _MP3_HEX.format(**_MP3_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.audio_features(blobs, id_col="id", binary_col="media").select(
+        "id", "size_bytes", "format", "sample_rate", "channels", "duration_ms"
+    )
+
+
 def _u32be(x: str) -> str:
     """SQL building a 4-byte big-endian hex string for expression ``x``
     (ISO-BMFF box fields are big-endian, unlike RIFF)."""

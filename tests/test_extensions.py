@@ -477,6 +477,30 @@ def test_parse_audio_header_real_wav_and_flac():
     assert M.parse_audio_header(b"RIFFxxxxAVI LIST") is None
 
 
+def test_parse_audio_header_mp3():
+    """MPEG-audio: spec-table decode + frame walk, with and without an
+    ID3v2 tag, across MPEG versions/layers."""
+    # 5 CBR MPEG1 Layer III frames, 128 kbps, 44100 Hz, stereo
+    size = 144 * 128000 // 44100
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (size - 4)
+    assert M.parse_audio_header(frame * 5) == ("mp3", 44100, 2, 0, 130)
+    # the same stream behind a 20-byte ID3v2 tag (syncsafe length)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    assert M.parse_audio_header(id3 + frame * 5) == ("mp3", 44100, 2, 0, 130)
+    # MPEG2 Layer III mono 64 kbps 22050 Hz: 576 samples/frame, coeff 72
+    size2 = 72 * 64000 // 22050
+    f2 = bytes([0xFF, 0xF3, (8 << 4), 0xC0]) + b"\x00" * (size2 - 4)
+    assert M.parse_audio_header(f2 * 3) == ("mp3", 22050, 1, 0, 78)
+    # padded frames change the walk stride, not the duration math
+    fp = bytes([0xFF, 0xFB, 0x92, 0x00]) + b"\x00" * (size + 1 - 4)
+    assert M.parse_audio_header(fp * 2) == ("mp3", 44100, 2, 0, 52)
+    # free-format (idx 0) and bad (idx 15) bitrates are rejected
+    assert M.parse_audio_header(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 100) is None
+    assert M.parse_audio_header(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100) is None
+    # an ID3 tag with no audio after it is not an MP3
+    assert M.parse_audio_header(id3) is None
+
+
 def test_audio_features_distributed_kernel(spark):
     """The Arrow kernel must carry real parse results and null out
     unrecognized payloads without failing the batch."""

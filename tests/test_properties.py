@@ -280,7 +280,8 @@ def test_header_parsers_total_on_garbage(data):
         b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8",
         b"\x00\x00\x00\x10ftyp", b"RIFF\x10\x00\x00\x00AVI ",
         b"RIFF\x10\x00\x00\x00WEBPVP8X", b"RIFF\x10\x00\x00\x00WEBPVP8L",
-        b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        b"RIFF\x10\x00\x00\x00WEBPVP8 ", b"\xff\xfb", b"\xff\xf3",
+        b"ID3\x04\x00\x00\x00\x00\x00\x04",
     ):
         blob = prefix + data
         for parser in (
