@@ -604,6 +604,60 @@ def audio_features(
     return df.mapInPandas(_decode_batch, schema=AUDIO_FEATURES_SCHEMA)
 
 
+#: Unified dispatcher output: one row per blob, modality-specific
+#: fields null when not applicable.
+MEDIA_METADATA_SCHEMA = (
+    "id long, size_bytes long, modality string, format string, "
+    "width int, height int, sample_rate int, channels int, duration_ms long"
+)
+
+
+def media_metadata(
+    df: DataFrame, id_col: str = "id", binary_col: str = "media"
+) -> DataFrame:
+    """One-pass modality dispatch over a MIXED media column: each blob
+    is classified by its container magic (image → audio → video, all
+    real pure-stdlib parsers) and the matching fields extracted; the
+    rest stay null. This is the kernel a curation pipeline runs over a
+    heterogeneous corpus — one Arrow scan, no per-modality passes, and
+    unrecognizable payloads degrade to all-null metadata rather than
+    failing the batch."""
+
+    def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dispatch(blob):
+            if blob is None:
+                return (None,) * 7
+            data = bytes(blob)
+            img = parse_image_header(data)
+            if img is not None:
+                return ("image", img[0], img[1], img[2], None, None, None)
+            aud = parse_audio_header(data)
+            if aud is not None:
+                return ("audio", aud[0], None, None, aud[1], aud[2], aud[4])
+            vid = parse_video_header(data)
+            if vid is not None:
+                return ("video", vid[0], vid[1], vid[2], None, None, vid[3])
+            return (None,) * 7
+
+        for pdf in it:
+            out = pd.DataFrame()
+            out["id"] = pdf[id_col]
+            blobs = pdf[binary_col]
+            out["size_bytes"] = blobs.map(lambda b: len(b) if b is not None else 0)
+            parsed = blobs.map(dispatch)
+            for i, (col, dtype) in enumerate(
+                [("modality", "object"), ("format", "object"),
+                 ("width", "Int32"), ("height", "Int32"),
+                 ("sample_rate", "Int32"), ("channels", "Int32"),
+                 ("duration_ms", "Int64")]
+            ):
+                series = parsed.map(lambda p, i=i: p[i])
+                out[col] = series if dtype == "object" else series.astype(dtype)
+            yield out
+
+    return df.mapInPandas(_decode_batch, schema=MEDIA_METADATA_SCHEMA)
+
+
 #: Output schema of video_features — fixed like MEDIA_FEATURES_SCHEMA.
 VIDEO_FEATURES_SCHEMA = (
     "id long, size_bytes long, content_sha256 string, format string, "

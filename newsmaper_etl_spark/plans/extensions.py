@@ -699,6 +699,65 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Mixed-modality recipe for the unified dispatcher: doc_id % 3 picks a
+#: GIF (planted dims), a PCM WAV (the q_audio_features recipe) or an MP4
+#: (the q_video_features recipe) — one blob column, three container
+#: families, so the kernel's magic-byte dispatch is itself under test.
+_GIF_FIELDS = {"gw": "100 + doc_id % 200", "gh": "50 + doc_id % 150"}
+_GIF_HEX = (
+    "concat('474946383961', "
+    + _u16le("{gw}") + ", " + _u16le("{gh}") + ")"
+)
+
+
+@query(
+    "q_media_dispatch",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 44 + ({n})
+                    ELSE 232 END AS BIGINT) AS size_bytes,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav'
+                    ELSE 'mp4' END AS "format",
+               CAST(CASE doc_id % 3 WHEN 0 THEN {gw} WHEN 2 THEN {w}
+                    END AS INTEGER) AS width,
+               CAST(CASE doc_id % 3 WHEN 0 THEN {gh} WHEN 2 THEN {h}
+                    END AS INTEGER) AS height,
+               CAST(CASE doc_id % 3 WHEN 1 THEN {sr} END AS INTEGER)
+                   AS sample_rate,
+               CAST(CASE doc_id % 3 WHEN 1 THEN {ch} END AS INTEGER)
+                   AS channels,
+               CAST(CASE doc_id % 3
+                    WHEN 1 THEN ({n}) * 1000 {div}
+                         (({sr}) * ({ch}) * ({bits}) {div} 8)
+                    WHEN 2 THEN ({dur}) * 1000 {div} ({ts})
+                    END AS BIGINT) AS duration_ms
+        FROM documents
+        """
+    ).format(div="//", **_GIF_FIELDS, **_WAV_FIELDS, **_MP4_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified one-pass dispatcher over a MIXED media column,
+    driver-hashed end to end: each doc id derives a GIF, a WAV or an
+    MP4 (the same planted recipes as the per-modality contracts); the
+    kernel (operators/multimodal.py media_metadata) must classify the
+    container from magic bytes and extract the matching field set,
+    leaving the other modalities' columns null."""
+    docs = load_table(spark, sf_dir, "documents")
+    gif = _GIF_HEX.format(div="div", **_GIF_FIELDS)
+    wav = _WAV_HEX.format(div="div", **_WAV_FIELDS)
+    mp4 = _MP4_HEX.format(div="div", **_MP4_FIELDS)
+    blob = (
+        f"unhex(CASE doc_id % 3 WHEN 0 THEN {gif} "
+        f"WHEN 1 THEN {wav} ELSE {mp4} END)"
+    )
+    blobs = docs.select(F.col("doc_id").alias("id"), F.expr(blob).alias("media"))
+    return M.media_metadata(blobs, id_col="id", binary_col="media")
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------

@@ -759,6 +759,43 @@ def test_video_keyframes_distributed_kernel(spark):
     ]
 
 
+def test_media_metadata_dispatch_kernel(spark):
+    """One-pass modality dispatch over a mixed blob column: each row is
+    classified by magic bytes and only the matching fields populate."""
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    wav_body = (
+        b"WAVE" + b"fmt " + _s.pack("<I", 16) + fmt
+        + b"data" + _s.pack("<I", 4000) + b"\x41" * 4000
+    )
+    wav = b"RIFF" + _s.pack("<I", len(wav_body)) + wav_body
+    rows = [
+        (1, bytearray(_PNG_1x1)),
+        (2, bytearray(wav)),
+        (3, bytearray(_mp4(600, 3000, 640, 360))),
+        (4, bytearray(b"neither fish nor fowl")),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r for r in M.media_metadata(df).collect()}
+    img = out[1]
+    assert (img["modality"], img["format"], img["width"], img["height"]) == (
+        "image", "png", 1, 1,
+    )
+    assert img["sample_rate"] is None and img["duration_ms"] is None
+    aud = out[2]
+    assert (aud["modality"], aud["format"], aud["sample_rate"], aud["channels"],
+            aud["duration_ms"]) == ("audio", "wav", 16000, 1, 250)
+    assert aud["width"] is None
+    vid = out[3]
+    assert (vid["modality"], vid["format"], vid["width"], vid["height"],
+            vid["duration_ms"]) == ("video", "mp4", 640, 360, 5000)
+    assert vid["sample_rate"] is None
+    other = out[4]
+    assert other["modality"] is None and other["format"] is None
+    assert other["size_bytes"] == 21
+
+
 def test_video_features_distributed_kernel(spark):
     """The Arrow kernel carries real MP4/AVI parse results and nulls out
     unrecognized payloads without failing the batch."""
