@@ -269,3 +269,48 @@ def test_manifest_sink_exactly_once_across_restart_and_replay(spark, tmp_path):
     M.overwrite(M.read_table(spark, table).distinct(), table)
     M.vacuum(table, keep_versions=1)
     assert M.last_txn_version(table, "qA") == mark + 1
+
+
+def test_streaming_media_metadata(spark, tmp_path):
+    """The multimodal kernels compose with Structured Streaming
+    unchanged: mapInPandas is a stateless 1→1 projection, so a media
+    directory stream flows through media_metadata exactly like a batch
+    frame (the 100 TB ingestion shape: new media files land, one
+    micro-batch extracts metadata, no shuffle, no state)."""
+    import struct
+
+    from newsmaper_etl_spark.operators import multimodal as M
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 12, 34) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav_body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 44100 * 4) + b"\x00" * 8
+    )
+    wav = b"RIFF" + struct.pack("<I", len(wav_body)) + wav_body
+
+    src = tmp_path / "media_in"
+    spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"opaque"))],
+        "id long, media binary",
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("id long, media binary").parquet(str(src))
+    out = M.media_metadata(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("media_meta_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM media_meta_stream").collect()}
+    assert (rows[1]["modality"], rows[1]["format"], rows[1]["width"]) == (
+        "image", "png", 12,
+    )
+    assert (rows[2]["modality"], rows[2]["sample_rate"], rows[2]["duration_ms"]) == (
+        "audio", 44100, 1000,
+    )
+    assert rows[3]["modality"] is None
