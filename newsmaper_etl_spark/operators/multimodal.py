@@ -53,6 +53,9 @@ def parse_image_header(data: bytes | None) -> tuple[str, int, int] | None:
     - WebP: RIFF + 'WEBP', then the first chunk decides the variant —
       VP8X extended (u24le canvas dims-1), VP8L lossless (14+14-bit
       packed dims-1), VP8 lossy (sync-coded u16le dims, low 14 bits).
+    - TIFF: 'II*\\0' / 'MM\\0*' picks the byte order for everything
+      after; the first IFD is walked for tags 256/257 (width/length),
+      whose SHORT or LONG values sit inline in the 12-byte entry.
     """
     if data is None:
         return None
@@ -91,6 +94,33 @@ def parse_image_header(data: bytes | None) -> tuple[str, int, int] | None:
             if b[body + 3 : body + 6] == b"\x9d\x01\x2a":
                 w, h = struct.unpack("<HH", b[body + 6 : body + 10])
                 return ("webp", w & 0x3FFF, h & 0x3FFF)
+        return None
+    if len(b) >= 8 and b[:4] in (b"II*\x00", b"MM\x00*"):
+        endian = "<" if b[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(endian + "I", b[4:8])
+        if ifd_off + 2 > len(b):
+            return None
+        (n_entries,) = struct.unpack(endian + "H", b[ifd_off : ifd_off + 2])
+        w = h = None
+        for k in range(n_entries):
+            e = ifd_off + 2 + k * 12
+            if e + 12 > len(b):
+                break
+            tag, typ = struct.unpack(endian + "HH", b[e : e + 4])
+            if tag not in (256, 257):
+                continue
+            if typ == 3:  # SHORT, inline left-justified in the value slot
+                (val,) = struct.unpack(endian + "H", b[e + 8 : e + 10])
+            elif typ == 4:  # LONG, inline
+                (val,) = struct.unpack(endian + "I", b[e + 8 : e + 12])
+            else:
+                continue
+            if tag == 256:
+                w = val
+            else:
+                h = val
+        if w is not None and h is not None:
+            return ("tiff", w, h)
         return None
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2

@@ -699,6 +699,48 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted TIFF recipe: little-endian header, one IFD with exactly the
+#: two dimension tags (256 ImageWidth / 257 ImageLength) as inline
+#: SHORTs — the parser must honor the declared byte order and the
+#: left-justified value slot. 38 bytes, constant except dims.
+_TIFF_FIELDS = {"w": "200 + doc_id % 1000", "h": "150 + doc_id % 800"}
+_TIFF_HEX = (
+    "concat('49492a00', '08000000', '0200', "        # II*\\0, IFD@8, 2 entries
+    "'00010300', '01000000', " + _u16le("{w}") + ", '0000', "  # tag 256 SHORT
+    "'01010300', '01000000', " + _u16le("{h}") + ", '0000', "  # tag 257 SHORT
+    "'00000000')"                                     # next-IFD = none
+)
+
+
+@query(
+    "q_media_tiff",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(38 AS BIGINT) AS size_bytes,
+               'tiff' AS "format",
+               CAST({w} AS INTEGER) AS width,
+               CAST({h} AS INTEGER) AS height
+        FROM documents
+        """
+    ).format(**_TIFF_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIFF branch of the image parser under the driver-hashed
+    contract: each doc id derives a valid little-endian TIFF whose IFD
+    carries the two dimension tags as inline SHORT values; the kernel
+    must walk the IFD under the declared byte order."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _TIFF_HEX.format(div="div", **_TIFF_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.media_features(blobs, id_col="id", binary_col="media").select(
+        "id", "size_bytes", "format", "width", "height"
+    )
+
+
 #: Mixed-modality recipe for the unified dispatcher: doc_id % 3 picks a
 #: GIF (planted dims), a PCM WAV (the q_audio_features recipe) or an MP4
 #: (the q_video_features recipe) — one blob column, three container

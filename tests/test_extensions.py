@@ -639,6 +639,31 @@ def test_parse_image_header_webp_variants():
     assert M.parse_image_header(wav) is None
 
 
+def test_parse_image_header_tiff():
+    """TIFF IFD walk under both byte orders, SHORT and LONG dim types."""
+    import struct as _s
+
+    def tiff(w, h, little=True, typ=3):
+        e = "<" if little else ">"
+        hdr = (b"II*\x00" if little else b"MM\x00*") + _s.pack(e + "I", 8)
+
+        def entry(tag, val):
+            slot = (
+                _s.pack(e + "H", val) + b"\x00\x00" if typ == 3
+                else _s.pack(e + "I", val)
+            )
+            return _s.pack(e + "HHI", tag, typ, 1) + slot
+
+        return hdr + _s.pack(e + "H", 2) + entry(256, w) + entry(257, h) + _s.pack(e + "I", 0)
+
+    assert M.parse_image_header(tiff(640, 480)) == ("tiff", 640, 480)
+    assert M.parse_image_header(tiff(1920, 1080, little=False)) == ("tiff", 1920, 1080)
+    assert M.parse_image_header(tiff(70000, 50000, typ=4)) == ("tiff", 70000, 50000)
+    # truncated IFD / unknown magic variants are rejected, not crashed
+    assert M.parse_image_header(b"II*\x00\x08\x00\x00\x00") is None
+    assert M.parse_image_header(b"II+\x00junk") is None
+
+
 def _mp4_with_samples(frames, deltas, timescale=1000, chunks=None, sync=None):
     """A complete MP4 with a real sample table: frames → stsz/stco/stsc,
     deltas → stts runs, sync → stss (1-based), split across ``chunks``

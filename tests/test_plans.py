@@ -358,7 +358,7 @@ def test_multimodal_queries_are_map_only(spark, sf_dir):
     for name in (
         "q_media_features", "q_media_webp", "q_audio_features",
         "q_audio_flac", "q_audio_mp3", "q_video_features", "q_video_avi",
-        "q_video_keyframes", "q_media_dispatch",
+        "q_video_keyframes", "q_media_dispatch", "q_media_tiff",
     ):
         plan = _plan(QUERIES[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"

@@ -281,7 +281,7 @@ def test_header_parsers_total_on_garbage(data):
         b"\x00\x00\x00\x10ftyp", b"RIFF\x10\x00\x00\x00AVI ",
         b"RIFF\x10\x00\x00\x00WEBPVP8X", b"RIFF\x10\x00\x00\x00WEBPVP8L",
         b"RIFF\x10\x00\x00\x00WEBPVP8 ", b"\xff\xfb", b"\xff\xf3",
-        b"ID3\x04\x00\x00\x00\x00\x00\x04",
+        b"ID3\x04\x00\x00\x00\x00\x00\x04", b"II*\x00", b"MM\x00*",
     ):
         blob = prefix + data
         for parser in (
@@ -289,3 +289,63 @@ def test_header_parsers_total_on_garbage(data):
         ):
             out = parser(blob)
             assert out is None or isinstance(out, tuple)
+
+
+@settings(**_PURE)
+@given(
+    a=st.integers(1, 32767),
+    b_=st.integers(1, 32767),
+    c=st.integers(1, 190_000),
+    pick=st.integers(0, 6),
+)
+def test_media_families_are_mutually_exclusive(a, b_, c, pick):
+    """Dispatch invariant behind media_metadata: a valid blob of one
+    container family must be None under the other families' parsers —
+    for arbitrary planted field values, not just fixtures (magic-byte
+    collisions would silently misclassify a corpus)."""
+    import struct
+
+    u32 = lambda x: struct.pack(">I", x)  # noqa: E731
+    ule = lambda x: struct.pack("<I", x)  # noqa: E731
+    if pick == 0:  # PNG
+        blob = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                + struct.pack(">II", a, b_) + b"\x00" * 9)
+        kind = "image"
+    elif pick == 1:  # GIF
+        blob = b"GIF89a" + struct.pack("<HH", a, b_)
+        kind = "image"
+    elif pick == 2:  # WebP VP8X
+        payload = b"\x00" * 4 + (a - 1).to_bytes(3, "little") + (b_ - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + ule(len(payload)) + payload
+        blob = b"RIFF" + ule(4 + len(chunk)) + b"WEBP" + chunk
+        kind = "image"
+    elif pick == 3:  # WAV
+        rate = max(c, 8)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        body = (b"WAVE" + b"fmt " + ule(16) + fmt + b"data" + ule(a) + b"\x00" * min(a, 64))
+        blob = b"RIFF" + ule(len(body)) + body
+        kind = "audio"
+    elif pick == 4:  # FLAC
+        packed = (max(c, 1) << 44) | (0 << 41) | (15 << 36) | a
+        info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        blob = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+        kind = "audio"
+    elif pick == 5:  # MP4
+        blob = _mp4_bytes(max(c, 1), a, a, b_, version=0)
+        kind = "video"
+    else:  # AVI
+        avih = (ule(max(c, 1)) + ule(0) * 3 + ule(a) + ule(0) + ule(1) + ule(0)
+                + ule(a) + ule(b_) + b"\x00" * 16)
+        hdrl = b"LIST" + ule(4 + 8 + len(avih)) + b"hdrl" + b"avih" + ule(len(avih)) + avih
+        body = b"AVI " + hdrl
+        blob = b"RIFF" + ule(len(body)) + body
+        kind = "video"
+    parsers = {
+        "image": _MM.parse_image_header,
+        "audio": _MM.parse_audio_header,
+        "video": _MM.parse_video_header,
+    }
+    assert parsers[kind](blob) is not None
+    for other, parse in parsers.items():
+        if other != kind:
+            assert parse(blob) is None, (pick, other)
