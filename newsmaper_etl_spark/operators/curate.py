@@ -30,22 +30,31 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     minhash_kwargs: dict | None = None,
     salt: int | None = None,
+    near_dup: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
     estimate / fingerprint. Lazy end to end (the only driver actions are
-    inside the connected-components strategy pick)."""
+    inside the connected-components strategy pick).
+
+    ``near_dup=False`` skips the MinHash stage, leaving the fully
+    deterministic sub-pipeline (gate → exact dedup → annotate) — the
+    hash-checkable slice of the recipe (q_curate_exact); the sketch
+    stage stays rows-only by nature."""
     gated = TX.quality_score(docs, text_col).filter(
         f"quality >= {float(min_quality)}"
     )
     exact = D.exact_dedup(gated, [text_col], id_col=id_col, salt=salt)
-    near = D.minhash_dedup(
-        exact,
-        id_col=id_col,
-        text_col=text_col,
-        threshold=near_dup_threshold,
-        **(minhash_kwargs or {}),
-    )
+    if near_dup:
+        near = D.minhash_dedup(
+            exact,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
+            **(minhash_kwargs or {}),
+        )
+    else:
+        near = exact
     annotated = TX.token_stats(
         TX.fingerprint(TX.token_count_bpe(TX.language_id(near, text_col), text_col), text_col),
         text_col,

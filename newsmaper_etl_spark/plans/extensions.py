@@ -65,7 +65,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_case_sql() -> str:
+def _lang_case_sql(source: str = "documents") -> str:
     langs = sorted(TX.STOPWORDS)
     counts = {
         lang: (
@@ -82,7 +82,7 @@ def _lang_case_sql() -> str:
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     selects = ", ".join(f"{expr} AS c_{lang}" for lang, expr in counts.items())
     return f"""
-        WITH scored AS (SELECT doc_id, {selects} FROM documents)
+        WITH scored AS (SELECT doc_id, {selects} FROM {source})
         SELECT doc_id, CASE {' '.join(branches)} ELSE 'und' END AS lang_pred
         FROM scored
     """

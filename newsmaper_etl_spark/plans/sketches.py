@@ -79,6 +79,95 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_exact_oracle() -> str:
+    """Composed oracle for the DETERMINISTIC slice of the curation
+    recipe: the per-stage formulas are the same fragments the individual
+    stage oracles hash-match (quality → keep-first dedup → language /
+    token / BPE / fingerprint annotation), chained over CTEs."""
+    from newsmaper_etl_spark.plans.extensions import _STOP_SQL, _lang_case_sql
+
+    return f"""
+        WITH input AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL  -- planted exact duplicates: keep-first must drop
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL  -- planted junk: quality gate must drop (len<20, all punct)
+            SELECT doc_id + 2000000, '!!!' FROM documents WHERE doc_id % 10 = 0
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   len(text) AS tl,
+                   len(text) - len(translate(text, '.,;:!?''"', '')) AS n_punct,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                       w -> list_contains({_STOP_SQL}, w))) AS n_stop
+            FROM input
+        ),
+        scored0 AS (
+            SELECT doc_id, text, n_tok,
+                   FLOOR(10000 * (
+                       (CASE WHEN tl >= 20 AND tl <= 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+                       + (CASE WHEN (CASE WHEN tl > 0 THEN n_punct / tl ELSE 0.0 END) <= 0.2
+                          THEN 1.0 ELSE 0.5 END) * 0.3
+                       + LEAST((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 3,
+                               1.0) * 0.3
+                   )) / 10000 AS quality
+            FROM base
+        ),
+        survivors AS (
+            SELECT doc_id, text, n_tok, quality FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep
+                FROM scored0 WHERE quality >= 0.5
+            ) WHERE doc_id = keep
+        ),
+        ann AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(CEIL(len(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe,
+                   CAST(SUM(i * (ascii(substring(w, 1, 1)) + 131 * len(w))) AS BIGINT) AS fp
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                  FROM survivors)
+            GROUP BY doc_id
+        ),
+        lang AS ({_lang_case_sql("survivors")})
+        SELECT s.doc_id, l.lang_pred,
+               CAST(s.n_tok AS BIGINT) AS n_tokens, a.n_bpe, a.fp, s.quality
+        FROM survivors s
+        JOIN ann a USING (doc_id)
+        JOIN lang l USING (doc_id)
+    """
+
+
+@query("q_curate_exact", oracle=_curate_exact_oracle(), tags=("DEDUP", "TEXT", "PIPELINE"))
+def q_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation recipe's deterministic sub-pipeline (quality gate →
+    exact keep-first dedup → annotation), hash-checked END TO END as one
+    composed plan — the same curate_corpus code path with the sketch
+    stage off (near_dup=False), so stage CHAINING is itself under the
+    driver gate (each stage alone already hash-matches; this pins that
+    the composition filters/joins/annotates the same surviving rows).
+    Exact duplicates and sub-gate junk rows are PLANTED on top of the
+    corpus (the raw documents pass both stages untouched at test SFs),
+    so a gate or dedup leak changes the hash. q_curate_corpus stays the
+    full recipe (rows-only: MinHash)."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
+    base = docs.select("doc_id", "text")
+    tenth = base.filter(F.col("doc_id") % 10 == 0)
+    planted = base.unionByName(
+        tenth.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        tenth.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.lit("!!!").alias("text"),
+        )
+    )
+    return curate_corpus(planted, near_dup=False).select(
+        "doc_id", "lang_pred", "n_tokens", "n_bpe", "fp", "quality"
+    )
+
+
 @query(
     "q_approx_distinct",
     oracle="""
