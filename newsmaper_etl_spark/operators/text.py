@@ -287,3 +287,55 @@ def normalize_text(df: DataFrame, col: str = "text", out: str = "norm") -> DataF
 
     c = F.col(col) if isinstance(col, str) else col
     return df.withColumn(out, _norm(c))
+
+
+def rare_token_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    rare_max: int = 2,
+    nll: bool = False,
+) -> DataFrame:
+    """Corpus-frequency quality statistics per document — the CCNet-style
+    LM quality gate expressed over the corpus's OWN unigram distribution:
+    documents dense in tokens the corpus has rarely seen are the noisy
+    tail a curation pipeline trims.
+
+    Per doc: ``n_tokens``, ``min_cf`` (the rarest token's corpus count),
+    ``n_rare`` (tokens with corpus count ≤ ``rare_max``), ``rare_ratio``
+    (floor-scaled — exact: an integer-scaled integer ratio divides
+    without representation error below 2^53, so it hash-compares across
+    engines). ``nll=True`` adds the canonical smoothed unigram
+    negative-log-likelihood ``avg(-ln((cf + 0.5) / (total + 0.5·V)))`` —
+    deliberately NOT part of any oracle contract: ln() differs in the
+    last ulp between JVM and libm (see q_tfidf_topterms), so the
+    hash-checked query rides the integer statistics and the NLL is the
+    same ranking under a monotone transform.
+
+    Plan shape (scales): explode → corpus-frequency hash aggregate
+    (token-keyed shuffle) → join back on token → per-doc aggregate
+    (doc-keyed shuffle). The two scalar corpus totals broadcast via a
+    one-row cross join (the Q11 scalar-cutoff shape); nothing collects.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(col)).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    per_doc = toks.join(freq, on="w")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.min("cf").cast("long").alias("min_cf"),
+        F.sum((F.col("cf") <= rare_max).cast("long")).alias("n_rare"),
+    ]
+    if nll:
+        totals = freq.agg(
+            F.sum("cf").alias("cf_total"), F.count(F.lit(1)).alias("v_size")
+        )
+        per_doc = per_doc.crossJoin(F.broadcast(totals))
+        aggs.append(
+            F.avg(
+                -F.log((F.col("cf") + 0.5) / (F.col("cf_total") + 0.5 * F.col("v_size")))
+            ).alias("nll")
+        )
+    out = per_doc.groupBy(id_col).agg(*aggs)
+    return out.withColumn(
+        "rare_ratio", F.floor(F.lit(10000) * F.col("n_rare") / F.col("n_tokens")) / 10000
+    )

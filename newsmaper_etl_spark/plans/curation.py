@@ -490,6 +490,40 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rare_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        freq AS (SELECT w, COUNT(*) AS cf FROM toks GROUP BY w)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(MIN(cf) AS BIGINT) AS min_cf,
+               CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare,
+               FLOOR(10000 * SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END)
+                     / COUNT(*)) / 10000 AS rare_ratio
+        FROM toks JOIN freq USING (w)
+        GROUP BY doc_id
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density per document against the corpus's own unigram
+    distribution — the hash-portable core of an LM quality gate
+    (operators/text.py rare_token_stats; the smoothed-NLL variant is the
+    same ranking under a monotone transform but ln() is not ulp-portable
+    across engines, so the contract rides the exact integer statistics).
+    Plan: token-keyed frequency aggregate, join back, doc-keyed
+    aggregate — both shuffles on keys that scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.rare_token_stats(docs).select(
+        "doc_id", "n_tokens", "min_cf", "n_rare", "rare_ratio"
+    )
+
+
+@query(
     "q_tfidf_topterms",
     oracle="""
         WITH tf AS (

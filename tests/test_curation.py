@@ -216,3 +216,25 @@ def test_tpch_q5_broadcasts_fixed_dims_only(spark, sf_dir):
     plan = _plan(QUERIES["q_tpch_q5"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rare_token_stats_nll_monotone(spark):
+    """The smoothed-NLL option ranks a rare-token document above a
+    common-token one (same ordering the integer rare_ratio contract
+    pins), and the integer stats are exact."""
+    from newsmaper_etl_spark.operators import text as TX
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common zxqv common"),
+        (3, "zxqv wvut common qjxz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TX.rare_token_stats(df, rare_max=1, nll=True).collect()
+    }
+    assert out[1]["n_rare"] == 0 and out[1]["min_cf"] == 8
+    assert out[2]["n_rare"] == 0 and out[2]["min_cf"] == 2  # zxqv appears twice
+    assert out[3]["n_rare"] == 2 and out[3]["rare_ratio"] == 0.5
+    assert out[1]["nll"] < out[2]["nll"] < out[3]["nll"]
