@@ -197,13 +197,24 @@ def _parse_mp3(b: bytes) -> tuple[str, int, int, int, int] | None:
         return None
     _, rate, _, channels = first
     total_samples = 0
+    n_frames = 0
     while True:
         f = frame(i)
         if f is None:
             break
         size, _r, samples, _c = f
         total_samples += samples
+        n_frames += 1
         i += size
+    # One plausible header alone is not an MP3: random/UTF-16-BOM bytes
+    # (0xFF 0xFE…) satisfy the sync check routinely, and an "exactly
+    # truncated" single frame is indistinguishable from such text. The
+    # walk must find a SECOND valid frame at the computed offset — the
+    # same next-frame validation real MP3 sniffers use (a real stream is
+    # many frames; a 26 ms single-frame file is not worth the false
+    # positives a looser rule admits on a mixed corpus).
+    if n_frames < 2:
+        return None
     return ("mp3", rate, channels, 0, total_samples * 1000 // rate)
 
 
@@ -274,6 +285,30 @@ def parse_audio_header(
     return None
 
 
+def _iter_boxes(b: bytes, lo: int, hi: int) -> Iterator[tuple[bytes, int, int]]:
+    """Walk ISO-BMFF boxes in ``b[lo:hi]``, yielding (fourcc, body_start,
+    box_end). Handles u64 largesize (size==1) and to-EOF (size==0);
+    stops on any malformed length instead of overrunning. Shared by
+    parse_video_header and parse_mp4_samples — one walk, one set of
+    guards."""
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if body + 8 > hi:
+                return
+            (size,) = struct.unpack(">Q", b[body : body + 8])
+            body += 8
+        elif size == 0:
+            size = hi - i
+        if size < body - i or i + size > hi:
+            return
+        yield typ, body, i + size
+        i += size
+
+
 def parse_video_header(
     data: bytes | None,
 ) -> tuple[str, int, int, int] | None:
@@ -300,44 +335,28 @@ def parse_video_header(
         return None
     b = bytes(data)
 
-    # --- MP4 / ISO base media: require a leading well-formed box with a
-    # recognizable top-level fourcc (ftyp in practice)
-    def _boxes(lo: int, hi: int) -> Iterator[tuple[bytes, int, int]]:
-        i = lo
-        while i + 8 <= hi:
-            (size,) = struct.unpack(">I", b[i : i + 4])
-            typ = b[i + 4 : i + 8]
-            body = i + 8
-            if size == 1:
-                if body + 8 > hi:
-                    return
-                (size,) = struct.unpack(">Q", b[body : body + 8])
-                body += 8
-            elif size == 0:
-                size = hi - i
-            if size < body - i or i + size > hi:
-                return  # malformed length: stop, don't overrun
-            yield typ, body, i + size
-            i += size
-
     if len(b) >= 12 and b[4:8] in (b"ftyp", b"moov", b"styp"):
         timescale = duration = None
         width = height = None
-        for typ, lo, hi in _boxes(0, len(b)):
+        for typ, lo, hi in _iter_boxes(b, 0, len(b)):
             if typ != b"moov":
                 continue
-            for t2, lo2, hi2 in _boxes(lo, hi):
+            for t2, lo2, hi2 in _iter_boxes(b, lo, hi):
                 if t2 == b"mvhd" and lo2 + 4 <= hi2:
                     v = b[lo2]
                     if v == 0 and lo2 + 24 <= hi2:
                         timescale, duration = struct.unpack(
                             ">II", b[lo2 + 12 : lo2 + 20]
                         )
+                        if duration == 0xFFFFFFFF:  # spec "unknown" sentinel
+                            duration = 0
                     elif v == 1 and lo2 + 32 <= hi2:
                         (timescale,) = struct.unpack(">I", b[lo2 + 20 : lo2 + 24])
                         (duration,) = struct.unpack(">Q", b[lo2 + 24 : lo2 + 32])
+                        if duration == 0xFFFFFFFFFFFFFFFF:
+                            duration = 0
                 elif t2 == b"trak":
-                    for t3, lo3, hi3 in _boxes(lo2, hi2):
+                    for t3, lo3, hi3 in _iter_boxes(b, lo2, hi2):
                         if t3 != b"tkhd" or lo3 + 4 > hi3:
                             continue
                         off = lo3 + (84 if b[lo3] == 0 else 96)
@@ -365,7 +384,10 @@ def parse_video_header(
                     sid = b[j : j + 4]
                     (slen,) = struct.unpack("<I", b[j + 4 : j + 8])
                     sbody = j + 8
-                    if sid == b"avih" and sbody + 40 <= len(b):
+                    # the header fields must lie inside avih's DECLARED
+                    # length — a short chunk must not read the neighbor's
+                    # bytes as dimensions
+                    if sid == b"avih" and slen >= 40 and sbody + 40 <= len(b):
                         # uspf@0, frames@16, width@32, height@36 (u32le)
                         uspf, frames, w, h = struct.unpack(
                             "<I12xI12xII", b[sbody : sbody + 40]
@@ -400,37 +422,48 @@ def parse_mp4_samples(
     if len(b) < 12 or b[4:8] not in (b"ftyp", b"moov", b"styp"):
         return None
 
-    def _boxes(lo: int, hi: int) -> Iterator[tuple[bytes, int, int]]:
-        i = lo
-        while i + 8 <= hi:
-            (size,) = struct.unpack(">I", b[i : i + 4])
-            typ = b[i + 4 : i + 8]
-            body = i + 8
-            if size == 1:
-                if body + 8 > hi:
-                    return
-                (size,) = struct.unpack(">Q", b[body : body + 8])
-                body += 8
-            elif size == 0:
-                size = hi - i
-            if size < body - i or i + size > hi:
-                return
-            yield typ, body, i + size
-            i += size
-
     def _find(path: tuple[bytes, ...], lo: int, hi: int) -> tuple[int, int] | None:
-        for typ, l2, h2 in _boxes(lo, hi):
+        for typ, l2, h2 in _iter_boxes(b, lo, hi):
             if typ == path[0]:
                 return (l2, h2) if len(path) == 1 else _find(path[1:], l2, h2)
         return None
 
-    trak = _find((b"moov", b"trak"), 0, len(b))
-    if trak is None:
+    def _tkhd_dims(trak_lo: int, trak_hi: int) -> tuple[int, int]:
+        for typ, l2, h2 in _iter_boxes(b, trak_lo, trak_hi):
+            if typ != b"tkhd" or l2 + 4 > h2:
+                continue
+            off = l2 + (84 if b[l2] == 0 else 96)
+            if off <= h2:
+                w_fx, h_fx = struct.unpack(">II", b[off - 8 : off])
+                return (w_fx >> 16, h_fx >> 16)
+        return (0, 0)
+
+    # Pick the VIDEO track: a real muxer often writes the audio trak
+    # first, and audio tkhds carry 0x0 dimensions — so prefer the first
+    # trak that has BOTH a sample table and nonzero dims, falling back
+    # to the first trak with a sample table (dimension-less but usable).
+    moov = _find((b"moov",), 0, len(b))
+    if moov is None:
         return None
-    mdhd = _find((b"mdia", b"mdhd"), *trak)
-    stbl = _find((b"mdia", b"minf", b"stbl"), *trak)
-    if mdhd is None or stbl is None:
+    chosen = fallback = None
+    for typ, t_lo, t_hi in _iter_boxes(b, *moov):
+        if typ != b"trak":
+            continue
+        md = _find((b"mdia", b"mdhd"), t_lo, t_hi)
+        st = _find((b"mdia", b"minf", b"stbl"), t_lo, t_hi)
+        if md is None or st is None:
+            continue
+        if fallback is None:
+            fallback = (md, st)
+        w, h = _tkhd_dims(t_lo, t_hi)
+        if w and h:
+            chosen = (md, st)
+            break
+    if chosen is None:
+        chosen = fallback
+    if chosen is None:
         return None
+    mdhd, stbl = chosen
 
     # media timescale (mdhd v0: u32 at body+12; v1: u32 at body+20)
     lo, hi = mdhd
@@ -472,7 +505,11 @@ def parse_mp4_samples(
     if box is not None and box[0] + 12 <= box[1]:
         uniform, n = struct.unpack(">II", b[box[0] + 4 : box[0] + 12])
         if uniform:
-            sizes = [uniform] * n
+            # a corrupt/hostile count must not drive an unbounded list:
+            # n uniform samples occupy n·uniform bytes of mdat, which
+            # cannot exceed the file itself
+            if n <= len(b) and uniform * n <= len(b):
+                sizes = [uniform] * n
         elif box[0] + 12 + n * 4 <= box[1]:
             sizes = list(struct.unpack(f">{n}I", b[box[0] + 12 : box[0] + 12 + n * 4]))
     if not (stts and stsc and stco and sizes):
@@ -669,19 +706,22 @@ def media_metadata(
                 return ("video", vid[0], vid[1], vid[2], None, None, vid[3])
             return (None,) * 7
 
+        cols = [
+            ("modality", "object"), ("format", "object"),
+            ("width", "Int32"), ("height", "Int32"),
+            ("sample_rate", "Int32"), ("channels", "Int32"),
+            ("duration_ms", "Int64"),
+        ]
         for pdf in it:
             out = pd.DataFrame()
             out["id"] = pdf[id_col]
             blobs = pdf[binary_col]
             out["size_bytes"] = blobs.map(lambda b: len(b) if b is not None else 0)
-            parsed = blobs.map(dispatch)
-            for i, (col, dtype) in enumerate(
-                [("modality", "object"), ("format", "object"),
-                 ("width", "Int32"), ("height", "Int32"),
-                 ("sample_rate", "Int32"), ("channels", "Int32"),
-                 ("duration_ms", "Int64")]
-            ):
-                series = parsed.map(lambda p, i=i: p[i])
+            # one pass over the blobs; one zip to split the field tuples
+            # (a .map per column would re-traverse the series 7 times)
+            fields = list(zip(*(dispatch(blob) for blob in blobs))) or [[]] * len(cols)
+            for (col, dtype), vals in zip(cols, fields):
+                series = pd.Series(vals, index=pdf.index, dtype="object")
                 out[col] = series if dtype == "object" else series.astype(dtype)
             yield out
 

@@ -784,6 +784,96 @@ def test_video_keyframes_distributed_kernel(spark):
     ]
 
 
+def test_media_parsers_hostile_inputs():
+    """Review-pass regressions: corrupt/hostile containers must parse to
+    None (or bounded output), never crash, allocate unbounded memory, or
+    misclassify."""
+    import struct as _s
+
+    u32 = lambda x: _s.pack(">I", x)  # noqa: E731
+    box = lambda t, p: u32(8 + len(p)) + t + p  # noqa: E731
+    full = lambda t, p: box(t, b"\x00\x00\x00\x00" + p)  # noqa: E731
+
+    # stsz "bomb": uniform size with count 2^31 must be rejected, not
+    # allocated (one hostile blob must not OOM the executor)
+    mdhd = full(b"mdhd", u32(0) * 2 + u32(1000) + u32(0) + _s.pack(">HH", 0x55C4, 0))
+    stts = full(b"stts", u32(1) + u32(1) + u32(100))
+    stsc = full(b"stsc", u32(1) + u32(1) + u32(1) + u32(1))
+    stsz = full(b"stsz", u32(1) + u32(2**31))
+    stco = full(b"stco", u32(1) + u32(0))
+    stbl = box(b"stbl", stts + stsc + stsz + stco)
+    trak = box(b"trak", box(b"mdia", mdhd + box(b"minf", stbl)))
+    bomb = u32(16) + b"ftyp" + b"isom" + u32(0x200) + box(b"moov", trak)
+    assert M.parse_mp4_samples(bomb) is None
+
+    # UTF-16 BOM text (0xFF 0xFE …) satisfies the MPEG sync check but is
+    # not audio: a lone plausible frame header must not classify
+    assert M.parse_audio_header("corpus sample text".encode("utf-16")) is None
+    size = 144 * 128000 // 44100
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (size - 4)
+    assert M.parse_audio_header(frame) is None       # single frame: rejected
+    assert M.parse_audio_header(frame * 2) is not None
+
+    # mvhd duration of all-ones is the spec "unknown" sentinel, not 83 days
+    matrix = u32(0x10000) + u32(0) * 3 + u32(0x10000) + u32(0) * 3 + u32(0x40000000)
+    mvhd = full(b"mvhd", u32(0) * 2 + u32(600) + u32(0xFFFFFFFF) + u32(0x10000)
+                + _s.pack(">H", 0x100) + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + u32(0) * 2 + u32(1) + u32(0) + u32(0)
+               + b"\x00" * 16 + matrix + u32(640 << 16) + u32(360 << 16))
+    unk = u32(16) + b"ftyp" + b"isom" + u32(0x200) + box(b"moov", mvhd + box(b"trak", tkhd))
+    assert M.parse_video_header(unk) == ("mp4", 640, 360, 0)
+
+    # an avih chunk shorter than its 40 header bytes must not read the
+    # NEXT chunk's bytes as dimensions
+    ule = lambda x: _s.pack("<I", x)  # noqa: E731
+    short_avih = b"avih" + ule(8) + b"\x01\x00\x00\x00\x02\x00\x00\x00"
+    hdrl = (b"LIST" + ule(4 + len(short_avih) + 12) + b"hdrl"
+            + short_avih + b"JUNK" + ule(4) + b"\xff" * 4)
+    body = b"AVI " + hdrl
+    assert M.parse_video_header(b"RIFF" + ule(len(body)) + body) is None
+
+
+def test_parse_mp4_samples_picks_video_track():
+    """An audio trak (0x0 tkhd dims) BEFORE the video trak must not win
+    the sample-table walk — the extracted access units are the video
+    track's bytes."""
+    import struct as _s
+
+    u32 = lambda x: _s.pack(">I", x)  # noqa: E731
+    box = lambda t, p: u32(8 + len(p)) + t + p  # noqa: E731
+    full = lambda t, p: box(t, b"\x00\x00\x00\x00" + p)  # noqa: E731
+    matrix = u32(0x10000) + u32(0) * 3 + u32(0x10000) + u32(0) * 3 + u32(0x40000000)
+    mdhd = full(b"mdhd", u32(0) * 2 + u32(1000) + u32(0) + _s.pack(">HH", 0x55C4, 0))
+    frames = [b"VID0" * 2, b"VID1" * 3]
+    a_stbl = box(b"stbl",
+                 full(b"stts", u32(1) + u32(1) + u32(100))
+                 + full(b"stsc", u32(1) + u32(1) + u32(1) + u32(1))
+                 + full(b"stsz", u32(0) + u32(1) + u32(4))
+                 + full(b"stco", u32(1) + u32(0)))
+    a_tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + u32(0) * 2 + u32(2) + u32(0) + u32(0)
+                 + b"\x00" * 16 + matrix + u32(0) + u32(0))
+    a_trak = box(b"trak", a_tkhd + box(b"mdia", mdhd + box(b"minf", a_stbl)))
+    v_tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + u32(0) * 2 + u32(1) + u32(0) + u32(0)
+                 + b"\x00" * 16 + matrix + u32(320 << 16) + u32(240 << 16))
+
+    def build(off):
+        v_stbl = box(b"stbl",
+                     full(b"stts", u32(1) + u32(2) + u32(100))
+                     + full(b"stsc", u32(1) + u32(1) + u32(2) + u32(1))
+                     + full(b"stsz", u32(0) + u32(2) + u32(8) + u32(12))
+                     + full(b"stco", u32(1) + u32(off)))
+        v_trak = box(b"trak", v_tkhd + box(b"mdia", mdhd + box(b"minf", v_stbl)))
+        return (u32(16) + b"ftyp" + b"isom" + u32(0x200)
+                + box(b"moov", a_trak + v_trak))
+
+    off = len(build(0)) + 8
+    blob = build(off) + box(b"mdat", b"".join(frames))
+    samples = M.parse_mp4_samples(blob)
+    assert len(samples) == 2
+    for i, o, s, _t, _k in samples:
+        assert blob[o : o + s] == frames[i]
+
+
 def test_media_metadata_dispatch_kernel(spark):
     """One-pass modality dispatch over a mixed blob column: each row is
     classified by magic bytes and only the matching fields populate."""
