@@ -54,7 +54,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -102,15 +101,19 @@ def _best(fn, repeat: int) -> float | None:
         s = sorted(samples)
         if s[0] < FAST_CUTOFF and n < FAST_REPEAT:
             continue
-        if n < CONVERGE_MAX and s[1] > s[0] * 1.3:
+        # convergence needs two samples to compare; a repeat=1 run
+        # (SPARK_GRAFT_BENCH_REPEAT=1) legitimately has only one
+        if n < CONVERGE_MAX and len(s) > 1 and s[1] > s[0] * 1.3:
             continue
         return s[0]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    from newsmaper_etl_spark.io import parse_sf
+
+    sf = parse_sf(sf_dir)
+    sf = -1.0 if sf is None else sf
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
     _ensure_loaded()

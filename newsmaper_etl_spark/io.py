@@ -34,6 +34,24 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def parse_sf(sf_dir: str) -> float | None:
+    """Scale factor from a ``.../sfN.NN`` path component, or None when
+    the path carries no parseable scale (including degenerate matches
+    like ``sf.old`` — float('.') must not crash a query build; unknown
+    is unknown). The single shared parse: _tune_session, is_toy and
+    bench.py all route through here so the no-match behavior cannot
+    drift between call sites."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if not m:
+        return None
+    try:
+        return float(m.group(1))
+    except ValueError:
+        return None
+
+
 def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     """Right-size runtime-settable SQL conf for the data scale.
 
@@ -53,10 +71,8 @@ def _tune_session(spark: SparkSession, sf_dir: str) -> None:
     """
     if getattr(spark, "_newsmaper_tuned", False):
         return
-    import re
-
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 1.0
+    sf = parse_sf(sf_dir)
+    sf = 1.0 if sf is None else sf
     if sf <= 0.2:
         # Bench/correctness scales: the largest single exchange is a few
         # tens of MB, so even 32 shuffle tasks are pure scheduling
@@ -182,10 +198,8 @@ def is_toy(sf_dir: str) -> bool:
     small-data-only physical choices (fan_out, table caching,
     interpreted-vs-unrolled expression forms). Unknown dirs count as
     real scale: the conservative default is the 100 TB posture."""
-    import re
-
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return bool(m) and float(m.group(1)) <= 0.2
+    sf = parse_sf(sf_dir)
+    return sf is not None and sf <= 0.2
 
 
 #: Partition count for toy-scale cached tables and fan_out. 16 ≈ half

@@ -272,12 +272,23 @@ def _check_partitioning(
     """A table's Hive layout is all-or-nothing: mixing partitioned and
     unpartitioned batches would make Spark's path-based partition
     discovery see conflicting structures at read time — fail the COMMIT
-    instead (the same contract as the schema check)."""
-    recorded = prev.get("partition_by")
-    if recorded is not None and tuple(recorded) != tuple(partition_by):
+    instead (the same contract as the schema check).
+
+    A manifest written before partition support has no ``partition_by``
+    key: those tables were laid out FLAT, so for a manifest that already
+    references files the missing key means ``()`` — a partitioned append
+    onto such a table must fail, not slip through as "unknown". A
+    manifest with NO files (the fresh-table version-0 sentinel, or a
+    table truncated by overwrite) is still free to establish any
+    layout."""
+    if not prev.get("files"):
+        return
+    recorded = tuple(prev.get("partition_by") or ())
+    if recorded != tuple(partition_by):
         raise ValueError(
             f"partitioning mismatch appending to {table}: table is "
-            f"partitioned by {recorded}, batch by {list(partition_by)}"
+            f"partitioned by {list(recorded)}, batch by "
+            f"{list(partition_by)}"
         )
 
 

@@ -129,10 +129,19 @@ def parse_image_header(data: bytes | None) -> tuple[str, int, int] | None:
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            if marker == 0x00 or marker == 0xD9:
+                # 0x00 is a stuffed data byte (we've walked into the
+                # entropy stream via a corrupt length) and 0xD9 is EOI:
+                # no SOF can legitimately follow either
+                break
+            if marker == 0xDA:  # SOS: entropy-coded data follows, stop
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
                 i += 2
                 continue
             (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seglen < 2:  # segment length includes itself; <2 is corrupt
+                break
             if marker in _JPEG_SOF:
                 if i + 9 <= len(b):
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])

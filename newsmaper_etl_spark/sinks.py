@@ -349,13 +349,21 @@ def read_news_tx_for_dates(
     partition pruning, at file grain)."""
     from newsmaper_etl_spark import manifest as M
 
-    m = M._load_manifest(table, M.current_version(table))
+    # pin the layout probe and the read to ONE version: a commit landing
+    # between two separate current_version() calls could make the layout
+    # decision and the snapshot disagree (and read_table would re-load
+    # the same manifest a second time)
+    version = M.current_version(table)
+    m = M._load_manifest(table, version)
     if _PART_COL in (m.get("partition_by") or []):
         df = M.read_table(
-            spark, table, prune=(_PART_COL, from_key // 100, to_key // 100)
+            spark, table, version=version,
+            prune=(_PART_COL, from_key // 100, to_key // 100),
         ).drop(_PART_COL)
     else:
-        df = M.read_table(spark, table, prune=("id_date", from_key, to_key))
+        df = M.read_table(
+            spark, table, version=version, prune=("id_date", from_key, to_key)
+        )
     return df.filter(
         (F.col("id_date") >= from_key) & (F.col("id_date") <= to_key)
     )

@@ -832,6 +832,15 @@ def test_media_parsers_hostile_inputs():
     body = b"AVI " + hdrl
     assert M.parse_video_header(b"RIFF" + ule(len(body)) + body) is None
 
+    # JPEG: a corrupt segment length that walks the scan into
+    # entropy-coded bytes (where FF C0 occurs freely) must stop at SOS
+    # rather than return garbage dimensions; seglen < 2 is corrupt too
+    entropy = (b"\x12\x34" + b"\xff\x00" + b"\xff\xc0"
+               + _s.pack(">HBHHB", 11, 8, 999, 888, 1) + b"\x01\x11\x00")
+    sos = b"\xff\xd8\xff\xe0\x00\x07" + b"\xff\xda" + _s.pack(">H", 4) + b"\x00\x00"
+    assert M.parse_image_header(sos + entropy) is None
+    assert M.parse_image_header(b"\xff\xd8\xff\xe0" + _s.pack(">H", 1) + b"\x00" * 20) is None
+
 
 def test_parse_mp4_samples_picks_video_track():
     """An audio trak (0x0 tkhd dims) BEFORE the video trak must not win

@@ -320,6 +320,35 @@ def test_partition_layout_is_enforced(spark, tmp_path):
         M.append(values_df(spark, [(2, 20, "b")], ["id", "day", "v"]), t)
 
 
+def test_partition_layout_enforced_on_legacy_manifests(spark, tmp_path):
+    """A manifest written BEFORE partition support has no partition_by
+    key; its files are flat, so a partitioned append must fail (a mixed
+    layout would break Spark's partition discovery at read time), while
+    a flat append keeps working. A fileless table is still free to
+    establish any layout."""
+    import json
+    import os
+
+    t = str(tmp_path / "legacy")
+    M.append(values_df(spark, [(1, 10, "a")], ["id", "day", "v"]), t)
+    # strip the key to simulate the pre-upgrade manifest format
+    v = M.current_version(t)
+    path = M._manifest_path(t, v)
+    with open(path) as f:
+        m = json.load(f)
+    del m["partition_by"]
+    os.chmod(path, 0o644)
+    with open(path, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        M.append(
+            values_df(spark, [(2, 20, "b")], ["id", "day", "v"]), t,
+            partition_by=("day",),
+        )
+    M.append(values_df(spark, [(3, 30, "c")], ["id", "day", "v"]), t)
+    assert M.read_table(spark, t).count() == 2
+
+
 def test_news_tx_partitioned_end_to_end(spark, tmp_path):
     from newsmaper_etl_spark.sinks import (
         append_news_tx, read_news_tx_for_dates, rewrite_dedup_tx,

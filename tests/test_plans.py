@@ -329,7 +329,11 @@ def test_table_cache_value_parity(spark, sf_dir):
             .collect()
         )
         proj = sorted(
-            (r.l_orderkey, r.l_linenumber) for r in df.select("l_orderkey", "l_linenumber").limit(0).collect()
+            (r.l_orderkey, r.l_linenumber)
+            for r in df.select("l_orderkey", "l_linenumber")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(50)
+            .collect()
         )
         return agg, proj
 
