@@ -126,18 +126,6 @@ def hashed_shingles_expr(th_col: str, k: int = 3):
     ).otherwise(F.array(F.xxhash64(F.col(th_col))))
 
 
-def hashed_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """(id, __hs): DISTINCT shingle hashes per document — the shared
-    basis of the minhash pipeline (signatures and Jaccard verification
-    both derive from it, so shingling cost is paid in one shape)."""
-    tmp = df.withColumn("__th", token_hashes_col(text_col))
-    return tmp.withColumn(
-        "__hs", F.array_distinct(hashed_shingles_expr("__th", k))
-    ).select(id_col, "__hs")
-
-
 def minhash_signature(
     df: DataFrame, text_col: str = "text", num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
@@ -177,7 +165,16 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
     band. rows = bands × docs before the bucket join; the self-join
     shuffles on (band, band_hash) so only same-bucket docs ever meet.
+
+    ``bands`` must divide ``num_hashes``: trailing signature positions
+    would otherwise be computed but silently excluded from every band
+    (paid-for hashes with no recall contribution), and ``bands >
+    num_hashes`` would build zero-row bands.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes}"
+        )
     rows = num_hashes // bands
     sigged = minhash_signature(df, text_col, num_hashes, k).select(id_col, "sig")
     banded = sigged.select(
@@ -272,8 +269,22 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            prev_sum = None  # converged marker
             break
         prev_sum = cur_sum
+    if prev_sum is not None:
+        # the loop exhausted max_iter while labels were still moving:
+        # a cluster with diameter > max_iter keeps multiple survivors.
+        # Surface it ("no silent caps") instead of returning quietly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: labels not converged after "
+            f"{max_iter} iterations (graph diameter exceeds max_iter); "
+            "components may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     edges.unpersist()
     # Detach the result from the iteration's persisted lineage: checkpoint
@@ -394,8 +405,15 @@ def jaccard_verify(
     nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
     raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     jacc = raw if round_digits is None else F.round(raw, round_digits)
+    # left join from the CANDIDATE list: a pair with an empty shingle
+    # intersection (band-hash coincidence) must score 0.0, not silently
+    # vanish — this is a verification primitive, every input pair gets
+    # a verdict row
     return (
-        inter.join(na, on="id_a")
+        pairs.select("id_a", "id_b")
+        .join(inter, on=["id_a", "id_b"], how="left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(na, on="id_a")
         .join(nb, on="id_b")
         .withColumn("jaccard", jacc)
         .select("id_a", "id_b", "jaccard")
@@ -453,9 +471,16 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     checkpoint: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on 16-bit signature chunks (any
-    pair within hamming≤3 of 64 bits shares ≥1 identical 16-bit chunk by
-    pigeonhole), then verify hamming distance inside buckets only.
+    """Near-dup pairs by SimHash: bucket on signature chunks, then
+    verify hamming distance inside buckets only.
+
+    The chunk count DERIVES from the radius: a pair within hamming ≤ h
+    of 64 bits shares ≥1 identical chunk only when there are h+1 chunks
+    (pigeonhole — with fewer, the differing bits can land one per chunk
+    and the pair never meets, silently dropping qualifying pairs). The
+    default h=3 → 4 sixteen-bit chunks; larger radii get narrower
+    chunks (coarser buckets, more verification work — the correct
+    recall/cost trade, made explicit instead of broken).
 
     The (id, simhash) frame is localCheckpoint-ed before the self-join:
     both join sides would otherwise recompute the 64-lane signature from
@@ -465,6 +490,14 @@ def simhash_near_pairs(
     ``checkpoint=False`` skips the eager materialization for callers on
     tiny bounded inputs (the planted contract fixtures): there, the
     extra job costs more than recomputing 100 signatures twice."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming={max_hamming} out of range [0, 63]")
+    n_chunks = max_hamming + 1
+    # chunk c covers bits [c·64//n, (c+1)·64//n) — widths differ by at
+    # most one bit when n doesn't divide 64
+    bounds = [
+        (c * 64 // n_chunks, (c + 1) * 64 // n_chunks) for c in range(n_chunks)
+    ]
     sigged = simhash(df, text_col).select(id_col, "simhash")
     if checkpoint:
         sigged = sigged.localCheckpoint(eager=True)
@@ -475,9 +508,11 @@ def simhash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    F.shiftrightunsigned("simhash", lo)
+                    .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                    .alias("cv"),
                 )
-                for c in range(4)
+                for c, (lo, hi) in enumerate(bounds)
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.cv")
@@ -558,6 +593,7 @@ def contamination_check(
     n: int = 8,
     broadcast_eval: bool = True,
     hashed: bool = False,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Flag training documents sharing any n-gram with a benchmark/eval
     set → ``(id, n_contam)`` with n_contam = #distinct contaminated
@@ -571,8 +607,12 @@ def contamination_check(
     default and the bulk corpus never shuffles: the only exchanged rows
     are the JOIN HITS (grams actually shared with the benchmark — a
     vanishingly small slice), which the post-join distinct + count
-    aggregate shuffle by (id, gram). An eval doc also present in the
-    corpus doesn't flag itself (id inequality).
+    aggregate shuffle by (id, gram). With ``exclude_same_id`` (the
+    default) an eval doc also present in the corpus under the SAME id
+    doesn't flag itself — only valid when the eval set was drawn from
+    the corpus; for an EXTERNAL benchmark whose id space is independent
+    of the corpus's, pass ``exclude_same_id=False`` or a coincidental
+    id equality silently suppresses real contamination.
 
     ``hashed=False`` (default) uses string shingles — engine-portable,
     therefore oracle-checkable. ``hashed=True`` is the 100 TB path: grams
@@ -605,10 +645,8 @@ def contamination_check(
     e_grams = _grams(eval_df, "eval_id").distinct()
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
-    hits = (
-        c_grams.join(e_grams, on="g")
-        .filter(F.col("id") != F.col("eval_id"))
-        .select("id", "g")
-        .distinct()
-    )
+    hits = c_grams.join(e_grams, on="g")
+    if exclude_same_id:
+        hits = hits.filter(F.col("id") != F.col("eval_id"))
+    hits = hits.select("id", "g").distinct()
     return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_contam"))

@@ -195,23 +195,22 @@ def _with_norm(
 
 def _sim_expr(
     query_vec: str, corpus_vec: str, qn: str, cn: str, dim: int | None,
-    digits: int = 4, unroll: bool = True,
+    digits: int | None = 4, unroll: bool = True,
 ) -> Column:
-    """round(dot(q, c) / (||q||·||c||), digits) with pre-bound norms."""
+    """round(dot(q, c) / (||q||·||c||), digits) with pre-bound norms;
+    ``digits=None`` returns the RAW ratio — callers that THRESHOLD on
+    similarity must use the raw value (the jaccard_verify rule:
+    rounding first admits pairs in [threshold−ulp, threshold))."""
     if not unroll:
-        return F.expr(
-            f"ROUND(({_dot_hof_sql(query_vec, corpus_vec)})"
-            f"/(`{qn}`*`{cn}`), {digits})"
-        )
-    if dim is not None:
-        return F.expr(
-            f"ROUND(({_dot_sql(query_vec, corpus_vec, dim)})"
-            f"/(`{qn}`*`{cn}`), {digits})"
-        )
-    return F.round(
-        _dot(F.col(query_vec), F.col(corpus_vec)) / (F.col(qn) * F.col(cn)),
-        digits,
-    )
+        raw_sql = f"({_dot_hof_sql(query_vec, corpus_vec)})/(`{qn}`*`{cn}`)"
+    elif dim is not None:
+        raw_sql = f"({_dot_sql(query_vec, corpus_vec, dim)})/(`{qn}`*`{cn}`)"
+    else:
+        raw = _dot(F.col(query_vec), F.col(corpus_vec)) / (F.col(qn) * F.col(cn))
+        return raw if digits is None else F.round(raw, digits)
+    if digits is None:
+        return F.expr(raw_sql)
+    return F.expr(f"ROUND({raw_sql}, {digits})")
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
@@ -361,8 +360,20 @@ def _kmeans_centroids(
     """Spherical k-means on a bounded driver-side sample (the same
     sanctioned materialization as hyperplane generation: centroid
     training needs a few thousand vectors, not the corpus). Deterministic
-    for a fixed input + seed."""
-    rows = df.select(vec_col).limit(sample_n).collect()
+    for a fixed input + seed.
+
+    The sample is drawn in xxhash64-of-vector order (a top-k, not a full
+    sort): a bare limit() takes the FIRST partitions in layout order, so
+    a corpus written sorted by topic/source would train every centroid
+    on one embedding region and collapse IVF recall elsewhere; hash
+    order decorrelates the draw from the layout while staying
+    deterministic."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_n)
+        .collect()
+    )
     X = np.array([list(r[0]) for r in rows], dtype=float)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -504,10 +515,14 @@ def embedding_near_dups(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
         F.col("__n").alias("__nb"), "__bucket",
     )
-    sim = _sim_expr("vec_a", "vec_b", "__na", "__nb", dim)
+    # threshold on the RAW similarity (the jaccard_verify rule: rounding
+    # first admits pairs in [threshold−ulp, threshold) that an exact
+    # engine rejects); round only the reported value
+    sim_raw = _sim_expr("vec_a", "vec_b", "__na", "__nb", dim, digits=None)
     return (
         a_side.join(b_side, on="__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", sim_raw.alias("__sim_raw"))
+        .filter(F.col("__sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__sim_raw", 4).alias("sim"))
     )

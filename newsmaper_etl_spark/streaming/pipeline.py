@@ -174,14 +174,9 @@ def run_rss_stream(
         .load()
     )
     result = transform_stream(articles, references, date_dim)
-    writer = (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    return write_stream(
+        result, out_dir, checkpoint_dir, trigger=trigger or {"once": True}
     )
-    trigger = trigger or {"once": True}
-    return writer.trigger(**trigger).start()
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -195,15 +190,43 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
-def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
     """Event-time session windows (native session_window operator — the
-    streaming form of q_session_window's lag+cumsum batch analog)."""
+    streaming form of q_session_window's lag+cumsum batch analog).
+
+    ``watermark`` defaults to the session GAP: a watermark shorter than
+    the gap would finalize and emit a session that the gap rule still
+    considers open (an event arriving gap−ε later belongs to it),
+    silently splitting sessions — so a caller-supplied watermark below
+    the gap is rejected."""
+    wm = watermark if watermark is not None else gap
+    if _duration_seconds(wm) < _duration_seconds(gap):
+        raise ValueError(
+            f"watermark {wm!r} is shorter than the session gap {gap!r}: "
+            "sessions still open under the gap rule would be finalized "
+            "early and split"
+        )
     return (
-        events.withWatermark("ts", "2 hours")
+        events.withWatermark("ts", wm)
         .groupBy("user_id", F.session_window("ts", gap).alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("win.start").alias("session_start"), "n_events")
     )
+
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(s: str) -> float:
+    """Parse Spark's '<n> <unit>' duration strings for the
+    watermark-vs-gap sanity check."""
+    num, unit = s.strip().split()
+    return float(num) * _DURATION_UNITS[unit.lower()]
 
 
 def correlate_streams(

@@ -942,3 +942,58 @@ def test_video_features_distributed_kernel(spark):
     ) == ("avi", 640, 480, 10000)
     assert rows[3]["format"] is None and rows[3]["width"] is None
     assert rows[3]["size_bytes"] == 9 and rows[3]["content_sha256"] is not None
+
+
+def test_dedup_review_hardening(spark):
+    """Review-pass regressions on the dedup family: parameter contracts
+    that previously failed silently now raise or score explicitly."""
+    import pytest
+
+    df = values_df(
+        spark,
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        ["doc_id", "text"],
+    )
+    # simhash chunk count derives from the radius (pigeonhole needs
+    # h+1 chunks); out-of-range radii raise, in-range ones run complete
+    with pytest.raises(ValueError, match="out of range"):
+        D.simhash_near_pairs(df, max_hamming=64)
+    with pytest.raises(ValueError, match="out of range"):
+        D.simhash_near_pairs(df, max_hamming=-1)
+    assert D.simhash_near_pairs(df, max_hamming=4).count() >= 1  # (1,2) dup
+    # bands must divide num_hashes (trailing hashes silently unused) and
+    # must not exceed it (zero-row bands)
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_candidates(df, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_candidates(df, num_hashes=16, bands=17)
+    # jaccard_verify is a verification primitive: a candidate pair with
+    # ZERO shared shingles gets a 0.0 verdict row, it does not vanish
+    pairs = values_df(spark, [(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_verify(df, pairs, "doc_id", "text").collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_contamination_same_id_exclusion_is_optional(spark):
+    """An EXTERNAL benchmark's id space is independent of the corpus's:
+    with exclude_same_id=False a coincidental id equality no longer
+    suppresses real contamination."""
+    corpus = values_df(
+        spark, [(7, "the secret benchmark passage here today")],
+        ["doc_id", "text"],
+    )
+    eval_df = values_df(
+        spark, [(7, "the secret benchmark passage here today")],
+        ["doc_id", "text"],
+    )
+    # default (eval drawn from corpus): same id ignores itself
+    assert D.contamination_check(corpus, eval_df, n=3).count() == 0
+    # external benchmark: the overlap must flag
+    got = D.contamination_check(
+        corpus, eval_df, n=3, exclude_same_id=False
+    ).collect()
+    assert len(got) == 1 and got[0]["n_contam"] > 0

@@ -314,3 +314,24 @@ def test_streaming_media_metadata(spark, tmp_path):
         "audio", 44100, 1000,
     )
     assert rows[3]["modality"] is None
+
+
+def test_session_stream_watermark_tracks_gap(spark):
+    """The session watermark defaults to the gap and rejects anything
+    shorter — a watermark below the gap would finalize sessions the gap
+    rule still considers open, silently splitting them."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from newsmaper_etl_spark.streaming.pipeline import session_counts_stream
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id int, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    with pytest.raises(ValueError, match="shorter than the session gap"):
+        session_counts_stream(events, gap="4 hours", watermark="2 hours")
+    # default watermark = gap builds fine (batch frame: plan only)
+    assert session_counts_stream(events, gap="4 hours").columns == [
+        "user_id", "session_start", "n_events",
+    ]
