@@ -42,9 +42,17 @@ def asof_join(
     rows with no match keep NULLs.
 
     Returns all left columns plus ``asof_<right_ts>`` and the requested
-    ``right_values`` columns.
+    ``right_values`` columns. Rows with a NULL timestamp match nothing:
+    a null right_ts satisfies no ``right_ts <= left_ts`` predicate and a
+    null left_ts has nothing to compare against.
     """
     right_values = right_values or []
+    collisions = (set(right_values) | {f"asof_{right_ts}"}) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_values collide with left columns: {sorted(collisions)}; "
+            "rename on one side first (the output carries all left columns)"
+        )
     if tolerance is not None or strategy == "pandas":
         return _asof_pandas(
             left, right, on, left_ts, right_ts, right_values, direction, tolerance
@@ -65,6 +73,10 @@ def _asof_window(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = [f.name for f in left.schema.fields]
     ts_type = next(f.dataType for f in left.schema.fields if f.name == left_ts)
+    # a NULL right_ts matches no predicate, but asc ordering sorts nulls
+    # FIRST — last(ignorenulls) would hand its payload to every early
+    # left row. Drop them before the union.
+    right = right.filter(F.col(right_ts).isNotNull())
 
     # The right payload travels as ONE struct so `last(ignorenulls)` picks
     # every field from the same matched row (independent per-column lasts
@@ -104,9 +116,16 @@ def _asof_window(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    )
+    # a NULL left_ts row sorts to one end of the frame (nulls-first under
+    # asc, nulls-last under desc) — either way it must match NOTHING,
+    # not whatever payload happens to precede it there
+    matched = u.withColumn(
+        "__m",
+        F.when(
+            F.col("__t").isNotNull(),
+            F.last("__rv", ignorenulls=True).over(w),
+        ),
+    ).filter(F.col("__side") == 1)
     out = matched.select(
         *left_cols, F.col("__m.ts").alias(f"asof_{right_ts}"),
         *[F.col(f"__m.{c}").alias(c) for c in right_values],
@@ -137,7 +156,13 @@ def _asof_pandas(
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        # pd.merge_asof raises on null merge keys; null-ts rows match
+        # nothing by the operator contract (same as the window path), so
+        # segregate null-ts LEFT rows (kept, unmatched) and drop null-ts
+        # RIGHT rows before the merge
+        null_l = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()].sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf[rpdf[right_ts].notna()]
         rpdf = rpdf[[right_ts] + right_values].sort_values(right_ts, kind="mergesort")
         rpdf = rpdf.rename(columns={right_ts: f"asof_{right_ts}"})
         merged = pd.merge_asof(
@@ -148,6 +173,11 @@ def _asof_pandas(
             direction=direction,
             tolerance=tolerance,
         )
+        if len(null_l):
+            unmatched = null_l.reindex(
+                columns=[f.name for f in out_fields]
+            )
+            merged = pd.concat([merged, unmatched], ignore_index=True)
         return merged[[f.name for f in out_fields]]
 
     return (

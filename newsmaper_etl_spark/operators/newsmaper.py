@@ -261,9 +261,22 @@ def append_new_rows(
     """Idempotent-append filter: keep only rows whose composite key is
     absent from the target (Load.py:8-25) — a hash left-anti join instead
     of the reference's O(n·m) Python loop. Broadcast-eligible when the
-    existing-keys side is small; otherwise a key-partitioned anti join."""
+    existing-keys side is small; otherwise a key-partitioned anti join.
+
+    Keys compare NULL-SAFELY: a plain equi-join never matches NULL = NULL,
+    so a row with a NULL key component (a title-less article) would be
+    re-appended on EVERY run — the idempotence contract must treat NULL
+    keys the way dedup_keep_first's window does (equal to each other)."""
+    from functools import reduce
+
     existing_keys = existing.select(*keys).dropDuplicates(list(keys))
-    return new.join(existing_keys, on=list(keys), how="left_anti")
+    ex = existing_keys.alias("__ex")
+    nw = new.alias("__nw")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__nw.{k}").eqNullSafe(F.col(f"__ex.{k}")) for k in keys],
+    )
+    return nw.join(ex, on=cond, how="left_anti")
 
 
 def dedup_keep_first(
@@ -361,6 +374,14 @@ def run_pipeline(
         kw_map = reference_keyword_map(references, strict=strict)
         df = tag_country_expr(df, kw_map, default_id=default_country)
     else:
+        # tag_country self-joins the vote winners back on article_id;
+        # monotonically_increasing_id is only stable WITHIN one
+        # evaluation, so pin the frame (lazy local checkpoint: both join
+        # branches read the same materialization) — a task retry or
+        # speculative re-run must not renumber one branch and swap tags
+        # between articles. The expr path is a pure projection (no
+        # self-join) and needs no pin.
+        df = df.localCheckpoint(eager=False)
         df = tag_country(df, references, default_id=default_country, strict=strict)
     df = project_news(df)
     return append_new_rows(df, news_existing)

@@ -45,6 +45,11 @@ def range_join(
     if how != "inner":
         raise ValueError("range_join supports inner joins only")
     w = float(bucket_width)
+    if not w > 0:
+        # w=0 divides to ±Infinity buckets: an ANSI cast crash mid-job,
+        # or (ANSI off) every row saturating into ONE bucket — the
+        # silent cross product this operator exists to avoid
+        raise ValueError(f"bucket_width must be positive, got {bucket_width!r}")
     p = points.withColumn("__b", F.floor(F.col(point_col) / w).cast("long"))
     lo_b = F.floor(F.col(lo_col) / w).cast("long")
     hi_b = F.floor(F.col(hi_col) / w).cast("long")

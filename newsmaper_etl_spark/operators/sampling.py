@@ -38,6 +38,25 @@ _FOLD = 1_000_003
 _MOD = 2_147_483_647
 
 
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer"}
+
+
+def _require_numeric_id(df: DataFrame, id_col: str, op: str) -> None:
+    """mix_bucket's LCG needs an integral id: casting a UUID-ish string
+    to long yields NULL (every rate filter then drops 100% of rows with
+    no error) or throws under ANSI — fail loudly at plan-build time
+    instead. String-keyed corpora should derive a numeric id first
+    (xxhash64 is not engine-portable, so it cannot silently stand in —
+    the oracle twin must see the same arithmetic)."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype not in _NUMERIC_TYPES:
+        raise ValueError(
+            f"{op}: id column {id_col!r} has type {dtype!r}; the "
+            "deterministic bucket needs an integral id (derive one "
+            "explicitly for string-keyed corpora)"
+        )
+
+
 def mix_bucket(id_col: str | Column, buckets: int = 10_000) -> Column:
     """Deterministic pseudo-random bucket in [0, buckets) from an id.
 
@@ -76,6 +95,7 @@ def stratified_sample(
     corpus from heterogeneous sources: one scan, one filter, no shuffle,
     reproducible across runs and engines.
     """
+    _require_numeric_id(df, id_col, "stratified_sample")
     bucket = mix_bucket(id_col)
     rate: Column = F.lit(float(default_rate))
     for key, r in sorted(rates.items()):
@@ -106,7 +126,16 @@ def pack_sequences(
     are contiguous in stream order, which is exactly what a
     sequence-packing data loader wants (sequential reads, no re-sort).
     """
-    w = Window.partitionBy(stream_col).orderBy(order_col)
+    # ROWS frame, not the default RANGE frame: RANGE is peer-inclusive,
+    # so documents TYING on order_col would all see the full peer-group
+    # sum as their cumulative position and land in the same (wrong) bin
+    # — bin 0 can end up empty. Ties order arbitrarily under ROWS, but
+    # every assignment stays budget-consistent.
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_before = F.sum(size_col).over(w) - F.col(size_col)
     return df.withColumn(out, F.floor(cum_before / budget).cast("bigint"))
 
@@ -128,6 +157,7 @@ def sample_per_group(
     dominates — cap it upstream or salt the window (see
     operators.newsmaper.dedup_keep_first).
     """
+    _require_numeric_id(df, id_col, "sample_per_group")
     w = Window.partitionBy(group_col).orderBy(
         mix_bucket(id_col), F.col(id_col)
     )
@@ -156,7 +186,17 @@ def chunk_documents(
     Generator output is ~n_tokens/chunk_tokens rows per doc: purely
     narrow, no shuffle, safe at any scale.
     """
-    toks = F.split(F.col(text_col), " ", -1)
+    # the token array is bound as a NAMED column first: referenced once
+    # per chunk inside the transform lambda, an inline split() would
+    # re-tokenize the whole document per chunk (O(n²/chunk) — the HOF
+    # recompute pitfall; same fix as dedup.py::minhash_signature, and
+    # CollapseProject declines to re-inline a non-cheap multi-referenced
+    # expression)
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ", -1).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -164,8 +204,8 @@ def chunk_documents(
             F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
         ),
     )
-    out = df.select(
-        F.col(id_col).alias("id"),
+    out = bound.select(
+        "id",
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
     )
     return out.withColumn(

@@ -253,11 +253,15 @@ def pii_redact(
     no shuffle, fuses into the scan; at corpus scale this is the shape a
     PII pass must have (single pass, no Python)."""
     c = F.col(col)
+    # phones are counted AFTER the email pass, on the same intermediate
+    # the phone replacement runs on — counting the raw text would report
+    # a phone-shaped substring inside an email address ('a+123456789@x')
+    # as n_phone=1 while zero <PHONE> redactions occurred, and the audit
+    # counts must match the redacted output
+    emailed = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
     n_email = F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("int")
-    n_phone = F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("int")
-    red = F.regexp_replace(
-        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    n_phone = F.regexp_count(emailed, F.lit(PII_PHONE_RE)).cast("int")
+    red = F.regexp_replace(emailed, PII_PHONE_RE, "<PHONE>")
     return (
         df.withColumn("n_email", n_email)
         .withColumn("n_phone", n_phone)

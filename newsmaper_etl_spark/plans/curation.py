@@ -117,7 +117,8 @@ def _pii_injected(docs: DataFrame) -> DataFrame:
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
                    '{TX.PII_EMAIL_RE}')) AS INTEGER) AS n_email,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
                    '{TX.PII_PHONE_RE}')) AS INTEGER) AS n_phone,
                regexp_replace(
                    regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),

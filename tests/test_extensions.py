@@ -997,3 +997,118 @@ def test_contamination_same_id_exclusion_is_optional(spark):
         corpus, eval_df, n=3, exclude_same_id=False
     ).collect()
     assert len(got) == 1 and got[0]["n_contam"] > 0
+
+
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """Review-pass regression: null-ts right rows must not donate their
+    payload to early left rows (asc sorts nulls FIRST), and null-ts left
+    rows must come back unmatched — on both strategies."""
+    import pandas as pd
+
+    from newsmaper_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00"), (1, None)],
+        "k int, lts string",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, None, "garbage"), (1, "2024-01-01 02:00:00", "late")],
+        "k int, rts string, v string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    for kwargs in ({}, {"tolerance": pd.Timedelta("10 days")}):
+        rows = asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["v"], **kwargs,
+        ).collect()
+        by_ts = {str(r["lts"]): r["v"] for r in rows}
+        # the only right row before 01:00 is the null-ts one: NO match
+        assert by_ts["2024-01-01 01:00:00"] is None, kwargs
+        assert by_ts["None"] is None, kwargs
+    # right_values colliding with a left column is rejected up front
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumnRenamed("lts", "v").withColumn("lts", F.col("v")),
+            right, on="k", left_ts="lts", right_ts="rts", right_values=["v"],
+        )
+
+
+def test_range_join_rejects_nonpositive_bucket_width(spark):
+    import pytest
+
+    from newsmaper_etl_spark.operators.rangejoin import range_join
+
+    pts = values_df(spark, [(1, 5.0)], ["pid", "value"])
+    ivs = values_df(spark, [(1, 0.0, 10.0)], ["iid", "lo", "hi"])
+    with pytest.raises(ValueError, match="positive"):
+        range_join(pts, ivs, "value", "lo", "hi", bucket_width=0.0)
+
+
+def test_sampling_review_hardening(spark):
+    """pack_sequences must use a ROWS frame (ties on order_col were
+    peer-summed into the wrong bin); string ids are rejected by the
+    id-derived samplers instead of silently sampling nothing."""
+    import pytest
+
+    from newsmaper_etl_spark.operators import sampling as SP
+
+    tied = values_df(
+        spark,
+        [(1, 100, 6), (2, 100, 6), (3, 100, 6)],  # all tie on order_col
+        ["doc_id", "ts", "n_tok"],
+    ).withColumn("stream", F.lit("s"))
+    bins = sorted(
+        r["bin"]
+        for r in SP.pack_sequences(
+            tied, stream_col="stream", order_col="ts", size_col="n_tok",
+            budget=10, out="bin",
+        ).collect()
+    )
+    assert bins == [0, 0, 1]  # RANGE frame put all three in bin 1
+
+    uuid_docs = values_df(
+        spark, [("b3f9c2", "en"), ("77aa01", "fr")], ["doc_id", "lang"]
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        SP.stratified_sample(uuid_docs, "lang", {"en": 1.0})
+    with pytest.raises(ValueError, match="integral id"):
+        SP.sample_per_group(uuid_docs, group_col="lang", k=1)
+
+
+def test_append_new_rows_null_keys_idempotent(spark):
+    """A NULL key component (title-less article) must not re-append on
+    every run: the anti join compares null-safely, matching the window
+    dedup's NULLs-equal semantics."""
+    from newsmaper_etl_spark.operators.newsmaper import append_new_rows
+
+    cols = ["id_source", "id_date", "title", "link"]
+    existing = values_df(
+        spark, [(1, 10, None, "l1"), (1, 11, "t", "l2")], cols
+    )
+    new = values_df(
+        spark,
+        [(1, 10, None, "l1-again"), (1, 11, "t", "l2-again"), (2, 12, None, "l3")],
+        cols,
+    )
+    out = {(r["id_source"], r["id_date"]) for r in
+           append_new_rows(new, existing, keys=("id_source", "id_date", "title")).collect()}
+    assert out == {(2, 12)}  # both already-present keys filtered, incl. the NULL one
+
+
+def test_pii_phone_count_matches_redactions(spark):
+    """A phone-shaped substring consumed by the email redaction must not
+    inflate n_phone: counts are taken on the email-redacted text, so
+    they always equal the number of <PHONE> replacements."""
+    from newsmaper_etl_spark.operators import text as TX2
+
+    df = values_df(
+        spark,
+        [(1, "mail a+12345678901@example.com now"),
+         (2, "call +12345678901 now")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in TX2.pii_redact(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 0
+    assert "<PHONE>" not in rows[1]["redacted"]
+    assert rows[2]["n_phone"] == 1 and "<PHONE>" in rows[2]["redacted"]
