@@ -44,7 +44,6 @@ def main(argv: list[str] | None = None) -> int:
         read_references_json,
         read_rss,
         read_sources_csv,
-        register_rss_source,
     )
 
     spark = get_spark(app_name="newsmaper-pipeline")
@@ -61,22 +60,7 @@ def main(argv: list[str] | None = None) -> int:
             date_end=args.date_end,
         )
 
-    if args.permissive:
-        # read_rss builds its own options; permissive rides along by
-        # re-reading through the registered format with the flag set
-        register_rss_source(spark)
-        feeds = json.dumps(
-            [{"id": r["id"], "rss": r["rss"]}
-             for r in sources.select("id", "rss").collect()]
-        )
-        articles = (
-            spark.read.format("rss")
-            .option("feeds", feeds)
-            .option("permissive", "true")
-            .load()
-        )
-    else:
-        articles = read_rss(spark, sources)
+    articles = read_rss(spark, sources, permissive=args.permissive)
 
     date_dim = spark.read.parquet(os.path.join(args.warehouse, "date"))
     existing = sinks.read_news(spark, args.warehouse)

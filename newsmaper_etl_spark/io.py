@@ -25,12 +25,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: Dimension-sized tables that should be broadcast in star joins. On a real
-#: deployment this would key off table statistics / AQE; the explicit list
-#: mirrors the reference's star schema where every dim is tiny relative to
-#: the fact (SURVEY.md §1.1).
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
-
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -261,6 +255,14 @@ def read_jdbc(
     column pruning reach the remote engine via Catalyst as usual."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC relation as the literal
+            # "None" and die in a NumberFormatException far from the
+            # actual mistake
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound (the stride bounds of the partitioning key)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

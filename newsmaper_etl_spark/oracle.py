@@ -96,14 +96,19 @@ def compare(
         )
     s_rows, o_rows = canonicalize(spdf), canonicalize(opdf)
     if s_rows != o_rows:
-        diff = [
-            f"  spark={s} oracle={o}"
-            for s, o in zip(s_rows, o_rows)
-            if s != o
-        ][:5]
+        # SET difference, not a pairwise zip of the two sorted lists: one
+        # early divergent row would misalign every later zipped pair and
+        # print 5 spurious "diffs" instead of the actually-missing rows
+        from collections import Counter
+
+        s_extra = list((Counter(s_rows) - Counter(o_rows)).elements())[:5]
+        o_extra = list((Counter(o_rows) - Counter(s_rows)).elements())[:5]
+        diff = [f"  spark-only={r}" for r in s_extra] + [
+            f"  oracle-only={r}" for r in o_extra
+        ]
         return CompareResult(
             name, False, len(spdf), len(opdf),
-            "value mismatch (first diffs, row-sorted):\n" + "\n".join(diff),
+            "value mismatch (multiset difference samples):\n" + "\n".join(diff),
         )
     return CompareResult(name, True, len(spdf), len(opdf))
 

@@ -35,8 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -72,7 +72,13 @@ def parse_rss_items(xml_bytes: bytes) -> Iterator[dict]:
         fields: dict[str, str | None] = {f: None for f in _ITEM_FIELDS}
         content_url = None
         enclosure_url = None
-        for child in elem:
+        # DESCENDANT walk, not direct children: standard MRSS nests
+        # media:content inside media:group, and the reference's
+        # find('content') is recursive — a child-only loop would degrade
+        # every media:group feed to the 'null' sentinel
+        for child in elem.iter():
+            if child is elem:
+                continue
             name = _localname(child.tag)
             if name in fields and fields[name] is None:
                 fields[name] = (child.text or "").strip() or None
@@ -98,7 +104,18 @@ def _fetch(location: str, timeout: float) -> bytes:
         with urllib.request.urlopen(location, timeout=timeout) as resp:  # noqa: S310
             return resp.read()
     if location.startswith("file://"):
-        location = location[len("file://") :]
+        # a real URL parse: 'file://localhost/x' carries an authority and
+        # 'file:///my%20feed.xml' percent-encodes — a bare prefix strip
+        # resolved both to wrong paths
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        parsed = urlparse(location)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file:// URL with non-local authority: {location!r}"
+            )
+        location = url2pathname(parsed.path)
     with open(location, "rb") as fh:
         return fh.read()
 
@@ -165,12 +182,18 @@ class _RssReader(DataSourceReader):
             )
 
 
-class _RssStreamReader(SimpleDataSourceStreamReader):
+class _RssStreamReader(DataSourceStreamReader):
     """Polling stream: each micro-batch re-fetches every feed and emits
     all current items — the streaming form of the reference's 20-minute
     schedule (Main.py:23); pair with ``trigger(processingTime='20
     minutes')`` and the pipeline's watermarked dedup, which turns the
     repeated-items-per-poll firehose into effectively-once per key.
+
+    PARTITIONED like the batch reader: ``partitions()`` hands one feed
+    per input partition, so each poll's fetch+parse fans out across
+    executors exactly as in batch — the earlier Simple reader looped
+    every feed serially ON THE DRIVER, turning a 10,000-feed poll into
+    hours of blocked driver time.
 
     Offsets count polls. A live feed is not replayable, so recovery
     re-fetches (at-least-once at the source; the downstream dedup state
@@ -180,19 +203,25 @@ class _RssStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self._batch = _RssReader(options)
+        self._poll = 0
 
     def initialOffset(self) -> dict:
         return {"poll": 0}
 
-    def _rows(self):
-        for part in self._batch.partitions():
-            yield from self._batch.read(part)
+    def latestOffset(self) -> dict:
+        # every poll advances: a fresh fetch is always "new data" for a
+        # live feed (the watermarked dedup downstream absorbs repeats)
+        self._poll += 1
+        return {"poll": self._poll}
 
-    def read(self, start: dict):
-        return iter(list(self._rows())), {"poll": int(start["poll"]) + 1}
+    def partitions(self, start: dict, end: dict):
+        return self._batch.partitions()
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows()))
+    def read(self, partition: _FeedPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class RssDataSource(DataSource):
@@ -209,7 +238,7 @@ class RssDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _RssReader(dict(self.options))
 
-    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _RssStreamReader(dict(self.options))
 
 
@@ -218,14 +247,21 @@ def register_rss_source(spark: SparkSession) -> None:
     spark.dataSource.register(RssDataSource)
 
 
-def read_rss(spark: SparkSession, sources: DataFrame) -> DataFrame:
+def read_rss(
+    spark: SparkSession,
+    sources: DataFrame,
+    permissive: bool = False,
+    timeout: float = 10.0,
+) -> DataFrame:
     """Read every feed in a ``sources`` registry frame (id, rss, ...) —
     the Spark form of Extract.py:30-43's scan→loop→concat.
 
     The registry is dimension-sized by contract (the reference's has 10
     rows), so collecting it to build the reader options is the same
     sanctioned driver-side materialization as the keyword map; the
-    fetches themselves run on executors, one task per feed.
+    fetches themselves run on executors, one task per feed. Reader
+    options pass through (``permissive``/``timeout``) so callers — the
+    CLI included — never rebuild the option plumbing inline.
     """
     import json
 
@@ -237,6 +273,8 @@ def read_rss(spark: SparkSession, sources: DataFrame) -> DataFrame:
     return (
         spark.read.format("rss")
         .option("feeds", json.dumps(feeds))
+        .option("permissive", str(bool(permissive)).lower())
+        .option("timeout", str(float(timeout)))
         .schema(ARTICLE_SCHEMA)
         .load()
     )

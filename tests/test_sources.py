@@ -244,3 +244,55 @@ def test_read_references_json(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[7]["words"] == ["madrid", "barcelone"]
     assert rows[44]["name"] == "Royaume-Uni"
+
+
+def test_parse_rss_media_group_is_found():
+    """Standard MRSS nests media:content inside media:group; the
+    descendant walk must find it (the reference's find('content') is
+    recursive), instead of degrading media to the 'null' sentinel."""
+    from newsmaper_etl_spark.sources.rss import parse_rss_items
+
+    xml = b"""<?xml version="1.0"?>
+    <rss xmlns:media="http://search.yahoo.com/mrss/"><channel>
+      <item>
+        <title>grouped</title><link>l</link>
+        <media:group>
+          <media:content url="https://x/img.jpg"/>
+        </media:group>
+      </item>
+      <item>
+        <title>bare</title><link>l2</link>
+      </item>
+    </channel></rss>"""
+    items = {i["title"]: i for i in parse_rss_items(xml)}
+    assert items["grouped"]["media"] == "https://x/img.jpg"
+    assert items["bare"]["media"] == "null"
+
+
+def test_fetch_file_urls(tmp_path):
+    """file:// URLs go through a real URL parse: localhost authority and
+    percent-encoded paths both resolve; foreign authorities are
+    rejected."""
+    import pytest
+
+    from newsmaper_etl_spark.sources.rss import _fetch
+
+    target = tmp_path / "my feed.xml"
+    target.write_bytes(b"<rss/>")
+    plain = tmp_path / "plain.xml"
+    plain.write_bytes(b"<rss/>")
+    assert _fetch(f"file://{plain}", 5.0) == b"<rss/>"
+    assert _fetch(f"file://localhost{plain}", 5.0) == b"<rss/>"
+    enc = str(target).replace(" ", "%20")
+    assert _fetch(f"file://{enc}", 5.0) == b"<rss/>"
+    with pytest.raises(ValueError, match="authority"):
+        _fetch("file://otherhost/x.xml", 5.0)
+
+
+def test_read_jdbc_requires_bounds_with_partition_column(spark):
+    import pytest
+
+    from newsmaper_etl_spark.io import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound and"):
+        read_jdbc(spark, "jdbc:derby:memory:x", "t", partition_column="id")
