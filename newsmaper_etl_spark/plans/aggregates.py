@@ -147,15 +147,13 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A4",),
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's DataFrame.groupingSets — no temp-view detour: the SQL
+    form needed createOrReplaceTempView, a session-global side effect
+    that made this the one non-pure query builder in the file."""
     df = _customer_region(spark, sf_dir)
-    df.createOrReplaceTempView("_cnr_gs")
-    return spark.sql(
-        """
-        SELECT r_name, n_name, COUNT(*) AS c
-        FROM _cnr_gs
-        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
-        """
-    )
+    return df.groupingSets(
+        [["r_name"], ["r_name", "n_name"], []], "r_name", "n_name"
+    ).agg(F.count(F.lit(1)).alias("c"))
 
 
 @query(

@@ -38,6 +38,13 @@ parsed AS (
     SELECT *,
         CASE WHEN regexp_matches(stripped, '[0-9]{{4}} [0-9]{{2}}:')
              THEN try_strptime(stripped, '%a, %d %b %Y %H:%M:%S')
+             -- Spark's 'yy' pivots EVERY 2-digit year into 2000-2099
+             -- (the pinned L9 choice, property-tested); DuckDB's %y maps
+             -- 69-99 to 1969-1999, so shift those forward a century
+             WHEN EXTRACT(YEAR FROM try_strptime(
+                      stripped, '%a, %d %b %y %H:%M:%S')) < 2000
+             THEN try_strptime(stripped, '%a, %d %b %y %H:%M:%S')
+                  + INTERVAL 100 YEAR
              ELSE try_strptime(stripped, '%a, %d %b %y %H:%M:%S')
         END AS pub_ts
     FROM (
@@ -83,17 +90,27 @@ SELECT id_country, id_source, id_date, title, link, description, media
 FROM tagged t
 WHERE NOT EXISTS (
     SELECT 1 FROM news_existing e
-    WHERE e.id_source = t.id_source AND e.id_date = t.id_date AND e.title = t.title
+    WHERE e.id_source IS NOT DISTINCT FROM t.id_source
+      AND e.id_date IS NOT DISTINCT FROM t.id_date
+      AND e.title IS NOT DISTINCT FROM t.title
 )
 """
 
 
 @query("q_newsmaper_e2e", oracle=_e2e_oracle(), tags=("E2E", "L1-L7", "L9"))
 def q_newsmaper_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline over fixtures; sf_dir unused (fixture-driven)."""
+    """Full pipeline over fixtures; sf_dir unused (fixture-driven).
+
+    ``check_misses=False`` for the DECLARED query only: the oracle's
+    inner date join silently drops an unparseable/dim-missing article,
+    so the comparison must filter, not abort — a miss would otherwise
+    crash the Spark side while the oracle returns the surviving rows
+    (opposite semantics, no diff report). The pipeline's production
+    default stays fail-fast (L5, raise_error)."""
     return run_pipeline(
         articles=FX.articles_df(spark),
         references=FX.references_df(spark),
         date_dim=FX.date_dim_df(spark),
         news_existing=FX.news_existing_df(spark),
+        check_misses=False,
     )

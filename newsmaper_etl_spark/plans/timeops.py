@@ -268,7 +268,12 @@ def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("F9",),
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType surface (the F9 family member with no other query):
+    """FIXTURE-SHAPE oracle: the SQL twin hard-codes the testdata's
+    props shape (single integer key, no 'type_len' collision) — the
+    Spark side is the general map surface; a regenerated events table
+    with richer props would need the oracle extended in lockstep.
+
+    MapType surface (the F9 family member with no other query):
     from_json to a typed map, map_concat with a constructed entry,
     map_keys/element_at access, and a (k, v) -> bool map_filter — all
     JVM expressions. The oracle mirrors the map through DuckDB's JSON
@@ -385,7 +390,16 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # FRACTIONAL epoch seconds, like the oracle's epoch(ts):
+    # unix_timestamp() truncates to whole seconds, so a true gap of
+    # 1800.8 s computed as floor(cur)−floor(prev)=1800 would NOT split
+    # the session while the oracle does — a boundary-straddling latent
+    # divergence on sub-second timestamps
+    # (NTZ → TIMESTAMP first: Spark won't cast TIMESTAMP_NTZ straight
+    # to double; the session is pinned UTC so the epoch shift is
+    # identical on both rows and cancels in the difference)
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
