@@ -501,6 +501,15 @@ def simhash_near_pairs(
     sigged = simhash(df, text_col).select(id_col, "simhash")
     if checkpoint:
         sigged = sigged.localCheckpoint(eager=True)
+    def _chunk_value(lo: int, hi: int):
+        # full-width chunk (max_hamming=0 → one 64-bit chunk): the mask
+        # (1<<64)-1 would overflow LongType, and no mask is needed — the
+        # shifted value IS the whole signature
+        shifted = F.shiftrightunsigned("simhash", lo)
+        if hi - lo == 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
     chunks = sigged.select(
         id_col,
         "simhash",
@@ -508,9 +517,7 @@ def simhash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned("simhash", lo)
-                    .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
-                    .alias("cv"),
+                    _chunk_value(lo, hi).alias("cv"),
                 )
                 for c, (lo, hi) in enumerate(bounds)
             ])

@@ -172,6 +172,10 @@ def _parse_mp3(b: bytes) -> tuple[str, int, int, int, int] | None:
         # syncsafe u32: 7 bits per byte
         size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
         i = 10 + size
+        if b[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte footer follows the tag
+            # body and is NOT counted in the syncsafe size
+            i += 10
     if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
         return None
 

@@ -215,6 +215,10 @@ class _RssStreamReader(DataSourceStreamReader):
         return {"poll": self._poll}
 
     def partitions(self, start: dict, end: dict):
+        # a restarted query resumes from the checkpointed offset, but a
+        # fresh reader's counter starts at 0 — re-seed from the restored
+        # offsets so latestOffset stays monotonic vs the committed log
+        self._poll = max(self._poll, start.get("poll", 0), end.get("poll", 0))
         return self._batch.partitions()
 
     def read(self, partition: _FeedPartition):

@@ -217,16 +217,39 @@ def session_counts_stream(
 
 
 _DURATION_UNITS = {
+    "microsecond": 1e-6, "microseconds": 1e-6,
+    "millisecond": 1e-3, "milliseconds": 1e-3,
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
 }
 
 
 def _duration_seconds(s: str) -> float:
-    """Parse Spark's '<n> <unit>' duration strings for the
-    watermark-vs-gap sanity check."""
-    num, unit = s.strip().split()
-    return float(num) * _DURATION_UNITS[unit.lower()]
+    """Parse Spark interval strings ('10 seconds', '500 milliseconds',
+    '1 hour 30 minutes') for the watermark-vs-gap sanity check.
+    Multi-part intervals sum; unparseable strings raise a descriptive
+    ValueError instead of a raw KeyError/unpack crash."""
+    tokens = s.strip().lower().split()
+    if not tokens or len(tokens) % 2 != 0:
+        raise ValueError(
+            f"unparseable interval {s!r}: expected '<n> <unit>' pairs "
+            f"(e.g. '10 seconds', '1 hour 30 minutes')"
+        )
+    total = 0.0
+    for num, unit in zip(tokens[::2], tokens[1::2]):
+        if unit not in _DURATION_UNITS:
+            raise ValueError(
+                f"unparseable interval {s!r}: unknown unit {unit!r} "
+                f"(known: {sorted(set(_DURATION_UNITS))})"
+            )
+        try:
+            total += float(num) * _DURATION_UNITS[unit]
+        except ValueError:
+            raise ValueError(
+                f"unparseable interval {s!r}: non-numeric count {num!r}"
+            ) from None
+    return total
 
 
 def correlate_streams(

@@ -499,6 +499,11 @@ def test_parse_audio_header_mp3():
     assert M.parse_audio_header(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100) is None
     # an ID3 tag with no audio after it is not an MP3
     assert M.parse_audio_header(id3) is None
+    # ID3v2.4 footer flag (0x10): a 10-byte footer follows the tag body
+    # and is NOT counted in the syncsafe size — without the extra skip
+    # the sync check lands on the footer's '3DI' bytes and misclassifies
+    id3f = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + b"\x00" * 20 + b"3DIfooter!"
+    assert M.parse_audio_header(id3f + frame * 5) == ("mp3", 44100, 2, 0, 130)
 
 
 def test_audio_features_distributed_kernel(spark):
@@ -961,6 +966,13 @@ def test_dedup_review_hardening(spark):
     with pytest.raises(ValueError, match="out of range"):
         D.simhash_near_pairs(df, max_hamming=-1)
     assert D.simhash_near_pairs(df, max_hamming=4).count() >= 1  # (1,2) dup
+    # max_hamming=0 is the exact-signature case: one full-width 64-bit
+    # chunk whose (1<<64)-1 mask used to overflow LongType at plan build
+    h0 = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(df, max_hamming=0).collect()
+    }
+    assert h0 == {(1, 2)}  # identical text only
     # bands must divide num_hashes (trailing hashes silently unused) and
     # must not exceed it (zero-row bands)
     with pytest.raises(ValueError, match="divide"):

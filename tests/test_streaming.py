@@ -335,3 +335,34 @@ def test_session_stream_watermark_tracks_gap(spark):
     assert session_counts_stream(events, gap="4 hours").columns == [
         "user_id", "session_start", "n_events",
     ]
+
+
+def test_duration_seconds_full_interval_grammar():
+    """Spark interval strings beyond '<n> <unit>': milliseconds, weeks,
+    multi-part — and a descriptive error for garbage (advice r05)."""
+    import pytest
+
+    from newsmaper_etl_spark.streaming.pipeline import _duration_seconds
+
+    assert _duration_seconds("500 milliseconds") == 0.5
+    assert _duration_seconds("1 week") == 604800
+    assert _duration_seconds("1 hour 30 minutes") == 5400
+    assert _duration_seconds("2 days 3 hours") == 2 * 86400 + 3 * 3600
+    for bad in ("", "10", "10 fortnights", "ten seconds", "1 hour 30"):
+        with pytest.raises(ValueError, match="unparseable interval"):
+            _duration_seconds(bad)
+
+
+def test_rss_stream_offsets_monotonic_across_restart():
+    """A restarted reader's poll counter re-seeds from the checkpointed
+    offsets, so latestOffset never regresses below the committed log
+    (advice r05)."""
+    from newsmaper_etl_spark.sources.rss import _RssStreamReader
+
+    fresh = _RssStreamReader({"path": "file:///nonexistent.xml"})
+    assert fresh.latestOffset() == {"poll": 1}
+    assert fresh.latestOffset() == {"poll": 2}
+    # simulate restart-from-checkpoint: new reader, committed offset 57
+    restarted = _RssStreamReader({"path": "file:///nonexistent.xml"})
+    restarted.partitions({"poll": 57}, {"poll": 58})
+    assert restarted.latestOffset()["poll"] >= 59
