@@ -139,34 +139,37 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benchmark decontamination
 # --------------------------------------------------------------------------
 
+_CONTAMINATION_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+        FROM toks, unnest(range(1, len(t) - 6)) u(i)
+        UNION
+        SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 8
+    ),
+    etoks AS (
+        SELECT doc_id + 1000000 AS doc_id, t[1 : 20] AS t
+        FROM toks WHERE doc_id % 97 = 0
+    ),
+    eg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+        FROM etoks, unnest(range(1, len(t) - 6)) u(i)
+        UNION
+        SELECT doc_id, array_to_string(t, ' ') FROM etoks WHERE len(t) < 8
+    ),
+    hits AS (
+        SELECT DISTINCT c.doc_id AS id, c.g
+        FROM cg c JOIN eg e ON c.g = e.g AND c.doc_id <> e.doc_id
+    )
+    SELECT id, COUNT(*) AS n_contam FROM hits GROUP BY id
+"""
+
+
 @query(
     "q_contamination",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        cg AS (
-            SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
-            FROM toks, unnest(range(1, len(t) - 6)) u(i)
-            UNION
-            SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 8
-        ),
-        etoks AS (
-            SELECT doc_id + 1000000 AS doc_id, t[1 : 20] AS t
-            FROM toks WHERE doc_id % 97 = 0
-        ),
-        eg AS (
-            SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
-            FROM etoks, unnest(range(1, len(t) - 6)) u(i)
-            UNION
-            SELECT doc_id, array_to_string(t, ' ') FROM etoks WHERE len(t) < 8
-        ),
-        hits AS (
-            SELECT DISTINCT c.doc_id AS id, c.g
-            FROM cg c JOIN eg e ON c.g = e.g AND c.doc_id <> e.doc_id
-        )
-        SELECT id, COUNT(*) AS n_contam FROM hits GROUP BY id
-    """,
+    oracle=_CONTAMINATION_ORACLE,
     tags=("DEDUP", "CURATION"),
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,15 +191,27 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(docs, eval_df, n=8)
 
 
-@query("q_contamination_hashed", oracle=None, tags=("DEDUP", "CURATION"))
+@query(
+    "q_contamination_hashed",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("DEDUP", "CURATION"),
+)
 def q_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale decontamination variant (``hashed=True``): grams
     are 8-byte xxhash64 values over token hashes instead of materialized
-    strings — ~6× less exploded volume, long-equality join keys. Rows-only
-    here (gram hashing is engine-specific); tests/test_curation.py proves
-    it returns the exact rows of the string-gram oracle query, which IS
-    hash-checked (q_contamination). This is the documented default for
-    100 TB runs; the string path remains for portability/audit."""
+    strings — ~6× less exploded volume, long-equality join keys. This is
+    the documented default for 100 TB runs; the string path remains for
+    portability/audit.
+
+    Hash-checked against the STRING-gram oracle (upgraded from rows-only,
+    VERDICT r05 'do this' #2): the output carries no engine-specific
+    values — only (id, n_contam) — and hashing changes the counts only if
+    two distinct grams collide in xxhash64 (~n²/2^64; none at any test
+    SF, verified sf0.01 and sf0.1). The driver gate therefore asserts
+    precisely the guarantee a user relies on: at this corpus, the hashed
+    fast path flags the same docs with the same counts as the exact
+    string path. q_contamination_parity additionally pins per-row
+    equality of both paths inside one plan."""
     raw = load_table(spark, sf_dir, "documents")
     docs = fan_out(raw, sf_dir)
     toks = F.split(F.col("text"), " ", -1)

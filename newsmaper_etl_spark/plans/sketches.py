@@ -451,6 +451,174 @@ def q_simhash_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+_MINHASH_DEDUP_PLANTED_ORACLE = f"""
+    SELECT doc_id FROM documents WHERE doc_id < {_PLANT_SLICE}
+"""
+
+
+@query(
+    "q_minhash_dedup_planted",
+    oracle=_MINHASH_DEDUP_PLANTED_ORACLE,
+    tags=("DEDUP", "LSH"),
+)
+def q_minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the FULL minhash_dedup pipeline
+    (candidates → exact-Jaccard verify → connected components →
+    keep-first anti-join), not just the candidate stage: over the
+    planted-copies corpus at threshold=1.0 the survivor set is
+    deterministic BY CONSTRUCTION. Identical text ⇒ identical shingle
+    set ⇒ identical signature ⇒ guaranteed candidate in every band, and
+    exact verify scores the pair at Jaccard exactly 1.0 ≥ threshold;
+    distinct texts have distinct shingle sets, so Jaccard < 1.0 and no
+    original is ever removed regardless of what the banding surfaces.
+    Keep-first retains the min id per cluster — the originals. A leak in
+    banding (copy not surfaced), verify (1.0 pair rejected), CC (wrong
+    survivor), or the anti-join flips the driver hash. The statistical
+    variant (threshold 0.8 over the raw corpus) stays rows-only as
+    q_minhash_dedup (VERDICT r05 'do this' #2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup(
+        _planted_copies(docs), "doc_id", "text", threshold=1.0
+    ).select("doc_id")
+
+
+_SIMHASH_PAIRS_PLANTED_ORACLE = f"""
+    SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id < {_PLANT_SLICE}
+"""
+
+
+@query(
+    "q_simhash_pairs_planted",
+    oracle=_SIMHASH_PAIRS_PLANTED_ORACLE,
+    tags=("DEDUP", "SIMHASH"),
+)
+def q_simhash_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the FULL simhash_near_pairs output (not
+    the planted-pair filtrate q_simhash_selfpair keeps): at
+    ``max_hamming=0`` the bucket key is the entire 64-bit signature, so
+    the output is EXACTLY the identical-signature pairs — the planted
+    copies and nothing else (distinct texts colliding on all 64 bits is
+    a 2^-64 event; none exist at any test SF). This pins the whole pair
+    surface as driver-hashed rows, including the absence of false
+    positives — the selfpair twin can only prove recall, not precision.
+    Also exercises the full-width-chunk path (the h=0 mask-overflow fix,
+    ADVICE r05). The statistical h=3 variant over the raw corpus stays
+    rows-only as q_simhash_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        _planted_copies(docs), "doc_id", "text", max_hamming=0,
+        checkpoint=False,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# Brute-force oracle over the corpus PLUS the planted copies, self pair
+# excluded — the true nearest non-self neighbor of every query is its
+# planted exact copy at sim 1.0 (max cross-pair sim in the slice is
+# 0.513, so no tie); both engines must land on the same row.
+_ANN_PLANTED_ORACLE = """
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 1000
+    ),
+    e AS (
+        SELECT * FROM e0
+        UNION ALL
+        SELECT vec_id + 1000000, v FROM e0 WHERE vec_id < 5
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id < 5),
+    terms AS (
+        SELECT q.qid, e.vec_id AS nid,
+               unnest(q.qv) AS x, unnest(e.v) AS y
+        FROM q, e WHERE e.vec_id <> q.qid
+    ),
+    sums AS (
+        SELECT qid, nid, SUM(x * y) AS dot,
+               SUM(x * x) AS nq, SUM(y * y) AS nc
+        FROM terms GROUP BY qid, nid
+    ),
+    ranked AS (
+        SELECT qid, nid,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 4) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 4) DESC, nid
+               ) AS rnk
+        FROM sums
+    )
+    SELECT qid, nid AS neighbor_id, CAST(sim AS DOUBLE) AS sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk = 1
+"""
+
+
+@query("q_ann_lsh_planted", oracle=_ANN_PLANTED_ORACLE, tags=("ANN", "LSH"))
+def q_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked planted-exact top-1 contract (VERDICT r05 'do this'
+    #2): every query vector's exact copy is planted in the corpus under a
+    shifted id, and with ``exclude_self`` the copy IS the true nearest
+    neighbor (sim 1.0, unique — max cross sim 0.513). Identical vectors
+    share every hyperplane sign, so the copy is guaranteed into the
+    query's bucket; a bucketing, norm, dot, or ranking bug surfaces as a
+    row mismatch against the honest brute-force oracle. Strictly stronger
+    than q_ann_lsh_selfhit (recall of a NON-self row through the
+    exclude-self production path). The statistical top-k variant stays
+    rows-only as q_ann_lsh."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    qs = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        qs.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    queries = qs.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.lsh_cosine_topk(
+        queries, corpus, dim=64, k=1, n_planes=4, exclude_self=True,
+        unroll=False,
+    )
+    return out.filter(F.col("rank") == 1).select(
+        "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
+    )
+
+
+@query(
+    "q_curate_corpus_planted",
+    oracle=_curate_exact_oracle(),
+    tags=("DEDUP", "TEXT", "PIPELINE"),
+)
+def q_curate_corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the FULL four-stage recipe — the
+    MinHash-LSH stage INCLUDED, which q_curate_exact switches off: over
+    the q_curate_exact planted corpus at ``near_dup_threshold=1.0`` the
+    sketch stage's removal set is deterministic by construction (exact
+    copies are already gone after the exact-dedup stage, and 1.0 only
+    merges identical shingle sets — see q_minhash_dedup_planted), so the
+    full recipe's output equals the deterministic oracle while the
+    banding/verify/CC machinery runs live in the plan. A sketch stage
+    that drops or duplicates ANY row flips the driver hash. The
+    statistical 0.8-threshold recipe stays rows-only as
+    q_curate_corpus."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
+    base = docs.select("doc_id", "text")
+    tenth = base.filter(F.col("doc_id") % 10 == 0)
+    planted = base.unionByName(
+        tenth.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).unionByName(
+        tenth.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.lit("!!!").alias("text"),
+        )
+    )
+    return curate_corpus(
+        planted, near_dup=True, near_dup_threshold=1.0
+    ).select("doc_id", "lang_pred", "n_tokens", "n_bpe", "fp", "quality")
+
+
 @query("q_ann_ivf", oracle=None, tags=("ANN", "IVF"))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN (rows-only: cell membership depends on the
