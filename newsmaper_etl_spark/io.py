@@ -236,6 +236,26 @@ def fan_out(df: DataFrame, sf_dir: str, parts: int = TOY_PARTS) -> DataFrame:
     return df.repartition(parts)
 
 
+def kernel_narrow(df: DataFrame, sf_dir: str, parts: int = 2) -> DataFrame:
+    """Coalesce a SMALL frame ahead of an Arrow (mapInPandas) kernel at
+    toy SF. Every Arrow task pays a fixed Python-worker round-trip
+    (handshake + Arrow stream setup, measured ~0.19 s for a 1-row
+    mapInPandas vs 0.06 s for the JVM noop floor), so fanning 5,000
+    header-parse rows across 16 cached partitions buys nothing and costs
+    ~40 ms/query in task machinery (interleaved A/B at sf0.1: 0.25 s at
+    16 parts → 0.21 s at 2). The inverse of :func:`fan_out`, for kernels
+    whose per-row work is microseconds rather than the text family's
+    regex/tokenize load.
+
+    At real SF this returns ``df`` unchanged — a data-scaled media
+    column NEEDS every core decoding in parallel, and coalesce would
+    serialize the scan. ``coalesce`` is a narrow dependency: no shuffle
+    either way."""
+    if not is_toy(sf_dir):
+        return df
+    return df.coalesce(parts)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsmaper_etl_spark.io import fan_out, is_toy, load_table
+from newsmaper_etl_spark.io import fan_out, is_toy, kernel_narrow, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import multimodal as M
 from newsmaper_etl_spark.operators import similarity as S
@@ -222,7 +222,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.concat(F.encode(header, "utf-8"), F.encode("text", "utf-8")).alias("media"),
     )
-    return M.media_features(blobs, id_col="id", binary_col="media", fake=False)
+    return M.media_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media", fake=False)
 
 
 def _u24le(x: str) -> str:
@@ -315,7 +315,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    out = M.audio_features(blobs, id_col="id", binary_col="media")
+    out = M.audio_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media")
     return out.select(
         "id", "size_bytes", "format", "sample_rate", "channels",
         "bits_per_sample", "duration_ms",
@@ -361,7 +361,7 @@ def q_media_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    return M.media_features(blobs, id_col="id", binary_col="media").select(
+    return M.media_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media").select(
         "id", "size_bytes", "format", "width", "height"
     )
 
@@ -427,7 +427,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    return M.audio_features(blobs, id_col="id", binary_col="media").select(
+    return M.audio_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media").select(
         "id", "size_bytes", "format", "sample_rate", "channels",
         "bits_per_sample", "duration_ms",
     )
@@ -481,7 +481,7 @@ def q_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    return M.audio_features(blobs, id_col="id", binary_col="media").select(
+    return M.audio_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media").select(
         "id", "size_bytes", "format", "sample_rate", "channels", "duration_ms"
     )
 
@@ -557,7 +557,7 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    return M.video_features(blobs, id_col="id", binary_col="media").select(
+    return M.video_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media").select(
         "id", "size_bytes", "format", "width", "height", "duration_ms"
     )
 
@@ -608,7 +608,7 @@ def q_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    return M.video_features(blobs, id_col="id", binary_col="media").select(
+    return M.video_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media").select(
         "id", "size_bytes", "format", "width", "height", "duration_ms"
     )
 
@@ -691,7 +691,7 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
     out = M.video_keyframes(
-        blobs, id_col="id", binary_col="media", keyframes_only=False
+        kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media", keyframes_only=False
     )
     return out.select(
         "id", "sample_index", "ts_ms", "is_sync",
@@ -736,7 +736,7 @@ def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
     )
-    return M.media_features(blobs, id_col="id", binary_col="media").select(
+    return M.media_features(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media").select(
         "id", "size_bytes", "format", "width", "height"
     )
 
@@ -797,7 +797,7 @@ def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN 1 THEN {wav} ELSE {mp4} END)"
     )
     blobs = docs.select(F.col("doc_id").alias("id"), F.expr(blob).alias("media"))
-    return M.media_metadata(blobs, id_col="id", binary_col="media")
+    return M.media_metadata(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media")
 
 
 # --------------------------------------------------------------------------

@@ -105,11 +105,16 @@ def test_q15_argmax_is_topk_not_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_q4_semi_join_no_nested_loop(spark, sf_dir):
-    """Q4's EXISTS compiles to a LEFT SEMI hash join even with the
-    non-equi shipdate component (it rides the equi key as a condition)."""
+def test_q4_preagg_below_hash_join(spark, sf_dir):
+    """Q4's EXISTS is rewritten to a monotone-aggregate form: lineitem
+    pre-aggregates to (orderkey, max shipdate) BELOW the join — a
+    map-side partial_max collapses the fact before any data moves — and
+    the join itself is an equi hash join, never a nested loop."""
     plan = _plan(QUERIES["q_tpch_q4"].fn(spark, sf_dir), "simple")
-    assert "LeftSemi" in plan
+    assert "partial_max" in plan
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("partial_max")
+    assert join_pos != -1 and join_pos < agg_pos  # agg feeds the join
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
