@@ -33,7 +33,10 @@ Methodology:
   before/after probe) is reported as "sched_floor_sec" with
   "ratio_excl_floor" = (shared − n·floor)/duck, making the
   machinery-vs-compute split auditable per record — the raw
-  ratio_vs_duckdb stays the headline gate number;
+  ratio_vs_duckdb stays the headline gate number; "arrow_floor_sec"
+  (a 1-row mapInPandas noop, ~0.19 s) discloses the same for the
+  Python/Arrow-stage queries, which pay a worker handshake the JVM
+  floor doesn't capture;
 - the DuckDB oracle runs the SAME workload in-process (fetchall = full
   materialization), also best-of-N, so the gate ratio is computable from
   this file's output alone. A fixed probe query is timed at the start
@@ -166,6 +169,22 @@ def main() -> None:
     tiny = spark.range(1)
     floor_sec = _best(lambda: evaluate(tiny), 7) or 0.0
 
+    # The Arrow-stage floor: a 1-row mapInPandas noop costs ~0.19 s on
+    # this rig vs ~0.06 s for the JVM noop — Python-worker handshake +
+    # Arrow stream setup that every mapInPandas/pandas_udf query (the 10
+    # media contracts, the UDF-parity queries) pays per invocation
+    # REGARDLESS of row count. Disclosed alongside sched_floor_sec so
+    # the machinery-vs-compute split stays auditable for the Arrow
+    # family too; not subtracted from any gate number.
+    def _arrow_noop(df):
+        def _id(it):
+            for pdf in it:
+                yield pdf
+        return df.mapInPandas(_id, schema="id long")
+
+    arrow_tiny = _arrow_noop(spark.range(1))
+    arrow_floor_sec = _best(lambda: evaluate(arrow_tiny), 7) or 0.0
+
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name in sorted(QUERIES):
@@ -264,6 +283,7 @@ def main() -> None:
         "spark_total_shared": spark_shared,
         "ratio_vs_duckdb": round(spark_shared / duck_total, 2) if duck_total else None,
         "sched_floor_sec": round(floor_sec, 4),
+        "arrow_floor_sec": round(arrow_floor_sec, 4),
         "spark_excess_shared": excess,
         "ratio_excl_floor": round(excess / duck_total, 2) if duck_total else None,
     }
@@ -292,6 +312,7 @@ def main() -> None:
         "duckdb_total": duck_total,
         "ratio_vs_duckdb": out["ratio_vs_duckdb"],
         "sched_floor_sec": out["sched_floor_sec"],
+        "arrow_floor_sec": out["arrow_floor_sec"],
         "spark_excess_shared": excess,
         "ratio_excl_floor": out["ratio_excl_floor"],
         "duckdb_drift": drift,
