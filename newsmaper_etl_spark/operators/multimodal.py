@@ -882,6 +882,226 @@ def frame_sample(
     return df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Pixel decode (pure stdlib: PNG = zlib inflate + per-row unfilter,
+# BMP = raw BGR rows) — closes the last fake=True gate that is closeable
+# in this rig (VERDICT r05 'do this' #3). JPEG/GIF/WebP/TIFF pixel
+# decode genuinely needs codec libraries and stays out of scope; the
+# kernels below degrade those to null rows, the corrupt-blob posture.
+# --------------------------------------------------------------------------
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytes | None:
+    """Reverse PNG scanline filters (types 0-4) for 8-bit samples.
+    ``raw`` is the inflated IDAT stream: h rows of 1 filter byte +
+    w*ch sample bytes."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev_start = -stride
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        cur = y * stride
+        prv = prev_start + cur if y > 0 else None
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            if y > 0:
+                for i in range(stride):
+                    row[i] = (row[i] + out[prv + i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                up = out[prv + i] if y > 0 else 0
+                row[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = out[prv + i] if y > 0 else 0
+                c = out[prv + i - ch] if (y > 0 and i >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            return None
+        out[cur : cur + stride] = row
+    return bytes(out)
+
+
+#: PNG color type → raw channels per pixel (8-bit depth).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(b: bytes) -> tuple[str, int, int, int, bytes] | None:
+    """8-bit, non-interlaced PNG (gray / RGB / palette / gray+alpha /
+    RGBA) → (format, width, height, channels, raw row-major samples).
+    Palette images resolve through PLTE to 3-channel RGB. Anything
+    outside that envelope (16-bit, Adam7) returns None — unsupported,
+    not corrupt-crash."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    w = h = None
+    ch = 0
+    palette = b""
+    idat = []
+    try:
+        while i + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[i : i + 4])
+            ctype = b[i + 4 : i + 8]
+            body = b[i + 8 : i + 8 + length]
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body[:13]
+                )
+                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                    return None
+                ch = _PNG_CHANNELS[color]
+            elif ctype == b"PLTE":
+                palette = body
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            i += 12 + length
+        if w is None or not idat or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except Exception:  # noqa: BLE001 — corrupt stream → not an image
+        return None
+    pixels = _png_unfilter(raw, w, h, ch)
+    if pixels is None:
+        return None
+    if palette:  # color type 3: indices → RGB triples
+        out = bytearray(w * h * 3)
+        for j, idx in enumerate(pixels):
+            p = idx * 3
+            if p + 3 > len(palette):
+                return None
+            out[j * 3 : j * 3 + 3] = palette[p : p + 3]
+        return ("png", w, h, 3, bytes(out))
+    return ("png", w, h, ch, pixels)
+
+
+def _decode_bmp(b: bytes) -> tuple[str, int, int, int, bytes] | None:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (format, width, height,
+    channels, raw row-major RGB(A) samples). Handles bottom-up (positive
+    height, the common case) and top-down rows, and the 4-byte row
+    padding; BGR(A) storage order is swapped to RGB(A)."""
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    try:
+        (offset,) = struct.unpack("<I", b[10:14])
+        (hdr_size,) = struct.unpack("<I", b[14:18])
+        if hdr_size < 40:
+            return None
+        w, h_signed = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+    except struct.error:
+        return None
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    nch = bpp // 8
+    row_size = (w * nch + 3) & ~3
+    if offset + row_size * h > len(b):
+        return None
+    out = bytearray(w * h * nch)
+    for y in range(h):
+        src_y = (h - 1 - y) if h_signed > 0 else y  # bottom-up flip
+        row = b[offset + src_y * row_size : offset + src_y * row_size + w * nch]
+        dst = y * w * nch
+        for x in range(w):
+            px = row[x * nch : (x + 1) * nch]
+            # BGR(A) → RGB(A)
+            out[dst + x * nch] = px[2]
+            out[dst + x * nch + 1] = px[1]
+            out[dst + x * nch + 2] = px[0]
+            if nch == 4:
+                out[dst + x * nch + 3] = px[3]
+    return ("bmp", w, h, nch, bytes(out))
+
+
+def decode_pixels(b: bytes | None) -> tuple[str, int, int, int, bytes] | None:
+    """Real pixel decode for the formats a pure-stdlib decoder can
+    cover: PNG (zlib inflate + scanline unfilter, 8-bit non-interlaced)
+    and uncompressed BMP. Returns (format, width, height, channels,
+    row-major samples) or None for anything else — callers treat None
+    as the corrupt/unsupported-blob posture, same as the header
+    parsers."""
+    if b is None or len(b) < 8:
+        return None
+    data = bytes(b)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    return None
+
+
+def _nearest_resize(
+    pixels: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of row-major samples: output pixel
+    (i, j) takes source pixel (i*w//out_w, j*h//out_h) — the standard
+    floor mapping, deterministic and oracle-computable."""
+    out = bytearray(out_w * out_h * ch)
+    for j in range(out_h):
+        sy = j * h // out_h
+        for i in range(out_w):
+            sx = i * w // out_w
+            src = (sy * w + sx) * ch
+            dst = (j * out_w + i) * ch
+            out[dst : dst + ch] = pixels[src : src + ch]
+    return bytes(out)
+
+
+#: image_pixels output: decoded dims + analytic pixel stats, all
+#: oracle-recomputable for a planted fixture.
+IMAGE_PIXELS_SCHEMA = (
+    "id long, format string, width int, height int, channels int, "
+    "pixel_sum long, pixel_sq_sum long"
+)
+
+
+def image_pixels(
+    df: DataFrame, id_col: str = "id", binary_col: str = "media"
+) -> DataFrame:
+    """REAL pixel-decode kernel (PNG/BMP, pure stdlib): per blob, the
+    decoded dimensions plus sum and sum-of-squares over every sample
+    byte — scalars an oracle can recompute analytically for a planted
+    image, making actual pixel VALUES (not just header fields) a
+    driver-hashed contract. Unsupported/corrupt blobs yield null fields,
+    the same posture as the header kernels."""
+
+    def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame()
+            out["id"] = pdf[id_col]
+            decoded = pdf[binary_col].map(decode_pixels)
+            out["format"] = decoded.map(lambda d: d[0] if d else None)
+            out["width"] = decoded.map(lambda d: d[1] if d else None).astype("Int32")
+            out["height"] = decoded.map(lambda d: d[2] if d else None).astype("Int32")
+            out["channels"] = decoded.map(lambda d: d[3] if d else None).astype("Int32")
+            out["pixel_sum"] = decoded.map(
+                lambda d: sum(d[4]) if d else None
+            ).astype("Int64")
+            out["pixel_sq_sum"] = decoded.map(
+                lambda d: sum(x * x for x in d[4]) if d else None
+            ).astype("Int64")
+            yield out
+
+    return df.mapInPandas(_decode_batch, schema=IMAGE_PIXELS_SCHEMA)
+
+
 #: Resize output: same id space, transformed binary + recorded dims.
 RESIZE_SCHEMA = "id long, resized binary, out_width int, out_height int"
 
@@ -896,26 +1116,34 @@ def image_resize(
 ) -> DataFrame:
     """Image resize as an Arrow-batched mapInPandas kernel (1→1).
 
-    ``fake=True`` emits a deterministic transform of the payload
-    (truncate/pad to width*height bytes) so the batch shape and schema
-    are exercised; a real deployment swaps in PIL/opencv inside the same
-    per-batch loop, where the decoder cost amortizes across the batch.
-    """
+    The default path is REAL for PNG and uncompressed BMP
+    (:func:`decode_pixels`, pure stdlib — VERDICT r05 'do this' #3):
+    decode → nearest-neighbor resample → raw row-major samples out
+    (``width × height × channels`` bytes; raw pixels, not re-encoded —
+    the tensor shape a vision-encoder pipeline feeds from). Formats
+    needing a codec library (JPEG/GIF/WebP/TIFF) and corrupt blobs
+    yield a null row, the corrupt-blob posture of every media kernel.
+    ``fake=True`` keeps the old deterministic truncate/pad transform
+    for plumbing tests on NON-image payloads."""
     target = width * height
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires an image library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub (plumbing is identical)"
+            if fake:
+                blobs = pdf[binary_col].map(
+                    lambda b: (bytes(b) + b"\x00" * target)[:target]
+                    if b is not None
+                    else None
                 )
-            blobs = pdf[binary_col].map(
-                lambda b: (bytes(b) + b"\x00" * target)[:target]
-                if b is not None
-                else None
-            )
+            else:
+                def real(b):
+                    d = decode_pixels(b)
+                    if d is None:
+                        return None
+                    _, w, h, ch, pixels = d
+                    return _nearest_resize(pixels, w, h, ch, width, height)
+
+                blobs = pdf[binary_col].map(real)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
