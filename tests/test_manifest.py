@@ -382,3 +382,139 @@ def test_timestamp_stat_cols_do_not_break_commit(spark, tmp_path):
     m = M._load_manifest(t, 1)
     assert all("ts" not in e["stats"] for e in m["files"])  # skipped, not crashed
     assert M.read_table(spark, t, prune=("ts", 0, 1)).count() == 3  # kept
+
+
+# --------------------------------------------------------------------------
+# compact() + additive schema evolution — round 6
+# --------------------------------------------------------------------------
+
+def test_compact_merges_small_files_one_commit(spark, tmp_path):
+    """Five single-file appends → one compact commit: fewer live files,
+    identical rows, op recorded, schema + txn marks carried forward."""
+    t = str(tmp_path / "c1")
+    for i in range(5):
+        M.append(
+            values_df(spark, [(i, f"v{i}")], ["id", "v"]).coalesce(1), t,
+            stat_cols=("id",), txn=("writer", i),
+        )
+    before = M._load_manifest(t, M.current_version(t))
+    assert len(before["files"]) == 5
+    v = M.compact(spark, t)
+    m = M._load_manifest(t, v)
+    assert m["op"] == "compact"
+    assert len(m["files"]) == 1
+    assert sorted(
+        (r["id"], r["v"]) for r in M.read_table(spark, t).collect()
+    ) == [(i, f"v{i}") for i in range(5)]
+    # exactly-once marks and schema survive the rewrite
+    assert M.last_txn_version(t, "writer") == 4
+    assert m["schema"] == before["schema"]
+    # stat columns are re-derived: the compacted file carries id stats
+    assert all("id" in e["stats"] for e in m["files"])
+    # time travel still sees the pre-compact snapshot
+    assert M.read_table(spark, t, version=v - 1).count() == 5
+
+
+def test_compact_leaves_large_and_single_files_alone(spark, tmp_path):
+    """Files ≥ min_file_bytes never rewrite; a lone small file has
+    nothing to merge with; no-op returns the base version unchanged."""
+    t = str(tmp_path / "c2")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]).coalesce(1), t)
+    v0 = M.current_version(t)
+    assert M.compact(spark, t) == v0  # single small file: no-op
+    M.append(values_df(spark, [(2, "b")], ["id", "v"]).coalesce(1), t)
+    # min_file_bytes=0: everything counts as large → no-op again
+    assert M.compact(spark, t, min_file_bytes=0) == M.current_version(t)
+    paths_before = {
+        e["path"] for e in M._load_manifest(t, M.current_version(t))["files"]
+    }
+    v = M.compact(spark, t)  # now 2 small files merge
+    assert v == M.current_version(t)
+    m = M._load_manifest(t, v)
+    assert len(m["files"]) == 1
+    assert not paths_before & {e["path"] for e in m["files"]}
+
+
+def test_compact_partitioned_within_partitions(spark, tmp_path):
+    """Partitioned tables compact per partition value: files of
+    different partitions never merge, partition pruning still works on
+    the compacted manifest."""
+    t = str(tmp_path / "c3")
+    for i in range(3):
+        M.append(
+            values_df(
+                spark, [(i, "x", 1), (i, "y", 2)], ["id", "v", "p"]
+            ).repartition(1),
+            t, partition_by=("p",),
+        )
+    before = M._load_manifest(t, M.current_version(t))["files"]
+    assert len(before) == 6  # 3 appends × 2 partitions
+    v = M.compact(spark, t)
+    m = M._load_manifest(t, v)
+    assert len(m["files"]) == 2  # one per partition
+    parts = sorted(e["partition"]["p"] for e in m["files"])
+    assert parts == [1, 2]
+    assert M.read_table(spark, t).count() == 6
+    pruned = M.read_table(spark, t, prune=("p", 2, 2))
+    assert pruned.count() == 3 and len(pruned.inputFiles()) == 1
+
+
+def test_compact_loses_race_to_interleaved_commit(spark, tmp_path):
+    """Concurrent-writer stress: a commit landing between compact's
+    snapshot and its own commit fails the COMPACT (single winner), and
+    the interleaved append's rows are never lost; the retry succeeds."""
+    t = str(tmp_path / "c4")
+    for i in range(3):
+        M.append(values_df(spark, [(i, "a")], ["id", "v"]).coalesce(1), t)
+    base = M.current_version(t)
+    # compact pinned to the pre-append snapshot must lose
+    M.append(values_df(spark, [(99, "late")], ["id", "v"]).coalesce(1), t)
+    with pytest.raises(M.ConcurrentWriteError):
+        M.compact(spark, t, base_version=base)
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) == [0, 1, 2, 99]
+    v = M.compact(spark, t)  # fresh snapshot: wins
+    assert len(M._load_manifest(t, v)["files"]) == 1
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) == [0, 1, 2, 99]
+
+
+def test_merge_schema_additive(spark, tmp_path):
+    """Additive evolution: a batch may ADD columns (old files read as
+    null there); dropping or retyping still fails the commit."""
+    t = str(tmp_path / "e1")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    # plain append with extra column still fails (evolution is opt-in)
+    wide = values_df(spark, [(2, "b", 7.5)], ["id", "v", "score"])
+    with pytest.raises(ValueError, match="merge_schema"):
+        M.append(wide, t)
+    v = M.append(wide, t, merge_schema=True)
+    m = M._load_manifest(t, v)
+    assert [n for n, _t in m["schema"]] == ["id", "v", "score"]
+    assert m["schema"][:2] == M._load_manifest(t, 1)["schema"]  # prefix kept
+    out = {r["id"]: r for r in M.read_table(spark, t).collect()}
+    assert out[1]["score"] is None and float(out[2]["score"]) == 7.5
+    # dropping a column is NOT additive
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        M.append(values_df(spark, [(3, 1.0)], ["id", "score"]), t, merge_schema=True)
+    # retyping is NOT additive
+    retyped = values_df(spark, [(4, 5, 1.0)], ["id", "v", "score"])
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        M.append(retyped, t, merge_schema=True)
+    # next plain append must match the EVOLVED schema
+    v3 = M.append(values_df(spark, [(5, "c", 1.5)], ["id", "v", "score"]), t)
+    assert M._load_manifest(t, v3)["schema"] == m["schema"]
+
+
+def test_merge_schema_then_compact_mixed_files(spark, tmp_path):
+    """Compacting a table whose live files mix pre- and post-evolution
+    schemas: the rewrite projects the recorded schema, so nulls for the
+    added column materialize and the compacted table reads the same."""
+    t = str(tmp_path / "e2")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]).coalesce(1), t)
+    M.append(
+        values_df(spark, [(2, "b", 9.0)], ["id", "v", "score"]).coalesce(1),
+        t, merge_schema=True,
+    )
+    v = M.compact(spark, t)
+    assert len(M._load_manifest(t, v)["files"]) == 1
+    out = {r["id"]: r["score"] for r in M.read_table(spark, t).collect()}
+    assert out == {1: None, 2: 9.0}
