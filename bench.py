@@ -86,8 +86,10 @@ def evaluate(df) -> None:
 #: disagree by >30% — a contention stall on this rig can cover all of a
 #: query's consecutive base repeats (observed: q_rollup 0.57 s recorded
 #: vs 0.006 s typical), and min-of-N only rejects noise if at least one
-#: sample landed outside the stall window
-CONVERGE_MAX = 8
+#: sample landed outside the stall window. Overridable for big-SF
+#: rehearsal runs, where re-sampling a 60 s query 8× is the budget:
+#: SPARK_GRAFT_BENCH_CONVERGE=1 disables the guard.
+CONVERGE_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_CONVERGE", "8"))
 
 
 def _best(fn, repeat: int) -> float | None:
@@ -141,11 +143,16 @@ def main() -> None:
     # warm-up tax — measured 0.26 vs 0.08 s for the same floor query
     # first-vs-later in one process. Exceptions are ignored here; the
     # timed loop below still surfaces them as failures.
-    for _warm_name in sorted(QUERIES):
-        try:
-            evaluate(QUERIES[_warm_name].fn(spark, sf_dir))
-        except Exception:  # noqa: BLE001
-            pass
+    # SPARK_GRAFT_BENCH_WARMUP=0 skips the full sweep for big-SF
+    # rehearsal runs, where doubling a multi-minute corpus pass buys
+    # per-query polish the rehearsal doesn't need (queries there are
+    # seconds-long — scheduling jitter is relatively negligible).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for _warm_name in sorted(QUERIES):
+            try:
+                evaluate(QUERIES[_warm_name].fn(spark, sf_dir))
+            except Exception:  # noqa: BLE001
+                pass
     # prewarm the Python worker pool: a cold worker boots in ~10s+ on this
     # rig and local[N] launches N at once; pay that once, outside timings
     # (workers are reused afterwards — spark.python.worker.reuse default)

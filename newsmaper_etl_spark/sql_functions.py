@@ -1,0 +1,156 @@
+"""SQL-surface registration for the extension operators — the "thin SQL
+registration layer" of SURVEY §7.0 (VERDICT r05 'do this' #7).
+
+Two tiers, matching what each operator IS:
+
+- **Scalar operators** (the text-analysis family) register as Spark SQL
+  *SQL-body* functions (``CREATE TEMPORARY FUNCTION … RETURN <expr>``,
+  Spark 4's SQL UDFs): the body is the SAME pure-expression logic the
+  DataFrame operators build, so a ``spark.sql`` user gets identical
+  values, full whole-stage codegen, and ZERO Python in the per-row path
+  — these are not Python UDFs wearing a SQL name.
+- **Pipeline operators** (multi-stage plans: joins, shuffles, iterative
+  CC — ``tag_country``, ``minhash_dedup``, ``curate_corpus``) cannot be
+  a scalar expression; :func:`register_sql_pipelines` exposes them the
+  way Spark itself exposes multi-stage procedures: a named entry point
+  that runs the DataFrame pipeline over a registered VIEW and registers
+  the result as a view, after which everything is plain ``spark.sql``.
+
+Values are kept bit-identical to the DataFrame operators (same
+floor-scaling, same tie-breaks); ``tests/test_sql_functions.py`` pins
+SQL-vs-DataFrame parity per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsmaper_etl_spark.operators.text import STOPWORDS, _ALL_STOPWORDS
+
+
+def _sql_array(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+#: name -> (parameter list, return type, SQL body). The bodies mirror
+#: operators/text.py expression-for-expression (floor-scaling instead of
+#: ROUND, pinned argmax tie-break) — see each operator's docstring for
+#: the semantics rationale.
+def _scalar_defs() -> dict[str, tuple[str, str, str]]:
+    stop_all = _sql_array(_ALL_STOPWORDS)
+    toks = "split(t, ' ', -1)"
+    lang_scores = ", ".join(
+        "named_struct('neg', CAST(-size(filter(split(t, ' ', -1), "
+        f"w -> array_contains({_sql_array(STOPWORDS[lang])}, w))) AS INT), "
+        f"'lang', '{lang}')"
+        for lang in sorted(STOPWORDS)
+    )
+    return {
+        "n_tokens": (
+            "t STRING", "BIGINT",
+            f"CAST(size({toks}) AS BIGINT)",
+        ),
+        "quality_score": (
+            "t STRING", "DOUBLE",
+            # length band * 0.4 + punct density * 0.3 + stopword ratio * 0.3,
+            # floor-scaled to 4 digits exactly like operators/text.py
+            "floor(10000 * ("
+            "  (CASE WHEN length(t) >= 20 AND length(t) <= 10000"
+            "        THEN 1.0 ELSE 0.3 END) * 0.4"
+            "  + (CASE WHEN (CASE WHEN length(t) > 0 THEN"
+            "       (length(t) - length(translate(t, '.,;:!?\\'\"', '')))"
+            "       / length(t) ELSE 0.0 END) <= 0.2"
+            "     THEN 1.0 ELSE 0.5 END) * 0.3"
+            f"  + least((CASE WHEN size({toks}) > 0 THEN"
+            f"       size(filter({toks}, w -> array_contains({stop_all}, w)))"
+            f"       / size({toks}) ELSE 0.0 END) * 3, 1.0) * 0.3"
+            ")) / 10000",
+        ),
+        "lang_id": (
+            "t STRING", "STRING",
+            # argmax via sort_array over (neg count, lang) structs — the
+            # pinned (count DESC, lang ASC) tie-break; no hit -> 'und'
+            f"CASE WHEN -sort_array(array({lang_scores}), true)[0].neg > 0"
+            f" THEN sort_array(array({lang_scores}), true)[0].lang"
+            " ELSE 'und' END",
+        ),
+        "n_bpe": (
+            "t STRING", "BIGINT",
+            f"aggregate({toks}, 0L,"
+            " (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))",
+        ),
+        "doc_fingerprint": (
+            "t STRING", "BIGINT",
+            f"aggregate(zip_with(sequence(1, size({toks})), {toks},"
+            " (i, w) -> CAST(i AS LONG)"
+            " * (ascii(substring(w, 1, 1)) + 131 * length(w))),"
+            " 0L, (a, x) -> a + x)",
+        ),
+    }
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the scalar extension functions for ``spark.sql`` use.
+
+    After this, ``SELECT quality_score(text), lang_id(text) FROM docs``
+    runs entirely JVM-side with values bit-identical to the DataFrame
+    operators. Temporary functions are session-scoped (re-register per
+    session — the same lifetime as temp views). Returns the registered
+    names."""
+    names = []
+    for name, (params, rtype, body) in _scalar_defs().items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            f"RETURNS {rtype} RETURN {body}"
+        )
+        names.append(name)
+    return names
+
+
+#: Pipeline registry: name -> callable(spark, input_view, **params) -> DataFrame.
+def _pipelines() -> dict:
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+    from newsmaper_etl_spark.operators.dedup import minhash_dedup
+    from newsmaper_etl_spark.operators.newsmaper import tag_country
+
+    def _minhash(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return minhash_dedup(spark.table(view), **kw)
+
+    def _curate(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return curate_corpus(spark.table(view), **kw)
+
+    def _tag_country(spark: SparkSession, view: str, **kw) -> DataFrame:
+        # the keyword dictionary is itself a VIEW name (SQL-facing
+        # callers live in view-space); resolve it before the operator
+        refs = kw.pop("references_view")
+        return tag_country(spark.table(view), spark.table(refs), **kw)
+
+    return {
+        "minhash_dedup": _minhash,
+        "curate_corpus": _curate,
+        "tag_country": _tag_country,
+    }
+
+
+def run_sql_pipeline(
+    spark: SparkSession, name: str, input_view: str, output_view: str, **params
+) -> DataFrame:
+    """Run a registered multi-stage pipeline over ``input_view`` and
+    publish the result as ``output_view`` — the SQL-facing form of the
+    operators that are whole PLANS (joins/shuffles/iteration), which no
+    scalar SQL function can express. The result view is lazy: Catalyst
+    plans it exactly as the DataFrame call, and downstream ``spark.sql``
+    composes with it freely:
+
+        run_sql_pipeline(spark, "minhash_dedup", "documents", "docs_dd",
+                         threshold=0.8)
+        spark.sql("SELECT source, COUNT(*) FROM docs_dd GROUP BY source")
+    """
+    pipes = _pipelines()
+    if name not in pipes:
+        raise ValueError(
+            f"unknown pipeline {name!r}; available: {sorted(pipes)}"
+        )
+    out = pipes[name](spark, input_view, **params)
+    out.createOrReplaceTempView(output_view)
+    return out

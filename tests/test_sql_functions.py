@@ -1,0 +1,81 @@
+"""SQL-surface registration (SURVEY §7.0 'thin SQL registration layer'):
+scalar SQL-body functions must be callable from spark.sql with values
+bit-identical to the DataFrame operators, with zero Python in the plan;
+pipeline operators run over views and publish views."""
+
+from __future__ import annotations
+
+from newsmaper_etl_spark.fixtures import values_df
+from newsmaper_etl_spark.sql_functions import (
+    register_sql_functions,
+    run_sql_pipeline,
+)
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "le chat est sur la table et le chien est dans le jardin aussi"),
+    (3, "!!!"),
+    (4, "der hund und die katze sind ein gutes team in dem haus"),
+    (5, "the quick brown fox jumps over the lazy dog and runs away fast"),
+]
+
+
+def _docs(spark):
+    return values_df(spark, _DOCS, ["doc_id", "text"])
+
+
+def test_scalar_sql_functions_match_dataframe_operators(spark):
+    from newsmaper_etl_spark.operators import text as TX
+
+    names = register_sql_functions(spark)
+    assert set(names) >= {"quality_score", "lang_id", "n_bpe",
+                          "n_tokens", "doc_fingerprint"}
+    _docs(spark).createOrReplaceTempView("sqlfn_docs")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            "SELECT doc_id, n_tokens(text) AS nt, quality_score(text) AS q, "
+            "lang_id(text) AS lang, n_bpe(text) AS nb, "
+            "doc_fingerprint(text) AS fp FROM sqlfn_docs"
+        ).collect()
+    }
+    df = TX.fingerprint(
+        TX.token_count_bpe(
+            TX.language_id(TX.quality_score(TX.token_stats(_docs(spark)))),
+        )
+    )
+    want = {r["doc_id"]: r for r in df.collect()}
+    for i in want:
+        assert got[i]["nt"] == want[i]["n_tokens"]
+        assert got[i]["q"] == want[i]["quality"]
+        assert got[i]["lang"] == want[i]["lang_pred"]
+        assert got[i]["nb"] == want[i]["n_bpe"]
+        assert got[i]["fp"] == want[i]["fp"]
+
+
+def test_scalar_sql_functions_stay_jvm_side(spark):
+    register_sql_functions(spark)
+    _docs(spark).createOrReplaceTempView("sqlfn_docs2")
+    plan = (
+        spark.sql("SELECT quality_score(text) q, lang_id(text) l FROM sqlfn_docs2")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_pipeline_over_views(spark):
+    import pytest
+
+    _docs(spark).createOrReplaceTempView("sqlfn_docs3")
+    out = run_sql_pipeline(
+        spark, "minhash_dedup", "sqlfn_docs3", "sqlfn_docs3_dd", threshold=0.9
+    )
+    # doc 5 is an exact copy of doc 1 -> dropped; composes with plain SQL
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM sqlfn_docs3_dd").collect()
+    )
+    assert ids == [1, 2, 3, 4]
+    assert sorted(r["doc_id"] for r in out.collect()) == ids
+    with pytest.raises(ValueError, match="unknown pipeline"):
+        run_sql_pipeline(spark, "nope", "sqlfn_docs3", "x")

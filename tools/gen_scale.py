@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Scale-factor multiplier for the driver testdata: replicate the sf0.1
+tables FACTOR× with consistent key offsets, producing an sf1.0-shaped
+directory for the scale rehearsal (VERDICT r05 'do this' #1).
+
+The driver testdata is read-only and tops out at sf0.1, so the 100×
+story ("the per-query machinery floor amortizes, the plans hold") could
+only be argued, not measured. This generator builds a faithful 10×
+corpus under the repo (never touching /root/testdata):
+
+- Relational tables replicate with per-replica key offsets (replica k's
+  orders reference replica k's customers, etc.), so join fan-outs,
+  group cardinalities per key, and value distributions are EXACTLY the
+  sf0.1 ones — only table sizes scale. Dims (region, nation) stay
+  fixed, as TPC-H scaling does.
+- documents: replica 0 is verbatim; replicas k>0 get a deterministic
+  per-(doc, k) token shuffle. Token multiset, length, punctuation and
+  stopword ratios are preserved (quality/lang/token-stat distributions
+  unchanged) while shingle sets are destroyed — WITHOUT the shuffle
+  every replica would be an exact duplicate and the dedup family would
+  measure a degenerate 90 %-duplicate corpus instead of a scaled one.
+- embeddings: replica 0 verbatim; replicas get deterministic 5 % noise
+  + renormalization (unit vectors in, unit vectors out; cosine to the
+  source ≈ 0.9988, safely below the 1.0000 self-sim the ANN contracts
+  pin).
+
+Deterministic end to end (fixed seeds derived from ids), no Spark —
+DuckDB does the relational replication vectorized; pandas/numpy build
+the two perturbed tables.
+
+Usage:
+    python tools/gen_scale.py [--factor 10] [--src /root/testdata/sf0.1]
+                              [--dst /root/repo/.scale/sf1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+#: (table, [(key column, period)]) — the offset stride per replica is
+#: the source table's key period so replica key spaces never collide.
+OFFSETS = {
+    "customer": [("c_custkey", 15_000)],
+    "orders": [("o_orderkey", 150_000), ("o_custkey", 15_000)],
+    "lineitem": [
+        ("l_orderkey", 150_000),
+        ("l_partkey", 20_000),
+        ("l_suppkey", 1_000),
+    ],
+    "part": [("p_partkey", 20_000)],
+    "supplier": [("s_suppkey", 1_000)],
+    "events": [("event_id", 100_000), ("user_id", 1_500)],
+}
+
+COPY_AS_IS = ("region", "nation")
+
+
+def replicate_sql(con, src: str, dst: str, table: str, factor: int) -> None:
+    path = os.path.join(src, f"{table}.parquet")
+    cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+    offsets = dict(OFFSETS[table])
+    sel = ", ".join(
+        f"{c} + k * {offsets[c]} AS {c}" if c in offsets else c for c in cols
+    )
+    out = os.path.join(dst, f"{table}.parquet")
+    con.execute(
+        f"COPY (SELECT {sel} FROM '{path}' CROSS JOIN range({factor}) r(k) "
+        f"ORDER BY k) TO '{out}' (FORMAT PARQUET)"
+    )
+
+
+def gen_documents(con, src: str, dst: str, factor: int) -> None:
+    df = con.execute(
+        f"SELECT * FROM '{os.path.join(src, 'documents.parquet')}'"
+    ).df()
+    n = len(df)
+    out = []
+    for k in range(factor):
+        rep = df.copy()
+        rep["doc_id"] = rep["doc_id"] + k * n
+        if k > 0:
+            def shuffle(row_text, row_id, k=k):
+                toks = row_text.split(" ")
+                random.Random(row_id * 31 + k).shuffle(toks)
+                return " ".join(toks)
+
+            rep["text"] = [
+                shuffle(t, i) for t, i in zip(df["text"], df["doc_id"])
+            ]
+        out.append(rep)
+    pd.concat(out, ignore_index=True).to_parquet(
+        os.path.join(dst, "documents.parquet"), index=False
+    )
+
+
+def gen_embeddings(con, src: str, dst: str, factor: int) -> None:
+    df = con.execute(
+        f"SELECT * FROM '{os.path.join(src, 'embeddings.parquet')}'"
+    ).df()
+    n = len(df)
+    out = []
+    for k in range(factor):
+        rep = df.copy()
+        rep["vec_id"] = rep["vec_id"] + k * n
+        if k > 0:
+            vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            rng = np.random.default_rng(1_000_003 * k)
+            noise = rng.standard_normal(vecs.shape)
+            noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+            perturbed = vecs + 0.05 * noise
+            perturbed /= np.linalg.norm(perturbed, axis=1, keepdims=True)
+            rep["embedding"] = [
+                row.astype(np.float32) for row in perturbed
+            ]
+        out.append(rep)
+    pd.concat(out, ignore_index=True).to_parquet(
+        os.path.join(dst, "embeddings.parquet"), index=False
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/root/repo/.scale/sf1.0")
+    args = ap.parse_args()
+
+    os.makedirs(args.dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM '{os.path.join(args.src, t)}.parquet') "
+            f"TO '{os.path.join(args.dst, t)}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+    for t in OFFSETS:
+        replicate_sql(con, args.src, args.dst, t, args.factor)
+        print(f"{t}: replicated x{args.factor}")
+    gen_documents(con, args.src, args.dst, args.factor)
+    print("documents: replicated with per-replica token shuffle")
+    gen_embeddings(con, args.src, args.dst, args.factor)
+    print("embeddings: replicated with perturb+renormalize")
+
+
+if __name__ == "__main__":
+    main()
