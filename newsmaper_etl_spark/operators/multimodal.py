@@ -845,35 +845,56 @@ def frame_sample(
     fps: float = 30.0,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling: mapInPandas exploding one video row into
-    ``n_frames`` frame rows (frame binary + index + timestamp) — the 1→N
-    generator shape a training pipeline feeds to vision encoders.
+    """Video frame sampling: mapInPandas exploding one video row into up
+    to ``n_frames`` frame rows (frame binary + index + timestamp) — the
+    1→N generator shape a training pipeline feeds to vision encoders.
 
-    Decode is stubbed like media_features: ``fake=True`` slices the raw
-    payload into deterministic per-frame chunks (so row explosion, Arrow
-    binary transfer both directions, and the output schema are all real
-    and tested); the real kernel plugs libav into the same loop.
-    """
+    The default path is REAL for MP4 (round 6): ``n_frames`` evenly
+    spaced samples are chosen from the container's sample table and
+    their exact encoded bytes sliced out of ``mdat``
+    (:func:`parse_mp4_samples` — stsc/stco/stsz/stts resolution, pure
+    stdlib), timestamps from the real decode times. That is precisely
+    what a frame-sampling stage feeds a downstream decoder; only pixel
+    DECODING of those access units needs libav and stays out of scope.
+    Non-MP4 / table-less payloads yield no rows (corrupt-blob posture).
+    ``fake=True`` keeps the deterministic payload-slicing stub (with
+    nominal-fps timestamps) for plumbing tests on non-video bytes."""
 
     def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires a video decoder not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub (plumbing is identical)"
-                )
             ids, idxs, tss, frames = [], [], [], []
             for rid, blob in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(blob) if blob is not None else b""
-                # fake decode: n_frames even slices of the payload stand in
-                # for decoded frames; timestamps from the nominal fps
-                step = max(1, len(data) // n_frames)
-                for i in range(n_frames):
+                if fake:
+                    # deterministic stub: n_frames even payload slices,
+                    # timestamps from the nominal fps
+                    step = max(1, len(data) // n_frames)
+                    for i in range(n_frames):
+                        ids.append(rid)
+                        idxs.append(i)
+                        tss.append(int(i * 1000 / fps))
+                        frames.append(data[i * step : (i + 1) * step])
+                    continue
+                samples = parse_mp4_samples(data) or []
+                samples = [
+                    s for s in samples if s[1] + s[2] <= len(data)
+                ]  # drop truncated-mdat entries, don't crash
+                if not samples:
+                    continue
+                n = min(n_frames, len(samples))
+                # evenly spaced over the timeline: sample i*(len-1)//(n-1)
+                # (endpoints included); a single frame takes the first
+                picks = (
+                    [0]
+                    if n == 1
+                    else [i * (len(samples) - 1) // (n - 1) for i in range(n)]
+                )
+                for out_i, si in enumerate(picks):
+                    _sample_idx, off, size, ts_ms, _sync = samples[si]
                     ids.append(rid)
-                    idxs.append(i)
-                    tss.append(int(i * 1000 / fps))
-                    frames.append(data[i * step : (i + 1) * step])
+                    idxs.append(out_i)
+                    tss.append(ts_ms)
+                    frames.append(data[off : off + size])
             yield pd.DataFrame(
                 {"id": ids, "frame_index": pd.array(idxs, dtype="int32"),
                  "frame_ts_ms": tss, "frame": frames}
@@ -1030,13 +1051,142 @@ def _decode_bmp(b: bytes) -> tuple[str, int, int, int, bytes] | None:
     return ("bmp", w, h, nch, bytes(out))
 
 
+def _gif_lzw(data: bytes, min_code_size: int, expected: int) -> bytes | None:
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    clear/end codes, 12-bit cap) → ``expected`` color indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = bits = pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < expected:
+        while bits < code_size:
+            if pos >= n:
+                return None  # ran out before the end code
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+#: GIF interlace passes: (first row, row step).
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(b: bytes) -> tuple[str, int, int, int, bytes] | None:
+    """GIF87a/89a → first frame as RGB: logical-screen parse, global /
+    local color table, LZW decompression, 4-pass de-interlace, and
+    composition onto the background color when the frame is a sub-
+    rectangle of the screen. Pure stdlib — LZW is ~40 lines."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    if w == 0 or h == 0:
+        return None
+    flags = b[10]
+    bg_idx = b[11]
+    i = 13
+    gct = b""
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        gct = b[i : i + size]
+        i += size
+    try:
+        while i < len(b):
+            block = b[i]
+            if block == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif block == 0x2C:  # image descriptor — decode this frame
+                left, top, iw, ih = struct.unpack("<HHHH", b[i + 1 : i + 9])
+                iflags = b[i + 9]
+                i += 10
+                pal = gct
+                if iflags & 0x80:  # local color table overrides
+                    size = 3 * (2 << (iflags & 7))
+                    pal = b[i : i + size]
+                    i += size
+                if not pal or iw == 0 or ih == 0:
+                    return None
+                min_code = b[i]
+                i += 1
+                lzw = bytearray()
+                while i < len(b) and b[i] != 0:
+                    lzw += b[i + 1 : i + 1 + b[i]]
+                    i += 1 + b[i]
+                idx = _gif_lzw(bytes(lzw), min_code, iw * ih)
+                if idx is None:
+                    return None
+                if iflags & 0x40:  # de-interlace: rows arrive in 4 passes
+                    rows = [idx[r * iw : (r + 1) * iw] for r in range(ih)]
+                    ordered: list[bytes] = [b""] * ih
+                    src = 0
+                    for first, step in _GIF_PASSES:
+                        for y in range(first, ih, step):
+                            ordered[y] = rows[src]
+                            src += 1
+                    idx = b"".join(ordered)
+
+                def color(j: int) -> bytes:
+                    p = idx[j] * 3
+                    return pal[p : p + 3] if p + 3 <= len(pal) else b"\x00\x00\x00"
+
+                if (left, top, iw, ih) == (0, 0, w, h):
+                    out = b"".join(color(j) for j in range(iw * ih))
+                    return ("gif", w, h, 3, out)
+                # sub-rectangle frame: compose onto the background color
+                bgp = gct[bg_idx * 3 : bg_idx * 3 + 3] if gct else b""
+                bg = bgp if len(bgp) == 3 else b"\x00\x00\x00"
+                canvas = bytearray(bg * (w * h))
+                for y in range(min(ih, max(0, h - top))):
+                    for x in range(min(iw, max(0, w - left))):
+                        d = ((top + y) * w + (left + x)) * 3
+                        canvas[d : d + 3] = color(y * iw + x)
+                return ("gif", w, h, 3, bytes(canvas))
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
 def decode_pixels(b: bytes | None) -> tuple[str, int, int, int, bytes] | None:
     """Real pixel decode for the formats a pure-stdlib decoder can
-    cover: PNG (zlib inflate + scanline unfilter, 8-bit non-interlaced)
-    and uncompressed BMP. Returns (format, width, height, channels,
-    row-major samples) or None for anything else — callers treat None
-    as the corrupt/unsupported-blob posture, same as the header
-    parsers."""
+    cover: PNG (zlib inflate + scanline unfilter, 8-bit non-interlaced),
+    uncompressed BMP, and GIF (LZW + de-interlace, first frame).
+    Returns (format, width, height, channels, row-major samples) or
+    None for anything else — callers treat None as the corrupt/
+    unsupported-blob posture, same as the header parsers."""
     if b is None or len(b) < 8:
         return None
     data = bytes(b)
@@ -1044,6 +1194,8 @@ def decode_pixels(b: bytes | None) -> tuple[str, int, int, int, bytes] | None:
         return _decode_png(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
     return None
 
 

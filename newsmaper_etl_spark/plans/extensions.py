@@ -860,10 +860,12 @@ def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     and return per-image sum / sum-of-squares over the DECODED samples,
     which the oracle recomputes analytically from the same formula. A
     decoder that mis-handles stride, padding, row order or channel
-    order changes the sums and flips the hash. The PNG branch of the
-    same decoder (inflate + unfilter across all five filter types and
-    five color types) is pinned by unit + hypothesis round-trip tests —
-    a PNG fixture needs zlib at build time, which SQL can't express."""
+    order changes the sums and flips the hash. The PNG and GIF branches
+    of the same decoder (inflate + unfilter across all five filter
+    types and five color types; LZW + de-interlace + palette) are
+    pinned by unit + hypothesis round-trip tests and real-world GIF
+    vectors instead — those fixtures need zlib/LZW at build time, which
+    SQL can't express."""
     docs = load_table(spark, sf_dir, "documents")
     hex_expr = _BMP_HEX.format(div="div", **_BMP_FIELDS)
     blobs = docs.select(

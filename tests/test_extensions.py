@@ -1341,3 +1341,140 @@ def test_image_pixels_and_resize_kernels(spark):
     # fake path still available for plumbing tests on non-raster bytes
     fk = {r["id"]: r for r in M.image_resize(df, 2, 2, fake=True).collect()}
     assert len(fk[3]["resized"]) == 4
+
+
+def _lzw_encode(indices, mcs):
+    """Reference GIF-LZW encoder for round-trip tests: real dictionary
+    growth and variable code widths, so the decoder's table/width logic
+    is exercised against independently-compressed data."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, cs = end + 1, mcs + 1
+    out, acc, bits = bytearray(), 0, 0
+
+    def emit(code, width):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear, cs)
+    w = b""
+    for sym in bytes(indices):
+        wk = w + bytes([sym])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], cs)
+        table[wk] = next_code
+        next_code += 1
+        # late-change width bump (giflib's timing): the decoder's table
+        # lags the encoder's by one entry, so the width grows one code
+        # later than the naive "next_code == 2^cs" rule
+        if next_code == (1 << cs) + 1 and cs < 12:
+            cs += 1
+        w = bytes([sym])
+    if w:
+        emit(table[w], cs)
+    emit(end, cs)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(w, h, palette, indices, interlace=False, sub=None, bg=0):
+    """Minimal GIF89a writer: global color table, one image block,
+    optional interlace row order and sub-rectangle placement."""
+    import struct as _s
+
+    pal_bits = max(1, (len(palette) // 3 - 1).bit_length())
+    pal = palette + b"\x00" * (3 * (2 << pal_bits.bit_length()) )
+    pal = palette + b"\x00" * (3 * (2 ** pal_bits) - len(palette))
+    flags = 0x80 | (pal_bits - 1)
+    out = b"GIF89a" + _s.pack("<HH", w, h) + bytes([flags, bg, 0]) + pal
+    left, top, iw, ih = sub if sub else (0, 0, w, h)
+    if interlace:
+        order = []
+        for first, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(first, ih, step))
+        indices = b"".join(
+            bytes(indices[y * iw : (y + 1) * iw]) for y in order
+        )
+    mcs = max(2, pal_bits)
+    lzw = _lzw_encode(indices, mcs)
+    out += b"\x2C" + _s.pack("<HHHH", left, top, iw, ih)
+    out += bytes([0x40 if interlace else 0, mcs])
+    for i in range(0, len(lzw), 200):
+        chunk = lzw[i : i + 200]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3B"
+
+
+def test_decode_pixels_gif_roundtrip():
+    """LZW with real dictionary growth, palette mapping, interlace
+    reordering, and sub-rectangle composition onto the background."""
+    palette = bytes(v for i in range(8) for v in (i * 30, 255 - i * 30, i * 7))
+    w, h = 11, 7
+    idx = bytes((x * 3 + y * 5) % 8 for y in range(h) for x in range(w))
+    expect = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    d = M.decode_pixels(_make_gif(w, h, palette, idx))
+    assert d == ("gif", w, h, 3, expect)
+    # interlaced: same pixels after the 4-pass reorder
+    d2 = M.decode_pixels(_make_gif(w, h, palette, idx, interlace=True))
+    assert d2 == ("gif", w, h, 3, expect)
+    # a highly repetitive image forces deep dictionary chains
+    rep = bytes([1, 1, 1, 1, 2, 2, 2, 2] * (w * h // 8) + [1] * (w * h % 8))
+    d3 = M.decode_pixels(_make_gif(w, h, palette, rep))
+    assert d3[4] == b"".join(palette[i * 3 : i * 3 + 3] for i in rep)
+    # sub-rectangle frame composes onto the background color
+    sub_idx = bytes([3] * 4)
+    d4 = M.decode_pixels(
+        _make_gif(6, 4, palette, sub_idx, sub=(2, 1, 2, 2), bg=5)
+    )
+    assert d4[:4] == ("gif", 6, 4, 3)
+    px = d4[4]
+    bgc = palette[15:18]
+    sc = palette[9:12]
+    assert px[0:3] == bgc                      # (0,0) background
+    assert px[(1 * 6 + 2) * 3 : (1 * 6 + 2) * 3 + 3] == sc  # (2,1) frame
+    assert px[(2 * 6 + 3) * 3 : (2 * 6 + 3) * 3 + 3] == sc  # (3,2) frame
+    assert px[(3 * 6 + 5) * 3 : (3 * 6 + 5) * 3 + 3] == bgc
+    # corrupt LZW and trailer-only payloads reject cleanly
+    assert M.decode_pixels(b"GIF89a" + b"\x04\x00\x02\x00" + b"\x00\x00\x00" + b"\x3B") is None
+    # the canonical published 1x1 GIF (spec-encoder bytes, not ours)
+    onepx = bytes.fromhex(
+        "47494638396101000100800000000000ffffff21f904010000"
+        "00002c00000000010001000002024401003b"
+    )
+    assert M.decode_pixels(onepx) == ("gif", 1, 1, 3, b"\x00\x00\x00")
+
+
+def test_frame_sample_real_mp4_even_spacing(spark):
+    """frame_sample's default path extracts REAL sample bytes at evenly
+    spaced positions with real decode timestamps; non-MP4 rows yield no
+    rows; more requested frames than samples caps at the sample count."""
+    frames = [bytes([65 + i]) * 8 for i in range(9)]  # 9 one-chunk samples
+    mp4 = _mp4_with_samples(frames, deltas=[100] * 9, timescale=1000)
+    df = spark.createDataFrame(
+        [(1, mp4), (2, b"not a video at all....")], "id long, media binary"
+    )
+    out = M.frame_sample(df, n_frames=3)
+    rows = sorted(
+        (r["id"], r["frame_index"], r["frame_ts_ms"], bytes(r["frame"]))
+        for r in out.collect()
+    )
+    # evenly spaced over 9 samples: picks 0, 4, 8; ts = i*100ms
+    assert rows == [
+        (1, 0, 0, frames[0]),
+        (1, 1, 400, frames[4]),
+        (1, 2, 800, frames[8]),
+    ]
+    # n_frames > samples: every sample once, in order
+    all9 = M.frame_sample(
+        spark.createDataFrame([(1, mp4)], "id long, media binary"), n_frames=50
+    ).collect()
+    assert len(all9) == 9
+    assert [bytes(r["frame"]) for r in sorted(all9, key=lambda r: r["frame_index"])] == frames
