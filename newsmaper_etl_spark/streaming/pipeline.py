@@ -364,6 +364,8 @@ def write_stream_manifest(
     trigger: dict | None = None,
     stat_cols: tuple[str, ...] = (),
     app_id: str | None = None,
+    compact_every: int | None = None,
+    compact_min_bytes: int = 32 * 1024 * 1024,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
@@ -394,6 +396,16 @@ def write_stream_manifest(
     query self-heals instead of raising ConcurrentWriteError forever.
     A claim held by a DIFFERENT writer is a genuine race and still
     raises.
+
+    ``compact_every=N`` runs :func:`manifest.compact` after every Nth
+    committed batch — the maintenance a 20-minute-micro-batch table
+    needs forever (each batch adds small files; a year of that is ~10⁵
+    objects whose per-file open cost dominates scans). Riding it on the
+    writer keeps the single-writer assumption: compaction commits
+    through the same optimistic protocol, a lost race (e.g. a second
+    pipeline on the same table) skips this cycle and retries at the
+    next, and a compact FAILURE never fails the batch — the data is
+    already durably committed; compaction only rearranges bytes.
     """
     import os as _os
 
@@ -417,6 +429,14 @@ def write_stream_manifest(
             if not M.repair_claimed_orphan(table, app, int(batch_id)):
                 raise
             _append()
+        if compact_every and (int(batch_id) + 1) % int(compact_every) == 0:
+            try:
+                M.compact(
+                    batch_df.sparkSession, table,
+                    min_file_bytes=compact_min_bytes,
+                )
+            except M.ConcurrentWriteError:
+                pass  # racer won this cycle; next cycle retries
 
     writer = (
         df.writeStream.foreachBatch(_commit_batch)

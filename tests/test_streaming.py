@@ -366,3 +366,41 @@ def test_rss_stream_offsets_monotonic_across_restart():
     restarted = _RssStreamReader({"path": "file:///nonexistent.xml"})
     restarted.partitions({"poll": 57}, {"poll": 58})
     assert restarted.latestOffset()["poll"] >= 59
+
+
+def test_stream_manifest_auto_compaction(spark, tmp_path):
+    """compact_every=N: the exactly-once manifest sink compacts the
+    table after every Nth batch — small per-batch files merge, rows and
+    txn marks survive, and the op shows in history."""
+    import json as _json
+
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for b in range(4):
+        (src / f"b{b}.json").write_text(
+            "\n".join(_json.dumps({"k": b * 10 + i, "v": f"r{b}-{i}"}) for i in range(3))
+        )
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = write_stream_manifest(
+            stream, table, ckpt, compact_every=2, compact_min_bytes=10**9
+        )
+        q.awaitTermination()
+        q.stop()
+    ops = [h.get("op") for h in M.history(table)]
+    assert "compact" in ops  # maintenance rode the stream
+    assert M.read_table(spark, table).count() == 12  # no rows lost
+    live = M._load_manifest(table, M.current_version(table))
+    # every live file is a compacted one or a post-compaction append,
+    # and there are fewer files than batches would have left behind
+    assert len(live["files"]) < 4 or ops[-1] == "compact"
+    # exactly-once marks survived compaction
+    app = f"stream:{__import__('os').path.abspath(ckpt)}"
+    assert M.last_txn_version(table, app) >= 3
