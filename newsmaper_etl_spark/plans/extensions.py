@@ -699,6 +699,45 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_frame_sample",
+    oracle=(
+        """
+        SELECT doc_id AS id,
+               CAST(j_out AS INTEGER) AS frame_index,
+               CAST(pick * ({d}) AS BIGINT) AS frame_ts_ms,
+               repeat(lpad(hex(65 + (doc_id + pick) % 26), 2, '0'), {L})
+                   AS frame_hex
+        FROM documents
+        CROSS JOIN (VALUES (0, 0), (1, 3)) AS t(j_out, pick)
+        """
+    ).format(**_KF_FIELDS),
+    tags=("MULTIMODAL",),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL evenly-spaced frame sampling under the driver gate (round
+    6): over the q_video_keyframes MP4 fixture (4 planted samples,
+    id-derived duration and payload), ``frame_sample(n_frames=2)`` must
+    resolve the sample tables and pick the timeline ENDPOINTS — samples
+    0 and 3, their exact mdat bytes and real decode timestamps. The
+    oracle recomputes both rows analytically, so an off-by-one in the
+    even-spacing arithmetic, a wrong timestamp source (nominal fps
+    instead of stts), or sliced-at-wrong-offset frame bytes all flip
+    the driver hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _KF_HEX.format(div="div", **_KF_FIELDS)
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    out = M.frame_sample(
+        kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media",
+        n_frames=2,
+    )
+    return out.select(
+        "id", "frame_index", "frame_ts_ms", F.hex("frame").alias("frame_hex")
+    )
+
+
 #: Planted TIFF recipe: little-endian header, one IFD with exactly the
 #: two dimension tags (256 ImageWidth / 257 ImageLength) as inline
 #: SHORTs — the parser must honor the declared byte order and the
