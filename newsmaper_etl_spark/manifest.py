@@ -461,9 +461,18 @@ def compact(
             reader = reader.schema(ddl)
         df = reader.parquet(*paths)
         n_out = max(1, -(-sum(e["bytes"] for e in g) // target_file_bytes))
-        # coalesce, not repartition: bin-packing needs no shuffle, and
-        # row order within the compacted files is irrelevant to readers
-        df = df.coalesce(int(n_out))
+        # coalesce when shrinking (bin-packing needs no shuffle), but
+        # coalesce cannot RAISE partition count: when the requested
+        # target is finer than Spark's read-side file packing
+        # (maxPartitionBytes groups many small files per split), a
+        # repartition is required or the output lands ~maxPartitionBytes
+        # -sized regardless of target_file_bytes
+        read_parts = df.rdd.getNumPartitions()
+        df = (
+            df.coalesce(int(n_out))
+            if n_out <= read_parts
+            else df.repartition(int(n_out))
+        )
         new_files.extend(
             _write_batch(df, table, list(stat_cols), partition_by)
         )

@@ -210,14 +210,23 @@ class _RssStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         # every poll advances: a fresh fetch is always "new data" for a
-        # live feed (the watermarked dedup downstream absorbs repeats)
-        self._poll += 1
+        # live feed (the watermarked dedup downstream absorbs repeats).
+        # The counter is wall-clock-seeded (unix seconds) with a strict
+        # in-session increase: a clean restart creates a FRESH reader
+        # whose first latestOffset() fires before any partitions(start,
+        # end) call could re-seed it, so a pure in-memory counter would
+        # emit poll=1 below the committed log — clock-seeding keeps the
+        # offset log monotonic across restarts too (modulo a backwards
+        # wall-clock jump spanning the restart, which only dents the
+        # log's cosmetics: data flow never depends on offset values).
+        import time
+
+        self._poll = max(self._poll + 1, int(time.time()))
         return {"poll": self._poll}
 
     def partitions(self, start: dict, end: dict):
-        # a restarted query resumes from the checkpointed offset, but a
-        # fresh reader's counter starts at 0 — re-seed from the restored
-        # offsets so latestOffset stays monotonic vs the committed log
+        # replay path: re-seed from the restored offsets as well, so a
+        # pending batch's re-execution can't step the counter backwards
         self._poll = max(self._poll, start.get("poll", 0), end.get("poll", 0))
         return self._batch.partitions()
 

@@ -437,6 +437,18 @@ def write_stream_manifest(
                 )
             except M.ConcurrentWriteError:
                 pass  # racer won this cycle; next cycle retries
+            except Exception as e:  # noqa: BLE001 — maintenance must
+                # never fail the batch: its data is already durably
+                # committed, and compaction only rearranges bytes. Any
+                # other failure (corrupt file, transient job error) is
+                # surfaced to the driver log and retried next cycle.
+                import sys
+
+                print(
+                    f"write_stream_manifest: compaction cycle failed "
+                    f"(will retry next cycle): {e}",
+                    file=sys.stderr,
+                )
 
     writer = (
         df.writeStream.foreachBatch(_commit_batch)

@@ -1478,3 +1478,43 @@ def test_frame_sample_real_mp4_even_spacing(spark):
     ).collect()
     assert len(all9) == 9
     assert [bytes(r["frame"]) for r in sorted(all9, key=lambda r: r["frame_index"])] == frames
+
+
+def test_decode_pixels_hostile_blobs_degrade_to_none():
+    """Review hardening: untrusted blobs that DECLARE huge output must
+    return None, never allocate it — a deflate bomb behind a
+    self-consistent giant IHDR, a GIF descriptor demanding 2^32 LZW
+    indices, and a palette PNG with no PLTE to resolve its indices."""
+    import struct
+    import zlib
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    # PNG bomb: 20000x20000 gray (4e8 pixels > _MAX_PIXELS), tiny IDAT
+    ihdr = struct.pack(">IIBBBBB", 20000, 20000, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_pixels(bomb) is None
+    # GIF descriptor declaring a 65535x65535 frame over 3 bytes of LZW
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0x80, 0, 0])
+        + b"\x00" * 6  # 2-entry GCT
+        + b"\x2C" + struct.pack("<HHHH", 0, 0, 65535, 65535) + b"\x00"
+        + bytes([2, 2]) + b"\x44\x01" + b"\x00\x3B"
+    )
+    assert M.decode_pixels(gif) is None
+    # color-type-3 PNG without PLTE: indices with nothing to resolve
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    rows = b"\x00\x00\x01" + b"\x00\x01\x00"
+    nopal = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr3)
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    assert M.decode_pixels(nopal) is None

@@ -354,18 +354,28 @@ def test_duration_seconds_full_interval_grammar():
 
 
 def test_rss_stream_offsets_monotonic_across_restart():
-    """A restarted reader's poll counter re-seeds from the checkpointed
-    offsets, so latestOffset never regresses below the committed log
-    (advice r05)."""
+    """latestOffset never regresses — within a session (strict
+    increase), across a replayed pending batch (partitions re-seed),
+    and across a CLEAN restart where a fresh reader's first call is
+    latestOffset() itself (clock-seeded counter; advice r05 + review)."""
+    import time
+
     from newsmaper_etl_spark.sources.rss import _RssStreamReader
 
     fresh = _RssStreamReader({"path": "file:///nonexistent.xml"})
-    assert fresh.latestOffset() == {"poll": 1}
-    assert fresh.latestOffset() == {"poll": 2}
-    # simulate restart-from-checkpoint: new reader, committed offset 57
+    a = fresh.latestOffset()["poll"]
+    b = fresh.latestOffset()["poll"]
+    assert a >= int(time.time()) - 5  # clock-seeded, not starting at 1
+    assert b > a  # strictly increasing within a session
+    # replay path: a pending batch's offsets re-seed the counter
     restarted = _RssStreamReader({"path": "file:///nonexistent.xml"})
-    restarted.partitions({"poll": 57}, {"poll": 58})
-    assert restarted.latestOffset()["poll"] >= 59
+    future = int(time.time()) + 10_000
+    restarted.partitions({"poll": future}, {"poll": future + 1})
+    assert restarted.latestOffset()["poll"] > future
+    # clean-restart path: a brand-new reader's FIRST latestOffset is
+    # already at-or-above anything an earlier same-clock session wrote
+    clean = _RssStreamReader({"path": "file:///nonexistent.xml"})
+    assert clean.latestOffset()["poll"] >= a
 
 
 def test_stream_manifest_auto_compaction(spark, tmp_path):
