@@ -401,6 +401,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     stat_cols: tuple[str, ...] = (),
     base_version: int | None = None,
+    order_by: tuple[str, ...] = (),
 ) -> int:
     """Bin-pack small files into target-sized ones, ONE commit — the
     maintenance operation a 100 TB table under 20-minute micro-batches
@@ -422,8 +423,21 @@ def compact(
 
     ``stat_cols`` defaults to the columns that already carry footer
     stats in the manifest, so data-skipping metadata survives the
-    rewrite without the caller restating it. Returns the committed
-    version (the base version when there was nothing to compact)."""
+    rewrite without the caller restating it.
+
+    ``order_by`` CLUSTERS the rewrite (Delta's OPTIMIZE ZORDER reduced
+    to its single-column load-bearing core): rows range-partition and
+    sort on the given columns, so each output file covers a DISJOINT
+    value range and the footer min/max recorded in the manifest turns
+    :func:`read_table`'s prune from "keep almost everything" (append
+    order scatters every key range across every file) into "open one
+    file". This is the difference between a point lookup scanning a
+    100 TB table and scanning one file of it; the sort costs one extra
+    shuffle during maintenance, exactly where that cost belongs.
+    Ordered columns are added to ``stat_cols`` automatically.
+
+    Returns the committed version (the base version when there was
+    nothing to compact)."""
     base = current_version(table) if base_version is None else base_version
     prev = _load_manifest(table, base)
     partition_by = tuple(prev.get("partition_by") or ())
@@ -431,6 +445,9 @@ def compact(
         stat_cols = tuple(
             sorted({c for e in prev["files"] for c in e.get("stats", {})})
         )
+    if order_by:
+        # clustered output is only useful if its ranges are recorded
+        stat_cols = tuple(dict.fromkeys(tuple(order_by) + tuple(stat_cols)))
 
     def pkey(entry):
         return tuple(sorted(entry.get("partition", {}).items()))
@@ -461,18 +478,25 @@ def compact(
             reader = reader.schema(ddl)
         df = reader.parquet(*paths)
         n_out = max(1, -(-sum(e["bytes"] for e in g) // target_file_bytes))
-        # coalesce when shrinking (bin-packing needs no shuffle), but
-        # coalesce cannot RAISE partition count: when the requested
-        # target is finer than Spark's read-side file packing
-        # (maxPartitionBytes groups many small files per split), a
-        # repartition is required or the output lands ~maxPartitionBytes
-        # -sized regardless of target_file_bytes
-        read_parts = df.rdd.getNumPartitions()
-        df = (
-            df.coalesce(int(n_out))
-            if n_out <= read_parts
-            else df.repartition(int(n_out))
-        )
+        if order_by:
+            # range-partition + in-partition sort: output file k covers
+            # a disjoint slice of the order_by space, so its footer
+            # min/max prunes
+            df = df.repartitionByRange(int(n_out), *order_by)
+            df = df.sortWithinPartitions(*order_by)
+        else:
+            # coalesce when shrinking (bin-packing needs no shuffle),
+            # but coalesce cannot RAISE partition count: when the
+            # requested target is finer than Spark's read-side file
+            # packing (maxPartitionBytes groups many small files per
+            # split), a repartition is required or the output lands
+            # ~maxPartitionBytes-sized regardless of target_file_bytes
+            read_parts = df.rdd.getNumPartitions()
+            df = (
+                df.coalesce(int(n_out))
+                if n_out <= read_parts
+                else df.repartition(int(n_out))
+            )
         new_files.extend(
             _write_batch(df, table, list(stat_cols), partition_by)
         )
@@ -567,6 +591,61 @@ def read_table(
         # the explicit projection is what makes pre-evolution files read
         # their missing columns as null (it is also cheaper — no
         # schema-inference file touch at plan time)
+        reader = reader.schema(ddl)
+    return reader.parquet(*paths)
+
+
+def read_table_changes(
+    spark, table: str, from_version: int, to_version: int | None = None
+):
+    """Incremental read: the rows ADDED between two snapshots — the
+    CDC-lite feed a downstream incremental consumer (index builder,
+    aggregation refresher, replication) polls instead of rescanning the
+    table. Data files are immutable, so "rows added by appends" is
+    exactly "files in ``to`` that weren't in ``from``" — an explicit
+    file-list diff, no data scan, no log replay.
+
+    Only append-style deltas are well-defined this way: if any
+    intervening commit REWROTE the file set (``overwrite``; ``compact``
+    rewrites small files under new names and would surface old rows as
+    false adds), this raises instead of returning wrong deltas —
+    consumers should re-sync from a full snapshot after maintenance,
+    which is the same contract Delta's CDF-less readChangeFeed=false
+    incremental consumers live with. Returns an empty typed DataFrame
+    when nothing was added."""
+    to_v = current_version(table) if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(
+            f"from_version {from_version} is above to_version {to_v}"
+        )
+    for v in range(from_version + 1, to_v + 1):
+        op = _load_manifest(table, v).get("op")
+        if op not in (None, "append"):
+            raise ValueError(
+                f"snapshot range v{from_version}..v{to_v} of {table} "
+                f"contains a '{op}' commit at v{v}: file-diff deltas are "
+                "only sound across pure appends — re-sync from "
+                "read_table() after maintenance/overwrite commits"
+            )
+    old = {e["path"] for e in _load_manifest(table, from_version)["files"]}
+    new_manifest = _load_manifest(table, to_v)
+    added = [e for e in new_manifest["files"] if e["path"] not in old]
+    if not added:
+        ddl = _schema_ddl(new_manifest)
+        if ddl is None:
+            raise ValueError(
+                f"no rows added in v{from_version}..v{to_v} of {table} "
+                "and no schema recorded to type an empty result"
+            )
+        return spark.createDataFrame([], ddl)
+    paths = [os.path.join(table, e["path"]) for e in added]
+    reader = spark.read
+    if new_manifest.get("partition_by"):
+        reader = reader.option(
+            "basePath", os.path.abspath(os.path.join(table, _DATA))
+        )
+    ddl = _schema_ddl(new_manifest)
+    if ddl is not None:
         reader = reader.schema(ddl)
     return reader.parquet(*paths)
 

@@ -615,3 +615,61 @@ def test_concurrent_append_vs_compact_stress(tmp_path):
     # gapless version chain
     for v in range(1, M.current_version(t) + 1):
         assert os.path.exists(M._manifest_path(t, v))
+
+
+def test_compact_order_by_makes_prune_selective(spark, tmp_path):
+    """Clustered compaction: append-order files scatter every key range
+    (a prune keeps all of them); compact(order_by=...) range-partitions
+    the rewrite so each output file covers a disjoint range and a point
+    prune opens ONE file."""
+    t = str(tmp_path / "z1")
+    # 4 appends, each covering the FULL key range: prune can skip nothing
+    for b in range(4):
+        rows = [(i, f"b{b}") for i in range(0, 1000, 4)]
+        M.append(values_df(spark, rows, ["id", "v"]).coalesce(1), t,
+                 stat_cols=("id",))
+    before = M.read_table(spark, t, prune=("id", 10, 20))
+    assert len(before.inputFiles()) == 4  # every file intersects
+    v = M.compact(
+        spark, t, target_file_bytes=1, order_by=("id",)
+    )  # target=1 byte -> one output file per input byte-group: 4 files
+    m = M._load_manifest(t, v)
+    assert len(m["files"]) >= 2
+    # disjoint recorded ranges: files ordered by min don't overlap
+    ranges = sorted(e["stats"]["id"] for e in m["files"])
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    after = M.read_table(spark, t, prune=("id", 10, 20))
+    assert len(after.inputFiles()) < 4  # clustered: strictly fewer files
+    point = M.read_table(spark, t, prune=("id", 12, 12))
+    assert len(point.inputFiles()) == 1  # a point lookup opens ONE file
+    assert sorted(r["id"] for r in after.collect() if 10 <= r["id"] <= 20) == \
+        sorted(r["id"] for r in before.collect() if 10 <= r["id"] <= 20)
+    assert M.read_table(spark, t).count() == 4 * 250  # nothing lost
+
+
+def test_read_table_changes_incremental(spark, tmp_path):
+    """CDC-lite: the rows added between two versions come back from an
+    explicit file-list diff; maintenance/overwrite commits in the range
+    raise instead of producing false adds; empty delta is typed."""
+    t = str(tmp_path / "cdc1")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]).coalesce(1), t)
+    v1 = M.current_version(t)
+    M.append(values_df(spark, [(2, "b")], ["id", "v"]).coalesce(1), t)
+    M.append(values_df(spark, [(3, "c")], ["id", "v"]).coalesce(1), t)
+    v3 = M.current_version(t)
+    delta = M.read_table_changes(spark, t, v1, v3)
+    assert sorted(r["id"] for r in delta.collect()) == [2, 3]
+    # empty delta: typed empty frame
+    assert M.read_table_changes(spark, t, v3, v3).count() == 0
+    assert M.read_table_changes(spark, t, v3).columns == ["id", "v"]
+    # a compact in the range poisons file-diff deltas -> loud error
+    M.compact(spark, t)
+    with pytest.raises(ValueError, match="compact"):
+        M.read_table_changes(spark, t, v1)
+    # after re-syncing (from the compacted version) appends diff again
+    v4 = M.current_version(t)
+    M.append(values_df(spark, [(4, "d")], ["id", "v"]).coalesce(1), t)
+    assert [r["id"] for r in M.read_table_changes(spark, t, v4).collect()] == [4]
+    with pytest.raises(ValueError, match="above"):
+        M.read_table_changes(spark, t, 99, 1)
