@@ -1391,7 +1391,6 @@ def _make_gif(w, h, palette, indices, interlace=False, sub=None, bg=0):
     import struct as _s
 
     pal_bits = max(1, (len(palette) // 3 - 1).bit_length())
-    pal = palette + b"\x00" * (3 * (2 << pal_bits.bit_length()) )
     pal = palette + b"\x00" * (3 * (2 ** pal_bits) - len(palette))
     flags = 0x80 | (pal_bits - 1)
     out = b"GIF89a" + _s.pack("<HH", w, h) + bytes([flags, bg, 0]) + pal
