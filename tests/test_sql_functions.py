@@ -79,3 +79,40 @@ def test_pipeline_over_views(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == ids
     with pytest.raises(ValueError, match="unknown pipeline"):
         run_sql_pipeline(spark, "nope", "sqlfn_docs3", "x")
+
+
+def test_pipeline_tag_country_over_views(spark):
+    """The reference's country tagger through the SQL pipeline surface:
+    the keyword dictionary is itself a view (references_view), resolved
+    inside the pipeline wrapper; its output matches the DataFrame call."""
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import fixtures as FX
+    from newsmaper_etl_spark.operators.newsmaper import (
+        tag_country,
+        tokenize_text,
+    )
+
+    arts = tokenize_text(FX.articles_df(spark))
+    refs = FX.references_df(spark)
+    arts.createOrReplaceTempView("sqlfn_articles")
+    refs.createOrReplaceTempView("sqlfn_refs")
+    out = run_sql_pipeline(
+        spark, "tag_country", "sqlfn_articles", "sqlfn_tagged",
+        references_view="sqlfn_refs", row_key="article_id",
+    )
+    via_sql = sorted(
+        (r["article_id"], r["id_country"])
+        for r in spark.sql(
+            "SELECT article_id, id_country FROM sqlfn_tagged"
+        ).collect()
+    )
+    direct = sorted(
+        (r["article_id"], r["id_country"])
+        for r in tag_country(arts, refs, row_key="article_id")
+        .select("article_id", "id_country").collect()
+    )
+    assert via_sql == direct and via_sql
+    with _pytest.raises(Exception):
+        # missing references_view is a loud error, not a silent default
+        run_sql_pipeline(spark, "tag_country", "sqlfn_articles", "out_x")
