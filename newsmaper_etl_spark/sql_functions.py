@@ -110,14 +110,32 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
 #: Pipeline registry: name -> callable(spark, input_view, **params) -> DataFrame.
 def _pipelines() -> dict:
     from newsmaper_etl_spark.operators.curate import curate_corpus
-    from newsmaper_etl_spark.operators.dedup import minhash_dedup
+    from newsmaper_etl_spark.operators.dedup import (
+        contamination_check,
+        exact_dedup,
+        minhash_dedup,
+        simhash_near_pairs,
+    )
     from newsmaper_etl_spark.operators.newsmaper import tag_country
 
     def _minhash(spark: SparkSession, view: str, **kw) -> DataFrame:
         return minhash_dedup(spark.table(view), **kw)
 
+    def _exact(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return exact_dedup(spark.table(view), **kw)
+
+    def _simhash_pairs(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return simhash_near_pairs(spark.table(view), **kw)
+
     def _curate(spark: SparkSession, view: str, **kw) -> DataFrame:
         return curate_corpus(spark.table(view), **kw)
+
+    def _contamination(spark: SparkSession, view: str, **kw) -> DataFrame:
+        # the eval/benchmark set is a VIEW name too
+        eval_view = kw.pop("eval_view")
+        return contamination_check(
+            spark.table(view), spark.table(eval_view), **kw
+        )
 
     def _tag_country(spark: SparkSession, view: str, **kw) -> DataFrame:
         # the keyword dictionary is itself a VIEW name (SQL-facing
@@ -127,7 +145,10 @@ def _pipelines() -> dict:
 
     return {
         "minhash_dedup": _minhash,
+        "exact_dedup": _exact,
+        "simhash_near_pairs": _simhash_pairs,
         "curate_corpus": _curate,
+        "contamination_check": _contamination,
         "tag_country": _tag_country,
     }
 

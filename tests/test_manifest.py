@@ -673,3 +673,24 @@ def test_read_table_changes_incremental(spark, tmp_path):
     assert [r["id"] for r in M.read_table_changes(spark, t, v4).collect()] == [4]
     with pytest.raises(ValueError, match="above"):
         M.read_table_changes(spark, t, 99, 1)
+
+
+def test_compact_crash_before_commit_is_invisible(spark, tmp_path):
+    """A compactor dying after writing its merged batch but before the
+    pointer flip changes nothing for readers; the orphaned rewrite is
+    vacuumed once quiesced."""
+    t = str(tmp_path / "c7")
+    for i in range(3):
+        M.append(values_df(spark, [(i, "x")], ["id", "v"]).coalesce(1), t)
+    v = M.current_version(t)
+    # simulate the crash: do compact's write, skip its _commit
+    prev = M._load_manifest(t, v)
+    df = spark.read.parquet(*[os.path.join(t, e["path"]) for e in prev["files"]])
+    M._write_batch(df.coalesce(1), t, [])
+    assert M.current_version(t) == v  # no commit happened
+    assert M.read_table(spark, t).count() == 3
+    assert M.vacuum(t, keep_versions=1, retain_seconds=0) >= 1  # orphan gone
+    assert M.read_table(spark, t).count() == 3
+    # a retry now succeeds normally
+    v2 = M.compact(spark, t)
+    assert v2 == v + 1 and M.read_table(spark, t).count() == 3

@@ -116,3 +116,29 @@ def test_pipeline_tag_country_over_views(spark):
     with _pytest.raises(Exception):
         # missing references_view is a loud error, not a silent default
         run_sql_pipeline(spark, "tag_country", "sqlfn_articles", "out_x")
+
+
+def test_more_pipelines_over_views(spark):
+    """exact_dedup / simhash_near_pairs / contamination_check through
+    the pipeline surface, composing with plain SQL afterwards."""
+    _docs(spark).createOrReplaceTempView("sqlfn_docs4")
+    out = run_sql_pipeline(
+        spark, "exact_dedup", "sqlfn_docs4", "sqlfn_docs4_dd",
+        cols=["text"], id_col="doc_id",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
+    pairs = run_sql_pipeline(
+        spark, "simhash_near_pairs", "sqlfn_docs4", "sqlfn_pairs",
+        id_col="doc_id", text_col="text", max_hamming=0, checkpoint=False,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 5)}
+    # contamination: eval set = doc 1's first tokens under a fresh id
+    spark.sql(
+        "SELECT doc_id + 100 AS doc_id, text FROM sqlfn_docs4 WHERE doc_id = 1"
+    ).createOrReplaceTempView("sqlfn_eval")
+    hits = run_sql_pipeline(
+        spark, "contamination_check", "sqlfn_docs4", "sqlfn_hits",
+        eval_view="sqlfn_eval", n=8,
+    )
+    flagged = {r["id"] for r in spark.sql("SELECT id FROM sqlfn_hits").collect()}
+    assert flagged == {1, 5}  # both copies of the contaminated text
