@@ -366,6 +366,7 @@ def write_stream_manifest(
     app_id: str | None = None,
     compact_every: int | None = None,
     compact_min_bytes: int = 32 * 1024 * 1024,
+    merge_schema: bool = False,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
@@ -397,6 +398,13 @@ def write_stream_manifest(
     A claim held by a DIFFERENT writer is a genuine race and still
     raises.
 
+    ``merge_schema=True`` forwards additive schema evolution to the
+    manifest commits: a RESTARTED query whose source gained a column
+    (stream schemas are pinned per query run, so evolution happens
+    across restarts) appends with the wider schema instead of failing
+    every batch; dropped/retyped columns still fail loudly
+    (manifest._check_schema).
+
     ``compact_every=N`` runs :func:`manifest.compact` after every Nth
     committed batch — the maintenance a 20-minute-micro-batch table
     needs forever (each batch adds small files; a year of that is ~10⁵
@@ -420,6 +428,7 @@ def write_stream_manifest(
             M.append(
                 batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),
                 meta={"app": app, "batch_id": int(batch_id)},
+                merge_schema=merge_schema,
             )
         try:
             _append()

@@ -414,3 +414,40 @@ def test_stream_manifest_auto_compaction(spark, tmp_path):
     # exactly-once marks survived compaction
     app = f"stream:{__import__('os').path.abspath(ckpt)}"
     assert M.last_txn_version(table, app) >= 3
+
+
+def test_stream_manifest_schema_evolution_across_restart(spark, tmp_path):
+    """A restarted stream whose source gained a column evolves the
+    manifest table additively (merge_schema=True): old rows read the
+    new column as null, txn marks carry on, and without the flag the
+    widened batch fails loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    src1, src2 = tmp_path / "s1", tmp_path / "s2"
+    src1.mkdir(); src2.mkdir()
+    table = str(tmp_path / "table")
+    (src1 / "a.json").write_text(_json.dumps({"k": 1, "v": "a"}))
+    q = write_stream_manifest(
+        spark.readStream.schema("k long, v string").json(str(src1)),
+        table, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(); q.stop()
+    # "restart" with a widened source schema, new checkpoint = new run
+    (src2 / "b.json").write_text(_json.dumps({"k": 2, "v": "b", "score": 7.5}))
+    widened = spark.readStream.schema("k long, v string, score double").json(str(src2))
+    q2 = write_stream_manifest(widened, table, str(tmp_path / "ck2"))
+    with _pytest.raises(Exception):  # evolution is opt-in
+        q2.awaitTermination()
+    q2.stop()
+    q3 = write_stream_manifest(
+        spark.readStream.schema("k long, v string, score double").json(str(src2)),
+        table, str(tmp_path / "ck3"), merge_schema=True,
+    )
+    q3.awaitTermination(); q3.stop()
+    out = {r["k"]: r for r in M.read_table(spark, table).collect()}
+    assert out[1]["score"] is None and out[2]["score"] == 7.5
