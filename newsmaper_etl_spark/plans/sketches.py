@@ -451,8 +451,23 @@ def q_simhash_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+# The oracle DERIVES the survivor set from the planted corpus's own
+# semantics (keep-first over exact-text groups) instead of asserting
+# the literal slice — the same honesty upgrade the ANN selfhit oracles
+# got in r05: a broken assumption about the fixture (e.g. duplicate
+# texts already inside the slice) now surfaces as a mismatch on BOTH
+# engines' derivations rather than being rubber-stamped.
 _MINHASH_DEDUP_PLANTED_ORACLE = f"""
-    SELECT doc_id FROM documents WHERE doc_id < {_PLANT_SLICE}
+    WITH input AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_PLANT_SLICE}
+        UNION ALL
+        SELECT doc_id + {_PLANT_OFFSET}, text
+        FROM documents WHERE doc_id < {_PLANT_SLICE}
+    )
+    SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep
+        FROM input
+    ) WHERE doc_id = keep
 """
 
 
@@ -486,9 +501,18 @@ def q_minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+# Honest derivation (see _MINHASH_DEDUP_PLANTED_ORACLE): identical
+# signature at h=0 ⟺ identical text, so the expected pair surface is
+# the identical-text pairs of the planted corpus, computed as such.
 _SIMHASH_PAIRS_PLANTED_ORACLE = f"""
-    SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b, 0 AS hamming
-    FROM documents WHERE doc_id < {_PLANT_SLICE}
+    WITH input AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_PLANT_SLICE}
+        UNION ALL
+        SELECT doc_id + {_PLANT_OFFSET}, text
+        FROM documents WHERE doc_id < {_PLANT_SLICE}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+    FROM input a JOIN input b ON a.text = b.text AND a.doc_id < b.doc_id
 """
 
 
