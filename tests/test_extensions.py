@@ -1369,13 +1369,20 @@ def _lzw_encode(indices, mcs):
             w = wk
             continue
         emit(table[w], cs)
-        table[wk] = next_code
-        next_code += 1
-        # late-change width bump (giflib's timing): the decoder's table
-        # lags the encoder's by one entry, so the width grows one code
-        # later than the naive "next_code == 2^cs" rule
-        if next_code == (1 << cs) + 1 and cs < 12:
-            cs += 1
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # late-change width bump (giflib's timing): the decoder's
+            # table lags the encoder's by one entry, so the width grows
+            # one code later than the naive "next_code == 2^cs" rule
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+        else:
+            # 12-bit table full: emit CLEAR and reset (what spec
+            # encoders do on large images)
+            emit(clear, cs)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, cs = end + 1, mcs + 1
         w = bytes([sym])
     if w:
         emit(table[w], cs)
@@ -1517,3 +1524,15 @@ def test_decode_pixels_hostile_blobs_degrade_to_none():
         + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
     )
     assert M.decode_pixels(nopal) is None
+
+
+def test_decode_pixels_gif_large_image_table_cap():
+    """A 256-color 256x256 GIF overflows the 12-bit LZW table: the
+    encoder emits CLEAR at 4096 entries and the decoder must FREEZE its
+    table past 4095 between clears (deferred-clear semantics) — an
+    unconditional append desyncs on exactly this input (review find)."""
+    pal = bytes(v for i in range(256) for v in (i, (i * 2) % 256, (i * 3) % 256))
+    idx = bytes((x + y) % 256 for y in range(256) for x in range(256))
+    d = M.decode_pixels(_make_gif(256, 256, pal, idx))
+    expect = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+    assert d == ("gif", 256, 256, 3, expect)
