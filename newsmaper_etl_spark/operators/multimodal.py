@@ -1078,6 +1078,10 @@ def _decode_bmp(b: bytes) -> tuple[str, int, int, int, bytes] | None:
 def _gif_lzw(data: bytes, min_code_size: int, expected: int) -> bytes | None:
     """GIF-variant LZW decompression (LSB-first variable-width codes,
     clear/end codes, 12-bit cap) → ``expected`` color indices."""
+    if not 1 <= min_code_size <= 8:
+        # indices are single bytes; a corrupt size byte above 8 would
+        # build literal entries ≥ 256 (found by mutation fuzzing)
+        return None
     clear = 1 << min_code_size
     end = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]

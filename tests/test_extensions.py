@@ -1536,3 +1536,46 @@ def test_decode_pixels_gif_large_image_table_cap():
     d = M.decode_pixels(_make_gif(256, 256, pal, idx))
     expect = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
     assert d == ("gif", 256, 256, 3, expect)
+
+
+def test_decode_pixels_mutation_fuzz_never_raises():
+    """Seeded mutation fuzz over valid PNG/BMP/GIF seeds (byte flips,
+    truncation, splices, magic-prefixed garbage): decode_pixels must
+    return None or a valid tuple, NEVER raise — a 120k-trial offline
+    run of this generator found the GIF min-code-size crash; this
+    bounded replay keeps the property pinned."""
+    import random
+
+    rng = random.Random(42)
+    pal16 = bytes(v for i in range(16) for v in (i * 16, 255 - i * 16, i * 5))
+    seeds = [
+        _make_png(9, 7, 2, lambda x, y, c: (x + y + c) % 256,
+                  filters=[0, 1, 2, 3, 4, 1, 2]),
+        _make_png(5, 5, 3, lambda x, y, c: (x * y) % 16,
+                  palette=pal16 + b"\x00" * 720),
+        _make_bmp24(6, 4, lambda x, y: (x, y, x + y)),
+        _make_gif(8, 6, pal16,
+                  bytes((x + y) % 16 for y in range(6) for x in range(8))),
+    ]
+    for _ in range(4000):
+        base = bytearray(rng.choice(seeds))
+        op = rng.random()
+        if op < 0.4:
+            for _ in range(rng.randint(1, 4)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+        elif op < 0.7:
+            base = base[: rng.randrange(len(base))]
+        elif op < 0.9:
+            i = rng.randrange(len(base))
+            base[i:i] = bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 16))
+            )
+        else:
+            magic = rng.choice(
+                [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"GIF87a"]
+            )
+            base = bytearray(
+                magic + bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
+            )
+        d = M.decode_pixels(bytes(base))  # must not raise
+        assert d is None or (len(d) == 5 and isinstance(d[4], bytes))
