@@ -839,6 +839,69 @@ def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_metadata(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media")
 
 
+@query(
+    "q_multimodal_gate",
+    oracle=(
+        """
+        WITH meta AS (
+            SELECT doc_id AS id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CASE doc_id % 3 WHEN 0 THEN ({gw}) * ({gh}) END AS area,
+                   CASE doc_id % 3 WHEN 1 THEN {sr} END AS sr,
+                   CASE doc_id % 3
+                        WHEN 2 THEN ({dur}) * 1000 {div} ({ts}) END AS dur_ms
+            FROM documents
+        )
+        SELECT id, modality,
+               CAST(COALESCE(area, sr, dur_ms) AS BIGINT) AS gate_metric
+        FROM meta
+        WHERE (modality = 'image' AND area >= 25000)
+           OR (modality = 'audio' AND sr >= 16000)
+           OR (modality = 'video' AND dur_ms >= 30000)
+        """
+    ).format(div="//", **_GIF_FIELDS, **_WAV_FIELDS, **_MP4_FIELDS),
+    tags=("MULTIMODAL", "CURATION"),
+)
+def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal CURATION gate a training pipeline runs over a
+    mixed media column, composed from the real kernels end to end: one
+    dispatcher pass classifies every blob (magic sniff + matching header
+    parse), then modality-specific quality thresholds filter — images by
+    pixel area, audio by sample rate, video by duration. One Arrow scan,
+    no per-modality passes, gates as plain Catalyst filters over the
+    kernel's typed output. The oracle recomputes the planted metadata
+    and the same gates, so classification AND threshold arithmetic are
+    both driver-hashed; every modality has planted rows on each side of
+    its threshold at every SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    gif = _GIF_HEX.format(div="div", **_GIF_FIELDS)
+    wav = _WAV_HEX.format(div="div", **_WAV_FIELDS)
+    mp4 = _MP4_HEX.format(div="div", **_MP4_FIELDS)
+    blob = (
+        f"unhex(CASE doc_id % 3 WHEN 0 THEN {gif} "
+        f"WHEN 1 THEN {wav} ELSE {mp4} END)"
+    )
+    blobs = docs.select(F.col("doc_id").alias("id"), F.expr(blob).alias("media"))
+    meta = M.media_metadata(
+        kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media"
+    )
+    gate = (
+        ((F.col("modality") == "image")
+         & (F.col("width").cast("long") * F.col("height") >= 25_000))
+        | ((F.col("modality") == "audio") & (F.col("sample_rate") >= 16_000))
+        | ((F.col("modality") == "video") & (F.col("duration_ms") >= 30_000))
+    )
+    metric = F.coalesce(
+        F.col("width").cast("long") * F.col("height"),
+        F.col("sample_rate").cast("long"),
+        F.col("duration_ms"),
+    )
+    return meta.filter(gate).select(
+        "id", "modality", metric.alias("gate_metric")
+    )
+
+
 #: Planted 24-bit BMP recipe: id-derived dimensions, gray pixel value
 #: p(x, y) = (5·doc_id + 3x + 11y) % 256 at every BGR byte. BMP is the
 #: one raster container buildable byte-exactly in portable SQL (no
