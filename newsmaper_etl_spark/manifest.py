@@ -455,13 +455,19 @@ def compact(
     groups: dict[tuple, list[dict]] = {}
     untouched: list[dict] = []
     for e in prev["files"]:
-        if e["bytes"] < min_file_bytes:
+        # clustering rewrites EVERYTHING in scope (Delta's OPTIMIZE
+        # ZORDER does the same): a large file kept by the size check
+        # still spans the full key range and would defeat the disjoint-
+        # range pruning that is order_by's whole point
+        if order_by or e["bytes"] < min_file_bytes:
             groups.setdefault(pkey(e), []).append(e)
         else:
             untouched.append(e)
-    # a group of one small file cannot get smaller — leave it alone
-    for k in [k for k, g in groups.items() if len(g) < 2]:
-        untouched.extend(groups.pop(k))
+    if not order_by:
+        # a group of one small file cannot get smaller — leave it alone
+        # (under order_by even a single file may need re-sorting)
+        for k in [k for k, g in groups.items() if len(g) < 2]:
+            untouched.extend(groups.pop(k))
     if not groups:
         return base
 
@@ -523,6 +529,43 @@ def _schema_ddl(manifest: dict) -> str | None:
     return ", ".join(f"`{n}` {t}" for n, t in fields)
 
 
+def _read_entries(spark, table: str, manifest: dict, entries: list[dict]):
+    """Plan a read over an explicit manifest entry list — the shared
+    tail of :func:`read_table` and :func:`read_table_changes`: a typed
+    EMPTY frame when nothing matches (from the recorded schema), the
+    Hive basePath pin for partitioned layouts, and explicit recorded-
+    schema projection (what makes pre-evolution files read added
+    columns as null, and skips the plan-time inference file touch)."""
+    if not entries:
+        ddl = _schema_ddl(manifest)
+        if ddl is None:
+            raise ValueError(
+                f"snapshot v{manifest.get('version')} of {table} is "
+                "empty and records no schema"
+            )
+        return spark.createDataFrame([], ddl)
+    paths = [os.path.join(table, e["path"]) for e in entries]
+    reader = spark.read
+    if manifest.get("partition_by"):
+        # Hive-laid-out table: every file sits at data/<col=value>/…, so
+        # partition discovery sees one shared base and reconstructs the
+        # partition columns; basePath pins that base explicitly so a
+        # single-partition (pruned) read types the same way
+        reader = reader.option(
+            "basePath", os.path.abspath(os.path.join(table, _DATA))
+        )
+    ddl = _schema_ddl(manifest)
+    if ddl is not None:
+        # project the RECORDED schema explicitly instead of inferring
+        # from whichever file the reader samples: after additive schema
+        # evolution the live file set legitimately mixes schemas, and
+        # the explicit projection is what makes pre-evolution files read
+        # their missing columns as null (it is also cheaper — no
+        # schema-inference file touch at plan time)
+        reader = reader.schema(ddl)
+    return reader.parquet(*paths)
+
+
 def read_table(
     spark,
     table: str,
@@ -566,33 +609,7 @@ def read_table(
             if not skip:
                 kept.append(entry)
         files = kept
-    if not files:
-        ddl = _schema_ddl(manifest)
-        if ddl is None:
-            raise ValueError(
-                f"snapshot v{v} of {table} is empty and records no schema"
-            )
-        return spark.createDataFrame([], ddl)
-    paths = [os.path.join(table, e["path"]) for e in files]
-    reader = spark.read
-    if manifest.get("partition_by"):
-        # Hive-laid-out table: every file sits at data/<col=value>/…, so
-        # partition discovery sees one shared base and reconstructs the
-        # partition columns; basePath pins that base explicitly so a
-        # single-partition (pruned) read types the same way
-        reader = reader.option(
-            "basePath", os.path.abspath(os.path.join(table, _DATA))
-        )
-    ddl = _schema_ddl(manifest)
-    if ddl is not None:
-        # project the RECORDED schema explicitly instead of inferring
-        # from whichever file the reader samples: after additive schema
-        # evolution the live file set legitimately mixes schemas, and
-        # the explicit projection is what makes pre-evolution files read
-        # their missing columns as null (it is also cheaper — no
-        # schema-inference file touch at plan time)
-        reader = reader.schema(ddl)
-    return reader.parquet(*paths)
+    return _read_entries(spark, table, manifest, files)
 
 
 def read_table_changes(
@@ -618,36 +635,33 @@ def read_table_changes(
         raise ValueError(
             f"from_version {from_version} is above to_version {to_v}"
         )
-    for v in range(from_version + 1, to_v + 1):
-        op = _load_manifest(table, v).get("op")
-        if op not in (None, "append"):
-            raise ValueError(
-                f"snapshot range v{from_version}..v{to_v} of {table} "
-                f"contains a '{op}' commit at v{v}: file-diff deltas are "
-                "only sound across pure appends — re-sync from "
-                "read_table() after maintenance/overwrite commits"
-            )
-    old = {e["path"] for e in _load_manifest(table, from_version)["files"]}
-    new_manifest = _load_manifest(table, to_v)
+    new_manifest = None
+    try:
+        for v in range(from_version + 1, to_v + 1):
+            new_manifest = _load_manifest(table, v)
+            op = new_manifest.get("op")
+            if op not in (None, "append"):
+                raise ValueError(
+                    f"snapshot range v{from_version}..v{to_v} of {table} "
+                    f"contains a '{op}' commit at v{v}: file-diff deltas "
+                    "are only sound across pure appends — re-sync from "
+                    "read_table() after maintenance/overwrite commits"
+                )
+        old = {e["path"] for e in _load_manifest(table, from_version)["files"]}
+    except FileNotFoundError as e:
+        # a manifest inside the range was dropped by vacuum: the
+        # long-lived poller this API serves fell behind the retention
+        # window — actionable guidance, not a raw missing-file crash
+        raise ValueError(
+            f"snapshot range v{from_version}..v{to_v} of {table} "
+            "includes vacuumed manifests — the consumer fell behind the "
+            "retention window; re-sync from read_table() and resume "
+            f"polling from the current version ({e})"
+        ) from None
+    if new_manifest is None:  # from_version == to_v: empty range
+        new_manifest = _load_manifest(table, to_v)
     added = [e for e in new_manifest["files"] if e["path"] not in old]
-    if not added:
-        ddl = _schema_ddl(new_manifest)
-        if ddl is None:
-            raise ValueError(
-                f"no rows added in v{from_version}..v{to_v} of {table} "
-                "and no schema recorded to type an empty result"
-            )
-        return spark.createDataFrame([], ddl)
-    paths = [os.path.join(table, e["path"]) for e in added]
-    reader = spark.read
-    if new_manifest.get("partition_by"):
-        reader = reader.option(
-            "basePath", os.path.abspath(os.path.join(table, _DATA))
-        )
-    ddl = _schema_ddl(new_manifest)
-    if ddl is not None:
-        reader = reader.schema(ddl)
-    return reader.parquet(*paths)
+    return _read_entries(spark, table, new_manifest, added)
 
 
 def history(table: str) -> list[dict]:

@@ -854,11 +854,13 @@ def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT id, modality,
-               CAST(COALESCE(area, sr, dur_ms) AS BIGINT) AS gate_metric
+               CAST(CASE modality WHEN 'image' THEN area
+                    WHEN 'audio' THEN sr ELSE dur_ms END AS BIGINT)
+                   AS gate_metric
         FROM meta
-        WHERE (modality = 'image' AND area >= 25000)
-           OR (modality = 'audio' AND sr >= 16000)
-           OR (modality = 'video' AND dur_ms >= 30000)
+        WHERE (modality = 'image' AND area >= 9000)
+           OR (modality = 'audio' AND sr >= 11000)
+           OR (modality = 'video' AND dur_ms >= 1300)
         """
     ).format(div="//", **_GIF_FIELDS, **_WAV_FIELDS, **_MP4_FIELDS),
     tags=("MULTIMODAL", "CURATION"),
@@ -872,8 +874,18 @@ def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-modality passes, gates as plain Catalyst filters over the
     kernel's typed output. The oracle recomputes the planted metadata
     and the same gates, so classification AND threshold arithmetic are
-    both driver-hashed; every modality has planted rows on each side of
-    its threshold at every SF."""
+    both driver-hashed. Thresholds are picked INSIDE each planted
+    metric's range over the FIRST 50 doc ids (image area ∈ [5000,
+    15000) → 9000; audio rate ∈ [8000, 14125] → 11000; video duration
+    ∈ [~900, ~1700] ms → 1300), so every modality has rows on both
+    sides of its gate at every SF including sf0.001 — the review pass
+    caught the original thresholds passing zero small-SF rows for two
+    modalities, which would have let a divergence hide below the
+    driver's sf0.01 gate. The metric is modality-SCOPED (CASE), not a
+    column-order coalesce: MP4 rows carry non-null dims, so a coalesce
+    starting at width*height would report area for videos while the
+    oracle reports duration — exactly the latent sf1.0 hash mismatch
+    the review found."""
     docs = load_table(spark, sf_dir, "documents")
     gif = _GIF_HEX.format(div="div", **_GIF_FIELDS)
     wav = _WAV_HEX.format(div="div", **_WAV_FIELDS)
@@ -888,14 +900,17 @@ def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gate = (
         ((F.col("modality") == "image")
-         & (F.col("width").cast("long") * F.col("height") >= 25_000))
-        | ((F.col("modality") == "audio") & (F.col("sample_rate") >= 16_000))
-        | ((F.col("modality") == "video") & (F.col("duration_ms") >= 30_000))
+         & (F.col("width").cast("long") * F.col("height") >= 9_000))
+        | ((F.col("modality") == "audio") & (F.col("sample_rate") >= 11_000))
+        | ((F.col("modality") == "video") & (F.col("duration_ms") >= 1_300))
     )
-    metric = F.coalesce(
-        F.col("width").cast("long") * F.col("height"),
-        F.col("sample_rate").cast("long"),
-        F.col("duration_ms"),
+    metric = (
+        F.when(
+            F.col("modality") == "image",
+            F.col("width").cast("long") * F.col("height"),
+        )
+        .when(F.col("modality") == "audio", F.col("sample_rate").cast("long"))
+        .otherwise(F.col("duration_ms"))
     )
     return meta.filter(gate).select(
         "id", "modality", metric.alias("gate_metric")

@@ -694,3 +694,37 @@ def test_compact_crash_before_commit_is_invisible(spark, tmp_path):
     # a retry now succeeds normally
     v2 = M.compact(spark, t)
     assert v2 == v + 1 and M.read_table(spark, t).count() == 3
+
+
+def test_compact_order_by_rewrites_large_files_too(spark, tmp_path):
+    """order_by widens the rewrite to EVERY file: a previously-compacted
+    large file still spanning the full key range must be re-clustered,
+    not kept by the size check (review find)."""
+    t = str(tmp_path / "z2")
+    for b in range(3):
+        rows = [(i, "x" * 50) for i in range(b, 900, 3)]
+        M.append(values_df(spark, rows, ["id", "v"]).coalesce(1), t,
+                 stat_cols=("id",))
+    # first pass: plain bin-packing -> one large(ish) append-order file
+    M.compact(spark, t)
+    # clustering pass with min_file_bytes=0 (every file counts as large)
+    v = M.compact(spark, t, min_file_bytes=0, target_file_bytes=2_000,
+                  order_by=("id",))
+    m = M._load_manifest(t, v)
+    assert m["op"] == "compact" and len(m["files"]) >= 2
+    ranges = sorted(e["stats"]["id"] for e in m["files"])
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: the large file was re-clustered
+    assert M.read_table(spark, t).count() == 900
+    assert len(M.read_table(spark, t, prune=("id", 5, 5)).inputFiles()) == 1
+
+
+def test_read_table_changes_vacuumed_range_is_actionable(spark, tmp_path):
+    """A poller that fell behind the vacuum retention window gets the
+    re-sync ValueError, not a raw FileNotFoundError (review find)."""
+    t = str(tmp_path / "cdc2")
+    for i in range(4):
+        M.append(values_df(spark, [(i, "a")], ["id", "v"]).coalesce(1), t)
+    M.vacuum(t, keep_versions=1, retain_seconds=0)  # drops manifests v1..v3
+    with pytest.raises(ValueError, match="re-sync"):
+        M.read_table_changes(spark, t, 1)
