@@ -34,18 +34,28 @@ from newsmaper_etl_spark.registry import query
 @query(
     "q_tpch_q1",
     oracle="""
+        WITH d AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS DECIMAL(30,10)) AS qd,
+                   CAST(l_extendedprice AS DECIMAL(30,10)) AS pd,
+                   CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,10)) AS dpd,
+                   CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(30,10)) AS chd,
+                   CAST(l_discount AS DECIMAL(30,10)) AS dd
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        )
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                   AS sum_charge,
-               ROUND(AVG(l_quantity), 2) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 2) AS avg_price,
-               ROUND(AVG(l_discount), 2) AS avg_disc,
+               CAST(ROUND(SUM(qd), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(pd), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(dpd), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(chd), 2) AS DOUBLE) AS sum_charge,
+               CAST(ROUND(SUM(qd) / COUNT(*), 2) AS DOUBLE) AS avg_qty,
+               CAST(ROUND(SUM(pd) / COUNT(*), 2) AS DOUBLE) AS avg_price,
+               CAST(ROUND(SUM(dd) / COUNT(*), 2) AS DOUBLE) AS avg_disc,
                COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        FROM d
         GROUP BY l_returnflag, l_linestatus
     """,
     tags=("TPCH",),
@@ -53,21 +63,38 @@ from newsmaper_etl_spark.registry import query
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary): the canonical scan→partial-agg→
     exchange→final-agg pipeline; the date predicate pushes into the
-    parquet scan."""
+    parquet scan.
+
+    Summands are cast to DECIMAL(30,10) BEFORE aggregation (round 6):
+    double summation is order-dependent, and at sf1.0 a 1.8 M-row
+    group's partial-agg tree rounds the 2nd decimal differently than
+    the oracle's sequential sum — the sf1.0 parity sweep caught exactly
+    one such flip. The per-row products are identical IEEE doubles in
+    both engines; casting each to decimal makes the SUM associative and
+    engine-exact at ANY scale (and partial aggregation still applies —
+    decimal sums are mergeable). Averages derive from the exact decimal
+    sums over COUNT for the same reason."""
     li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qd = F.col("l_quantity").cast(dec)
+    pd_ = F.col("l_extendedprice").cast(dec)
+    dpd = disc_price.cast(dec)
+    chd = (disc_price * (1 + F.col("l_tax"))).cast(dec)
+    dd = F.col("l_discount").cast(dec)
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qd), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(pd_), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dpd), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(chd), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qd) / cnt, 2).cast("double").alias("avg_qty"),
+            F.round(F.sum(pd_) / cnt, 2).cast("double").alias("avg_price"),
+            F.round(F.sum(dd) / cnt, 2).cast("double").alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
