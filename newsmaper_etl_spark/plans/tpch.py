@@ -155,7 +155,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle="""
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,10))), 2) AS DOUBLE)
+                   AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -202,9 +204,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
+            # decimal-cast summand: nation groups have FIXED cardinality,
+            # so group size scales linearly and double-summation order
+            # would eventually flip the rounded cents (the Q1 sf1.0
+            # parity find); per-row products are identical IEEE doubles
+            # in both engines, decimal SUM is associative and exact
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,10)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -364,7 +375,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q7",
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
-               ROUND(SUM(volume), 2) AS revenue
+               CAST(ROUND(SUM(CAST(volume AS DECIMAL(30,10))), 2) AS DOUBLE)
+                   AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
@@ -419,9 +431,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
+            # decimal-cast summand (scale-exact; see q_tpch_q5)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,10)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -430,9 +447,12 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
         SELECT o_year,
-               FLOOR(10000 * SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                                      ELSE 0 END) / SUM(volume)) / 10000
-                   AS mkt_share
+               FLOOR(10000
+                     * CAST(SUM(CAST(CASE WHEN nation = 'NATION_3'
+                                     THEN volume ELSE 0 END
+                                     AS DECIMAL(30,10))) AS DOUBLE)
+                     / CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE))
+                   / 10000 AS mkt_share
         FROM (
             SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
@@ -490,11 +510,16 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # both sums decimal-exact before the ratio (see q_tpch_q5):
+            # the division then happens between two identical doubles
             (
                 F.floor(
                     10000
-                    * F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
-                    / F.sum(vol)
+                    * F.sum(
+                        F.when(F.col("nation") == "NATION_3", vol)
+                        .otherwise(0.0).cast("decimal(30,10)")
+                    ).cast("double")
+                    / F.sum(vol.cast("decimal(30,10)")).cast("double")
                 )
                 / 10000
             ).alias("mkt_share")
@@ -580,10 +605,11 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q14",
     oracle="""
         SELECT FLOOR(10000 *
-                   SUM(CASE WHEN p_type = 'PROMO'
+                   CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                             THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0 END)
-                   / SUM(l_extendedprice * (1 - l_discount))) / 10000
+                            ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,10))) AS DOUBLE)) / 10000
                    AS promo_share
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -607,11 +633,16 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            # decimal-exact sums before the ratio (scale-exact; see
+            # q_tpch_q1's docstring for the Q1 sf1.0 parity find)
             (
                 F.floor(
                     10000
-                    * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                    / F.sum(vol)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol)
+                        .otherwise(0.0).cast("decimal(30,10)")
+                    ).cast("double")
+                    / F.sum(vol.cast("decimal(30,10)")).cast("double")
                 )
                 / 10000
             ).alias("promo_share")
@@ -668,11 +699,14 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                          / 7.0, 2) AS DOUBLE) AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN (
-            SELECT l_partkey AS a_partkey, 0.2 * AVG(l_quantity) AS qty_cap
+            SELECT l_partkey AS a_partkey,
+                   0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                              / COUNT(*) AS DOUBLE) AS qty_cap
             FROM lineitem GROUP BY l_partkey
         ) caps ON a_partkey = p_partkey
         WHERE p_brand = 'Brand#3' AND p_size <= 5 AND l_quantity < qty_cap
@@ -691,21 +725,37 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
     ).select("p_partkey")
+    # the cap derives from an EXACT decimal mean: avg-of-double is
+    # order-dependent even over a bounded group, and the cap VALUE
+    # feeds the filter — an ulp flip at a quantity boundary would
+    # change row membership (scale-exact convention; see q_tpch_q1)
     caps = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+                / F.count(F.lit(1))
+            ).cast("double")
+        ).alias("qty_cap")
     )
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(caps, F.col("a_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")) / 7.0, 2
+            ).cast("double").alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q_tpch_q19",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,10))), 2) AS DOUBLE)
+                   AS revenue
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
@@ -749,9 +799,14 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
+            # decimal-exact global sum (scale-exact; see q_tpch_q1)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,10)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -764,11 +819,14 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
         ),
         cutoff AS (
-            SELECT AVG(c_acctbal) AS avg_bal FROM pool WHERE c_acctbal > 0.0
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) / COUNT(*)
+                        AS DOUBLE) AS avg_bal
+            FROM pool WHERE c_acctbal > 0.0
         )
         SELECT c_nationkey AS cntrycode,
                COUNT(*) AS numcust,
-               ROUND(SUM(c_acctbal), 2) AS totacctbal
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,10))), 2)
+                    AS DOUBLE) AS totacctbal
         FROM pool, cutoff
         WHERE c_acctbal > avg_bal
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -786,8 +844,14 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
     ).select("c_custkey", "c_nationkey", "c_acctbal")
+    # the cutoff VALUE feeds a filter, so it must be engine-exact: an
+    # avg-of-double ulp flip at scale would change row MEMBERSHIP, not
+    # just a displayed decimal (scale-exact convention; see q_tpch_q1)
     cutoff = pool.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+            / F.count(F.lit(1))
+        ).cast("double").alias("avg_bal")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     return (
@@ -797,7 +861,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")), 2
+            ).cast("double").alias("totacctbal"),
         )
     )
 
@@ -805,7 +871,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(30,10))), 2) AS DOUBLE)
+                   AS revenue,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -830,9 +898,14 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            # decimal-exact global sum (scale-exact; see q_tpch_q1)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount"))
+                    .cast("decimal(30,10)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1019,7 +1092,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH nat AS (
             SELECT l_partkey,
-                   SUM(l_extendedprice * (1 - l_discount)) AS part_value
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10))) AS part_value
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             WHERE s_nationkey = 7
@@ -1029,9 +1103,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts
             FROM nat
         )
-        SELECT l_partkey, ROUND(part_value, 2) AS part_value
+        SELECT l_partkey,
+               CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
         FROM nat, total
-        WHERE part_value > 3.0 * total_value / n_parts
+        WHERE CAST(part_value AS DOUBLE)
+              > 3.0 * CAST(total_value AS DOUBLE) / n_parts
     """,
     tags=("TPCH",),
 )
@@ -1053,9 +1129,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "part_value"
-            )
+            # decimal-exact per-part value: the scalar TOTAL sums over a
+            # part count that scales with data, and the threshold it
+            # feeds decides row MEMBERSHIP (scale-exact; see q_tpch_q1)
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(30,10)")
+            ).alias("part_value")
         )
     )
     total = nat.agg(
@@ -1065,9 +1145,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nat.crossJoin(F.broadcast(total))
         .filter(
-            F.col("part_value") > 3.0 * F.col("total_value") / F.col("n_parts")
+            F.col("part_value").cast("double")
+            > 3.0 * F.col("total_value").cast("double") / F.col("n_parts")
         )
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
     )
 
 
