@@ -31,8 +31,10 @@ from newsmaper_etl_spark.registry import query
             l_returnflag,
             l_linestatus,
             COUNT(*) AS c,
-            ROUND(SUM(l_extendedprice), 2) AS sum_price,
-            ROUND(AVG(l_quantity), 2) AS avg_qty,
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
+                 AS DOUBLE) AS sum_price,
+            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))) / COUNT(*), 2)
+                 AS DOUBLE) AS avg_qty,
             strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
             strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
         FROM lineitem
@@ -46,8 +48,20 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("c"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        # decimal-exact sum/avg: the (flag, status) groups hold a fixed
+        # 6-way split of the fact, so group size scales with data and
+        # double-sum order would eventually flip the cents (the same
+        # class as TPC-H Q1's sf1.0 parity find; see plans/tpch.py)
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")), 2
+        ).cast("double").alias("sum_price"),
+        (
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+                / F.count(F.lit(1)),
+                2,
+            ).cast("double")
+        ).alias("avg_qty"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
     )
@@ -106,7 +120,7 @@ _CNR_ORACLE_FROM = """
 @query(
     "q_rollup",
     oracle=f"""
-        SELECT r_name, n_name, COUNT(*) AS c, ROUND(SUM(c_acctbal), 2) AS bal
+        SELECT r_name, n_name, COUNT(*) AS c, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE) AS bal
         {_CNR_ORACLE_FROM}
         GROUP BY ROLLUP(r_name, n_name)
     """,
@@ -116,7 +130,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _customer_region(spark, sf_dir)
         .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)")), 2).cast("double").alias("bal"))
     )
 
 

@@ -305,7 +305,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
                COUNT(*) AS c,
-               ROUND(SUM(value), 2) AS sum_v
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_v
         FROM events
         GROUP BY 1
     """,
@@ -321,7 +321,9 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .agg(F.count(F.lit(1)).alias("c"), F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")), 2
+        ).cast("double").alias("sum_v"))
     )
 
 
@@ -336,7 +338,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ]) AS win_start
             FROM events
         )
-        SELECT win_start, COUNT(*) AS c, ROUND(SUM(value), 2) AS sum_v
+        SELECT win_start, COUNT(*) AS c, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_v
         FROM starts GROUP BY win_start
     """,
     tags=("STREAM",),
@@ -351,7 +353,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(half, half - 1800)).alias("win_start"), "value"
         )
         .groupBy("win_start")
-        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .agg(F.count(F.lit(1)).alias("c"), F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")), 2
+        ).cast("double").alias("sum_v"))
     )
 
 
