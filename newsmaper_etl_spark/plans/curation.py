@@ -60,8 +60,9 @@ from newsmaper_etl_spark.registry import query
 )
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition signals (dup-token fraction, top-bigram
-    fraction) — the Gopher-style repetition gate, computed by linear
-    explode+agg, never a per-row O(n²) scan."""
+    fraction) — the Gopher-style repetition gate, computed entirely
+    within-row (sorted-array run-length fold, no explode, no shuffle);
+    the oracle re-derives it via the portable explode+agg SQL."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
     return TX.repetition_stats(docs)
 

@@ -27,8 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsmaper_etl_spark.io import load_table
+from newsmaper_etl_spark.io import is_toy, load_table
 from newsmaper_etl_spark.registry import query
+
+
+def _bc(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Broadcast hint for DATA-SCALED sides, applied only at toy SF.
+
+    supplier/part (and anything derived from them) shrink by a constant
+    filter factor but grow linearly with data — at the 100 TB design
+    point supplier is ~1 B rows, and ``F.broadcast`` is a directive AQE
+    cannot override, so an unconditional hint is a guaranteed executor
+    OOM at scale. At toy SF the hint is provably safe (the whole table
+    is < the session's 32 MB autoBroadcastJoinThreshold, which would
+    broadcast it anyway); at real scale the hint is withheld and AQE
+    picks the strategy from runtime stats (same pattern as Q4's
+    quarter-filtered orders side). Fixed-cardinality sides (nation = 25
+    rows, region = 5, one-row scalar cutoffs) keep their unconditional
+    ``F.broadcast`` — those never scale with data."""
+    return F.broadcast(df) if is_toy(sf_dir) else df
 
 
 @query(
@@ -989,7 +1006,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregating the whole fact to then drop 99.6 % of groups is pure
     # waste.
     li_f = li.join(
-        F.broadcast(part.select("p_partkey")),
+        _bc(part.select("p_partkey"), sf_dir),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -1005,8 +1022,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offers = (
-        cost.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        cost.join(_bc(part, sf_dir), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_bc(eu, sf_dir), F.col("s_suppkey") == F.col("l_suppkey"))
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -1071,8 +1088,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(_bc(part, sf_dir), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_bc(supp, sf_dir), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -1126,7 +1143,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == 7
     ).select("s_suppkey")
     nat = (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(_bc(supp, sf_dir), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(
             # decimal-exact per-part value: the scalar TOTAL sums over a
@@ -1193,9 +1210,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     links = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(_bc(part, sf_dir), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(ok_supp),
+            _bc(ok_supp, sf_dir),
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -1255,7 +1272,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part join, and both aggs are partition-wise over l_partkey, so the
     # early restriction is result-identical.
     li_f = li.join(
-        F.broadcast(part),
+        _bc(part, sf_dir),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -1274,7 +1291,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
     return (
         supp.join(
-            F.broadcast(dominant),
+            _bc(dominant, sf_dir),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -1314,49 +1331,64 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting; "received late"
-    surrogate = l_returnflag 'R' — no receipt/commit dates): the
-    signature EXISTS / NOT EXISTS pair compiles to a LEFT SEMI and a
-    LEFT ANTI hash join on the order key, each carrying the
-    supplier-inequality as a residual condition — never a nested loop.
+    surrogate = l_returnflag 'R' — no receipt/commit dates), rewritten
+    Q4-style as a SINGLE-SCAN monotone-aggregate plan.
+
+    The EXISTS / NOT EXISTS pair over l2/l3 is a per-ORDER property:
+    for a flagged line (o, s) of an 'F' order,
+      EXISTS other-supplier line      ⟺ countDistinct(suppkey | order) ≥ 2
+      NOT EXISTS other flagged supp   ⟺ countDistinct(flagged suppkey | order) = 1
+    and COUNT(*) counts the flagged LINES of the unique flagged
+    supplier. So one lineitem scan aggregates to per-(order, supplier)
+    rows first (map-side combinable: any_flagged, flagged_line_count),
+    then per-order: supplier count, flagged-supplier count, the unique
+    flagged supplier, and its line count. The r06 shape instead scanned
+    lineitem twice and shuffled every LINE through a semi AND an anti
+    join (the top real TPC-H offender: 3.1× at sf0.1, 4.6× at sf1.0);
+    here the only fact-scale exchange carries one row per (order,
+    supplier) pair, and the second exchange one row per order — bytes
+    per order, not per line, which is the plan that wins at 100 TB.
+    Orders ('F' filter, ~half) and the supplier dim join by hash join
+    under AQE; no data-scaled side is force-broadcast (see ``_bc``).
     Top-20 via TakeOrderedAndProject with the (numwait DESC, s_name)
     tie-break."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    flagged = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    ).select("l_orderkey", "l_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("__flag"),
+    )
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__flag").alias("__has_flag"),
+        F.sum("__flag").alias("__flag_lines"),
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__has_flag").alias("__n_flagged_supp"),
+        F.max(
+            F.when(F.col("__has_flag") == 1, F.col("l_suppkey"))
+        ).alias("__flagged_supp"),
+        F.sum(
+            F.when(F.col("__has_flag") == 1, F.col("__flag_lines"))
+        ).alias("__numwait_lines"),
+    )
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") < 13
     ).select("s_suppkey", "s_name")
-    l1 = flagged.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = flagged.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
     waiting = (
-        l1.join(
-            l2,
-            (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
-            "left_semi",
+        per_order.filter(
+            (F.col("__n_supp") >= 2) & (F.col("__n_flagged_supp") == 1)
         )
-        .join(
-            l3,
-            (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
-            "left_anti",
-        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
     )
     return (
         waiting.join(
-            F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey")
+            _bc(supp, sf_dir), F.col("s_suppkey") == F.col("__flagged_supp")
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__numwait_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )

@@ -128,12 +128,16 @@ def test_q19_envelope_predicates_reach_scans(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
 
 
-def test_q21_exists_pair_is_hash_semi_anti(spark, sf_dir):
-    """Q21's EXISTS / NOT EXISTS pair must compile to LEFT SEMI + LEFT
-    ANTI hash joins on the order key (supplier inequality riding as a
-    residual condition) — never a nested loop over the fact."""
+def test_q21_single_scan_monotone_aggregate(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair is rewritten Q4-style into
+    per-order aggregates: lineitem must be scanned exactly ONCE (the
+    r06 semi+anti shape scanned it twice and shuffled every line), the
+    per-(order, supplier) aggregate must partial-aggregate below its
+    exchange (map-side combine — bytes per pair move, not per line),
+    and no nested loop anywhere."""
     plan = _plan(QUERIES["q_tpch_q21"].fn(spark, sf_dir), "simple")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, f"fact scanned twice:\n{plan}"
+    assert "partial_" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
@@ -372,3 +376,44 @@ def test_multimodal_queries_are_map_only(spark, sf_dir):
         plan = _plan(QUERIES[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+
+
+def test_tpch_no_forced_broadcast_of_data_scaled_sides(spark, sf_dir, tmp_path):
+    """The 100×-scale broadcast contract (VERDICT r06 #1): supplier/part
+    (and anything derived from them) scale with data, and ``F.broadcast``
+    is a directive AQE cannot override — so the explicit hints those
+    sides carry at toy SF must VANISH at real scale, leaving only the
+    fixed-cardinality hints (nation = 25 rows, region = 5, one-row
+    scalar cutoffs). Exercised against a symlinked copy of the testdata
+    under a path with NO parseable sf component: ``is_toy`` treats
+    unknown dirs as real scale (the conservative 100 TB posture), so the
+    same query functions must emit exactly the fixed-side hint count."""
+    import os
+
+    prod = tmp_path / "production"
+    prod.mkdir()
+    for f in os.listdir(sf_dir):
+        os.symlink(os.path.join(sf_dir, f), prod / f)
+
+    def hint_count(name, d):
+        plan = _plan(QUERIES[name].fn(spark, str(d)), "extended")
+        analyzed = plan.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+        return analyzed.count("ResolvedHint")
+
+    # (query, fixed-cardinality hints that legitimately survive at scale)
+    expected = {
+        "q_tpch_q2": 2,   # nation + region inside the eu dim subtree
+        "q_tpch_q9": 1,   # nation
+        "q_tpch_q11": 1,  # the one-row scalar cutoff cross-join
+        "q_tpch_q16": 0,
+        "q_tpch_q20": 0,
+        "q_tpch_q21": 0,
+    }
+    for name, fixed in expected.items():
+        at_scale = hint_count(name, prod)
+        assert at_scale == fixed, f"{name}: {at_scale} hints at scale, want {fixed}"
+        # and the toy path really does add hints on top of the fixed set
+        assert hint_count(name, sf_dir) > fixed or fixed == 0 and \
+            hint_count(name, sf_dir) >= 1, name
