@@ -189,7 +189,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
     )
-    return D.contamination_check(docs, eval_df, n=8)
+    return D.contamination_check(docs, eval_df, n=8, hashed=False)
 
 
 @query(
@@ -275,7 +275,7 @@ def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
     )
-    s = D.contamination_check(docs, eval_df, n=8).withColumnRenamed(
+    s = D.contamination_check(docs, eval_df, n=8, hashed=False).withColumnRenamed(
         "n_contam", "__n_s"
     )
     h = D.contamination_check(docs, eval_df, n=8, hashed=True).withColumnRenamed(

@@ -615,6 +615,40 @@ def q_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivf_planted", oracle=_ANN_PLANTED_ORACLE, tags=("ANN", "IVF"))
+def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked planted-exact top-1 contract for the IVF path
+    (VERDICT r06 'do this' #3 — the last sketch family without a
+    production-path deterministic twin): every query vector's exact copy
+    is planted in the corpus under a shifted id. An identical vector has
+    identical dot products against every centroid, so its cell ranking
+    equals the query's and the copy is guaranteed into the query's TOP
+    probe cell at any nprobe ≥ 1 — recall of the planted neighbor is
+    deterministic even though the k-means centroids themselves are
+    data-dependent. The production path runs live (sampled spherical
+    k-means, cell assignment, nprobe probe-join, exclude_self), and a
+    centroid-assignment, probe, norm, dot, or ranking bug surfaces as a
+    row mismatch against the same brute-force oracle as
+    q_ann_lsh_planted. The statistical top-k variant stays rows-only as
+    q_ann_ivf."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    qs = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        qs.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    queries = qs.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ivf_cosine_topk(
+        queries, corpus, k=1, n_centroids=8, nprobe=2, sample_n=512,
+        dim=64, exclude_self=True,
+        cache_key=sf_dir + ":embeddings_planted_1k",
+    )
+    return out.filter(F.col("rank") == 1).select(
+        "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
+    )
+
+
 @query(
     "q_curate_corpus_planted",
     oracle=_curate_exact_oracle(),

@@ -183,7 +183,9 @@ def test_contamination_hashed_path_matches_string_path(spark, sf_dir):
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
     )
-    s = sorted(map(tuple, contamination_check(docs, eval_df, n=8).collect()))
+    s = sorted(
+        map(tuple, contamination_check(docs, eval_df, n=8, hashed=False).collect())
+    )
     h = sorted(
         map(tuple, contamination_check(docs, eval_df, n=8, hashed=True).collect())
     )
