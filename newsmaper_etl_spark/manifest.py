@@ -65,6 +65,115 @@ _MANIFESTS = "_manifests"
 _DATA = "data"
 
 
+class LogStore:
+    """The two atomic primitives the commit protocol stands on, plus the
+    reads that observe them — the same seam as Delta's LogStore contract
+    (conditional-put claim + atomic pointer flip), so the 100 TB
+    transactional story is object-store-portable: on S3/GCS an adapter
+    backs ``put_if_absent`` with a conditional PUT (If-None-Match) and
+    ``put_atomic`` with a plain PUT (single-key writes are atomic on
+    every major object store), with no change to the protocol above it.
+
+    Only the LOG is abstracted: data files are written by Spark and read
+    by Spark/DuckDB through their own filesystems, and the maintenance
+    walkers (:func:`repair`, :func:`vacuum`) remain POSIX-side — an
+    object-store port adds a ``list`` primitive for those.
+    """
+
+    def read(self, path: str) -> str:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        """Create ``path`` with ``data`` iff it does not exist — raise
+        ``FileExistsError`` otherwise. MUST be atomic: two racers get
+        exactly one winner, and a loser/crash can never leave a partial
+        or clobbered object at ``path``."""
+        raise NotImplementedError  # pragma: no cover - interface
+
+    def put_atomic(self, path: str, data: str) -> None:
+        """Atomically (over)write ``path`` with ``data`` — readers see
+        the old content or the new, never a prefix."""
+        raise NotImplementedError  # pragma: no cover - interface
+
+
+class PosixLogStore(LogStore):
+    """Filesystem implementation: claim = hard-link of a fully-written
+    temp (atomic create), flip = ``os.replace``. Correct on any POSIX
+    filesystem (and HDFS-style mounts with atomic rename)."""
+
+    def read(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)  # atomic claim: exactly one writer wins
+        finally:
+            os.unlink(tmp)
+
+    def put_atomic(self, path: str, data: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+
+class InMemoryLogStore(LogStore):
+    """Conditional-put fake with object-store semantics (no directories,
+    no rename — just keyed conditional writes). Backs the protocol tests
+    that prove the commit logic depends ONLY on the LogStore contract,
+    not on POSIX rename behavior."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._objects: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def read(self, path: str) -> str:
+        try:
+            return self._objects[path]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def exists(self, path: str) -> bool:
+        return path in self._objects
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        with self._lock:
+            if path in self._objects:
+                raise FileExistsError(path)
+            self._objects[path] = data
+
+    def put_atomic(self, path: str, data: str) -> None:
+        with self._lock:
+            self._objects[path] = data
+
+
+_LOG_STORE: LogStore = PosixLogStore()
+
+
+def get_log_store() -> LogStore:
+    return _LOG_STORE
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Swap the active log store (returns the previous one). Test /
+    embedding hook; production code never calls this."""
+    global _LOG_STORE
+    prev, _LOG_STORE = _LOG_STORE, store
+    return prev
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFESTS, f"v{version:010d}.json")
 
@@ -72,17 +181,16 @@ def _manifest_path(table: str, version: int) -> str:
 def current_version(table: str) -> int:
     """The committed version (0 = empty table, no commits yet)."""
     latest = os.path.join(table, _LATEST)
-    if not os.path.exists(latest):
+    store = get_log_store()
+    if not store.exists(latest):
         return 0
-    with open(latest) as f:
-        return int(f.read().strip())
+    return int(store.read(latest).strip())
 
 
 def _load_manifest(table: str, version: int) -> dict:
     if version == 0:
         return {"version": 0, "files": []}
-    with open(_manifest_path(table, version)) as f:
-        return json.load(f)
+    return json.loads(get_log_store().read(_manifest_path(table, version)))
 
 
 def _json_safe(v):
@@ -199,13 +307,16 @@ def _commit(
 ) -> int:
     """Atomically publish a new snapshot computed against base_version.
 
-    The manifest is fully written to a temp name, then CLAIMED with
-    ``os.link`` — atomic create, so a crashed writer can only ever leave
-    an unreferenced temp file (never a half-written or clobbered
-    manifest), and two racers for the same version get exactly one
-    winner. `_LATEST` then flips via os.replace. The base-version check
-    makes a writer whose snapshot went stale fail loudly instead of
-    silently dropping the interleaved commit's rows."""
+    The manifest is CLAIMED via the log store's conditional put
+    (``put_if_absent`` — on POSIX a fully-written temp hard-linked into
+    place; atomic create, so a crashed writer can only ever leave an
+    unreferenced temp file, never a half-written or clobbered manifest),
+    and two racers for the same version get exactly one winner.
+    `_LATEST` then flips via ``put_atomic`` (POSIX: os.replace). The
+    base-version check makes a writer whose snapshot went stale fail
+    loudly instead of silently dropping the interleaved commit's rows.
+    The whole protocol touches storage only through :class:`LogStore`,
+    so the same logic commits against S3/GCS conditional puts."""
     if current_version(table) != base_version:
         raise ConcurrentWriteError(
             f"table moved past v{base_version}; recompute and retry"
@@ -223,22 +334,15 @@ def _commit(
     if txns:
         manifest["txns"] = txns
     manifest["partition_by"] = list(partition_by)
-    mpath = _manifest_path(table, new_version)
-    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
+    store = get_log_store()
     try:
-        os.link(tmp, mpath)  # atomic claim: exactly one writer wins v{n+1}
+        store.put_if_absent(_manifest_path(table, new_version), json.dumps(manifest))
     except FileExistsError:
         raise ConcurrentWriteError(
             f"manifest v{new_version} already claimed by another writer"
         ) from None
-    finally:
-        os.unlink(tmp)
-    latest_tmp = os.path.join(table, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
-    with open(latest_tmp, "w") as f:
-        f.write(str(new_version))
-    os.replace(latest_tmp, os.path.join(table, _LATEST))  # THE commit point
+    # THE commit point:
+    store.put_atomic(os.path.join(table, _LATEST), str(new_version))
     return new_version
 
 
@@ -630,7 +734,21 @@ def read_table_changes(
     which is the same contract Delta's CDF-less readChangeFeed=false
     incremental consumers live with. Returns an empty typed DataFrame
     when nothing was added."""
-    to_v = current_version(table) if to_version is None else to_version
+    cur = current_version(table)
+    to_v = cur if to_version is None else to_version
+    # invalid ARGUMENTS fail here, distinctly — only versions that once
+    # existed may reach the vacuum-interpretation path below, where a
+    # missing manifest really does mean "fell behind retention"
+    if from_version < 0 or from_version > cur:
+        raise ValueError(
+            f"from_version {from_version} is not a committed version of "
+            f"{table} (current version is {cur})"
+        )
+    if to_v < 0 or to_v > cur:
+        raise ValueError(
+            f"to_version {to_v} is not a committed version of "
+            f"{table} (current version is {cur})"
+        )
     if from_version > to_v:
         raise ValueError(
             f"from_version {from_version} is above to_version {to_v}"

@@ -671,8 +671,13 @@ def test_read_table_changes_incremental(spark, tmp_path):
     v4 = M.current_version(t)
     M.append(values_df(spark, [(4, "d")], ["id", "v"]).coalesce(1), t)
     assert [r["id"] for r in M.read_table_changes(spark, t, v4).collect()] == [4]
-    with pytest.raises(ValueError, match="above"):
+    # a never-committed from_version is an invalid ARGUMENT (distinct
+    # from the vacuumed-range diagnosis — ADVICE r06)
+    with pytest.raises(ValueError, match="not a committed version"):
         M.read_table_changes(spark, t, 99, 1)
+    # an inverted but otherwise valid range still reports the inversion
+    with pytest.raises(ValueError, match="above"):
+        M.read_table_changes(spark, t, 2, 1)
 
 
 def test_compact_crash_before_commit_is_invisible(spark, tmp_path):
@@ -728,3 +733,72 @@ def test_read_table_changes_vacuumed_range_is_actionable(spark, tmp_path):
     M.vacuum(t, keep_versions=1, retain_seconds=0)  # drops manifests v1..v3
     with pytest.raises(ValueError, match="re-sync"):
         M.read_table_changes(spark, t, 1)
+
+
+# --------------------------------------------------------------------------
+# LogStore seam: the commit protocol against both adapters
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("store_cls", [M.PosixLogStore, M.InMemoryLogStore])
+def test_commit_protocol_runs_on_both_log_stores(spark, tmp_path, store_cls):
+    """The commit protocol must depend ONLY on the LogStore contract
+    (conditional-put claim + atomic pointer flip), not on POSIX rename:
+    the same append → conflict → read → history cycle runs bit-identical
+    against the filesystem store and the in-memory conditional-put fake
+    (object-store semantics: no directories, no rename). Data files stay
+    on disk either way — only the LOG is abstracted."""
+    prev = M.set_log_store(store_cls())
+    try:
+        t = str(tmp_path / "lst")
+        M.append(values_df(spark, [(1, "a"), (2, "b")], ["id", "v"]), t)
+        M.append(values_df(spark, [(3, "c")], ["id", "v"]), t)
+        assert M.current_version(t) == 2
+        got = sorted(r["id"] for r in M.read_table(spark, t).collect())
+        assert got == [1, 2, 3]
+        assert [h["op"] for h in M.history(t)] == ["append", "append"]
+        # stale-base writer fails loudly (snapshot moved underneath it)
+        with pytest.raises(M.ConcurrentWriteError):
+            M._commit(t, base_version=1, files=[], op="append")
+        # two racers for the same version: exactly one winner
+        files = M._load_manifest(t, 2)["files"]
+        M._commit(t, base_version=2, files=files, op="append")
+        store = M.get_log_store()
+        with pytest.raises(FileExistsError):
+            store.put_if_absent(M._manifest_path(t, 3), "{}")
+    finally:
+        M.set_log_store(prev)
+
+
+@pytest.mark.parametrize("store_cls", [M.PosixLogStore, M.InMemoryLogStore])
+def test_log_store_primitive_semantics(tmp_path, store_cls):
+    """The primitive contract itself: put_if_absent is one-shot (second
+    writer gets FileExistsError, content is the winner's), put_atomic
+    overwrites, read of a missing key raises FileNotFoundError."""
+    store = store_cls()
+    p = str(tmp_path / "obj")
+    with pytest.raises(FileNotFoundError):
+        store.read(p)
+    assert not store.exists(p)
+    store.put_if_absent(p, "first")
+    with pytest.raises(FileExistsError):
+        store.put_if_absent(p, "second")
+    assert store.read(p) == "first"
+    store.put_atomic(p, "replaced")
+    assert store.read(p) == "replaced"
+    assert store.exists(p)
+
+
+def test_read_table_changes_rejects_invalid_versions(spark, tmp_path):
+    """A caller passing a negative or never-committed version must get a
+    distinct invalid-argument error, NOT the 'fell behind retention'
+    misdiagnosis reserved for genuinely vacuumed ranges (ADVICE r06)."""
+    t = str(tmp_path / "cdc")
+    M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+    with pytest.raises(ValueError, match="not a committed version"):
+        M.read_table_changes(spark, t, from_version=-1)
+    with pytest.raises(ValueError, match="not a committed version"):
+        M.read_table_changes(spark, t, from_version=7)
+    with pytest.raises(ValueError, match="not a committed version"):
+        M.read_table_changes(spark, t, from_version=0, to_version=9)
+    # the valid empty range still works
+    assert M.read_table_changes(spark, t, from_version=1).count() == 0
