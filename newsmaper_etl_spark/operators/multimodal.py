@@ -1135,7 +1135,10 @@ def _decode_gif(b: bytes) -> tuple[str, int, int, int, bytes] | None:
     """GIF87a/89a → first frame as RGB: logical-screen parse, global /
     local color table, LZW decompression, 4-pass de-interlace, and
     composition onto the background color when the frame is a sub-
-    rectangle of the screen. Pure stdlib — LZW is ~40 lines."""
+    rectangle of the screen, and GCE transparency (a 0xF9 graphic-
+    control extension's transparent index renders as the background
+    color — the flat-page composition a single-frame decode can honor;
+    ADVICE r06). Pure stdlib — LZW is ~40 lines."""
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         return None
     w, h = struct.unpack("<HH", b[6:10])
@@ -1149,11 +1152,18 @@ def _decode_gif(b: bytes) -> tuple[str, int, int, int, bytes] | None:
         size = 3 * (2 << (flags & 7))
         gct = b[i : i + size]
         i += size
+    transp = None  # GCE transparent color index, if declared
     try:
         while i < len(b):
             block = b[i]
             if block == 0x21:  # extension: label + sub-blocks
+                label = b[i + 1] if i + 1 < len(b) else 0
                 i += 2
+                if label == 0xF9 and i < len(b) and b[i] >= 4:
+                    # graphic-control extension: packed byte bit 0 =
+                    # transparency flag, byte 4 = transparent index
+                    if b[i + 1] & 0x01:
+                        transp = b[i + 4]
                 while i < len(b) and b[i] != 0:
                     i += 1 + b[i]
                 i += 1
@@ -1189,16 +1199,20 @@ def _decode_gif(b: bytes) -> tuple[str, int, int, int, bytes] | None:
                             src += 1
                     idx = b"".join(ordered)
 
+                bgp = gct[bg_idx * 3 : bg_idx * 3 + 3] if gct else b""
+                bg = bgp if len(bgp) == 3 else b"\x00\x00\x00"
+
                 def color(j: int) -> bytes:
-                    p = idx[j] * 3
+                    ci = idx[j]
+                    if ci == transp:  # GCE transparency → background
+                        return bg
+                    p = ci * 3
                     return pal[p : p + 3] if p + 3 <= len(pal) else b"\x00\x00\x00"
 
                 if (left, top, iw, ih) == (0, 0, w, h):
                     out = b"".join(color(j) for j in range(iw * ih))
                     return ("gif", w, h, 3, out)
                 # sub-rectangle frame: compose onto the background color
-                bgp = gct[bg_idx * 3 : bg_idx * 3 + 3] if gct else b""
-                bg = bgp if len(bgp) == 3 else b"\x00\x00\x00"
                 canvas = bytearray(bg * (w * h))
                 for y in range(min(ih, max(0, h - top))):
                     for x in range(min(iw, max(0, w - left))):

@@ -33,7 +33,8 @@ from newsmaper_etl_spark.registry import query
             COUNT(*) AS c,
             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
                  AS DOUBLE) AS sum_price,
-            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))) / COUNT(*), 2)
+            CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                            AS DOUBLE) / COUNT(*), 2)
                  AS DOUBLE) AS avg_qty,
             strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
             strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
@@ -55,9 +56,13 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice").cast("decimal(30,10)")), 2
         ).cast("double").alias("sum_price"),
+        # divide AFTER casting the exact decimal sum to double (both
+        # engines then divide bit-identical inputs; decimal division
+        # semantics are engine-specific — ADVICE r06, see plans/tpch.py)
         (
             F.round(
                 F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+                .cast("double")
                 / F.count(F.lit(1)),
                 2,
             ).cast("double")

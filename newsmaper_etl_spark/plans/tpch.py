@@ -68,9 +68,12 @@ def _bc(df: DataFrame, sf_dir: str) -> DataFrame:
                CAST(ROUND(SUM(pd), 2) AS DOUBLE) AS sum_base_price,
                CAST(ROUND(SUM(dpd), 2) AS DOUBLE) AS sum_disc_price,
                CAST(ROUND(SUM(chd), 2) AS DOUBLE) AS sum_charge,
-               CAST(ROUND(SUM(qd) / COUNT(*), 2) AS DOUBLE) AS avg_qty,
-               CAST(ROUND(SUM(pd) / COUNT(*), 2) AS DOUBLE) AS avg_price,
-               CAST(ROUND(SUM(dd) / COUNT(*), 2) AS DOUBLE) AS avg_disc,
+               CAST(ROUND(CAST(SUM(qd) AS DOUBLE) / COUNT(*), 2)
+                    AS DOUBLE) AS avg_qty,
+               CAST(ROUND(CAST(SUM(pd) AS DOUBLE) / COUNT(*), 2)
+                    AS DOUBLE) AS avg_price,
+               CAST(ROUND(CAST(SUM(dd) AS DOUBLE) / COUNT(*), 2)
+                    AS DOUBLE) AS avg_disc,
                COUNT(*) AS count_order
         FROM d
         GROUP BY l_returnflag, l_linestatus
@@ -108,9 +111,18 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(pd_), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(dpd), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(chd), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(qd) / cnt, 2).cast("double").alias("avg_qty"),
-            F.round(F.sum(pd_) / cnt, 2).cast("double").alias("avg_price"),
-            F.round(F.sum(dd) / cnt, 2).cast("double").alias("avg_disc"),
+            # divide AFTER casting the exact decimal sum to double: both
+            # engines then divide bit-identical doubles, instead of each
+            # applying its own decimal-division scale/rounding rules
+            # (Spark reduces scale HALF_UP, DuckDB promotes — a quotient
+            # near a .005 boundary could flip the rounded cent; ADVICE
+            # r06, same convention as q_tpch_q8/q14's ratios)
+            F.round(F.sum(qd).cast("double") / cnt, 2)
+            .cast("double").alias("avg_qty"),
+            F.round(F.sum(pd_).cast("double") / cnt, 2)
+            .cast("double").alias("avg_price"),
+            F.round(F.sum(dd).cast("double") / cnt, 2)
+            .cast("double").alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -716,14 +728,14 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
-                          / 7.0, 2) AS DOUBLE) AS avg_yearly
+        SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN (
             SELECT l_partkey AS a_partkey,
-                   0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
-                              / COUNT(*) AS DOUBLE) AS qty_cap
+                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                               AS DOUBLE) / COUNT(*)) AS qty_cap
             FROM lineitem GROUP BY l_partkey
         ) caps ON a_partkey = p_partkey
         WHERE p_brand = 'Brand#3' AND p_size <= 5 AND l_quantity < qty_cap
@@ -742,17 +754,22 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
     ).select("p_partkey")
-    # the cap derives from an EXACT decimal mean: avg-of-double is
+    # the cap derives from an EXACT decimal SUM: double summation is
     # order-dependent even over a bounded group, and the cap VALUE
     # feeds the filter — an ulp flip at a quantity boundary would
-    # change row membership (scale-exact convention; see q_tpch_q1)
+    # change row membership (scale-exact convention; see q_tpch_q1).
+    # The DIVISION happens after casting the exact sum to double so
+    # both engines divide bit-identical inputs — decimal division
+    # itself is engine-specific (scale reduction vs promotion;
+    # ADVICE r06)
     caps = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (
             0.2
             * (
                 F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+                .cast("double")
                 / F.count(F.lit(1))
-            ).cast("double")
+            )
         ).alias("qty_cap")
     )
     return (
@@ -761,7 +778,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")) / 7.0, 2
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                .cast("double")
+                / 7.0,
+                2,
             ).cast("double").alias("avg_yearly")
         )
     )
@@ -836,8 +856,8 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
         ),
         cutoff AS (
-            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) / COUNT(*)
-                        AS DOUBLE) AS avg_bal
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
             FROM pool WHERE c_acctbal > 0.0
         )
         SELECT c_nationkey AS cntrycode,
@@ -866,9 +886,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just a displayed decimal (scale-exact convention; see q_tpch_q1)
     cutoff = pool.filter(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double")
             / F.count(F.lit(1))
-        ).cast("double").alias("avg_bal")
+        ).alias("avg_bal")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     return (

@@ -28,6 +28,7 @@ Semantics pinned to the reference, with deviations documented:
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from typing import Iterator
 
@@ -204,6 +205,21 @@ class _RssStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._batch = _RssReader(options)
         self._poll = 0
+        # optional cross-restart floor: with a state_dir option the last
+        # committed offset is persisted on commit() and restored here,
+        # so a restarted reader can never emit an offset at or below the
+        # committed log even when the wall clock regressed across the
+        # restart (restored checkpoint on another host, clock step)
+        self._state_file = None
+        state_dir = options.get("state_dir")
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            self._state_file = os.path.join(state_dir, "rss-last-offset")
+            try:
+                with open(self._state_file) as f:
+                    self._poll = int(f.read().strip())
+            except (FileNotFoundError, ValueError):
+                pass
 
     def initialOffset(self) -> dict:
         return {"poll": 0}
@@ -215,10 +231,15 @@ class _RssStreamReader(DataSourceStreamReader):
         # in-session increase: a clean restart creates a FRESH reader
         # whose first latestOffset() fires before any partitions(start,
         # end) call could re-seed it, so a pure in-memory counter would
-        # emit poll=1 below the committed log — clock-seeding keeps the
-        # offset log monotonic across restarts too (modulo a backwards
-        # wall-clock jump spanning the restart, which only dents the
-        # log's cosmetics: data flow never depends on offset values).
+        # emit poll=1 below the committed log. Clock-seeding keeps the
+        # offset log monotonic across NORMAL restarts; if the system
+        # clock regressed past the committed offset across a restart,
+        # latestOffset lands at or below the committed value and the
+        # engine plans no batch — polling STALLS until the clock catches
+        # up (ADVICE r06: a real stall, not just log cosmetics). The
+        # state_dir option closes that window: the restored committed
+        # offset floors the counter, so the first poll of the new
+        # session always advances past it.
         import time
 
         self._poll = max(self._poll + 1, int(time.time()))
@@ -234,7 +255,16 @@ class _RssStreamReader(DataSourceStreamReader):
         return self._batch.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        committed = int(end.get("poll", 0))
+        self._poll = max(self._poll, committed)
+        if self._state_file is not None:
+            # crash-safe single-writer persist (the engine serializes
+            # commits); readers tolerate a torn/absent file by falling
+            # back to clock seeding
+            tmp = self._state_file + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(self._poll))
+            os.replace(tmp, self._state_file)
 
 
 class RssDataSource(DataSource):

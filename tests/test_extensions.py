@@ -1392,15 +1392,20 @@ def _lzw_encode(indices, mcs):
     return bytes(out)
 
 
-def _make_gif(w, h, palette, indices, interlace=False, sub=None, bg=0):
+def _make_gif(
+    w, h, palette, indices, interlace=False, sub=None, bg=0, transp=None
+):
     """Minimal GIF89a writer: global color table, one image block,
-    optional interlace row order and sub-rectangle placement."""
+    optional interlace row order, sub-rectangle placement, and an
+    optional graphic-control extension declaring a transparent index."""
     import struct as _s
 
     pal_bits = max(1, (len(palette) // 3 - 1).bit_length())
     pal = palette + b"\x00" * (3 * (2 ** pal_bits) - len(palette))
     flags = 0x80 | (pal_bits - 1)
     out = b"GIF89a" + _s.pack("<HH", w, h) + bytes([flags, bg, 0]) + pal
+    if transp is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transp, 0])
     left, top, iw, ih = sub if sub else (0, 0, w, h)
     if interlace:
         order = []
@@ -1448,6 +1453,22 @@ def test_decode_pixels_gif_roundtrip():
     assert px[(1 * 6 + 2) * 3 : (1 * 6 + 2) * 3 + 3] == sc  # (2,1) frame
     assert px[(2 * 6 + 3) * 3 : (2 * 6 + 3) * 3 + 3] == sc  # (3,2) frame
     assert px[(3 * 6 + 5) * 3 : (3 * 6 + 5) * 3 + 3] == bgc
+    # GCE transparency (ADVICE r06): the declared transparent index
+    # renders as the BACKGROUND color, not its palette color — both on
+    # a full frame and composed sub-rectangles
+    tr_idx = bytes([3, 6, 3, 6])  # index 6 declared transparent, bg=5
+    d5 = M.decode_pixels(
+        _make_gif(2, 2, palette, tr_idx, bg=5, transp=6)
+    )
+    assert d5 is not None and d5[:4] == ("gif", 2, 2, 3)
+    assert d5[4] == (
+        palette[9:12] + palette[15:18] + palette[9:12] + palette[15:18]
+    )
+    # without the GCE the same index keeps its palette color
+    d6 = M.decode_pixels(_make_gif(2, 2, palette, tr_idx, bg=5))
+    assert d6[4] == (
+        palette[9:12] + palette[18:21] + palette[9:12] + palette[18:21]
+    )
     # corrupt LZW and trailer-only payloads reject cleanly
     assert M.decode_pixels(b"GIF89a" + b"\x04\x00\x02\x00" + b"\x00\x00\x00" + b"\x3B") is None
     # the canonical published 1x1 GIF (spec-encoder bytes, not ours)

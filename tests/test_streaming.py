@@ -378,6 +378,42 @@ def test_rss_stream_offsets_monotonic_across_restart():
     assert clean.latestOffset()["poll"] >= a
 
 
+def test_rss_stream_state_dir_floors_offsets_past_clock_regression(
+    tmp_path, monkeypatch
+):
+    """The clock-regression stall (ADVICE r06): without persistence, a
+    clean restart whose wall clock sits BEHIND the committed offset
+    emits latestOffset ≤ committed and the engine plans no batches
+    until the clock catches up. With state_dir, commit() persists the
+    committed offset and a restarted reader floors its counter on it —
+    the first poll of the new session must advance PAST the committed
+    value even on a regressed clock."""
+    import time as real_time
+
+    from newsmaper_etl_spark.sources.rss import _RssStreamReader
+
+    sd = str(tmp_path / "rss-state")
+    opts = {"path": "file:///nonexistent.xml", "state_dir": sd}
+    first = _RssStreamReader(opts)
+    committed = first.latestOffset()
+    first.commit(committed)
+
+    # restart on a host whose clock is 1h behind the committed offset
+    monkeypatch.setattr(real_time, "time", lambda: committed["poll"] - 3600)
+    restarted = _RssStreamReader(opts)
+    assert restarted.latestOffset()["poll"] > committed["poll"]
+    # and WITHOUT state_dir the same regressed clock would stall
+    # (documents the disclosed behavior the option exists to fix)
+    bare = _RssStreamReader({"path": "file:///nonexistent.xml"})
+    assert bare.latestOffset()["poll"] <= committed["poll"]
+    # a torn state file degrades to clock seeding, not a crash
+    with open(f"{sd}/rss-last-offset", "w") as f:
+        f.write("garbage")
+    monkeypatch.undo()
+    torn = _RssStreamReader(opts)
+    assert torn.latestOffset()["poll"] >= int(real_time.time()) - 5
+
+
 def test_stream_manifest_auto_compaction(spark, tmp_path):
     """compact_every=N: the exactly-once manifest sink compacts the
     table after every Nth batch — small per-batch files merge, rows and
