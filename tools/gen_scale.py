@@ -75,7 +75,23 @@ def replicate_sql(con, src: str, dst: str, table: str, factor: int) -> None:
     )
 
 
-def gen_documents(con, src: str, dst: str, factor: int) -> None:
+def gen_documents(
+    con, src: str, dst: str, factor: int, decorrelate: bool = False
+) -> None:
+    """Replicas get a per-(doc, replica) token SHUFFLE — preserves the
+    token multiset (quality/lang/token-stat distributions unchanged)
+    while destroying shingle sets, so MinHash sees distinct docs.
+
+    ``decorrelate`` additionally REWRITES ~30 % of each replica's tokens
+    with a replica-salted suffix. The shuffle alone leaves every
+    ORDER-INSENSITIVE feature identical across a doc's replicas —
+    SimHash over token bags is bit-equal, so a factor-F corpus carries
+    F²-growing hamming-0 cliques BY CONSTRUCTION and any pair-growth
+    telemetry measures the corpus, not the machinery (measured: 5000
+    base docs × C(30,2) ≈ 2.6 M simhash pairs at factor 30). The token
+    rewrite changes the bag itself, keeping near-dup DENSITY constant
+    as the corpus scales — the property a linear-growth measurement
+    needs."""
     df = con.execute(
         f"SELECT * FROM '{os.path.join(src, 'documents.parquet')}'"
     ).df()
@@ -86,8 +102,14 @@ def gen_documents(con, src: str, dst: str, factor: int) -> None:
         rep["doc_id"] = rep["doc_id"] + k * n
         if k > 0:
             def shuffle(row_text, row_id, k=k):
+                rng = random.Random(row_id * 31 + k)
                 toks = row_text.split(" ")
-                random.Random(row_id * 31 + k).shuffle(toks)
+                rng.shuffle(toks)
+                if decorrelate:
+                    toks = [
+                        f"{t}~{k}" if rng.random() < 0.3 else t
+                        for t in toks
+                    ]
                 return " ".join(toks)
 
             rep["text"] = [
@@ -99,11 +121,22 @@ def gen_documents(con, src: str, dst: str, factor: int) -> None:
     )
 
 
-def gen_embeddings(con, src: str, dst: str, factor: int) -> None:
+def gen_embeddings(
+    con, src: str, dst: str, factor: int, decorrelate: bool = False
+) -> None:
+    """Replicas get deterministic noise + renormalization. Default 5 %
+    noise keeps replicas ≈0.9988-cosine to the source — fine for the
+    ANN self-hit/planted contracts, but two replicas of the same vector
+    are then ≈0.9975-cosine to EACH OTHER, i.e. every replica pair is a
+    true ≥0.95 near-dup and pair counts grow with factor² by
+    construction. ``decorrelate`` raises the noise to 35 % (replica-to-
+    replica cosine ≈ 0.89, below the 0.95 near-dup threshold) so
+    near-dup density stays constant as the corpus scales."""
     df = con.execute(
         f"SELECT * FROM '{os.path.join(src, 'embeddings.parquet')}'"
     ).df()
     n = len(df)
+    eps = 0.35 if decorrelate else 0.05
     out = []
     for k in range(factor):
         rep = df.copy()
@@ -113,7 +146,7 @@ def gen_embeddings(con, src: str, dst: str, factor: int) -> None:
             rng = np.random.default_rng(1_000_003 * k)
             noise = rng.standard_normal(vecs.shape)
             noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-            perturbed = vecs + 0.05 * noise
+            perturbed = vecs + eps * noise
             perturbed /= np.linalg.norm(perturbed, axis=1, keepdims=True)
             rep["embedding"] = [
                 row.astype(np.float32) for row in perturbed
@@ -129,23 +162,51 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/.scale/sf1.0")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (default: all); e.g. "
+        "'documents,embeddings' builds just the dedup/ANN corpus "
+        "(VERDICT r06 #7 — the candidate-pair growth curve doesn't "
+        "need 5 GB of relational replicas)",
+    )
+    ap.add_argument(
+        "--decorrelate",
+        action="store_true",
+        help="break replica near-dup-ness in the order-insensitive "
+        "feature spaces too (token rewrites + 35%% embedding noise) so "
+        "near-dup density stays constant as the corpus scales — use "
+        "for pair-growth telemetry corpora (see gen_documents)",
+    )
     args = ap.parse_args()
+    wanted = set(args.tables.split(",")) if args.tables else None
+
+    def want(t: str) -> bool:
+        return wanted is None or t in wanted
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
+        if not want(t):
+            continue
         con.execute(
             f"COPY (SELECT * FROM '{os.path.join(args.src, t)}.parquet') "
             f"TO '{os.path.join(args.dst, t)}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied")
     for t in OFFSETS:
+        if not want(t):
+            continue
         replicate_sql(con, args.src, args.dst, t, args.factor)
         print(f"{t}: replicated x{args.factor}")
-    gen_documents(con, args.src, args.dst, args.factor)
-    print("documents: replicated with per-replica token shuffle")
-    gen_embeddings(con, args.src, args.dst, args.factor)
-    print("embeddings: replicated with perturb+renormalize")
+    if want("documents"):
+        gen_documents(con, args.src, args.dst, args.factor, args.decorrelate)
+        print("documents: replicated with per-replica token shuffle"
+              + (" + decorrelating rewrite" if args.decorrelate else ""))
+    if want("embeddings"):
+        gen_embeddings(con, args.src, args.dst, args.factor, args.decorrelate)
+        print("embeddings: replicated with perturb+renormalize"
+              + (" (35% decorrelating noise)" if args.decorrelate else ""))
 
 
 if __name__ == "__main__":
