@@ -424,8 +424,34 @@ def jaccard_verify(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+def _simhash_lanes(hash_col: str, size_col: str) -> str:
+    """The 64-lane bit-majority vote over a bound token-hash array
+    column, as ONE SQL string (see the py4j-round-trip note in
+    :func:`simhash`). ``size_col`` is the pre-bound token count — bound
+    separately so the 128-bit form votes both halves against the same
+    denominator without re-evaluating size() per lane."""
+    return " | ".join(
+        f"(CASE WHEN 2 * aggregate({hash_col}, 0L, (acc, h) -> "
+        f"acc + (shiftrightunsigned(h, {b}) & 1L)) > {size_col} "
+        f"THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(64)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 64
+) -> DataFrame:
     """64-bit SimHash per document, entirely JVM-side.
+
+    ``bits=128`` emits a 128-bit fingerprint as TWO long columns,
+    ``out`` (low 64 lanes) and ``out + "_hi"`` (high 64 lanes, voted
+    over an independently-seeded second token-hash stream — the
+    standard concat-of-independent-hashes construction). The wider
+    fingerprint exists for bucket-space scaling, not extra precision:
+    see :func:`simhash_near_pairs` (the 16-bit chunks of the 64-bit
+    form give a FIXED 2^16 bucket space, so in-bucket candidate pairs
+    grow ~N^2/2^16 — fine to ~10^6 docs, degenerate at 10^9; 32-bit
+    chunks push the knee past 10^9).
 
     Token hashes come from ``xxhash64`` (one pass over the token array);
     the bit-majority vote is 64 count-bits-set lanes expressed as array
@@ -446,8 +472,10 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     (0.44s vs 0.68s at sf0.1) but costs a shuffle; this form is
     shuffle-free — the posture that wins at 100 TB.
     """
-    hashes = F.transform(F.split(F.col(text_col), " ", -1), lambda w: F.xxhash64(w))
-    tmp = df.withColumn("__th", hashes)
+    if bits not in (64, 128):
+        raise ValueError(f"bits={bits} unsupported (64 or 128)")
+    toks = F.split(F.col(text_col), " ", -1)
+    tmp = df.withColumn("__th", F.transform(toks, lambda w: F.xxhash64(w)))
     # The 64-lane majority vote is assembled as ONE SQL string and parsed
     # JVM-side in a single F.expr call. The Column-algebra form of the
     # same tree (64 × aggregate/shiftright/when/bitwiseOR) cost ~400 py4j
@@ -455,13 +483,17 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     # latency before any data moved (the dominant term of the planted
     # selfpair contract query). The parsed tree is identical: same lanes,
     # same majority rule, same b=63 sign-bit wrap.
-    lanes = " | ".join(
-        "(CASE WHEN 2 * aggregate(__th, 0L, (acc, h) -> "
-        f"acc + (shiftrightunsigned(h, {b}) & 1L)) > size(__th) "
-        f"THEN shiftleft(1L, {b}) ELSE 0L END)"
-        for b in range(64)
-    )
-    return tmp.withColumn(out, F.expr(lanes)).drop("__th")
+    tmp = tmp.withColumn(out, F.expr(_simhash_lanes("__th", "size(__th)")))
+    if bits == 128:
+        # independent second stream: xxhash64 over (token, seed-lit) —
+        # a different input tuple, so the two 64-bit halves vote on
+        # uncorrelated bit matrices
+        tmp = tmp.withColumn(
+            "__th2", F.transform(toks, lambda w: F.xxhash64(w, F.lit(1)))
+        ).withColumn(
+            f"{out}_hi", F.expr(_simhash_lanes("__th2", "size(__th2)"))
+        ).drop("__th2")
+    return tmp.drop("__th")
 
 
 def simhash_near_pairs(
@@ -470,49 +502,92 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     checkpoint: bool = True,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on signature chunks, then
     verify hamming distance inside buckets only.
 
     The chunk count DERIVES from the radius: a pair within hamming ≤ h
-    of 64 bits shares ≥1 identical chunk only when there are h+1 chunks
-    (pigeonhole — with fewer, the differing bits can land one per chunk
-    and the pair never meets, silently dropping qualifying pairs). The
-    default h=3 → 4 sixteen-bit chunks; larger radii get narrower
+    of ``bits`` bits shares ≥1 identical chunk only when there are h+1
+    chunks (pigeonhole — with fewer, the differing bits can land one per
+    chunk and the pair never meets, silently dropping qualifying pairs).
+    The default h=3 → 4 sixteen-bit chunks; larger radii get narrower
     chunks (coarser buckets, more verification work — the correct
     recall/cost trade, made explicit instead of broken).
 
-    The (id, simhash) frame is localCheckpoint-ed before the self-join:
-    both join sides would otherwise recompute the 64-lane signature from
-    raw text (a self-join duplicates its child's lineage). 16 bytes/doc
-    of executor storage buys halving the dominant cost — the same
-    materialize-the-narrow-sketch shape that holds at corpus scale.
-    ``checkpoint=False`` skips the eager materialization for callers on
-    tiny bounded inputs (the planted contract fixtures): there, the
-    extra job costs more than recomputing 100 signatures twice."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(f"max_hamming={max_hamming} out of range [0, 63]")
+    **Bucket-space scaling (``bits=128``)**: chunk width is what bounds
+    the candidate count — two random docs collide on a chunk with
+    probability 2^-width, so in-bucket pairs grow ~(h+1)·N²/2^width.
+    Sixteen-bit chunks (the 64-bit default) give a FIXED 2^16 bucket
+    space: sound to ~10^6 docs, degenerate at web scale (the sf3 curve
+    already measured the onset: 3× corpus → 3.46× wall). ``bits=128``
+    keeps h+1 = 4 chunks but at 32 bits each — collision probability
+    2^-32, pushing the quadratic knee past 10^9 docs — at the cost of a
+    second 64-lane signature pass. Note the RADIUS SEMANTICS change
+    with the fingerprint: hamming ≤ 3 of 128 bits is a relatively
+    tighter similarity bar than 3 of 64 (simhash bit-agreement ≈ cosine
+    of the token-frequency vectors, estimated over 2× the sample).
+
+    The (id, signature) frame is localCheckpoint-ed before the
+    self-join: both join sides would otherwise recompute the 64-lane
+    signature from raw text (a self-join duplicates its child's
+    lineage). 16 bytes/doc of executor storage buys halving the
+    dominant cost — the same materialize-the-narrow-sketch shape that
+    holds at corpus scale. ``checkpoint=False`` skips the eager
+    materialization for callers on tiny bounded inputs (the planted
+    contract fixtures): there, the extra job costs more than
+    recomputing 100 signatures twice."""
+    if bits not in (64, 128):
+        raise ValueError(f"bits={bits} unsupported (64 or 128)")
+    lo_bound = 0 if bits == 64 else 1  # 128-bit: one 128-wide chunk
+    # can't fit in a LongType bucket key, so h=0 needs bits=64
+    if not lo_bound <= max_hamming <= bits - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range "
+            f"[{lo_bound}, {bits - 1}] for bits={bits}"
+        )
     n_chunks = max_hamming + 1
-    # chunk c covers bits [c·64//n, (c+1)·64//n) — widths differ by at
-    # most one bit when n doesn't divide 64
+    # chunk c covers bits [c·bits//n, (c+1)·bits//n) — widths differ by
+    # at most one bit when n doesn't divide the fingerprint width
     bounds = [
-        (c * 64 // n_chunks, (c + 1) * 64 // n_chunks) for c in range(n_chunks)
+        (c * bits // n_chunks, (c + 1) * bits // n_chunks)
+        for c in range(n_chunks)
     ]
-    sigged = simhash(df, text_col).select(id_col, "simhash")
+    sig_cols = ["simhash"] if bits == 64 else ["simhash", "simhash_hi"]
+    sigged = simhash(df, text_col, bits=bits).select(id_col, *sig_cols)
     if checkpoint:
         sigged = sigged.localCheckpoint(eager=True)
+
     def _chunk_value(lo: int, hi: int):
-        # full-width chunk (max_hamming=0 → one 64-bit chunk): the mask
-        # (1<<64)-1 would overflow LongType, and no mask is needed — the
-        # shifted value IS the whole signature
-        shifted = F.shiftrightunsigned("simhash", lo)
-        if hi - lo == 64:
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+        """Bits [lo, hi) of the fingerprint; for 128-bit signatures the
+        low long is `simhash`, the high long `simhash_hi`, and a chunk
+        may straddle the long boundary."""
+        width = hi - lo
+        def _slice(col: str, s: int, w: int):
+            # w == 64 → the shifted value IS the whole long: the mask
+            # (1<<64)-1 would overflow LongType, and none is needed
+            shifted = F.shiftrightunsigned(col, s)
+            if w == 64:
+                return shifted
+            return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
+        if hi <= 64:
+            return _slice("simhash", lo, width)
+        if lo >= 64:
+            return _slice("simhash_hi", lo - 64, width)
+        # straddle: low part from `simhash` (64-lo bits), high part from
+        # `simhash_hi` shifted up past it. lo < 64 < hi ⇒ both shift
+        # amounts are in (0, 64), no Java mod-64 shift wrap hazard.
+        lo_part = F.shiftrightunsigned("simhash", lo)
+        hi_part = F.shiftleft(
+            F.col("simhash_hi").bitwiseAND(F.lit((1 << (hi - 64)) - 1)),
+            64 - lo,
+        )
+        return lo_part.bitwiseOR(hi_part)
 
     chunks = sigged.select(
         id_col,
-        "simhash",
+        *sig_cols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -522,14 +597,20 @@ def simhash_near_pairs(
                 for c, (lo, hi) in enumerate(bounds)
             ])
         ).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.cv")
+    ).select(id_col, *sig_cols, "cc.chunk", "cc.cv")
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "cv"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        *([F.col("simhash_hi").alias("sig_a_hi")] if bits == 128 else []),
+        "chunk", "cv",
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "cv"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        *([F.col("simhash_hi").alias("sig_b_hi")] if bits == 128 else []),
+        "chunk", "cv",
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    if bits == 128:
+        ham = ham + F.bit_count(F.col("sig_a_hi").bitwiseXOR(F.col("sig_b_hi")))
     return (
         a.join(b, on=["chunk", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -53,6 +53,8 @@ plan stays JVM-side — no Python workers anywhere.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window
@@ -491,38 +493,124 @@ def ivf_cosine_topk(
     return _rank_topk(scored, query_id, k)
 
 
+def _auto_planes(n_rows: int) -> int:
+    """Occupancy-scaled plane count: 2^planes buckets per table sized so
+    mean bucket occupancy stays ~8 rows regardless of corpus size. This
+    is WHAT makes the candidate count linear — with a fixed plane count
+    the bucket space is constant, occupancy grows with N, and the
+    in-bucket self-join examines ~N²/2^planes pairs (the sf3 scale curve
+    measured exactly that: 3× corpus → 7.8× wall time before this fix,
+    BENCH_SF3.json r07). Clamped to [8, 24]: below 8 the toy corpora
+    would all share one bucket; 24 bits ≈ 134 M buckets covers ~10⁹ rows
+    per table, past which callers shard the corpus anyway."""
+    return min(24, max(8, math.ceil(math.log2(max(n_rows, 256) / 8.0))))
+
+
+def embedding_near_dup_candidates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    expected_rows: int | None = None,
+    unroll: bool = False,
+) -> DataFrame:
+    """RAW candidate pairs (id_a < id_b, one row per table collision)
+    from banded multi-table hyperplane LSH — the machinery-cost surface
+    the scale-curve bench counts (each output row costs one dim-wide dot
+    in the verify step; a pair colliding in two tables appears twice and
+    genuinely costs two dots there).
+
+    Banding rationale (the MinHash band trick applied to hyperplane
+    LSH): ONE table with few planes has high recall but a constant-size
+    bucket space → quadratic candidates; one table with many planes has
+    linear candidates but recall p^b → 0 (p = 1 − θ/π per plane). Many
+    narrow tables give both: candidates stay ~N·occupancy·tables while
+    recall is 1 − (1 − p^b)^L. At the 0.95-cosine threshold (p ≈ 0.899)
+    the defaults (occupancy-scaled b, L = 8) hold recall ≈ 0.90 at
+    b = 13 — and real near-dups sit far above threshold (0.99-cosine →
+    p ≈ 0.955, recall ≈ 0.998).
+
+    ``n_planes=None`` sizes the per-table bucket space from the corpus
+    row count (one extra count() scan — pass ``expected_rows`` to skip
+    it when the caller already knows). Plane dots use the compact HOF
+    form regardless of ``unroll``: L×b literal-unrolled 64-term dots
+    would bloat a single projection past janino's method limits, and
+    bucketing is O(rows), off the pair hot path. ``unroll`` governs only
+    the norm projection (and, in :func:`embedding_near_dups`, the
+    per-pair sim)."""
+    if expected_rows is None and n_planes is None:
+        expected_rows = df.count()
+    if n_planes is None:
+        n_planes = _auto_planes(expected_rows)
+    base = _with_norm(df.select(id_col, vec_col), vec_col, "__n", dim, unroll)
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            lsh_bucket(
+                vec_col, _hyperplanes(dim, n_planes, seed + 7919 * t),
+                unroll=False,
+            ).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+    keyed = base.select(
+        id_col, vec_col, "__n", F.explode(tables).alias("__tb")
+    ).select(id_col, vec_col, "__n", F.col("__tb.t").alias("__t"),
+             F.col("__tb.b").alias("__b"))
+    a_side = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("__n").alias("__na"), "__t", "__b",
+    )
+    b_side = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("__n").alias("__nb"), "__t", "__b",
+    )
+    return a_side.join(b_side, on=["__t", "__b"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    n_tables: int = 8,
     seed: int = 42,
+    expected_rows: int | None = None,
+    unroll: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
-    via in-bucket self-join — the embedding analog of minhash_lsh.
-    Each side carries its pre-computed norm into the bucket join."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    b = _with_norm(df.select(id_col, vec_col), vec_col, "__n", dim).withColumn(
-        "__bucket", lsh_bucket(vec_col, planes)
-    )
-    a_side = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        F.col("__n").alias("__na"), "__bucket",
-    )
-    b_side = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        F.col("__n").alias("__nb"), "__bucket",
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
+    threshold) — the embedding analog of minhash_lsh, over the banded
+    multi-table candidates of :func:`embedding_near_dup_candidates`
+    (single-table fixed-plane LSH measured quadratic on the sf3 curve;
+    see that docstring for the recall/candidate-count math).
+
+    Cross-table duplicate candidates are resolved AFTER the sim
+    threshold, on the narrow (id_a, id_b, sim) rows: a pair hit in k
+    tables re-computes its dot k times (k > 1 only for true near-dups —
+    random collisions rarely repeat across independent plane sets),
+    which is cheaper than the alternative of dropDuplicates on the
+    candidate frame, i.e. shuffling both dim-wide vectors per candidate
+    just to save those few re-dots."""
+    cands = embedding_near_dup_candidates(
+        df, dim, id_col, vec_col, n_planes, n_tables, seed, expected_rows,
+        unroll,
     )
     # threshold on the RAW similarity (the jaccard_verify rule: rounding
     # first admits pairs in [threshold−ulp, threshold) that an exact
     # engine rejects); round only the reported value
-    sim_raw = _sim_expr("vec_a", "vec_b", "__na", "__nb", dim, digits=None)
+    sim_raw = _sim_expr(
+        "vec_a", "vec_b", "__na", "__nb", dim, digits=None, unroll=unroll
+    )
     return (
-        a_side.join(b_side, on="__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim_raw.alias("__sim_raw"))
+        cands.select("id_a", "id_b", sim_raw.alias("__sim_raw"))
         .filter(F.col("__sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("__sim_raw", 4).alias("sim"))
+        .dropDuplicates(["id_a", "id_b"])
     )

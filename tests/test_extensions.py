@@ -175,6 +175,66 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs
 
 
+def _brute_simhash_pairs(spark, df, max_hamming, bits):
+    """Ground truth: hamming over collected signatures, all pairs."""
+    cols = ["doc_id", "simhash"] + (["simhash_hi"] if bits == 128 else [])
+    sigs = D.simhash(df, "text", bits=bits).select(*cols).collect()
+    out = {}
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            ham = bin((a["simhash"] ^ b["simhash"]) & (2**64 - 1)).count("1")
+            if bits == 128:
+                ham += bin(
+                    (a["simhash_hi"] ^ b["simhash_hi"]) & (2**64 - 1)
+                ).count("1")
+            if ham <= max_hamming:
+                key = tuple(sorted((a["doc_id"], b["doc_id"])))
+                out[key] = ham
+    return out
+
+
+def test_simhash128_matches_brute_force(spark):
+    """Pigeonhole bucketing has EXACT recall: the bucketed pair surface
+    must equal brute-force hamming over the signatures — for the 64-bit
+    form and for 128-bit radii whose chunks straddle the long boundary
+    (h=2 → 3 chunks over 128 bits: [0,42),[42,85),[85,128))."""
+    df = _docs_df(spark)
+    for bits, h in ((64, 10), (128, 2), (128, 20), (128, 127)):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_near_pairs(
+                df, "doc_id", "text", max_hamming=h, bits=bits,
+                checkpoint=False,
+            ).collect()
+        }
+        assert got == _brute_simhash_pairs(spark, df, h, bits), (bits, h)
+
+
+def test_simhash128_semantics(spark):
+    """128-bit fingerprints: exact dups at hamming 0 on both halves; the
+    one-token near-dup lands at small-but-nonzero hamming; unrelated
+    text stays far. Radius/bits validation: h=0 can't pigeonhole into
+    LongType chunks at 128 bits, odd widths are rejected."""
+    import pytest
+
+    df = _docs_df(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(
+            df, "doc_id", "text", max_hamming=24, bits=128, checkpoint=False
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical text → identical 128 bits
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0
+    assert (1, 3) not in pairs
+    with pytest.raises(ValueError, match="out of range"):
+        D.simhash_near_pairs(df, max_hamming=0, bits=128)
+    with pytest.raises(ValueError, match="out of range"):
+        D.simhash_near_pairs(df, max_hamming=128, bits=128)
+    with pytest.raises(ValueError, match="unsupported"):
+        D.simhash_near_pairs(df, max_hamming=3, bits=96)
+
+
 def test_ngram_jaccard_values(spark):
     out = {
         (r["id_a"], r["id_b"]): r["jaccard"]
@@ -241,6 +301,63 @@ def test_exact_knn_matches_lsh_on_identical(spark, sf_dir):
     exact = S.cosine_topk(queries, emb, k=1)
     top = {r["qid"] - 10000: r["neighbor_id"] for r in exact.collect()}
     assert top == {0: 0, 1: 1, 2: 2}
+
+
+def _planted_near_dup_df(spark, n_base=50, n_planted=5, dim=64, seed=7):
+    """n_base random unit vectors (pairwise cosine ≈ N(0, 1/sqrt(dim)) —
+    nowhere near 0.95) plus, for ids 0..n_planted-1, a twin at id+1000
+    perturbed to ≈0.999 cosine. Deterministic for fixed seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(n_planted):
+        noise = rng.standard_normal(dim)
+        noise /= np.linalg.norm(noise)
+        twin = base[i] + 0.045 * noise
+        twin /= np.linalg.norm(twin)
+        rows.append((1000 + i, [float(x) for x in twin]))
+    return values_df(spark, rows, ["vec_id", "embedding"]), n_planted
+
+
+def test_embedding_near_dups_planted(spark):
+    """Banded multi-table LSH must find every planted ≈0.999-cosine twin
+    pair, nothing among the random base vectors, and exactly one row per
+    pair (cross-table collisions deduplicated)."""
+    df, n_planted = _planted_near_dup_df(spark)
+    out = S.embedding_near_dups(df, dim=64, threshold=0.95).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(i, 1000 + i) for i in range(n_planted)}
+    assert len(out) == len(pairs)  # no duplicate rows across tables
+    assert all(r["sim"] >= 0.95 for r in out)
+
+
+def test_embedding_near_dup_candidates_raw_surface(spark):
+    """The candidate frame is the machinery-cost surface: every planted
+    pair appears (in >=1 table), and a true near-dup typically collides
+    in several tables — the raw multiplicity the verify step pays."""
+    df, n_planted = _planted_near_dup_df(spark)
+    cands = S.embedding_near_dup_candidates(df, dim=64).collect()
+    planted = {(i, 1000 + i) for i in range(n_planted)}
+    seen = [(r["id_a"], r["id_b"]) for r in cands]
+    assert planted <= set(seen)
+
+
+def test_auto_planes_scales_bucket_space():
+    """Occupancy-scaled plane count: bucket space tracks corpus size
+    (the linearity invariant the sf3 curve measures), clamped [8, 24]."""
+    assert S._auto_planes(100) == 8
+    assert S._auto_planes(2_000) == 8
+    assert S._auto_planes(20_000) == 12
+    assert S._auto_planes(60_000) == 13
+    assert S._auto_planes(10**9) == 24
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7):
+        cur = S._auto_planes(n)
+        assert cur >= prev
+        prev = cur
 
 
 def test_curate_corpus_recipe(spark):

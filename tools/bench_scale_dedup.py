@@ -97,9 +97,34 @@ def main() -> None:
             lambda: D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3),
             n_docs,
         )
+        # the 128-bit variant (32-bit chunks): same pigeonhole recipe but
+        # a 2^32 bucket space — the web-scale path. At these corpus sizes
+        # the count difference vs 64-bit ≈ the random 16-bit-chunk
+        # collisions the wider chunks no longer admit to verification.
+        timed(
+            "simhash128_pairs",
+            lambda: D.simhash_near_pairs(
+                docs, "doc_id", "text", max_hamming=6, bits=128
+            ),
+            n_docs,
+        )
+        # the embedding family counts BOTH surfaces: candidates (rows the
+        # verify dot actually touches — the quantity that went quadratic
+        # under single-table fixed-plane LSH; output-pair telemetry alone
+        # masked it while wall time grew 7.8x for 3x data) and the
+        # verified pairs the caller sees.
+        timed(
+            "embedding_candidates",
+            lambda: S.embedding_near_dup_candidates(
+                emb, dim=64, expected_rows=n_vecs
+            ),
+            n_vecs,
+        )
         timed(
             "embedding_near_dups",
-            lambda: S.embedding_near_dups(emb, dim=64, threshold=0.95),
+            lambda: S.embedding_near_dups(
+                emb, dim=64, threshold=0.95, expected_rows=n_vecs
+            ),
             n_vecs,
         )
 
@@ -120,7 +145,13 @@ def main() -> None:
     # >2x per-item growth over a 30x corpus would be superlinear pairing.
     growth = {}
     keys = [k for k in ("0.1", "1.0", "3.0") if k in out["sfs"]]
-    ops = ("minhash_candidates", "simhash_pairs", "embedding_near_dups")
+    ops = (
+        "minhash_candidates",
+        "simhash_pairs",
+        "simhash128_pairs",
+        "embedding_candidates",
+        "embedding_near_dups",
+    )
     for op in ops:
         series = {k: out["sfs"][k][op]["per_item"] for k in keys}
         lo, hi = series[keys[0]], series[keys[-1]]
