@@ -255,6 +255,60 @@ def repetition_stats(
     )
 
 
+def term_counts(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf) rows via a WITHIN-ROW term histogram.
+
+    The naive shape — explode every token, groupBy (id, term) — shuffles
+    the entire token stream just to count within-document occurrences, a
+    per-document statistic that should never cross the network (the
+    repetition_stats rule, applied to the full histogram instead of just
+    the max). Here the histogram is computed per row: sort the token
+    array (O(m log m)), take the END index of each equal-run
+    (``filter(sequence, i -> i = n OR st[i] != st[i+1])``), and read
+    each run's term and length from consecutive boundaries. The explode
+    that follows emits one row per DISTINCT term per doc — typically
+    ~2-5× fewer rows than tokens, and narrow ones — and is a no-shuffle
+    narrow op; downstream consumers (df/idf joins) shuffle only that.
+
+    Not the O(m·d) transform(distinct, w -> size(filter(t, =w))) scan
+    either — a pathological 1M-token document costs m log m, not 10¹².
+    """
+    tmp = df.select(
+        F.col(id_col), F.array_sort(tokens_col(col)).alias("__st")
+    )
+    st = F.col("__st")
+    n = F.size(st)
+    # try_element_at: the i+1 probe runs off the end at i = n, and ANSI
+    # mode (Spark 4 default) makes plain element_at THROW there; OR gives
+    # no short-circuit guarantee. TRUE | NULL = TRUE keeps the last run's
+    # boundary.
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n)
+        | (F.element_at(st, i) != F.try_element_at(st, i + 1)),
+    )
+    e = F.col("__ends")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(e)),
+        lambda j: F.struct(
+            F.element_at(st, F.element_at(e, j)).alias("w"),
+            (
+                F.element_at(e, j)
+                # CASE evaluates branches lazily, so element_at never
+                # sees the invalid index 0 at the first run
+                - F.when(j == 1, F.lit(0)).otherwise(F.element_at(e, j - 1))
+            ).cast("long").alias("tf"),
+        ),
+    )
+    return (
+        tmp.withColumn("__ends", ends)
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w").alias("w"), F.col("__p.tf").alias("tf"))
+    )
+
+
 #: PII patterns kept to constructs with identical semantics in Java
 #: regex (Spark) and RE2 (DuckDB): literal classes, bounded repeats — no
 #: lookaround, no backrefs.

@@ -579,17 +579,21 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDF is the UNLOGGED ratio N/df: ln() differs in the last ulp between
     JVM and libm implementations, which would break hash-compare — the
     ranking is identical for any monotone transform, so the log adds
-    nothing the oracle could check. Plan: two hash aggregates (term
-    frequency, document frequency), the scalar corpus count broadcast
-    via cross join, and a per-doc top-3 window — every stage shuffles on
-    a key that scales (doc_id or token), nothing collects."""
+    nothing the oracle could check. Plan: term frequency is a WITHIN-ROW
+    histogram (operators.text.term_counts — sorted-array run-length
+    fold), so the full token stream never shuffles; what explodes is one
+    narrow row per distinct term per doc. Remaining stages — document
+    frequency, the w-keyed tf⋈df join, the scalar corpus count broadcast
+    via cross join, the per-doc top-3 window — all shuffle on a key that
+    scales (doc_id or token), nothing collects. (The r06 shape's
+    groupBy(doc_id, w) shuffled every token to count a per-document
+    statistic — the repetition_stats rule.)"""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
-    )
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    from newsmaper_etl_spark.operators.text import term_counts
+
+    tf = term_counts(docs, "text", "doc_id")
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -137,6 +137,40 @@ def test_repetition_stats_hand_example(spark):
     assert abs(got[2].top_bigram_frac - 0.3333) < 1e-9  # 1/3 floor-scaled
 
 
+def test_term_counts_hand_example_and_parity(spark):
+    """Within-row histogram == the explode+groupBy ground truth, and the
+    hand case pins run-boundary arithmetic (first run, last run, single
+    token, repeated runs)."""
+    df = spark.createDataFrame(
+        [(1, "b a b a b"), (2, "solo"), (3, "x x x"), (4, "")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_id"], r["w"]): r["tf"]
+        for r in TX.term_counts(df).collect()
+    }
+    assert got == {
+        (1, "a"): 2, (1, "b"): 3, (2, "solo"): 1, (3, "x"): 3, (4, ""): 1,
+    }
+    naive = {
+        (r["doc_id"], r["w"]): r["n"]
+        for r in df.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+        ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == naive
+
+
+def test_term_counts_plan_has_no_prejoin_shuffle(spark, sf_dir):
+    """The histogram is within-row: no Exchange before the explode (the
+    whole point — tokens never shuffle to be counted)."""
+    from newsmaper_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(TX.term_counts(docs), "simple")
+    assert "Exchange" not in plan
+
+
 def test_pii_redact_hand_examples(spark):
     df = spark.createDataFrame(
         [

@@ -293,6 +293,41 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert hits >= 7  # ≥70% top-1 recall at nprobe=cells/2 on this data
 
 
+_SF1_DIR = "/root/repo/.scale/sf1.0"
+
+
+def test_ivf_centroid_quality_at_scale(spark):
+    """Centroid-degradation sentinel (VERDICT r06 #8): IVF trains its
+    centroids on a BOUNDED 2048-row sample regardless of corpus size —
+    sound while the sample stays representative. At the 10× rehearsal
+    corpus (20 k vectors, sample = 10 %) top-1 recall vs exact kNN must
+    hold at moderate probes; if the sampling ever stops tracking the
+    corpus distribution this is the test that trips. Skipped when the
+    generated corpus is absent (tools/gen_scale.py builds it)."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir(_SF1_DIR):
+        pytest.skip("sf1.0 rehearsal corpus not generated")
+    emb = spark.read.parquet(f"{_SF1_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        r["qid"]: r["neighbor_id"]
+        for r in S.cosine_topk(queries, emb, k=1).collect()
+    }
+    approx = {
+        r["qid"]: r["neighbor_id"]
+        for r in S.ivf_cosine_topk(
+            queries, emb, k=1, n_centroids=32, nprobe=8
+        ).collect()
+    }
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits >= 15  # ≥75% non-self top-1 recall at nprobe=cells/4
+
+
 def test_exact_knn_matches_lsh_on_identical(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
