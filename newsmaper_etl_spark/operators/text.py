@@ -195,9 +195,21 @@ def repetition_stats(
       O(m·d) distinct×filter scan either: a pathological 1M-token
       document costs m log m comparisons, not 10¹².
 
+    Bigrams are equality-only material (sorted, compared, never shown),
+    so they are ``xxhash64(tok_i, tok_i+1)`` LONGS, not concatenated
+    strings — the sort+fold compares 8-byte values instead of ~15-char
+    strings, measured 3.33 → 2.40 s for the whole core at sf1.0 (the
+    first within-row form sorted strings and re-evaluated the unbound
+    bigram expression per reference — 7.5 s, slower than the explode it
+    replaced; binding ``__bg`` once and hashing fixed both). A hash
+    collision merging two distinct bigrams into one run would need
+    ~2⁶⁴ bigrams in one doc to matter (per-doc probability ~m²/2⁶⁴) —
+    the contamination_check(hashed=True) trade, applied to a sort key.
+
     Output fractions are floor-scaled to 4 decimals (oracle convention).
-    The DuckDB oracle keeps the exploded two-level-aggregate form
-    (portable SQL), which doubles as an independent derivation.
+    The DuckDB oracle keeps the exploded two-level-aggregate form over
+    STRING bigrams (portable SQL), which doubles as an independent
+    derivation — including of the hashing trick.
     """
     # bind the token array ONCE as a named column: the bigram lambda
     # below references it 3× (sequence bound + two element_at), and an
@@ -210,28 +222,35 @@ def repetition_stats(
         n > 0, 1 - F.size(F.array_distinct(t)) / n
     ).otherwise(F.lit(0.0))
 
-    # bigram i ↦ tokens[i] ' ' tokens[i+1]; n<2 must yield an EMPTY array
-    # (sequence(1, 0) would generate a DESCENDING [1,0] and index 0 out of
-    # range).
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
+    # token hashes bound once; bigram i ↦ xxhash64(tok_i, tok_i+1) longs
+    # via a slice-pair zip (n<2 → empty, so no descending-sequence or
+    # out-of-range hazard). Bound as __bg because THREE references
+    # follow (the fold input and two size()s) — an unbound HOF
+    # expression re-evaluates per reference.
+    tmp = tmp.withColumn(
+        "__th", F.transform(t, lambda w: F.xxhash64(w))
+    )
+    th = F.col("__th")
+    tmp = tmp.withColumn(
+        "__bg",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(th, 1, n - 1),
+                F.slice(th, 2, n - 1),
+                lambda a, b: F.xxhash64(a, b),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    bigrams = F.col("__bg")
     # max bigram frequency = longest equal-run of the SORTED bigram
     # array: one fold carrying (prev, current run, max run). The run==0
     # guard makes the first element unconditionally start a run, so no
-    # sentinel value can collide with a real bigram.
+    # sentinel value can collide with a real bigram hash.
     zero = F.lit(0).cast("long")
     max_freq = F.aggregate(
         F.array_sort(bigrams),
-        F.struct(
-            F.lit("").alias("prev"), zero.alias("run"), zero.alias("mx")
-        ),
+        F.struct(zero.alias("prev"), zero.alias("run"), zero.alias("mx")),
         lambda acc, x: F.struct(
             x.alias("prev"),
             F.when((acc["run"] > 0) & (x == acc["prev"]), acc["run"] + 1)
@@ -258,19 +277,24 @@ def repetition_stats(
 def term_counts(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, term, tf) rows via a WITHIN-ROW term histogram.
+    """(id, term, tf) rows via a WITHIN-ROW term histogram — computed
+    per row (sort the token array O(m log m), take the END index of each
+    equal-run via ``filter(sequence, i -> i = n OR st[i] != st[i+1])``,
+    read each run's term and length from consecutive boundaries), then
+    exploded as one narrow row per DISTINCT term per doc with NO
+    exchange anywhere in the plan (asserted in tests).
 
-    The naive shape — explode every token, groupBy (id, term) — shuffles
-    the entire token stream just to count within-document occurrences, a
-    per-document statistic that should never cross the network (the
-    repetition_stats rule, applied to the full histogram instead of just
-    the max). Here the histogram is computed per row: sort the token
-    array (O(m log m)), take the END index of each equal-run
-    (``filter(sequence, i -> i = n OR st[i] != st[i+1])``), and read
-    each run's term and length from consecutive boundaries. The explode
-    that follows emits one row per DISTINCT term per doc — typically
-    ~2-5× fewer rows than tokens, and narrow ones — and is a no-shuffle
-    narrow op; downstream consumers (df/idf joins) shuffle only that.
+    Know when to use it: for a plain tf aggregate feeding shuffled
+    consumers, explode+groupBy(id, w) is NOT the naive-looking
+    token-stream shuffle it reads as — partial (map-side) aggregation
+    compacts it to the same per-doc histogram rows before the network,
+    in Tungsten codegen that beats this form's interpreted HOFs
+    (measured 1.6 vs 2.3 s at sf1.0; q_tfidf_topterms uses it and pins
+    the partial agg in a plan test). This operator is for consumers
+    that need tf rows WITHOUT a shuffle boundary — inline gates,
+    per-doc reassembly, single-pass pipelines — and for per-doc-distinct
+    keys where partial agg cannot compact (cf. repetition_stats, where
+    the within-row fold wins 3.2 vs 5.3 s).
 
     Not the O(m·d) transform(distinct, w -> size(filter(t, =w))) scan
     either — a pathological 1M-token document costs m log m, not 10¹².

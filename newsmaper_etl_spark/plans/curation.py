@@ -579,21 +579,30 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDF is the UNLOGGED ratio N/df: ln() differs in the last ulp between
     JVM and libm implementations, which would break hash-compare — the
     ranking is identical for any monotone transform, so the log adds
-    nothing the oracle could check. Plan: term frequency is a WITHIN-ROW
-    histogram (operators.text.term_counts — sorted-array run-length
-    fold), so the full token stream never shuffles; what explodes is one
-    narrow row per distinct term per doc. Remaining stages — document
-    frequency, the w-keyed tf⋈df join, the scalar corpus count broadcast
-    via cross join, the per-doc top-3 window — all shuffle on a key that
-    scales (doc_id or token), nothing collects. (The r06 shape's
-    groupBy(doc_id, w) shuffled every token to count a per-document
-    statistic — the repetition_stats rule.)"""
+    nothing the oracle could check. Plan: two hash aggregates (term
+    frequency, document frequency), the scalar corpus count broadcast
+    via cross join, and a per-doc top-3 window — every stage shuffles on
+    a key that scales (doc_id or token), nothing collects.
+
+    The explode+groupBy(doc_id, w) TF is the measured RIGHT shape, not
+    an oversight: partial (map-side) aggregation compacts the shuffle to
+    one row per distinct (doc, term) per partition — a doc's rows live
+    in one partition, so the network sees the HISTOGRAM, never the token
+    stream — and its exchange is reused by the dfreq aggregate. The
+    within-row-histogram variant (operators.text.term_counts) emits the
+    same rows but pays interpreted HOF sort+filter where Tungsten's
+    codegen hash-agg is faster, and has no exchange to reuse (measured
+    4.5 vs 3.5 s at sf1.0; r07 notes). Within-row only wins when
+    partial agg CANNOT compact — per-doc-distinct keys like
+    repetition_stats' bigrams. test_tfidf_plan_partial_agg pins the
+    map-side partial aggregate this argument rests on."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    from newsmaper_etl_spark.operators.text import term_counts
-
-    tf = term_counts(docs, "text", "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

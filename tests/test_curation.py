@@ -171,6 +171,18 @@ def test_term_counts_plan_has_no_prejoin_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_tfidf_plan_partial_agg(spark, sf_dir):
+    """The tf groupBy(doc_id, w) must partial-aggregate BEFORE its
+    exchange — that's what makes the explode+groupBy shape shuffle the
+    per-doc histogram rather than the token stream (the argument for
+    using it over the within-row term_counts; see q_tfidf_topterms)."""
+    plan = _plan(QUERIES["q_tfidf_topterms"].fn(spark, sf_dir), "simple")
+    assert "partial_count" in plan
+    # top-down print: the exchange line precedes the partial agg feeding
+    # it (the line-255 idiom in this file)
+    assert plan.find("Exchange") < plan.find("partial_count")
+
+
 def test_pii_redact_hand_examples(spark):
     df = spark.createDataFrame(
         [
