@@ -1087,13 +1087,20 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    # Cost-based expression form: at toy SF the workload is ~10^4 pairs,
-    # where the fixed parse+analyze+compile of the unrolled 64-dim dot
-    # (a multi-KB expression, ~0.4 s per invocation) dwarfs its per-row
-    # advantage; the compact interpreted HOF wins. At real corpus sizes
-    # (≥10^6 pairs) the unrolled codegen form amortizes and wins ~50×
-    # per element — see operators/similarity.py module invariants.
-    out = S.cosine_topk(queries, emb, k=3, dim=EMB_DIM, unroll=not is_toy(sf_dir))
+    # Cost-based expression form, cut on ESTIMATED PAIRS, not is_toy:
+    # the workload is 5 × corpus pairs, so the unrolled 64-dim dot's
+    # fixed parse+analyze+compile (a multi-KB expression, ~0.4 s per
+    # invocation) only amortizes past ~10^6 pairs ≈ sf 10 — at sf 1.0
+    # (10^5 pairs) the compile cost alone was most of the query's 3.2×
+    # (r07). Compact interpreted HOF below the cutover; unknown dirs
+    # take the 100 TB posture (unroll). See operators/similarity.py
+    # module invariants for the per-element ~50× unroll advantage.
+    from newsmaper_etl_spark.io import parse_sf
+
+    sf = parse_sf(sf_dir)
+    out = S.cosine_topk(
+        queries, emb, k=3, dim=EMB_DIM, unroll=sf is None or sf >= 10
+    )
     return out.select("qid", "neighbor_id", "sim", F.col("rank").alias("rnk"))
 
 
@@ -1128,10 +1135,12 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fixed-dim codegen arithmetic — the r03 8.1 s plan was recomputing
     both norms per pair through interpreted HOFs."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    # Cost-based expression form, as in q_knn_cosine: unrolled codegen
-    # dot at real scale, compact interpreted HOF for the ~2·10^4-pair
-    # toy workload where fixed parse+compile dominates.
-    unroll = not is_toy(sf_dir)
+    # Always the compact HOF form: the vec_id<200 slice caps the
+    # workload at ~2·10^4 pairs BY CONSTRUCTION — it never grows with
+    # sf, so the unrolled form's fixed parse+compile cost (~0.4 s) can
+    # never amortize here (at sf1.0 it WAS most of the query's 6×, r07).
+    # The scale path for growing pair surfaces is embedding_near_dups.
+    unroll = False
     # _with_norm carries the coalesce-to-non-null trick that keeps the
     # inferred isnotnull(norm) out of each side's Filter — reuse it
     emb_n = S._with_norm(
