@@ -211,10 +211,10 @@ def repetition_stats(
     STRING bigrams (portable SQL), which doubles as an independent
     derivation — including of the hashing trick.
     """
-    # bind the token array ONCE as a named column: the bigram lambda
-    # below references it 3× (sequence bound + two element_at), and an
-    # inline split() would be re-evaluated per reference (the HOF
-    # recompute pitfall — same fix as dedup.py::minhash_signature)
+    # bind the token array ONCE as a named column: size, array_distinct,
+    # and the token-hash transform below all reference it, and an inline
+    # split() would be re-evaluated per reference (the HOF recompute
+    # pitfall — same fix as dedup.py::minhash_signature)
     tmp = df.withColumn("__t", tokens_col(col))
     t = F.col("__t")
     n = F.size(t)

@@ -645,6 +645,11 @@ def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=1, n_centroids=8, nprobe=2, sample_n=512,
         dim=64, exclude_self=True,
         cache_key=sf_dir + ":embeddings_planted_1k",
+        # vec_id<1000 caps the corpus BY CONSTRUCTION — the unrolled
+        # centroid/pair dots' fixed compile can never amortize here
+        # (same rule as the selfhit/lsh_planted contracts; it was most
+        # of this query's 1.6 s at sf0.1, r07)
+        unroll=False,
     )
     return out.filter(F.col("rank") == 1).select(
         "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
