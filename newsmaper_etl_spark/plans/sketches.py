@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from newsmaper_etl_spark.io import fan_out, load_table
+from newsmaper_etl_spark.io import fan_out, load_table, parse_sf
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import similarity as S
 from newsmaper_etl_spark.registry import query
@@ -62,7 +62,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return S.lsh_cosine_topk(queries, emb, dim=64, k=3, n_planes=8)
+    # pair-estimate unroll cutover (the q_knn_cosine rule): in-bucket
+    # pairs ≈ 5 queries × corpus/2^planes — the unrolled dot's fixed
+    # compile only amortizes at real corpus scale; unknown dirs take
+    # the 100 TB posture
+    sf = parse_sf(sf_dir)
+    return S.lsh_cosine_topk(
+        queries, emb, dim=64, k=3, n_planes=8, unroll=sf is None or sf >= 10
+    )
 
 
 @query("q_curate_corpus", oracle=None, tags=("DEDUP", "TEXT", "PIPELINE"))
@@ -699,7 +706,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # pair-estimate unroll cutover, as in q_ann_lsh
+    sf = parse_sf(sf_dir)
     return S.ivf_cosine_topk(
         queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512, dim=64,
-        cache_key=sf_dir + ":embeddings",
+        cache_key=sf_dir + ":embeddings", unroll=sf is None or sf >= 10,
     )
