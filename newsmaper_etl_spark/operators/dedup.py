@@ -154,7 +154,7 @@ def minhash_signature(
     return tmp.withColumn("sig", F.expr(f"array({lanes})")).drop("__th", "__hs")
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -162,22 +162,24 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
-    band. rows = bands × docs before the bucket join; the self-join
-    shuffles on (band, band_hash) so only same-bucket docs ever meet.
+    """(id, band, bh) — each doc's LSH band keys (bh = hash of its
+    band's signature rows). This is the frame a production deployment
+    PERSISTS for a corpus (a manifest table of three longs per doc per
+    band): candidate generation against any future batch is then a plain
+    equi-join on (band, bh) with no re-signing of the corpus — the seam
+    :func:`incremental_minhash_dedup` accepts via ``seen_banded``.
 
     ``bands`` must divide ``num_hashes``: trailing signature positions
     would otherwise be computed but silently excluded from every band
     (paid-for hashes with no recall contribution), and ``bands >
-    num_hashes`` would build zero-row bands.
-    """
+    num_hashes`` would build zero-row bands."""
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must evenly divide num_hashes={num_hashes}"
         )
     rows = num_hashes // bands
     sigged = minhash_signature(df, text_col, num_hashes, k).select(id_col, "sig")
-    banded = sigged.select(
+    return sigged.select(
         id_col,
         F.explode(
             F.array(*[
@@ -189,6 +191,21 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
+    band. rows = bands × docs before the bucket join; the self-join
+    shuffles on (band, band_hash) so only same-bucket docs ever meet.
+    Banding contract in :func:`banded_signatures`."""
+    banded = banded_signatures(df, id_col, text_col, num_hashes, bands, k)
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
     return (
@@ -362,6 +379,122 @@ def minhash_dedup(
     else:
         losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup (new batch vs already-ingested corpus)
+# --------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    cols: list[str],
+    id_col: str = "doc_id",
+    hash_keys: bool = False,
+    within_batch: bool = True,
+    salt: int | None = None,
+) -> DataFrame:
+    """Exact dedup of an ingest BATCH against an already-ingested
+    corpus — the production shape of dedup (a pipeline rarely re-dedups
+    100 TB from scratch; it drops tonight's batch rows whose key the
+    corpus already holds, then keep-firsts within the batch).
+
+    Plan: the seen side reduces to DISTINCT keys (partial agg compacts
+    map-side, so dup-heavy corpora don't inflate the network), then one
+    LEFT ANTI hash join keyed on the key columns — the batch never
+    broadcasts and the corpus never rewrites. ``hash_keys=True`` is the
+    corpus-scale shape for wide keys (e.g. ``cols=['text']``): both
+    sides key on the 128-bit two-lane xxhash64 of the tuple (the
+    :func:`exact_dedup` basis — 16 bytes shuffled per seen doc instead
+    of the document text). ``within_batch`` then applies
+    :func:`exact_dedup` (lowest id survives) to the anti-join
+    survivors; the seen corpus has no duplicates to resolve by
+    induction, which is what makes the two-step exactly equal to a
+    full-corpus dedup restricted to new ids."""
+    if hash_keys:
+        def _hk(d: DataFrame) -> DataFrame:
+            parts: list = []
+            for c in cols:
+                parts += [F.col(c), F.isnull(F.col(c))]
+            return d.withColumn("__hk1", F.xxhash64(*parts)).withColumn(
+                "__hk2", F.xxhash64(F.lit(42), *parts)
+            )
+        seen_keys = _hk(seen_df).select("__hk1", "__hk2").distinct()
+        out = (
+            _hk(new_df)
+            .join(seen_keys, on=["__hk1", "__hk2"], how="left_anti")
+            .drop("__hk1", "__hk2")
+        )
+    else:
+        seen_keys = seen_df.select(*cols).distinct()
+        out = new_df.join(seen_keys, on=list(cols), how="left_anti")
+    if within_batch:
+        out = exact_dedup(out, list(cols), id_col, salt=salt,
+                          hash_keys=hash_keys)
+    return out
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    within_batch: bool = False,
+    seen_banded: DataFrame | None = None,
+    transitive: bool = True,
+) -> DataFrame:
+    """Drop new-batch docs that near-duplicate ANY already-ingested doc
+    (cross-corpus MinHash-LSH), then optionally near-dedup within the
+    batch. Caller contract: the two id spaces are disjoint (true of any
+    monotonically-assigned corpus) — the verify stage unions both frames
+    and tells the sides apart by id.
+
+    Candidates come from an equi-join of the batch's band keys against
+    the CORPUS's band keys — batch×corpus, never corpus×corpus, so the
+    per-batch cost scales with the batch (the corpus side contributes
+    its bucket-mates only). ``seen_banded`` accepts a pre-computed
+    :func:`banded_signatures` frame: at 100 TB the corpus's band keys
+    are written ONCE to a manifest table (three longs per doc per band)
+    and every nightly batch joins against that — re-signing the corpus
+    per batch would dwarf the batch itself. Flagged candidates are
+    verified with exact shingle-Jaccard (:func:`jaccard_verify` over the
+    union frame — estimation from signature agreement would admit
+    borderline false drops); a new doc is dropped iff some verified
+    seen-pair scores ≥ threshold. ``within_batch=True`` then runs
+    :func:`minhash_dedup` over the cross-corpus survivors."""
+    nb = banded_signatures(
+        new_df, id_col, text_col, num_hashes, bands, k
+    ).withColumnRenamed(id_col, "__new_id")
+    sb = (
+        seen_banded
+        if seen_banded is not None
+        else banded_signatures(seen_df, id_col, text_col, num_hashes, bands, k)
+    ).withColumnRenamed(id_col, "__seen_id")
+    cands = (
+        nb.join(sb, on=["band", "bh"])
+        .select(
+            F.col("__new_id").alias("id_a"), F.col("__seen_id").alias("id_b")
+        )
+        .distinct()
+    )
+    union = new_df.select(id_col, text_col).unionAll(
+        seen_df.select(id_col, text_col)
+    )
+    verified = jaccard_verify(
+        union, cands, id_col, text_col, k, round_digits=None
+    ).filter(F.col("jaccard") >= threshold)
+    losers = verified.select(F.col("id_a").alias(id_col)).distinct()
+    out = new_df.join(losers, on=id_col, how="left_anti")
+    if within_batch:
+        out = minhash_dedup(
+            out, id_col, text_col, threshold, num_hashes, bands, k,
+            transitive=transitive,
+        )
+    return out
 
 
 def jaccard_verify(

@@ -1011,6 +1011,116 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_incremental",
+    oracle="""
+        WITH seen AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        ),
+        newb AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 1
+        ),
+        no_seen AS (
+            SELECT doc_id, text FROM newb
+            WHERE NOT EXISTS (
+                SELECT 1 FROM seen WHERE seen.text = newb.text
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep
+            FROM no_seen
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id
+        FROM ranked WHERE doc_id = keep
+    """,
+    tags=("DEDUP", "INCREMENTAL"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — tonight's batch against the ingested
+    corpus (operators.dedup.incremental_exact_dedup): seen = every 4th
+    doc; the batch = the remaining docs, plus replayed copies of half
+    the seen docs under shifted ids (must drop against the corpus), plus
+    second copies of a quarter of the batch (must keep-first within the
+    batch). Runs the 128-bit hashed-key path — the corpus-scale shape,
+    whose output the docstring contract pins bit-equal to raw text keys
+    — against a raw text-equality oracle, so the hashed basis itself is
+    driver-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 4 == 0)
+    newb = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .unionAll(
+            docs.filter(F.col("doc_id") % 8 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = D.incremental_exact_dedup(
+        newb, seen, ["text"], hash_keys=True, within_batch=True
+    )
+    return out.select("doc_id")
+
+
+@query(
+    "q_minhash_incremental_planted",
+    oracle="""
+        WITH seen AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 50
+        ),
+        newb AS (
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id < 25
+            UNION ALL
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 50 AND doc_id < 75
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM newb
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen WHERE seen.text = newb.text
+        )
+    """,
+    tags=("DEDUP", "LSH", "INCREMENTAL"),
+)
+def q_minhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the FULL cross-corpus MinHash pipeline
+    (batch band keys ⋈ corpus band keys → exact-Jaccard verify →
+    anti-join), via the q_minhash_dedup_planted determinism argument:
+    at threshold=1.0, a batch doc drops iff its shingle set exactly
+    equals some seen doc's — identical text guarantees the band
+    collision AND the 1.0 verify score, distinct text scores < 1.0
+    whatever the banding surfaced. seen = docs 0..49; the batch =
+    exact copies of docs 0..24 under shifted ids (must drop) + docs
+    50..74 (must survive). Exercises the ``seen_banded`` seam — the
+    corpus side joins from a pre-computed banded_signatures frame, the
+    shape a deployment persists per corpus snapshot."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") < 50)
+    newb = seen.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionAll(docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75)))
+    # num_hashes=8/bands=2: the threshold=1.0 determinism argument is
+    # independent of signature width (identical text collides in EVERY
+    # band at any width; the verify stage is exact), so the contract
+    # carries half the lane/banding machinery of the production default
+    out = D.incremental_minhash_dedup(
+        newb, seen, "doc_id", "text", threshold=1.0,
+        num_hashes=8, bands=2,
+        seen_banded=D.banded_signatures(
+            seen, "doc_id", "text", num_hashes=8, bands=2
+        ),
+    )
+    return out.select("doc_id")
+
+
+@query(
     "q_ngram_jaccard",
     oracle="""
         WITH toks AS (

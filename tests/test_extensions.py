@@ -175,6 +175,67 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs
 
 
+def test_incremental_exact_dedup(spark):
+    """Batch rows whose key the corpus holds drop via the anti-join;
+    batch-internal dups keep-first; hashed and raw key bases agree."""
+    seen = values_df(spark, [(1, "A"), (2, "B")], ["doc_id", "text"])
+    new = values_df(
+        spark, [(10, "A"), (11, "C"), (12, "C"), (13, "D")],
+        ["doc_id", "text"],
+    )
+    for hk in (False, True):
+        out = sorted(
+            r["doc_id"]
+            for r in D.incremental_exact_dedup(
+                new, seen, ["text"], hash_keys=hk
+            ).collect()
+        )
+        assert out == [11, 13], hk
+    # within_batch=False keeps both C copies
+    out = sorted(
+        r["doc_id"]
+        for r in D.incremental_exact_dedup(
+            new, seen, ["text"], within_batch=False
+        ).collect()
+    )
+    assert out == [11, 12, 13]
+
+
+def test_incremental_minhash_dedup(spark):
+    """Cross-corpus near-dups drop (exact copy at jaccard 1.0, one-token
+    edit at ~0.87 >= 0.5), unrelated text survives; the seen_banded seam
+    gives identical output to in-line signing; within_batch then
+    resolves batch-internal near-dups."""
+    seen = values_df(spark, [(1, _BASE)], ["doc_id", "text"])
+    new = values_df(
+        spark,
+        [(10, _BASE), (11, _NEAR), (12, _FAR), (13, _FAR)],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, seen, threshold=0.5
+        ).collect()
+    )
+    assert out == [12, 13]  # 10 exact, 11 near -> dropped vs corpus
+    pre = D.banded_signatures(seen, "doc_id", "text")
+    out2 = sorted(
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, seen, threshold=0.5, seen_banded=pre
+        ).collect()
+    )
+    assert out2 == out
+    out3 = sorted(
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, seen, threshold=0.5, within_batch=True
+        ).collect()
+    )
+    assert out3 == [12]  # 13 is a batch-internal exact dup of 12
+
+
 def _brute_simhash_pairs(spark, df, max_hamming, bits):
     """Ground truth: hamming over collected signatures, all pairs."""
     cols = ["doc_id", "simhash"] + (["simhash_hi"] if bits == 128 else [])
