@@ -583,7 +583,7 @@ def embedding_near_dups(
     n_tables: int = 8,
     seed: int = 42,
     expected_rows: int | None = None,
-    unroll: bool = False,
+    unroll: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
     threshold) — the embedding analog of minhash_lsh, over the banded
@@ -597,7 +597,19 @@ def embedding_near_dups(
     random collisions rarely repeat across independent plane sets),
     which is cheaper than the alternative of dropDuplicates on the
     candidate frame, i.e. shuffling both dim-wide vectors per candidate
-    just to save those few re-dots."""
+    just to save those few re-dots.
+
+    ``unroll`` stays False by default AT EVERY SCALE — measured, not
+    assumed: at sf3 (60 k vectors, 3.6 M candidates — past the ~10⁶
+    cutover where cosine_topk's unrolled dot wins) unroll=True ran
+    SLOWER (51.0 vs 43.6 s, identical output). This pipeline is bound
+    by the per-row bucket computation (L×b interpreted plane dots) and
+    the explode/join machinery, not the per-candidate verify dot, so
+    the unrolled form's compile cost and fatter codegen buy nothing.
+    The pair-estimate cutover rule applies to dot-bound shapes
+    (cosine_topk, knn); it does not transfer here."""
+    if unroll is None:
+        unroll = False
     cands = embedding_near_dup_candidates(
         df, dim, id_col, vec_col, n_planes, n_tables, seed, expected_rows,
         unroll,

@@ -113,6 +113,8 @@ def _pipelines() -> dict:
     from newsmaper_etl_spark.operators.dedup import (
         contamination_check,
         exact_dedup,
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
         minhash_dedup,
         simhash_near_pairs,
     )
@@ -143,6 +145,23 @@ def _pipelines() -> dict:
         refs = kw.pop("references_view")
         return tag_country(spark.table(view), spark.table(refs), **kw)
 
+    def _inc_exact(spark: SparkSession, view: str, **kw) -> DataFrame:
+        # the ingested corpus is a VIEW name (seen_view), like the
+        # contamination eval side
+        seen = kw.pop("seen_view")
+        return incremental_exact_dedup(
+            spark.table(view), spark.table(seen), **kw
+        )
+
+    def _inc_minhash(spark: SparkSession, view: str, **kw) -> DataFrame:
+        seen = kw.pop("seen_view")
+        banded = kw.pop("seen_banded_view", None)
+        if banded is not None:
+            kw["seen_banded"] = spark.table(banded)
+        return incremental_minhash_dedup(
+            spark.table(view), spark.table(seen), **kw
+        )
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -150,6 +169,8 @@ def _pipelines() -> dict:
         "curate_corpus": _curate,
         "contamination_check": _contamination,
         "tag_country": _tag_country,
+        "incremental_exact_dedup": _inc_exact,
+        "incremental_minhash_dedup": _inc_minhash,
     }
 
 

@@ -142,3 +142,35 @@ def test_more_pipelines_over_views(spark):
     )
     flagged = {r["id"] for r in spark.sql("SELECT id FROM sqlfn_hits").collect()}
     assert flagged == {1, 5}  # both copies of the contaminated text
+
+
+def test_incremental_pipelines_over_views(spark):
+    """incremental_exact_dedup / incremental_minhash_dedup through the
+    pipeline surface: the ingested corpus (and optionally its persisted
+    band keys) arrive as VIEW names, like contamination's eval side."""
+    from newsmaper_etl_spark.fixtures import values_df
+    from newsmaper_etl_spark.operators.dedup import banded_signatures
+
+    values_df(
+        spark, [(1, "alpha beta gamma delta"), (2, "unrelated corpus doc")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("sqlfn_seen")
+    values_df(
+        spark,
+        [(10, "alpha beta gamma delta"), (11, "fresh new batch text")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("sqlfn_newb")
+    out = run_sql_pipeline(
+        spark, "incremental_exact_dedup", "sqlfn_newb", "sqlfn_inc1",
+        seen_view="sqlfn_seen", cols=["text"],
+    )
+    assert [r["doc_id"] for r in out.collect()] == [11]
+    banded_signatures(
+        spark.table("sqlfn_seen"), "doc_id", "text"
+    ).createOrReplaceTempView("sqlfn_seen_bands")
+    out2 = run_sql_pipeline(
+        spark, "incremental_minhash_dedup", "sqlfn_newb", "sqlfn_inc2",
+        seen_view="sqlfn_seen", seen_banded_view="sqlfn_seen_bands",
+        threshold=1.0,
+    )
+    assert [r["doc_id"] for r in out2.collect()] == [11]
