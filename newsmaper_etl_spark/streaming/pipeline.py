@@ -367,9 +367,25 @@ def write_stream_manifest(
     compact_every: int | None = None,
     compact_min_bytes: int = 32 * 1024 * 1024,
     merge_schema: bool = False,
+    dedup_keys: tuple[str, ...] | None = None,
+    dedup_order_col: str | None = None,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
+
+    ``dedup_keys`` adds CONTENT-level corpus dedup on ingest (the
+    incremental_exact_dedup composition): each batch is deduped within
+    itself (keep-first by ``dedup_order_col`` when given — the
+    deterministic contract; arbitrary-survivor dropDuplicates
+    otherwise), then LEFT ANTI joined on the 128-bit hashed key basis
+    against the CURRENT table snapshot, so a document already in the
+    corpus never re-enters it — regardless of which feed, query restart,
+    or upstream re-crawl redelivers it. This is orthogonal to the txn
+    marks below (those make each BATCH exactly-once; this makes each
+    KEY at-most-once across the table's whole history). Single-writer
+    assumption as with compaction: two concurrent pipelines appending
+    the same key in the same instant can both pass the snapshot check —
+    the manifest claim serializes the commits, not the reads.
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -424,6 +440,27 @@ def write_stream_manifest(
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= M.last_txn_version(table, app):
             return  # replay of an already-committed batch: exactly-once
+        if dedup_keys:
+            from newsmaper_etl_spark.operators.dedup import (
+                exact_dedup,
+                incremental_exact_dedup,
+            )
+
+            keys = list(dedup_keys)
+            if dedup_order_col:
+                batch_df = exact_dedup(
+                    batch_df, keys, dedup_order_col, hash_keys=True
+                )
+            else:
+                batch_df = batch_df.dropDuplicates(keys)
+            if M.current_version(table) > 0:
+                batch_df = incremental_exact_dedup(
+                    batch_df,
+                    M.read_table(batch_df.sparkSession, table),
+                    keys,
+                    hash_keys=True,
+                    within_batch=False,
+                )
         def _append() -> None:
             M.append(
                 batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),

@@ -271,6 +271,45 @@ def test_manifest_sink_exactly_once_across_restart_and_replay(spark, tmp_path):
     assert M.last_txn_version(table, "qA") == mark + 1
 
 
+def test_stream_manifest_corpus_dedup_on_ingest(spark, tmp_path):
+    """dedup_keys: a batch's within-batch copies keep-first, and a later
+    run redelivering already-ingested CONTENT under fresh ids never
+    re-enters the corpus — key-level at-most-once across the table's
+    history, on top of (not instead of) the per-batch txn marks."""
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    src = tmp_path / "dstream_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(
+            '{"id": 1, "text": "alpha"}\n'
+            '{"id": 2, "text": "alpha"}\n'  # within-batch copy: drops
+            '{"id": 3, "text": "beta"}\n'
+        )
+    table = str(tmp_path / "dtable")
+    ckpt = str(tmp_path / "dckpt")
+
+    def run(ck):
+        stream = spark.readStream.schema("id INT, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"dq:{ck}",
+            dedup_keys=("text",), dedup_order_col="id",
+        ).awaitTermination()
+
+    run(ckpt)
+    rows = {(r["id"], r["text"]) for r in M.read_table(spark, table).collect()}
+    assert rows == {(1, "alpha"), (3, "beta")}  # keep-first within batch
+
+    # new file: one genuinely new doc + one replayed CONTENT under a new
+    # id (a re-crawl) — only the new doc lands
+    with open(src / "b.json", "w") as f:
+        f.write('{"id": 10, "text": "alpha"}\n{"id": 11, "text": "gamma"}\n')
+    run(str(tmp_path / "dckpt2"))
+    rows = {(r["id"], r["text"]) for r in M.read_table(spark, table).collect()}
+    assert rows == {(1, "alpha"), (3, "beta"), (11, "gamma")}
+
+
 def test_streaming_media_metadata(spark, tmp_path):
     """The multimodal kernels compose with Structured Streaming
     unchanged: mapInPandas is a stateless 1→1 projection, so a media
