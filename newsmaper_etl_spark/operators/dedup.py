@@ -172,14 +172,21 @@ def banded_signatures(
     ``bands`` must divide ``num_hashes``: trailing signature positions
     would otherwise be computed but silently excluded from every band
     (paid-for hashes with no recall contribution), and ``bands >
-    num_hashes`` would build zero-row bands."""
+    num_hashes`` would build zero-row bands.
+
+    The (num_hashes, bands, k) triple is stamped into the ``bh``
+    column's metadata (survives a parquet round-trip via the Spark
+    schema): a persisted band-key table built under one parameterization
+    silently never collides — or spuriously collides — with a batch
+    signed under another, so :func:`incremental_minhash_dedup` validates
+    the stamp before joining."""
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must evenly divide num_hashes={num_hashes}"
         )
     rows = num_hashes // bands
     sigged = minhash_signature(df, text_col, num_hashes, k).select(id_col, "sig")
-    return sigged.select(
+    out = sigged.select(
         id_col,
         F.explode(
             F.array(*[
@@ -191,6 +198,37 @@ def banded_signatures(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    meta = {"num_hashes": num_hashes, "bands": bands, "k": k}
+    return out.withColumn("bh", F.col("bh").alias("bh", metadata=meta))
+
+
+def _validate_banded_params(
+    banded: DataFrame, num_hashes: int, bands: int, k: int
+) -> None:
+    """Fail fast when a pre-computed band-key frame was signed under a
+    different (num_hashes, bands, k) than the batch side — mismatched
+    parameterizations don't error on their own, they just produce
+    garbage candidates (band hashes that never, or spuriously, collide).
+    Frames without the stamp (hand-built) are accepted as-is; the shape
+    (band, bh columns) is still required."""
+    cols = set(banded.columns)
+    if not {"band", "bh"} <= cols:
+        raise ValueError(
+            f"seen_banded must carry (band, bh) columns; got {sorted(cols)}"
+        )
+    for f in banded.schema.fields:
+        if f.name != "bh" or not f.metadata:
+            continue
+        stamp = {p: f.metadata.get(p) for p in ("num_hashes", "bands", "k")}
+        want = {"num_hashes": num_hashes, "bands": bands, "k": k}
+        if any(v is not None and v != want[p] for p, v in stamp.items()):
+            raise ValueError(
+                "seen_banded was built with "
+                f"{ {p: v for p, v in stamp.items() if v is not None} } "
+                f"but this batch is being signed with {want}; band keys "
+                "from different parameterizations never match — rebuild "
+                "one side"
+            )
 
 
 def minhash_lsh_candidates(
@@ -426,8 +464,19 @@ def incremental_exact_dedup(
             .drop("__hk1", "__hk2")
         )
     else:
-        seen_keys = seen_df.select(*cols).distinct()
-        out = new_df.join(seen_keys, on=list(cols), how="left_anti")
+        # eqNullSafe, not `on=cols`: a NULL-keyed batch row must drop
+        # against a NULL-keyed corpus row exactly as the hashed path
+        # drops it (xxhash64's isnull interleave makes NULLs compare
+        # equal there) — null-unsafe equality would silently keep it
+        # and the two bases would disagree on output.
+        seen_keys = seen_df.select(
+            *[F.col(c).alias(f"__sk_{c}") for c in cols]
+        ).distinct()
+        cond = None
+        for c in cols:
+            clause = F.col(c).eqNullSafe(F.col(f"__sk_{c}"))
+            cond = clause if cond is None else cond & clause
+        out = new_df.join(seen_keys, on=cond, how="left_anti")
     if within_batch:
         out = exact_dedup(out, list(cols), id_col, salt=salt,
                           hash_keys=hash_keys)
@@ -465,7 +514,16 @@ def incremental_minhash_dedup(
     union frame — estimation from signature agreement would admit
     borderline false drops); a new doc is dropped iff some verified
     seen-pair scores ≥ threshold. ``within_batch=True`` then runs
-    :func:`minhash_dedup` over the cross-corpus survivors."""
+    :func:`minhash_dedup` over the cross-corpus survivors.
+
+    The verify stage only shingles docs that APPEAR in a candidate
+    pair: both sides of the union are semi-joined on the candidate ids
+    first, so the per-batch verify cost scales with the bucket-mates
+    the batch actually touched — never with the corpus (re-shingling
+    the whole seen corpus per batch would dwarf the batch and void the
+    ``seen_banded`` seam's entire point)."""
+    if seen_banded is not None:
+        _validate_banded_params(seen_banded, num_hashes, bands, k)
     nb = banded_signatures(
         new_df, id_col, text_col, num_hashes, bands, k
     ).withColumnRenamed(id_col, "__new_id")
@@ -481,9 +539,15 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
-    union = new_df.select(id_col, text_col).unionAll(
-        seen_df.select(id_col, text_col)
+    new_touched = new_df.select(id_col, text_col).join(
+        cands.select(F.col("id_a").alias(id_col)).distinct(),
+        on=id_col, how="left_semi",
     )
+    seen_touched = seen_df.select(id_col, text_col).join(
+        cands.select(F.col("id_b").alias(id_col)).distinct(),
+        on=id_col, how="left_semi",
+    )
+    union = new_touched.unionAll(seen_touched)
     verified = jaccard_verify(
         union, cands, id_col, text_col, k, round_digits=None
     ).filter(F.col("jaccard") >= threshold)

@@ -236,6 +236,70 @@ def test_incremental_minhash_dedup(spark):
     assert out3 == [12]  # 13 is a batch-internal exact dup of 12
 
 
+def test_incremental_exact_dedup_null_keys(spark):
+    """NULL-keyed batch rows drop against NULL-keyed corpus rows under
+    BOTH key bases (raw keys use eqNullSafe; hashed keys interleave
+    isnull flags) — the two bases must agree on output."""
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    seen = spark.createDataFrame([(1, None), (2, "B")], schema)
+    new = spark.createDataFrame(
+        [(10, None), (11, "B"), (12, "C"), (13, None)], schema
+    )
+    for hk in (False, True):
+        out = sorted(
+            r["doc_id"]
+            for r in D.incremental_exact_dedup(
+                new, seen, ["text"], hash_keys=hk
+            ).collect()
+        )
+        assert out == [12], hk  # 10/13 drop vs corpus NULL, 11 vs "B"
+
+
+def test_incremental_minhash_param_mismatch(spark):
+    """A seen_banded frame signed under different (num_hashes, bands, k)
+    raises instead of silently producing garbage candidates; the stamp
+    survives a parquet round-trip."""
+    import pytest as _pytest
+    seen = values_df(spark, [(1, _BASE)], ["doc_id", "text"])
+    new = values_df(spark, [(10, _NEAR)], ["doc_id", "text"])
+    pre = D.banded_signatures(seen, "doc_id", "text", num_hashes=32, bands=8)
+    with _pytest.raises(ValueError, match="parameterizations"):
+        D.incremental_minhash_dedup(
+            new, seen, threshold=0.5, seen_banded=pre,
+            num_hashes=16, bands=4,
+        )
+    with _pytest.raises(ValueError, match="band, bh"):
+        D.incremental_minhash_dedup(
+            new, seen, threshold=0.5,
+            seen_banded=seen.select("doc_id"),
+        )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "banded")
+        pre.write.parquet(p)
+        back = spark.read.parquet(p)
+        with _pytest.raises(ValueError, match="parameterizations"):
+            D.incremental_minhash_dedup(
+                new, seen, threshold=0.5, seen_banded=back,
+                num_hashes=16, bands=4,
+            )
+        # matching params through the round-trip: accepted and correct
+        pre16 = D.banded_signatures(seen, "doc_id", "text")
+        p2 = os.path.join(td, "banded16")
+        pre16.write.parquet(p2)
+        out = sorted(
+            r["doc_id"]
+            for r in D.incremental_minhash_dedup(
+                new, seen, threshold=0.5,
+                seen_banded=spark.read.parquet(p2),
+            ).collect()
+        )
+        assert out == []
+
+
 def _brute_simhash_pairs(spark, df, max_hamming, bits):
     """Ground truth: hamming over collected signatures, all pairs."""
     cols = ["doc_id", "simhash"] + (["simhash_hi"] if bits == 128 else [])
