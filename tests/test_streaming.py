@@ -526,3 +526,179 @@ def test_stream_manifest_schema_evolution_across_restart(spark, tmp_path):
     q3.awaitTermination(); q3.stop()
     out = {r["k"]: r for r in M.read_table(spark, table).collect()}
     assert out[1]["score"] is None and out[2]["score"] == 7.5
+
+
+def _run_dedup_stream(spark, src, table, ckpt, **kw):
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    stream = spark.readStream.schema("id INT, text STRING").json(str(src))
+    write_stream_manifest(
+        stream, table, ckpt, app_id=f"kq:{ckpt}",
+        dedup_keys=("text",), dedup_order_col="id", **kw
+    ).awaitTermination()
+
+
+def test_key_index_batch_scaled_reads(spark, tmp_path):
+    """The ingest-dedup anti-join reads the persisted 16-byte key index,
+    NEVER the corpus snapshot (the r7 O(corpus)-per-batch rescan): after
+    the first batch, no micro-batch touches the data table's rows, and
+    the index bytes a batch reads are orders of magnitude below the
+    corpus bytes it would have re-scanned."""
+    import json as _json
+    import os
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "kin"
+    src.mkdir()
+    table = str(tmp_path / "ktable")
+    fat = "lorem ipsum " * 100  # ~1.2 KB per doc
+    main_reads = []
+    real_read = M.read_table
+
+    def _spy(spark_, tbl, *a, **kw):
+        main_reads.append(tbl)
+        return real_read(spark_, tbl, *a, **kw)
+
+    M.read_table = _spy
+    try:
+        for b in range(3):
+            (src / f"b{b}.json").write_text(
+                "\n".join(
+                    _json.dumps({"id": b * 100 + i, "text": f"{fat}{b}-{i}"})
+                    for i in range(20)
+                )
+            )
+            _run_dedup_stream(spark, src, table, str(tmp_path / f"kck{b}"))
+    finally:
+        M.read_table = real_read
+    # dedup machinery never read the DATA table (no bootstrap needed:
+    # the index exists from batch 0); index reads are allowed
+    assert not [t for t in main_reads if os.path.normpath(t) == os.path.normpath(table)]
+    ktable = K.key_index_path(table)
+    assert M.current_version(ktable) >= 1
+    # index is complete and distinct: one key per unique text
+    idx = M.read_table(spark, ktable)
+    assert idx.count() == 60 and idx.distinct().count() == 60
+    # the per-batch dedup input (key index) is tiny vs the corpus
+    kbytes = sum(
+        e["bytes"]
+        for e in M._load_manifest(ktable, M.current_version(ktable))["files"]
+    )
+    dbytes = sum(
+        e["bytes"]
+        for e in M._load_manifest(table, M.current_version(table))["files"]
+    )
+    assert kbytes < dbytes / 3  # 16 B/key vs ~1.2 KB/doc (+parquet overhead)
+
+
+def test_key_index_bootstrap_for_preexisting_table(spark, tmp_path):
+    """A table with rows committed BEFORE dedup_keys was enabled gets a
+    one-time index bootstrap from the snapshot; redelivered content then
+    dedups against it."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    table = str(tmp_path / "btable")
+    pre = spark.createDataFrame([(1, "old-a"), (2, "old-b")], "id INT, text STRING")
+    M.append(pre, table)
+    src = tmp_path / "bin"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 10, "text": "old-a"}) + "\n"
+        + _json.dumps({"id": 11, "text": "new-c"})
+    )
+    _run_dedup_stream(spark, src, table, str(tmp_path / "bck"))
+    rows = {(r["id"], r["text"]) for r in M.read_table(spark, table).collect()}
+    assert rows == {(1, "old-a"), (2, "old-b"), (11, "new-c")}
+    ktable = K.key_index_path(table)
+    boot = M._load_manifest(ktable, 1).get("meta") or {}
+    assert boot.get("op_detail") == "keyindex-bootstrap"
+    assert M.read_table(spark, ktable).count() == 3  # old-a old-b new-c
+
+
+def test_key_index_ever_seen_survives_rewrite_compact_vacuum(spark, tmp_path):
+    """Keys are an EVER-SEEN registry: content removed from the data
+    table by a maintenance rewrite still never re-enters (the documented
+    across-whole-history contract — the r7 snapshot-rescan silently
+    re-admitted it); the index survives its own compaction and vacuum
+    of both tables."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "ein"
+    src.mkdir()
+    table = str(tmp_path / "etable")
+    for b in range(3):
+        (src / f"b{b}.json").write_text(
+            _json.dumps({"id": b * 10, "text": f"doc-{b}"})
+        )
+        _run_dedup_stream(
+            spark, src, table, str(tmp_path / f"eck{b}"), compact_every=1
+        )
+    ktable = K.key_index_path(table)
+    assert "compact" in [h.get("op") for h in M.history(ktable)]
+    # maintenance rewrite REMOVES doc-1 from the data table
+    kept = M.read_table(spark, table).filter("text <> 'doc-1'")
+    M.overwrite(kept, table)
+    M.vacuum(table, retain_seconds=0)
+    M.vacuum(ktable, retain_seconds=0)
+    # redeliver doc-1 under a fresh id: ever-seen, stays out
+    (src / "b3.json").write_text(_json.dumps({"id": 99, "text": "doc-1"}))
+    _run_dedup_stream(spark, src, table, str(tmp_path / "eck3"))
+    texts = sorted(r["text"] for r in M.read_table(spark, table).collect())
+    assert texts == ["doc-0", "doc-2"]
+    assert M.read_table(spark, ktable).distinct().count() == 3
+
+
+def test_key_index_repairs_after_crash_between_commits(spark, tmp_path):
+    """Crash AFTER the data commit but BEFORE the key commit: the replay
+    of the same batch skips the data append (txn mark) and lands the key
+    append (its own mark) — the index self-heals one batch behind, and
+    no key is ever lost or double-applied."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "cin"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": "crash-a"}) + "\n"
+        + _json.dumps({"id": 2, "text": "crash-b"})
+    )
+    table = str(tmp_path / "ctable")
+    ckpt = str(tmp_path / "cck")
+    boom = RuntimeError("injected crash before key commit")
+    real = K.append_batch_keys
+
+    def _crash(*a, **kw):
+        raise boom
+
+    K.append_batch_keys = _crash
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            _run_dedup_stream(spark, src, table, ckpt)
+    finally:
+        K.append_batch_keys = real
+    # data landed, index did not
+    assert M.read_table(spark, table).count() == 2
+    assert M.current_version(K.key_index_path(table)) == 0
+
+    # restart with the SAME checkpoint: foreachBatch replays batch 0
+    _run_dedup_stream(spark, src, table, ckpt)
+    assert M.read_table(spark, table).count() == 2  # no double-append
+    ktable = K.key_index_path(table)
+    idx = M.read_table(spark, ktable)
+    assert idx.distinct().count() == 2
+    # and dedup works against the healed index
+    (src / "b1.json").write_text(_json.dumps({"id": 9, "text": "crash-a"}))
+    _run_dedup_stream(spark, src, table, str(tmp_path / "cck2"))
+    assert M.read_table(spark, table).count() == 2
