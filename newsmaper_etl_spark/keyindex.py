@@ -150,6 +150,259 @@ def append_batch_keys(
     return True
 
 
+# --------------------------------------------------------------------------
+# Banded-signature index (the MinHash near-dedup mirror of the key index)
+# --------------------------------------------------------------------------
+
+_BANDED_SUB = "_banded"
+
+
+def banded_index_path(table: str) -> str:
+    return os.path.join(table, _BANDED_SUB)
+
+
+_BSTAMP = ("__nh", "__nb", "__k")
+
+
+def _stamped(sigs: DataFrame, num_hashes: int, bands: int, k: int) -> DataFrame:
+    """Append the (num_hashes, bands, k) parameterization as constant
+    columns (RLE/dict-compressed to ~nothing in parquet) whose footer
+    min=max stats land in the manifest — a stamp that survives parquet
+    round-trips, compaction, and vacuum, and is validated driver-side
+    from the manifest with no Spark job (column METADATA would not: the
+    manifest's recorded-DDL schema projection drops it on read)."""
+    return (
+        sigs.withColumn("__nh", F.lit(num_hashes))
+        .withColumn("__nb", F.lit(bands))
+        .withColumn("__k", F.lit(k))
+    )
+
+
+def check_banded_stamp(table: str, num_hashes: int, bands: int, k: int) -> None:
+    """Raise if the persisted banded index was signed under a different
+    (num_hashes, bands, k) than the caller is about to use — mismatched
+    parameterizations don't fail, they silently produce band keys that
+    never (or spuriously) collide."""
+    btable = banded_index_path(table)
+    m = M._load_manifest(btable, M.current_version(btable))
+    want = dict(zip(_BSTAMP, (num_hashes, bands, k)))
+    for e in m["files"]:
+        st = e.get("stats", {})
+        for c, w in want.items():
+            rng = st.get(c)
+            if rng is not None and (rng[0] != w or rng[1] != w):
+                raise ValueError(
+                    f"banded index at {btable} was signed with {c}="
+                    f"{rng[0]} but this batch uses {c}={w}; band keys "
+                    "from different parameterizations never match — "
+                    "rebuild the index or match the parameters"
+                )
+
+
+def read_banded_index(spark: SparkSession, table: str) -> DataFrame | None:
+    """The persisted :func:`operators.dedup.banded_signatures` frame for
+    the corpus — (id, band, bh), three longs per doc per band. None when
+    absent. Callers that are about to JOIN against it should first
+    :func:`check_banded_stamp` their parameters."""
+    btable = banded_index_path(table)
+    if M.current_version(btable) == 0:
+        return None
+    return M.read_table(spark, btable).drop(*_BSTAMP)
+
+
+def ensure_banded_bootstrap(
+    spark: SparkSession, table: str, id_col: str, text_col: str,
+    num_hashes: int, bands: int, k: int, app: str,
+) -> bool:
+    """One-time corpus signing for a table that predates the banded
+    index — the single deliberate full-corpus MinHash pass, instead of
+    re-signing the corpus every batch (the cost the ``seen_banded`` seam
+    exists to avoid)."""
+    from newsmaper_etl_spark.operators.dedup import banded_signatures
+
+    btable = banded_index_path(table)
+    if M.current_version(btable) > 0 or M.current_version(table) == 0:
+        return False
+    boot_app = app + _BOOT_APP_SUFFIX
+    sigs = _stamped(
+        banded_signatures(
+            M.read_table(spark, table).select(id_col, text_col),
+            id_col, text_col, num_hashes, bands, k,
+        ),
+        num_hashes, bands, k,
+    )
+
+    def _append() -> int:
+        return M.append(
+            sigs, btable, txn=(boot_app, 0), stat_cols=_BSTAMP,
+            meta={"op_detail": "bandedindex-bootstrap",
+                  "covers_version": M.current_version(table)},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(btable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def near_dedup_batch(
+    batch_df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    within_batch: bool = False,
+    max_candidate_ids: int = 100_000,
+) -> DataFrame:
+    """Drop batch docs that near-duplicate ANY already-ingested doc,
+    using the persisted banded index — the batch-scaled streaming form
+    of :func:`operators.dedup.incremental_minhash_dedup`:
+
+    - candidates: batch band keys ⋈ the persisted index (never
+      re-signs the corpus);
+    - verify: exact shingle-Jaccard over ONLY the docs that appear in a
+      candidate pair — batch docs semi-joined on id_a, and the seen
+      bucket-mates fetched from the data table with
+      ``read_table(prune_in=(id, candidate_ids))`` manifest file
+      skipping, so an id-clustered (or append-local) table opens the
+      few files the candidates touch instead of scanning the corpus.
+      The candidate id list is a driver materialization bounded by
+      ``max_candidate_ids`` (a batch of B docs against sane bucket
+      occupancy yields O(B) candidates); above the cap the fetch falls
+      back to a distributed semi-join against the full snapshot —
+      correct, disclosed, and a sign the LSH parameters need retuning.
+
+    Parameter drift between the index and this batch's signing raises
+    (the banded stamp check)."""
+    from newsmaper_etl_spark.operators.dedup import (
+        banded_signatures,
+        jaccard_verify,
+        minhash_dedup,
+    )
+
+    spark = batch_df.sparkSession
+    idx = read_banded_index(spark, table)
+    if idx is None:
+        return (
+            minhash_dedup(batch_df, id_col, text_col, threshold,
+                          num_hashes, bands, k)
+            if within_batch else batch_df
+        )
+    check_banded_stamp(table, num_hashes, bands, k)
+    nb = banded_signatures(
+        batch_df.select(id_col, text_col), id_col, text_col,
+        num_hashes, bands, k,
+    ).withColumnRenamed(id_col, "__new_id")
+    sb = idx.withColumnRenamed(id_col, "__seen_id")
+    cands = (
+        nb.join(sb, on=["band", "bh"])
+        .select(F.col("__new_id").alias("id_a"),
+                F.col("__seen_id").alias("id_b"))
+        .distinct()
+    ).persist()
+    try:
+        seen_ids = [
+            r[0]
+            for r in cands.select("id_b").distinct()
+            .limit(max_candidate_ids + 1).collect()
+        ]
+        if not seen_ids:
+            out = batch_df
+        else:
+            if len(seen_ids) > max_candidate_ids:
+                seen_docs = M.read_table(spark, table).select(
+                    id_col, text_col
+                ).join(
+                    cands.select(F.col("id_b").alias(id_col)).distinct(),
+                    on=id_col, how="left_semi",
+                )
+            else:
+                from pyspark.sql.types import StructField, StructType
+
+                id_type = batch_df.schema[id_col].dataType
+                ids_df = spark.createDataFrame(
+                    [(i,) for i in seen_ids],
+                    StructType([StructField(id_col, id_type)]),
+                )
+                seen_docs = M.read_table(
+                    spark, table, prune_in=(id_col, seen_ids)
+                ).select(id_col, text_col).join(
+                    F.broadcast(ids_df), on=id_col, how="left_semi",
+                )
+            batch_touched = batch_df.select(id_col, text_col).join(
+                cands.select(F.col("id_a").alias(id_col)).distinct(),
+                on=id_col, how="left_semi",
+            )
+            union = batch_touched.unionAll(seen_docs)
+            verified = jaccard_verify(
+                union, cands, id_col, text_col, k, round_digits=None
+            ).filter(F.col("jaccard") >= threshold)
+            losers = verified.select(F.col("id_a").alias(id_col)).distinct()
+            out = batch_df.join(losers, on=id_col, how="left_anti")
+        if within_batch:
+            out = minhash_dedup(out, id_col, text_col, threshold,
+                                num_hashes, bands, k)
+        # materialize before unpersisting the candidate frame the plan
+        # depends on
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cands.unpersist()
+    return out
+
+
+def append_batch_banded(
+    batch_df: DataFrame, table: str, id_col: str, text_col: str,
+    num_hashes: int, bands: int, k: int, app: str, batch_id: int,
+) -> bool:
+    """Commit the batch survivors' band keys to the banded index under
+    the writer's txn mark (replay-skipped, orphan-self-healing) — the
+    step that keeps the index covering exactly the corpus so no future
+    batch ever re-signs it."""
+    from newsmaper_etl_spark.operators.dedup import banded_signatures
+
+    btable = banded_index_path(table)
+    if batch_id <= M.last_txn_version(btable, app):
+        return False
+    sigs = _stamped(
+        banded_signatures(
+            batch_df.select(id_col, text_col), id_col, text_col,
+            num_hashes, bands, k,
+        ),
+        num_hashes, bands, k,
+    )
+
+    def _append() -> int:
+        return M.append(sigs, btable, txn=(app, int(batch_id)),
+                        stat_cols=_BSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(btable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_banded_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    btable = banded_index_path(table)
+    if M.current_version(btable) == 0:
+        return 0
+    return M.compact(
+        spark, btable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+
+
 def compact_key_index(
     spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
 ) -> int:

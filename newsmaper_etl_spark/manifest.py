@@ -675,6 +675,7 @@ def read_table(
     table: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    prune_in: tuple[str, "list | set"] | None = None,
 ):
     """Snapshot read from the explicit manifest file list.
 
@@ -686,10 +687,48 @@ def read_table(
     prune that eliminates every file returns an EMPTY DataFrame typed
     from the manifest's recorded schema — an empty query result is not
     an error; only a genuinely empty table with no recorded schema
-    raises."""
+    raises.
+
+    ``prune_in=(col, values)`` is the MULTI-POINT form: keep only files
+    whose partition value is in ``values``, or whose footer [min, max]
+    contains AT LEAST ONE of them (binary search over the sorted value
+    list per file — O(files·log|values|) on the driver, for a
+    driver-materialized value set the caller already bounds). This is
+    what turns a scattered-id candidate fetch (e.g. the ingest
+    near-dedup verify stage pulling bucket-mate documents) into opening
+    the few files whose id range the candidates actually touch — on an
+    id-clustered table (``compact(order_by=(col,))``) or one whose
+    appends have natural id locality, that is a point-lookup read, not
+    a table scan. Note the semantics are per-file CONSERVATIVE: a kept
+    file may still contain none of the values (ranges lie), so callers
+    must still filter/join rows."""
     v = current_version(table) if version is None else version
     manifest = _load_manifest(table, v)
     files = manifest["files"]
+    if prune_in is not None:
+        import bisect
+
+        pcol, pvals = prune_in
+        svals = sorted(set(pvals))
+        kept = []
+        for entry in files:
+            part = entry.get("partition", {})
+            if pcol in part:
+                if part[pcol] in set(svals):
+                    kept.append(entry)
+                continue
+            rng = entry.get("stats", {}).get(pcol)
+            try:
+                if rng is None:
+                    kept.append(entry)  # no stats: conservatively keep
+                    continue
+                lo, hi = rng
+                i = bisect.bisect_left(svals, lo)
+                if i < len(svals) and svals[i] <= hi:
+                    kept.append(entry)
+            except TypeError:
+                kept.append(entry)  # mismatched types: keep, like prune
+        files = kept
     if prune is not None:
         col, lo, hi = prune
         kept = []

@@ -369,6 +369,7 @@ def write_stream_manifest(
     merge_schema: bool = False,
     dedup_keys: tuple[str, ...] | None = None,
     dedup_order_col: str | None = None,
+    near_dedup: dict | None = None,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
@@ -400,6 +401,24 @@ def write_stream_manifest(
     compaction: two concurrent pipelines appending the same key in the
     same instant can both pass the index check — the manifest claim
     serializes the commits, not the reads.
+
+    ``near_dedup`` adds NEAR-duplicate corpus dedup on ingest (the
+    incremental_minhash_dedup composition, batch-scaled): a dict with
+    ``id_col`` (required) and optional ``text_col`` ("text"),
+    ``threshold`` (0.8), ``num_hashes`` (16), ``bands`` (4), ``k`` (3),
+    ``within_batch`` (False), ``max_candidate_ids`` (100_000). The sink
+    maintains a persisted :func:`operators.dedup.banded_signatures`
+    side table at ``<table>/_banded`` (three longs per doc per band,
+    parameter-stamped, same txn/bootstrap/compaction discipline as the
+    key index): per batch, candidates come from the batch's band keys
+    joined against that index — the corpus is never re-signed — and the
+    exact-Jaccard verify fetches ONLY candidate bucket-mate documents
+    from the data table via manifest ``prune_in`` file skipping (see
+    :func:`keyindex.near_dedup_batch` for the cost contract and the
+    disclosed over-cap fallback). ``id_col`` footer stats are recorded
+    on data commits automatically so that point fetch can skip files.
+    Runs AFTER ``dedup_keys`` (cheap exact-key drops first shrink the
+    signing work).
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -451,21 +470,43 @@ def write_stream_manifest(
 
     app = app_id or f"stream:{_os.path.abspath(checkpoint_dir)}"
 
+    nd = dict(near_dedup) if near_dedup else None
+    if nd is not None:
+        nd.setdefault("text_col", "text")
+        nd.setdefault("threshold", 0.8)
+        nd.setdefault("num_hashes", 16)
+        nd.setdefault("bands", 4)
+        nd.setdefault("k", 3)
+        nd.setdefault("within_batch", False)
+        nd.setdefault("max_candidate_ids", 100_000)
+        if "id_col" not in nd:
+            raise ValueError("near_dedup requires an 'id_col' entry")
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         main_done = batch_id <= M.last_txn_version(table, app)
-        if main_done and not dedup_keys:
+        if main_done and not dedup_keys and nd is None:
             return  # replay of an already-committed batch: exactly-once
         persisted = False
-        if dedup_keys:
+        eff_stat_cols = tuple(stat_cols)
+        if dedup_keys or nd is not None:
             from newsmaper_etl_spark import keyindex as K
+
+            spark = batch_df.sparkSession
+            done = main_done
+            if dedup_keys:
+                done = done and batch_id <= M.last_txn_version(
+                    K.key_index_path(table), app
+                )
+            if nd is not None:
+                done = done and batch_id <= M.last_txn_version(
+                    K.banded_index_path(table), app
+                )
+            if done:
+                return  # data and every index committed: pure replay
+        if dedup_keys:
             from newsmaper_etl_spark.operators.dedup import exact_dedup
 
             keys = list(dedup_keys)
-            spark = batch_df.sparkSession
-            if main_done and batch_id <= M.last_txn_version(
-                K.key_index_path(table), app
-            ):
-                return  # both data and keys committed: pure replay
             if dedup_order_col:
                 batch_df = exact_dedup(
                     batch_df, keys, dedup_order_col, hash_keys=True
@@ -476,6 +517,20 @@ def write_stream_manifest(
             idx = K.read_key_index(spark, table)
             if idx is not None:
                 batch_df = K.anti_join_index(batch_df, keys, idx)
+        if nd is not None:
+            if nd["id_col"] not in eff_stat_cols:
+                # candidate point-fetch pruning needs id footer stats
+                eff_stat_cols = eff_stat_cols + (nd["id_col"],)
+            K.ensure_banded_bootstrap(
+                spark, table, nd["id_col"], nd["text_col"],
+                nd["num_hashes"], nd["bands"], nd["k"], app,
+            )
+            batch_df = K.near_dedup_batch(
+                batch_df, table, nd["id_col"], nd["text_col"],
+                nd["threshold"], nd["num_hashes"], nd["bands"], nd["k"],
+                nd["within_batch"], nd["max_candidate_ids"],
+            )  # returns an eagerly-materialized frame
+        elif dedup_keys:
             # the deduped batch feeds TWO commits (data, then keys):
             # persist so the dedup plan runs once, and so the
             # arbitrary-survivor dropDuplicates path can't pick
@@ -486,7 +541,8 @@ def write_stream_manifest(
             persisted = True
         def _append() -> None:
             M.append(
-                batch_df, table, stat_cols=stat_cols, txn=(app, int(batch_id)),
+                batch_df, table, stat_cols=eff_stat_cols,
+                txn=(app, int(batch_id)),
                 meta={"app": app, "batch_id": int(batch_id)},
                 merge_schema=merge_schema,
             )
@@ -504,13 +560,21 @@ def write_stream_manifest(
                 K.append_batch_keys(
                     batch_df, table, keys, app, int(batch_id)
                 )
+            if nd is not None:
+                K.append_batch_banded(
+                    batch_df, table, nd["id_col"], nd["text_col"],
+                    nd["num_hashes"], nd["bands"], nd["k"],
+                    app, int(batch_id),
+                )
         finally:
             if persisted:
                 batch_df.unpersist()
         if compact_every and (int(batch_id) + 1) % int(compact_every) == 0:
-            if dedup_keys:
+            for _maint in (
+                [K.compact_key_index] if dedup_keys else []
+            ) + ([K.compact_banded_index] if nd is not None else []):
                 try:
-                    K.compact_key_index(batch_df.sparkSession, table)
+                    _maint(batch_df.sparkSession, table)
                 except M.ConcurrentWriteError:
                     pass  # racer won this cycle; next cycle retries
                 except Exception as e:  # noqa: BLE001 — same contract as
@@ -519,7 +583,7 @@ def write_stream_manifest(
                     import sys
 
                     print(
-                        f"write_stream_manifest: key-index compaction "
+                        f"write_stream_manifest: index compaction "
                         f"failed (will retry next cycle): {e}",
                         file=sys.stderr,
                     )

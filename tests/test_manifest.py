@@ -802,3 +802,30 @@ def test_read_table_changes_rejects_invalid_versions(spark, tmp_path):
         M.read_table_changes(spark, t, from_version=0, to_version=9)
     # the valid empty range still works
     assert M.read_table_changes(spark, t, from_version=1).count() == 0
+
+
+def test_prune_in_multi_point_file_skipping(spark, tmp_path):
+    """prune_in=(col, values): keep only files whose footer range holds
+    at least one value — the scattered-id candidate fetch. Files without
+    stats are conservatively kept, and kept files may still need a row
+    filter (ranges lie)."""
+    t = str(tmp_path / "tpin")
+    for lo in (0, 1000, 2000):
+        M.append(
+            values_df(
+                spark, [(lo + i, f"r{lo + i}") for i in range(10)], ["id", "v"]
+            ).coalesce(1),
+            t, stat_cols=("id",),
+        )
+    all_files = M.read_table(spark, t).inputFiles()
+    assert len(all_files) == 3
+    # ids from the first and third file only
+    pruned = M.read_table(spark, t, prune_in=("id", [3, 2004, 2007]))
+    assert len(pruned.inputFiles()) == 2
+    assert pruned.count() == 20  # conservative: whole kept files
+    # a value set missing every range keeps nothing -> typed empty frame
+    none = M.read_table(spark, t, prune_in=("id", [500, 1500]))
+    assert none.count() == 0 and none.columns == ["id", "v"]
+    # no stats for column -> conservatively keep all files
+    unpruned = M.read_table(spark, t, prune_in=("nosuch", [1]))
+    assert len(unpruned.inputFiles()) == 3

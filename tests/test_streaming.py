@@ -702,3 +702,100 @@ def test_key_index_repairs_after_crash_between_commits(spark, tmp_path):
     (src / "b1.json").write_text(_json.dumps({"id": 9, "text": "crash-a"}))
     _run_dedup_stream(spark, src, table, str(tmp_path / "cck2"))
     assert M.read_table(spark, table).count() == 2
+
+
+def test_stream_manifest_near_dedup_on_ingest(spark, tmp_path):
+    """near_dedup: a later run's NEAR-duplicate of already-ingested
+    content (one-token edit) never re-enters; candidates come from the
+    persisted banded index (the corpus is never re-signed), the verify
+    fetch is candidate-pruned, and the banded index tracks survivors
+    under the same txn discipline."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee at midnight near the harbor")
+    near = base + " tonight"  # ~0.95 jaccard: candidate in every band
+    far = ("completely different subject matter entirely about orbital "
+           "mechanics and the trajectories of small icy bodies beyond "
+           "neptune in the scattered disk population")
+
+    src = tmp_path / "nin"
+    src.mkdir()
+    table = str(tmp_path / "ntable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"nq:{ck}",
+            dedup_keys=("text",), dedup_order_col="id",
+            near_dedup={"id_col": "id", "threshold": 0.5},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": base}) + "\n"
+        + _json.dumps({"id": 2, "text": far})
+    )
+    run(str(tmp_path / "nck0"))
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2}
+
+    # second run: exact copy of base (exact-key path), near-dup of base
+    # (banded path), and one genuinely new doc
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "text": base}) + "\n"
+        + _json.dumps({"id": 11, "text": near}) + "\n"
+        + _json.dumps({"id": 12, "text": "a third and wholly distinct "
+                       "document describing medieval bread baking guild "
+                       "regulations in fourteenth century flanders"})
+    )
+    run(str(tmp_path / "nck1"))
+    ids = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert ids == {1, 2, 12}
+    # banded index covers exactly the survivors (bands=4 rows each)
+    bidx = M.read_table(spark, K.banded_index_path(table))
+    assert {r["id"] for r in bidx.collect()} == {1, 2, 12}
+    assert bidx.count() == 3 * 4
+    # parameter drift against the persisted index is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parameterizations|signed with"):
+        K.check_banded_stamp(table, num_hashes=32, bands=8, k=3)
+
+
+def test_stream_near_dedup_bootstrap_preexisting_table(spark, tmp_path):
+    """A table with rows from before near_dedup was enabled gets a
+    one-time corpus signing; near-dup content then stays out."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("every good boy deserves fudge while the orchestra tunes "
+            "quietly beneath the old stone arch before the rain begins")
+    table = str(tmp_path / "pbtable")
+    pre = spark.createDataFrame([(1, base)], "id LONG, text STRING")
+    M.append(pre, table)
+
+    src = tmp_path / "pbin"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 10, "text": base + " softly"})
+        + "\n" + _json.dumps({"id": 11, "text": "tiny unrelated note "
+                              "about garden tools and rust prevention "
+                              "methods for long term storage sheds"})
+    )
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+    write_stream_manifest(
+        stream, table, str(tmp_path / "pbck"), app_id="pbq",
+        near_dedup={"id_col": "id", "threshold": 0.5},
+    ).awaitTermination()
+    ids = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert ids == {1, 11}
+    boot = M._load_manifest(K.banded_index_path(table), 1).get("meta") or {}
+    assert boot.get("op_detail") == "bandedindex-bootstrap"
