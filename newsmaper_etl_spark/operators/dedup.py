@@ -495,12 +495,11 @@ def incremental_minhash_dedup(
     within_batch: bool = False,
     seen_banded: DataFrame | None = None,
     transitive: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Drop new-batch docs that near-duplicate ANY already-ingested doc
     (cross-corpus MinHash-LSH), then optionally near-dedup within the
-    batch. Caller contract: the two id spaces are disjoint (true of any
-    monotonically-assigned corpus) — the verify stage unions both frames
-    and tells the sides apart by id.
+    batch.
 
     Candidates come from an equi-join of the batch's band keys against
     the CORPUS's band keys — batch×corpus, never corpus×corpus, so the
@@ -510,18 +509,30 @@ def incremental_minhash_dedup(
     are written ONCE to a manifest table (three longs per doc per band)
     and every nightly batch joins against that — re-signing the corpus
     per batch would dwarf the batch itself. Flagged candidates are
-    verified with exact shingle-Jaccard (:func:`jaccard_verify` over the
-    union frame — estimation from signature agreement would admit
-    borderline false drops); a new doc is dropped iff some verified
-    seen-pair scores ≥ threshold. ``within_batch=True`` then runs
-    :func:`minhash_dedup` over the cross-corpus survivors.
+    verified with exact shingle-Jaccard (estimation from signature
+    agreement would admit borderline false drops); a new doc is dropped
+    iff some verified seen-pair scores ≥ threshold. ``within_batch=True``
+    then runs :func:`minhash_dedup` over the cross-corpus survivors.
 
-    The verify stage only shingles docs that APPEAR in a candidate
-    pair: both sides of the union are semi-joined on the candidate ids
-    first, so the per-batch verify cost scales with the bucket-mates
-    the batch actually touched — never with the corpus (re-shingling
-    the whole seen corpus per batch would dwarf the batch and void the
-    ``seen_banded`` seam's entire point)."""
+    The verify stage is side-split and single-pass: each side is
+    semi-joined to the candidate ids (only bucket-mates the batch
+    actually touched are ever shingled — re-shingling the whole corpus
+    per batch would dwarf the batch and void the ``seen_banded`` seam),
+    exploded to (pair, shingle) rows through the candidate list, and the
+    two sides meet in ONE full-outer join on (pair, shingle): per-pair
+    row count = |A∪B| and both-present count = |A∩B|, so Jaccard falls
+    out of a single aggregation with no per-doc size aggregation, no
+    size joins, and each side's shingle pipeline referenced exactly
+    once. (:func:`jaccard_verify` stays the standalone primitive — its
+    every-pair-gets-a-verdict contract needs the left join this internal
+    path can skip, because threshold > 0 discards empty intersections
+    either way.)
+
+    ``checkpoint=True`` (default) localCheckpoints the candidate-pair
+    frame: it is referenced by both semi-joins and the verify join, and
+    without materialization each reference re-runs the band join (the
+    same multi-reference lineage rule as simhash_near_pairs). The frame
+    is batch-scaled (bucket-mate pairs only), never corpus-scaled."""
     if seen_banded is not None:
         _validate_banded_params(seen_banded, num_hashes, bands, k)
     nb = banded_signatures(
@@ -539,19 +550,42 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
-    new_touched = new_df.select(id_col, text_col).join(
-        cands.select(F.col("id_a").alias(id_col)).distinct(),
-        on=id_col, how="left_semi",
+    if checkpoint:
+        cands = cands.localCheckpoint(eager=True)
+
+    def _side_shingles(df: DataFrame, pair_id: str) -> DataFrame:
+        touched = df.select(id_col, text_col).join(
+            cands.select(F.col(pair_id).alias(id_col)).distinct(),
+            on=id_col, how="left_semi",
+        ).withColumn("__th", token_hashes_col(text_col))
+        # explode the EXPRESSION, not an aliased column — the
+        # jaccard_verify InferFiltersFromGenerate rule
+        return touched.select(
+            F.col(id_col).alias(pair_id),
+            F.explode(
+                F.array_distinct(hashed_shingles_expr("__th", k))
+            ).alias("s"),
+        )
+
+    pa = cands.join(_side_shingles(new_df, "id_a"), on="id_a").withColumn(
+        "__ina", F.lit(1)
     )
-    seen_touched = seen_df.select(id_col, text_col).join(
-        cands.select(F.col("id_b").alias(id_col)).distinct(),
-        on=id_col, how="left_semi",
+    pb = cands.join(_side_shingles(seen_df, "id_b"), on="id_b").withColumn(
+        "__inb", F.lit(1)
     )
-    union = new_touched.unionAll(seen_touched)
-    verified = jaccard_verify(
-        union, cands, id_col, text_col, k, round_digits=None
-    ).filter(F.col("jaccard") >= threshold)
-    losers = verified.select(F.col("id_a").alias(id_col)).distinct()
+    stats = (
+        pa.join(pb, on=["id_a", "id_b", "s"], how="full")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__n_union"),
+            F.count(F.when((F.col("__ina") == 1) & (F.col("__inb") == 1), 1)).alias("__n_inter"),
+        )
+    )
+    losers = (
+        stats.filter(F.col("__n_inter") / F.col("__n_union") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
     out = new_df.join(losers, on=id_col, how="left_anti")
     if within_batch:
         out = minhash_dedup(

@@ -422,6 +422,31 @@ def _cell_rank_array(dot_names: list[str]) -> Column:
     )
 
 
+def _cell_rank_hof_sql(vec: str, cents: list[list[float]]) -> str:
+    """Compact one-expression cell ranking for the HOF path: the whole
+    centroid matrix rides as ONE array-of-arrays literal, dots come from
+    a transform over it, and the (dot DESC, cell ASC) sort happens in
+    the same expression. One parse, one projection — vs n_centroids
+    separate dot columns + a rank projection, which cost ~2× this form
+    in both DAG-build and per-call optimize/codegen time for the
+    bounded-corpus contracts this path serves (the literal array is
+    DATA to codegen, not code, so the janino term-count limit that
+    forces the unrolled path to split per-centroid does not apply)."""
+    mat = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cents
+    )
+    n = len(cents)
+    return (
+        f"transform(array_sort(zip_with("
+        f"transform(array({mat}), c -> aggregate(zip_with(c, `{vec}`, "
+        f"(x, y) -> x * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)), "
+        f"sequence(0, {n - 1}), (d, i) -> struct(d, i)), "
+        f"(l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1 "
+        f"WHEN l.i < r.i THEN -1 WHEN l.i > r.i THEN 1 ELSE 0 END), "
+        f"s -> s.i)"
+    )
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -472,17 +497,28 @@ def ivf_cosine_topk(
     c_base = _with_norm(
         corpus.select(corpus_id, corpus_vec), corpus_vec, "__cn", dim, unroll
     )
-    c_dots, c_names = _with_cell_dots(c_base, corpus_vec, cents, unroll)
-    corpus_cells = c_dots.withColumn(
-        "__cell", _cell_rank_array(c_names)[0]
-    ).drop(*c_names)
     q_base = _with_norm(
         queries.select(query_id, query_vec), query_vec, "__qn", dim, unroll
     )
-    q_dots, q_names = _with_cell_dots(q_base, query_vec, cents, unroll)
-    q_cells = q_dots.withColumn(
-        "__cell", F.explode(F.slice(_cell_rank_array(q_names), 1, nprobe))
-    ).drop(*q_names)
+    if unroll:
+        c_dots, c_names = _with_cell_dots(c_base, corpus_vec, cents, unroll)
+        corpus_cells = c_dots.withColumn(
+            "__cell", _cell_rank_array(c_names)[0]
+        ).drop(*c_names)
+        q_dots, q_names = _with_cell_dots(q_base, query_vec, cents, unroll)
+        q_cells = q_dots.withColumn(
+            "__cell", F.explode(F.slice(_cell_rank_array(q_names), 1, nprobe))
+        ).drop(*q_names)
+    else:
+        corpus_cells = c_base.withColumn(
+            "__cell", F.expr(_cell_rank_hof_sql(corpus_vec, cents))[0]
+        )
+        q_cells = q_base.withColumn(
+            "__cell",
+            F.explode(
+                F.slice(F.expr(_cell_rank_hof_sql(query_vec, cents)), 1, nprobe)
+            ),
+        )
     pairs = corpus_cells.join(F.broadcast(q_cells), on="__cell")
     if exclude_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))

@@ -991,6 +991,121 @@ def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixels(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media")
 
 
+# Planted baseline-JPEG recipe: a complete sequential-Huffman JPEG per
+# doc_id, assembled as hex IN SQL. Every 8×8 block carries only a DC
+# coefficient — the one coefficient family whose decoded pixels are
+# EXACT integers (IDCT of a DC-only block is flat: sample =
+# clamp(128 + DC·q₀/8); q₀ = 16 makes that 128 + 2·DC with zero
+# float error), so pixel values survive the lossy codec bit-exactly and
+# the oracle recomputes them analytically. The Huffman layer is real:
+# the DC table is the Annex-K luminance layout (12 categories), the AC
+# table a minimal one-symbol canonical table (EOB = '0'), and the
+# per-doc entropy stream — category code + magnitude bits + EOB per
+# block, byte-padded with 1-bits — is built as a SQL bit-string and
+# packed via conv(·, 2, 10). AC coefficients, chroma, subsampling and
+# restart markers are pinned by encoder-roundtrip + fuzz unit tests
+# (tests/test_extensions.py::_make_jpeg) — a full entropy-coded AC
+# stream is beyond what SQL should express.
+_JPEG_FIELDS = {
+    "w": "8 + 5 * (doc_id % 2)",       # 8 | 13 → right-edge crop path
+    "h": "8 + 3 * (doc_id % 3)",       # 8 | 11 | 14 → bottom crop path
+    "v": "doc_id % 48 - 24",           # DC value; pixel = 128 + 2v
+}
+# fixed segments: SOI, DQT (all-16s), DHT DC (Annex-K luminance BITS +
+# 12 category values), DHT AC (single-symbol EOB table), SOS (1 comp)
+_JPEG_DQT = "FFDB004300" + "10" * 64
+_JPEG_DHT = (
+    "FFC4001F00"                          # DHT, len 31, DC table 0
+    + "00" + "01" + "05" + "01" * 6 + "00" * 7   # Annex-K luminance BITS
+    + "000102030405060708090A0B"          # categories 0..11
+    + "FFC4001410" + "01" + "00" * 15 + "00"  # AC table 0: EOB = '0'
+)
+
+
+def _jpeg_hex(v: str, w: str, h: str) -> str:
+    """Spark-SQL hex expression for a complete DC-only grayscale
+    baseline JPEG (see the recipe comment above). ``v``/``w``/``h`` are
+    SQL snippets over doc_id; scalar 'bindings' are textual macro
+    expansion — Spark SQL has no scalar CTE, and Catalyst
+    common-subexpression-eliminates the duplicated snippets."""
+    cat = f"(CASE WHEN {v} = 0 THEN 0 ELSE length(conv(abs({v}), 10, 2)) END)"
+    mag = (
+        f"(CASE WHEN {v} = 0 THEN '' "
+        f"WHEN {v} > 0 THEN lpad(conv({v}, 10, 2), {cat}, '0') "
+        f"ELSE lpad(conv({v} + shiftleft(1, {cat}) - 1, 10, 2), {cat}, '0') END)"
+    )
+    nblocks = (
+        f"(CAST(({w} + 7) DIV 8 AS INT) * CAST(({h} + 7) DIV 8 AS INT))"
+    )
+    bits = (
+        f"concat(element_at(array('00','010','011','100','101','110'), {cat} + 1), "
+        f"{mag}, '0', repeat('000', {nblocks} - 1))"
+    )
+    padded = (
+        f"concat({bits}, repeat('1', CAST((8 - length({bits}) % 8) % 8 AS INT)))"
+    )
+    byte = "conv(substring(__p, __i * 8 + 1, 8), 2, 10)"
+    pack = (
+        f"array_join(transform(sequence(0, length(__p) DIV 8 - 1), __i -> "
+        f"CASE WHEN {byte} = '255' THEN 'FF00' "  # stuffing (unreachable
+        f"ELSE lpad(hex(CAST({byte} AS INT)), 2, '0') END), '')"
+        # by construction: every block ends in EOB '0', pads are ≤7 ones)
+    ).replace("__p", padded)
+    return (
+        f"concat('FFD8', '{_JPEG_DQT}', "
+        # SOF0: precision 8, dims, 1 component (id 1, 1×1 sampling, qt 0)
+        f"'FFC0000B08', lpad(hex({h}), 4, '0'), lpad(hex({w}), 4, '0'), "
+        f"'01011100', '{_JPEG_DHT}', 'FFDA0008010100003F00', "
+        f"{pack}, 'FFD9')"
+    )
+
+
+@query(
+    "q_image_pixels_jpeg",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_JPEG_FIELDS['w']} AS w,
+                   {_JPEG_FIELDS['h']} AS h,
+                   128 + 2 * ({_JPEG_FIELDS['v']}) AS p
+            FROM documents
+        )
+        SELECT doc_id AS id, 'jpeg' AS "format",
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(w * h * p AS BIGINT) AS pixel_sum,
+               CAST(w * h * p * p AS BIGINT) AS pixel_sq_sum
+        FROM d
+    """,
+    tags=("MULTIMODAL",),
+)
+def q_image_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode under the driver gate (VERDICT
+    r07 'do this' #3): every doc id derives a complete grayscale
+    sequential-Huffman JPEG — id-planted dimensions (8/13 × 8/11/14, so
+    the MCU-grid crop path runs), an id-planted DC-only coefficient
+    stream entropy-coded against real Huffman tables in SQL — and the
+    Arrow kernel (operators/multimodal.py image_pixels → _decode_jpeg)
+    must walk the markers, build the canonical Huffman tables, decode
+    DC categories + magnitude bits, dequantize, run the IDCT, crop the
+    padded MCU grid and level-shift. DC-only blocks decode to exact
+    integers (see _JPEG_HEX), so the oracle recomputes the sums
+    analytically; a decoder bug in any of those stages flips the hash.
+    The AC / chroma / subsampling / restart paths of the same decoder
+    are pinned by encoder-roundtrip and fuzz unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _jpeg_hex(
+        f"({_JPEG_FIELDS['v']})",
+        f"({_JPEG_FIELDS['w']})",
+        f"({_JPEG_FIELDS['h']})",
+    )
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.expr(f"unhex({hex_expr})").alias("media")
+    )
+    return M.image_pixels(kernel_narrow(blobs, sf_dir), id_col="id", binary_col="media")
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------
@@ -1102,10 +1217,19 @@ def q_minhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus side joins from a pre-computed banded_signatures frame, the
     shape a deployment persists per corpus snapshot."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seen = docs.filter(F.col("doc_id") < 50)
+    # localCheckpoint the two constructed frames (50 rows each, bounded
+    # by construction): the operator references each side in several
+    # subplans (banding, semi-join, verify, anti-join), and without
+    # materialization every reference re-runs the parquet scan + filter
+    # + union chain — measured ~30% of this contract's wall time. A
+    # production caller's batch is equally materialize-once (it arrives
+    # as a concrete micro-batch/file list, not a lazy filter).
+    seen = docs.filter(F.col("doc_id") < 50).localCheckpoint(eager=False)
     newb = seen.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    ).unionAll(docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75)))
+    ).unionAll(
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75))
+    ).localCheckpoint(eager=False)
     # num_hashes=8/bands=2: the threshold=1.0 determinism argument is
     # independent of signature width (identical text collides in EVERY
     # band at any width; the verify stage is exact), so the contract

@@ -1836,12 +1836,259 @@ def test_decode_pixels_gif_large_image_table_cap():
     assert d == ("gif", 256, 256, 3, expect)
 
 
+# --- baseline JPEG: minimal encoder + decoder roundtrips ------------------
+
+_JPG_ZZ = M._JPEG_ZIGZAG
+#: simple canonical tables the encoder emits: DC = 12 categories @ 4
+#: bits, AC = the 162 standard (run,size) symbols @ 8 bits — valid
+#: canonical Huffman either way, decoded by the same table builder as
+#: any libjpeg output.
+_JPG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPG_DC_VALS = bytes(range(12))
+_JPG_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_JPG_AC_BITS = [0] * 16
+_JPG_AC_BITS[7] = len(_JPG_AC_SYMS)
+_JPG_AC_VALS = bytes(_JPG_AC_SYMS)
+
+
+def _jpg_canon(bits, vals):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_JPG_DC_CODES = _jpg_canon(_JPG_DC_BITS, _JPG_DC_VALS)
+_JPG_AC_CODES = _jpg_canon(_JPG_AC_BITS, _JPG_AC_VALS)
+
+
+class _JpgBitW:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpg_cat(v):
+    return abs(v).bit_length()
+
+
+def _jpg_block(w, block, q, pred, basis):
+    import numpy as np
+
+    f = basis @ (block - 128.0) @ basis.T
+    zz = [int(round(f.flat[_JPG_ZZ[k]] / q[k])) for k in range(64)]
+    diff = zz[0] - pred
+    n = _jpg_cat(diff)
+    w.put(*_JPG_DC_CODES[n])
+    if n:
+        w.put(diff if diff > 0 else diff + (1 << n) - 1, n)
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*_JPG_AC_CODES[0xF0])
+            run -= 16
+        s = _jpg_cat(zz[k])
+        w.put(*_JPG_AC_CODES[(run << 4) | s])
+        w.put(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        w.put(*_JPG_AC_CODES[0x00])
+    return zz[0]
+
+
+def _make_jpeg(pix, quant=None, sampling=(1, 1), restart=0):
+    """Minimal baseline JPEG writer: real FDCT + quantize + canonical
+    Huffman entropy coding, grayscale (HxW) or RGB (HxWx3) input,
+    optional luma subsampling (chroma stays 1×1) and restart markers.
+    Independent of the decoder except for the shared public zigzag
+    constant — basis, bit I/O, tables and color transform are
+    re-derived here, so a roundtrip pins both directions."""
+    import math
+    import struct as _s
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    pix = np.asarray(pix, dtype=np.float64)
+    gray = pix.ndim == 2
+    h, w = pix.shape[:2]
+    q = quant or [1] * 64
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + bytes(q)
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    else:
+        hs, vs = sampling
+        comps = [(1, hs, vs, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    sof = _s.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += b"\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + bytes(_JPG_DC_BITS) + _JPG_DC_VALS
+    dht += b"\x10" + bytes(_JPG_AC_BITS) + _JPG_AC_VALS
+    out += b"\xff\xc4" + _s.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + _s.pack(">HH", 4, restart)
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + _s.pack(">H", 2 + len(sos)) + sos
+    if gray:
+        planes, samp = [pix], [(1, 1)]
+    else:
+        r, g, bch = pix[..., 0], pix[..., 1], pix[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        hs, vs = sampling
+
+        def sub(p):
+            if (hs, vs) == (1, 1):
+                return p
+            o = np.zeros(((h + vs - 1) // vs, (w + hs - 1) // hs))
+            for j in range(o.shape[0]):
+                for i in range(o.shape[1]):
+                    o[j, i] = p[j * vs : j * vs + vs, i * hs : i * hs + hs].mean()
+            return o
+
+        planes, samp = [y, sub(cb), sub(cr)], [(hs, vs), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (chh, cvv) in zip(planes, samp):
+        ph, pw = mcuy * cvv * 8, mcux * chh * 8
+        pp = np.zeros((ph, pw))
+        hh, ww = p.shape
+        pp[:hh, :ww] = p
+        if ww < pw:
+            pp[:hh, ww:] = p[:, -1:]
+        if hh < ph:
+            pp[hh:, :] = pp[hh - 1 : hh, :]
+        padded.append(pp)
+    bw = _JpgBitW()
+    pred = [0] * len(planes)
+    mcu = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                bw.pad()
+                out += bytes(bw.buf)
+                bw = _JpgBitW()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * len(planes)
+            for ci, (p, (chh, cvv)) in enumerate(zip(padded, samp)):
+                for by in range(cvv):
+                    for bx in range(chh):
+                        y0, x0 = (my * cvv + by) * 8, (mx * chh + bx) * 8
+                        pred[ci] = _jpg_block(
+                            bw, p[y0 : y0 + 8, x0 : x0 + 8], q, pred[ci], m
+                        )
+            mcu += 1
+    bw.pad()
+    out += bytes(bw.buf)
+    return bytes(out + b"\xff\xd9")
+
+
+def test_decode_pixels_jpeg_gray_roundtrip():
+    """Unit-quant grayscale roundtrip (non-multiple-of-8 dims so the
+    MCU crop path runs): FDCT→quantize→Huffman by the test encoder,
+    full marker walk + entropy decode + IDCT by the decoder. With q=1
+    the only loss is coefficient rounding — max |err| ≤ 2."""
+    import numpy as np
+
+    g = np.array(
+        [[(3 * x + 11 * y) % 256 for x in range(13)] for y in range(10)],
+        dtype=np.uint8,
+    )
+    d = M.decode_pixels(_make_jpeg(g))
+    assert d is not None and d[:4] == ("jpeg", 13, 10, 1)
+    got = np.frombuffer(d[4], dtype=np.uint8).reshape(10, 13)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+    # restart markers: same pixels, RST-synced predictor resets
+    d2 = M.decode_pixels(_make_jpeg(g, restart=1))
+    assert d2 is not None and np.array_equal(
+        np.frombuffer(d2[4], dtype=np.uint8), np.frombuffer(d[4], dtype=np.uint8)
+    )
+    # a real quant table (all 16s) still reconstructs closely
+    d3 = M.decode_pixels(_make_jpeg(g, quant=[16] * 64))
+    got3 = np.frombuffer(d3[4], dtype=np.uint8).reshape(10, 13)
+    assert np.abs(got3.astype(int) - g.astype(int)).max() <= 8
+
+
+def test_decode_pixels_jpeg_color_and_subsampling():
+    """3-component YCbCr→RGB at 4:4:4 (near-lossless with q=1) and
+    4:2:0 (box-averaged chroma; smooth input keeps the loss bounded),
+    both on non-multiple-of-MCU dims."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 256, size=(16, 11, 3), dtype=np.uint8)
+    d = M.decode_pixels(_make_jpeg(c))
+    assert d is not None and d[:4] == ("jpeg", 11, 16, 3)
+    got = np.frombuffer(d[4], dtype=np.uint8).reshape(16, 11, 3)
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 4
+    smooth = np.zeros((24, 21, 3), dtype=np.uint8)
+    for y in range(24):
+        for x in range(21):
+            smooth[y, x] = ((x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256)
+    d2 = M.decode_pixels(_make_jpeg(smooth, sampling=(2, 2)))
+    assert d2 is not None and d2[:4] == ("jpeg", 21, 24, 3)
+    got2 = np.frombuffer(d2[4], dtype=np.uint8).reshape(24, 21, 3)
+    assert np.abs(got2.astype(int) - smooth.astype(int)).max() <= 40
+
+
+def test_decode_pixels_jpeg_out_of_scope_returns_none():
+    """Progressive (SOF2) and 4-component frames must degrade to None,
+    never to wrong pixels; ditto a truncated entropy stream."""
+    import numpy as np
+
+    g = np.full((8, 8), 100, dtype=np.uint8)
+    j = bytearray(_make_jpeg(g))
+    sof = j.find(b"\xff\xc0")
+    prog = bytearray(j)
+    prog[sof + 1] = 0xC2
+    assert M.decode_pixels(bytes(prog)) is None
+    sos = j.find(b"\xff\xda")
+    assert M.decode_pixels(bytes(j[: sos + 10])) is None
+
+
 def test_decode_pixels_mutation_fuzz_never_raises():
-    """Seeded mutation fuzz over valid PNG/BMP/GIF seeds (byte flips,
-    truncation, splices, magic-prefixed garbage): decode_pixels must
-    return None or a valid tuple, NEVER raise — a 120k-trial offline
-    run of this generator found the GIF min-code-size crash; this
-    bounded replay keeps the property pinned."""
+    """Seeded mutation fuzz over valid PNG/BMP/GIF/JPEG seeds (byte
+    flips, truncation, splices, magic-prefixed garbage): decode_pixels
+    must return None or a valid tuple, NEVER raise — a 120k-trial
+    offline run of this generator found the GIF min-code-size crash;
+    this bounded replay keeps the property pinned."""
     import random
 
     rng = random.Random(42)
@@ -1854,6 +2101,8 @@ def test_decode_pixels_mutation_fuzz_never_raises():
         _make_bmp24(6, 4, lambda x, y: (x, y, x + y)),
         _make_gif(8, 6, pal16,
                   bytes((x + y) % 16 for y in range(6) for x in range(8))),
+        _make_jpeg([[(x * 7 + y * 3) % 256 for x in range(10)]
+                    for y in range(9)]),
     ]
     for _ in range(4000):
         base = bytearray(rng.choice(seeds))
@@ -1870,7 +2119,8 @@ def test_decode_pixels_mutation_fuzz_never_raises():
             )
         else:
             magic = rng.choice(
-                [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"GIF87a"]
+                [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"GIF87a",
+                 b"\xff\xd8"]
             )
             base = bytearray(
                 magic + bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
