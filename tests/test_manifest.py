@@ -788,6 +788,142 @@ def test_log_store_primitive_semantics(tmp_path, store_cls):
     assert store.exists(p)
 
 
+@pytest.fixture()
+def http_store():
+    """A live MiniObjectStoreServer + HttpLogStore adapter pair — the
+    THIRD LogStore adapter (VERDICT r07 'do this' #4), talking real
+    HTTP on loopback."""
+    from newsmaper_etl_spark.objectstore import (
+        HttpLogStore,
+        MiniObjectStoreServer,
+    )
+
+    srv = MiniObjectStoreServer()
+    try:
+        yield srv, HttpLogStore(srv.url, backoff_s=0.01)
+    finally:
+        srv.close()
+
+
+def test_commit_protocol_runs_on_http_object_store(spark, tmp_path, http_store):
+    """The full append → read → history → stale-writer → race cycle of
+    test_commit_protocol_runs_on_both_log_stores, through the HTTP
+    conditional-put adapter: the log lives in the emulated bucket, data
+    files stay on disk (the documented object-store split)."""
+    srv, store = http_store
+    prev = M.set_log_store(store)
+    try:
+        t = str(tmp_path / "http_t")
+        M.append(values_df(spark, [(1, "a"), (2, "b")], ["id", "v"]), t)
+        M.append(values_df(spark, [(3, "c")], ["id", "v"]), t)
+        assert M.current_version(t) == 2
+        got = sorted(r["id"] for r in M.read_table(spark, t).collect())
+        assert got == [1, 2, 3]
+        assert [h["op"] for h in M.history(t)] == ["append", "append"]
+        with pytest.raises(M.ConcurrentWriteError):
+            M._commit(t, base_version=1, files=[], op="append")
+        files = M._load_manifest(t, 2)["files"]
+        M._commit(t, base_version=2, files=files, op="append")
+        with pytest.raises(FileExistsError):
+            store.put_if_absent(M._manifest_path(t, 3), "{}")
+        # the log really lives in the bucket, not on disk
+        assert any("_manifests" in k for k in srv.objects)
+        assert not os.path.exists(os.path.join(t, "_manifests", "v0000000001.json"))
+    finally:
+        M.set_log_store(prev)
+
+
+def test_http_log_store_primitive_semantics(http_store):
+    """Same primitive contract as the POSIX/in-memory stores: one-shot
+    put_if_absent, overwriting put_atomic, FileNotFoundError reads."""
+    _, store = http_store
+    p = "tbl/_manifests/v1.json"
+    with pytest.raises(FileNotFoundError):
+        store.read(p)
+    assert not store.exists(p)
+    store.put_if_absent(p, "first")
+    with pytest.raises(FileExistsError):
+        store.put_if_absent(p, "second")
+    assert store.read(p) == "first"
+    store.put_atomic(p, "replaced")
+    assert store.read(p) == "replaced"
+
+
+def test_http_store_lost_put_response_is_not_a_lost_commit(
+    spark, tmp_path, http_store
+):
+    """THE ambiguous-outcome failure mode of conditional writes: the
+    claim PUT lands server-side but the response is lost. A naive
+    adapter retries, sees 412 for its OWN manifest, and reports
+    ConcurrentWriteError forever; this adapter must disambiguate by
+    content read-back (claims are writer-unique — uuid'd batch dirs)
+    and report the commit as WON, exactly once."""
+    srv, store = http_store
+    prev = M.set_log_store(store)
+    try:
+        t = str(tmp_path / "http_lost")
+        M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+        srv.drop_put_responses(1)  # next PUT: applied, response lost
+        M.append(values_df(spark, [(2, "b")], ["id", "v"]), t)
+        assert M.current_version(t) == 2
+        got = sorted(r["id"] for r in M.read_table(spark, t).collect())
+        assert got == [1, 2]  # the ambiguous commit landed exactly once
+    finally:
+        M.set_log_store(prev)
+
+
+def test_http_store_stale_latest_read_fails_loudly_not_corruptly(
+    spark, tmp_path, http_store
+):
+    """Eventual-consistency window: a GET of `_LATEST` serves the
+    previous version. The versioned-claim protocol must turn that into
+    a loud ConcurrentWriteError (stale writer computes an
+    already-claimed version), never a silent overwrite — and a retry
+    once the read is fresh commits cleanly."""
+    srv, store = http_store
+    prev = M.set_log_store(store)
+    try:
+        t = str(tmp_path / "http_stale")
+        M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+        M.append(values_df(spark, [(2, "b")], ["id", "v"]), t)
+        srv.stale_reads(10)  # `_LATEST` GETs serve v1 for a while
+        assert M.current_version(t) == 1  # the stale observation
+        with pytest.raises(M.ConcurrentWriteError):
+            # a writer acting on that stale snapshot targets v2 — the
+            # conditional claim finds it taken and dies loudly
+            M._commit(t, base_version=1, files=[], op="append")
+        srv.stale_reads(0)  # consistency window over: retry commits
+        M.append(values_df(spark, [(3, "c")], ["id", "v"]), t)
+        got = sorted(r["id"] for r in M.read_table(spark, t).collect())
+        assert got == [1, 2, 3]
+        assert M.current_version(t) == 3
+    finally:
+        M.set_log_store(prev)
+
+
+def test_http_store_transient_5xx_bounded_retry(spark, tmp_path, http_store):
+    """503s that do NOT apply the write: the adapter retries with
+    backoff and the commit succeeds; an outage longer than the retry
+    budget surfaces as a ConnectionError, not a hang or a corrupt
+    table."""
+    srv, store = http_store
+    prev = M.set_log_store(store)
+    try:
+        t = str(tmp_path / "http_5xx")
+        srv.fail_puts(2)
+        M.append(values_df(spark, [(1, "a")], ["id", "v"]), t)
+        assert M.current_version(t) == 1
+        from newsmaper_etl_spark.objectstore import HttpLogStore
+
+        impatient = HttpLogStore(srv.url, max_retries=1, backoff_s=0.01)
+        srv.fail_puts(10)
+        with pytest.raises(ConnectionError):
+            impatient.put_atomic("k", "v")
+        srv.fail_puts(0)
+    finally:
+        M.set_log_store(prev)
+
+
 def test_read_table_changes_rejects_invalid_versions(spark, tmp_path):
     """A caller passing a negative or never-committed version must get a
     distinct invalid-argument error, NOT the 'fell behind retention'
