@@ -33,98 +33,41 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
-#: Queries with a green row in a PRIOR driver correctness record
-#: (CORRECTNESS_r01 ∪ r02 ∪ r03). The driver's per-round run is budget-capped
-#: at 50 entries and records them in ``queries()`` iteration order, so the
-#: registry emits, in order:
-#:
-#: 1. oracle-checked queries WITHOUT a driver row yet (anything newly added
-#:    or newly upgraded to an oracle this round);
-#: 2. rows-only queries (``oracle=None``) — the driver's weaker rows-only
-#:    check is still the ONLY driver-side record these can ever get, and
-#:    r1-r3 starved them behind the 81-strong oracle core (VERDICT r03
-#:    "What's wrong" #3), so they now outrank already-banked re-records;
-#: 3. recorded oracle queries, least-recently-recorded first (r01/r02
-#:    before r03) so stale records refresh ahead of fresh ones.
-#:
-#: Across consecutive rounds every registered query therefore carries a
-#: driver record, and the sketch/ANN family finally appears in r04.
-DRIVER_RECORDED_R12: frozenset[str] = frozenset({
-    "q_scan_project", "q_filter", "q_join_multi_key", "q_star_join",
-    "q_anti_join", "q_semi_join", "q_theta_join", "q_cross_join",
-    "q_token_dict_join", "q_union_all", "q_intersect", "q_except",
-    "q_range_join", "q_newsmaper_e2e", "q_doc_token_stats", "q_lang_id",
-    "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
-    # q_media_features removed from the banked set (round 5): its oracle
-    # became the real header-decode contract, so it re-records as new
-    "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
-    "q_embedding_cosine_pairs", "q_group_agg", "q_count_distinct",
-    "q_having", "q_rollup", "q_cube", "q_grouping_sets", "q_mode_per_group",
-    "q_distinct", "q_dedup_keep_first", "q_window_rank",
-    "q_window_lag_lead", "q_window_frame_sum", "q_order_limit",
-    "q_topk_per_group", "q_asof_join", "q_string_funcs", "q_string_split",
-    "q_ts_parse", "q_date_parts", "q_coalesce", "q_case_when",
-    "q_array_contains", "q_math_round", "q_json_extract", "q_from_json",
-    "q_map_funcs",
-})
-
-DRIVER_RECORDED_R03: frozenset[str] = frozenset({
-    "q_tumbling_window", "q_sliding_window", "q_session_window",
-    "q_pandas_udf_parity", "q_repetition_stats", "q_pii_redact",
-    "q_contamination", "q_stratified_sample", "q_token_pack",
-    "q_sample_per_group", "q_normalize_text", "q_chunk_docs",
-    "q_udtf_chunks", "q_vocab_topk", "q_tfidf_topterms", "q_tpch_q1",
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q18", "q_tpch_q22",
-    "q_scan_project", "q_filter", "q_join_multi_key", "q_star_join",
-    "q_anti_join", "q_semi_join", "q_theta_join", "q_cross_join",
-    "q_token_dict_join", "q_union_all", "q_intersect", "q_except",
-    "q_range_join", "q_newsmaper_e2e", "q_doc_token_stats", "q_lang_id",
-    "q_doc_fingerprint", "q_token_count_bpe", "q_quality_score",
-})
-
-#: Oracle queries whose LATEST driver record is CORRECTNESS_r04 (the 43
-#: hash-green rows there) — the r04 run recorded exactly the unrecorded +
-#: rows-only + stalest-R12 prefix, so these now rotate to the BACK and
-#: the r03-recorded block becomes the stale middle.
-DRIVER_RECORDED_R04: frozenset[str] = frozenset({
-    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_tpch_q21", "q_approx_distinct",
-    # q_media_features, q_percentile_approx, q_ann_lsh_selfhit and
-    # q_ann_ivf_selfhit are deliberately NOT banked here despite their
-    # r04 rows: round 5 swapped their oracles for real verification SQL
-    # (header-decode contract; exact-quantile band check; brute-force
-    # cosine top-1), so they must re-record as if never recorded
-    "q_dedup_exact", "q_ngram_jaccard", "q_knn_cosine",
-    "q_embedding_cosine_pairs", "q_group_agg", "q_count_distinct",
-    "q_having", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_mode_per_group", "q_distinct", "q_dedup_keep_first",
-    "q_window_rank", "q_window_lag_lead", "q_window_frame_sum",
-    "q_order_limit", "q_topk_per_group", "q_asof_join", "q_string_funcs",
-    "q_string_split", "q_ts_parse", "q_date_parts", "q_coalesce",
-    "q_case_when", "q_array_contains", "q_math_round", "q_json_extract",
-    "q_from_json", "q_map_funcs", "q_scan_project", "q_filter",
-})
-
-DRIVER_RECORDED: frozenset[str] = (
-    DRIVER_RECORDED_R12 | DRIVER_RECORDED_R03 | DRIVER_RECORDED_R04
-)
-
 
 def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
-    """Driver-facing iteration order: unrecorded-oracle → rows-only →
-    recorded-oracle (stalest records first); registration order within
-    each class. See the DRIVER_RECORDED comment for the rationale."""
-    def klass(s: QuerySpec) -> int:
-        if s.oracle is None:
-            return 1
-        if s.name not in DRIVER_RECORDED:
-            return 0
-        return 3 if s.name in DRIVER_RECORDED_R04 else 2
+    """Driver-facing iteration order. The driver's per-round run is
+    budget-capped (50 entries, recorded in ``queries()`` order), so the
+    registry emits:
+
+    1. oracle-checked queries with NO driver record yet (newly added or
+       newly upgraded to an oracle);
+    2. rows-only queries (``oracle=None``) with no record — the weaker
+       rows-only check is still the only record they can get, and the
+       early rounds starved them behind the oracle core (VERDICT r03);
+    3. everything recorded, by ascending latest-record round — stalest
+       refresh first.
+
+    The record state comes from the checked-in CORRECTNESS_r*.json
+    history (:mod:`newsmaper_etl_spark.records`), so after every driver
+    round the rotation advances BY ITSELF. Up to r07 this was a trio of
+    hand-banked frozensets frozen at r04 — which silently pinned the
+    same 50-query prefix for three rounds (VERDICT r07 'do this' #7).
+    Bound: with C-entry rounds over n queries, every query re-records
+    at least every ceil(n / C) rounds — proven by simulation in
+    tests/test_registry_rotation.py. Registration order breaks ties."""
+    from newsmaper_etl_spark.records import record_history
+
+    hist = record_history()
+
+    def key(n: str, idx: int) -> tuple:
+        s = specs[n]
+        rec = hist.get(n)
+        if rec is None:
+            return (0 if s.oracle is not None else 1, 0, idx)
+        return (2, rec["round"], idx)
 
     names = list(specs)
-    return sorted(names, key=lambda n: (klass(specs[n]), names.index(n)))
+    return sorted(names, key=lambda n: key(n, names.index(n)))
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

@@ -1,0 +1,101 @@
+"""Registry rotation staleness guard (VERDICT r07 'do this' #7).
+
+The driver records the FIRST 50 entries of ``queries()`` per round.
+These tests prove the closed loop: with the record-history-driven
+ordering (stalest first), every registered query re-records within
+ceil(n / 50) rounds — simulated forward from the REAL checked-in
+CORRECTNESS history, so a regression in either the ordering or the
+history parsing fails CI here. No Spark session needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from newsmaper_etl_spark.records import latest_round, record_history
+from newsmaper_etl_spark.registry import QUERIES, _ensure_loaded, _record_order
+
+CAP = 50
+
+
+def test_history_parses_and_covers_registry():
+    """Every checked-in record name is (or was) a registry query, the
+    latest round is sane, and the bulk of the current registry carries
+    a record (only genuinely new queries may lack one)."""
+    _ensure_loaded()
+    hist = record_history()
+    assert latest_round() >= 7
+    assert len(hist) >= 100
+    unrecorded = set(QUERIES) - set(hist)
+    # new-this-round queries only — never a double-digit backlog
+    assert len(unrecorded) <= 10, sorted(unrecorded)
+
+
+def test_order_puts_new_queries_then_stalest_records_first():
+    _ensure_loaded()
+    hist = record_history()
+    order = _record_order(QUERIES)
+    assert sorted(order) == sorted(QUERIES)
+    recorded_rounds = [hist[n]["round"] for n in order if n in hist]
+    assert recorded_rounds == sorted(recorded_rounds)
+    # unrecorded block strictly precedes the recorded block
+    seen_recorded = False
+    for n in order:
+        if n in hist:
+            seen_recorded = True
+        else:
+            assert not seen_recorded, f"unrecorded {n} after recorded block"
+
+
+def test_simulated_rotation_bounds_record_age():
+    """Forward-simulate the driver from the real current history: each
+    round records the first CAP entries of the live ordering and the
+    history advances. Over 10 rounds, no oracle query's record may age
+    beyond ceil(n / CAP) rounds — the bound RECORDS.md quotes."""
+    _ensure_loaded()
+    hist = {n: dict(v) for n, v in record_history().items()}
+    bound = math.ceil(len(QUERIES) / CAP)
+    current = latest_round()
+
+    def order_for(h):
+        def key(n, idx):
+            rec = h.get(n)
+            if rec is None:
+                return (0 if QUERIES[n].oracle is not None else 1, 0, idx)
+            return (2, rec["round"], idx)
+        names = list(QUERIES)
+        return sorted(names, key=lambda n: key(n, names.index(n)))
+
+    worst = 0
+    for rnd in range(current + 1, current + 11):
+        for name in order_for(hist)[:CAP]:
+            hist[name] = {"round": rnd}
+        # after the backlog drains (bound rounds), enforce the bound
+        if rnd >= current + bound:
+            for name, spec in QUERIES.items():
+                if spec.oracle is None:
+                    continue
+                age = rnd - hist.get(name, {"round": rnd - 99})["round"]
+                worst = max(worst, age)
+                assert age <= bound, (
+                    f"{name} would be {age} rounds stale at r{rnd} "
+                    f"(bound {bound}) — rotation broken"
+                )
+    assert worst > 0  # the simulation actually exercised aging
+
+
+def test_generator_tool_passes_on_current_tree():
+    """tools/gen_records_table.py must exit 0 against the checked-in
+    history (an over-aged oracle query NOT scheduled for the next round
+    fails it) and regenerate RECORDS.md deterministically."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(root / "tools" / "gen_records_table.py")],
+        capture_output=True, text=True, cwd=str(root),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (root / "RECORDS.md").exists()
