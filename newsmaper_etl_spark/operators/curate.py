@@ -60,3 +60,92 @@ def curate_corpus(
         text_col,
     )
     return annotated
+
+
+def curate_corpus_incremental(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+    minhash_kwargs: dict | None = None,
+    near_dup: bool = True,
+    within_batch_near_dup: bool = True,
+    seen_banded: DataFrame | None = None,
+    seen_keys: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The NIGHTLY-pipeline shape of :func:`curate_corpus`: curate
+    tonight's batch against the already-ingested corpus instead of
+    re-curating 100 TB from scratch. Stage order mirrors the full
+    recipe, with each dedup stage swapped for its batch-vs-corpus
+    incremental form:
+
+        batch → quality gate                    (shuffle-free, runs first)
+              → incremental exact dedup         (anti-join vs corpus keys
+                                                 + within-batch keep-first)
+              → incremental MinHash near-dedup  (batch band keys ⋈ corpus
+                                                 band keys + within-batch)
+              → annotate
+
+    ``seen_docs`` is the corpus frame (used for key derivation and the
+    verify stage's candidate text fetch). At scale a deployment passes
+    the two PERSISTED index frames instead of re-deriving them per
+    batch: ``seen_keys`` — the distinct hashed-key frame
+    (:func:`~newsmaper_etl_spark.operators.dedup.incremental_exact_dedup`'s
+    ``seen_df`` reduced to ``__hk1/__hk2``; the streaming sink maintains
+    exactly this as the ``_keys`` side table) — and ``seen_banded`` —
+    the :func:`~newsmaper_etl_spark.operators.dedup.banded_signatures`
+    frame (the ``_banded`` side table). Per-batch cost then scales with
+    the batch and its bucket-mates, never with the corpus.
+
+    The batch is assumed fresh (not yet in the corpus); the corpus is
+    assumed curated (its internal duplicates were resolved when IT was
+    ingested), which is what makes gate-then-dedup equal to curating
+    the union and keeping only new ids.
+
+    ``checkpoint=True`` (default) localCheckpoints the exact-stage
+    survivors before the MinHash stage: that stage references its batch
+    side THREE times (signature pass, verify-side shingle fetch, final
+    anti-join), and without materialization each reference re-runs the
+    quality gate and the corpus-key anti-join — 3x the batch pipeline
+    at any scale. The frame is batch-scaled, never corpus-scaled, the
+    same bound as the operator's own candidate checkpoint."""
+    gated = TX.quality_score(new_docs, text_col).filter(
+        f"quality >= {float(min_quality)}"
+    )
+    if seen_keys is not None:
+        from newsmaper_etl_spark.keyindex import anti_join_index
+
+        exact = D.exact_dedup(
+            anti_join_index(gated, [text_col], seen_keys),
+            [text_col], id_col=id_col, hash_keys=True,
+        )
+    else:
+        exact = D.incremental_exact_dedup(
+            gated, seen_docs.select(text_col), [text_col], id_col=id_col,
+            hash_keys=True, within_batch=True,
+        )
+    if near_dup and checkpoint:
+        exact = exact.localCheckpoint(eager=False)
+    if near_dup:
+        near = D.incremental_minhash_dedup(
+            exact,
+            seen_docs.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
+            within_batch=within_batch_near_dup,
+            seen_banded=seen_banded,
+            **(minhash_kwargs or {}),
+        )
+    else:
+        near = exact
+    return TX.token_stats(
+        TX.fingerprint(
+            TX.token_count_bpe(TX.language_id(near, text_col), text_col),
+            text_col,
+        ),
+        text_col,
+    )

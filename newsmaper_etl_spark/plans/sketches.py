@@ -698,6 +698,156 @@ def q_curate_corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "n_tokens", "n_bpe", "fp", "quality")
 
 
+def _curate_incremental_oracle() -> str:
+    """Composed oracle for the INCREMENTAL curation recipe: the
+    q_curate_exact CTE skeleton with a cross-corpus NOT-EXISTS stage
+    between the quality gate and the within-batch keep-first — the
+    exact semantics curate_corpus_incremental promises (seen = docs
+    with id % 3 <> 0; the batch = the % 3 = 0 docs, plus replayed
+    copies of seen docs, plus within-batch second copies, plus junk)."""
+    from newsmaper_etl_spark.plans.extensions import _STOP_SQL, _lang_case_sql
+
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 400
+        ),
+        seen AS (
+            SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
+        ),
+        input AS (
+            SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0
+            UNION ALL  -- replays of seen docs: cross-corpus stage drops
+            SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 6 = 1
+            UNION ALL  -- second copies of batch docs: keep-first drops
+            SELECT doc_id + 2000000, text FROM docs WHERE doc_id % 9 = 0
+            UNION ALL  -- junk: quality gate drops
+            SELECT doc_id + 3000000, '!!!' FROM docs WHERE doc_id % 9 = 0
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   len(text) AS tl,
+                   len(text) - len(translate(text, '.,;:!?''"', '')) AS n_punct,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                       w -> list_contains({_STOP_SQL}, w))) AS n_stop
+            FROM input
+        ),
+        scored0 AS (
+            SELECT doc_id, text, n_tok,
+                   FLOOR(10000 * (
+                       (CASE WHEN tl >= 20 AND tl <= 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+                       + (CASE WHEN (CASE WHEN tl > 0 THEN n_punct / tl ELSE 0.0 END) <= 0.2
+                          THEN 1.0 ELSE 0.5 END) * 0.3
+                       + LEAST((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 3,
+                               1.0) * 0.3
+                   )) / 10000 AS quality
+            FROM base
+        ),
+        fresh AS (
+            SELECT g.* FROM scored0 g
+            WHERE g.quality >= 0.5
+              AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = g.text)
+        ),
+        survivors AS (
+            SELECT doc_id, text, n_tok, quality FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep
+                FROM fresh
+            ) WHERE doc_id = keep
+        ),
+        ann AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(CEIL(len(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe,
+                   CAST(SUM(i * (ascii(substring(w, 1, 1)) + 131 * len(w))) AS BIGINT) AS fp
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                  FROM survivors)
+            GROUP BY doc_id
+        ),
+        lang AS ({_lang_case_sql("survivors")})
+        SELECT s.doc_id, l.lang_pred,
+               CAST(s.n_tok AS BIGINT) AS n_tokens, a.n_bpe, a.fp, s.quality
+        FROM survivors s
+        JOIN ann a USING (doc_id)
+        JOIN lang l USING (doc_id)
+    """
+
+
+@query(
+    "q_curate_incremental_planted",
+    oracle=_curate_incremental_oracle(),
+    tags=("DEDUP", "TEXT", "PIPELINE", "INCREMENTAL"),
+)
+def q_curate_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the NIGHTLY curation composition
+    (VERDICT r07 'do this' #8): tonight's batch curated against the
+    ingested corpus through curate_corpus_incremental — quality gate →
+    incremental exact dedup (batch keys anti-joined against the corpus,
+    hashed basis, + within-batch keep-first) → incremental MinHash
+    near-dedup THROUGH the persisted-band-keys seam (threshold 1.0: the
+    q_minhash_dedup_planted determinism argument makes the live
+    banding/verify machinery's removal set deterministic) → annotation.
+    seen = docs with id % 3 ≠ 0; the batch = the id % 3 = 0 docs, plus
+    replayed copies of seen docs under shifted ids (the cross-corpus
+    stage must drop them), plus second copies of batch docs (keep-first
+    must drop), plus sub-gate junk (the gate must drop). A leak in any
+    stage — or in how the stages CHAIN — changes the surviving rows or
+    their annotations and flips the hash. Routed THROUGH
+    run_sql_pipeline (batch / corpus / persisted band keys all as view
+    names), so this row also pins the SQL-registration surface of the
+    nightly composition end to end."""
+    from newsmaper_etl_spark.sql_functions import run_sql_pipeline
+
+    docs = (
+        fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
+        .select("doc_id", "text")
+        # bounded contract corpus (the q_ann_ivf_planted precedent):
+        # the row pins stage CHAINING, not scale — the scale curve for
+        # the underlying stages is tools/bench_scale_dedup.py's job.
+        # One partition for ~400 rows: the recipe chains ~10 shuffle
+        # stages, and at 16-partition toy layout their task-launch
+        # floor (28 jobs x 80-225 tasks, measured) dwarfs the data
+        .filter(F.col("doc_id") < 400)
+        .coalesce(1)
+    )
+    seen = docs.filter(F.col("doc_id") % 3 != 0).localCheckpoint(eager=False)
+    sixth = docs.filter(F.col("doc_id") % 6 == 1)
+    ninth = docs.filter(F.col("doc_id") % 9 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .unionByName(
+            sixth.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            ninth.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            ninth.select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.lit("!!!").alias("text"),
+            )
+        )
+    ).localCheckpoint(eager=False)
+    batch.createOrReplaceTempView("__ci_batch")
+    seen.createOrReplaceTempView("__ci_seen")
+    D.banded_signatures(
+        seen, "doc_id", "text", num_hashes=8, bands=2
+    ).createOrReplaceTempView("__ci_banded")
+    out = run_sql_pipeline(
+        spark, "curate_corpus_incremental", "__ci_batch", "__ci_curated",
+        seen_view="__ci_seen", seen_banded_view="__ci_banded",
+        near_dup_threshold=1.0,
+        # within-batch near-dedup is minhash_dedup verbatim, already
+        # pinned hash-green by its own planted contract
+        # (q_minhash_dedup_planted); re-running it here would double
+        # this row's machinery to re-pin a stage another row owns.
+        # Within-batch EXACT keep-first stays active (the planted
+        # second copies still have to drop)
+        within_batch_near_dup=False,
+        minhash_kwargs={"num_hashes": 8, "bands": 2},
+    )
+    return out.select("doc_id", "lang_pred", "n_tokens", "n_bpe", "fp", "quality")
+
+
 @query("q_ann_ivf", oracle=None, tags=("ANN", "IVF"))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN (rows-only: cell membership depends on the

@@ -162,6 +162,25 @@ def _pipelines() -> dict:
             spark.table(view), spark.table(seen), **kw
         )
 
+    def _curate_inc(spark: SparkSession, view: str, **kw) -> DataFrame:
+        # nightly shape: corpus and (optionally) its persisted index
+        # frames arrive as view names, like every seen_* seam here
+        from newsmaper_etl_spark.operators.curate import (
+            curate_corpus_incremental,
+        )
+
+        seen = kw.pop("seen_view")
+        for param, vkey in (
+            ("seen_banded", "seen_banded_view"),
+            ("seen_keys", "seen_keys_view"),
+        ):
+            v = kw.pop(vkey, None)
+            if v is not None:
+                kw[param] = spark.table(v)
+        return curate_corpus_incremental(
+            spark.table(view), spark.table(seen), **kw
+        )
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -171,6 +190,7 @@ def _pipelines() -> dict:
         "tag_country": _tag_country,
         "incremental_exact_dedup": _inc_exact,
         "incremental_minhash_dedup": _inc_minhash,
+        "curate_corpus_incremental": _curate_inc,
     }
 
 

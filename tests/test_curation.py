@@ -286,3 +286,105 @@ def test_rare_token_stats_nll_monotone(spark):
     assert out[2]["n_rare"] == 0 and out[2]["min_cf"] == 2  # zxqv appears twice
     assert out[3]["n_rare"] == 2 and out[3]["rare_ratio"] == 0.5
     assert out[1]["nll"] < out[2]["nll"] < out[3]["nll"]
+
+
+# --------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) curation recipe
+# --------------------------------------------------------------------------
+
+_CI_SEEN_A = (
+    "the quick brown fox jumps over the lazy dog and the cat sits on "
+    "the mat near the old door"
+)
+_CI_SEEN_B = "xavier yellow zebra xavier yellow zebra xavier"
+# Same SHINGLE SET as _CI_SEEN_B (k=3 words over a 3-word cycle) but a
+# DIFFERENT string: survives the exact stage, and at threshold=1.0 the
+# MinHash stage drops it deterministically (identical shingle sets give
+# identical signatures, so the band collision and Jaccard=1.0 verify
+# are exact, not probabilistic).
+_CI_NEAR_B = (
+    "xavier yellow zebra xavier yellow zebra xavier yellow zebra xavier"
+)
+_CI_NEW_C = (
+    "a fresh article about the spark engine that we keep because it is "
+    "new and it is of good quality"
+)
+_CI_NEW_D = "delta echo franklin delta echo franklin delta"
+# same shingle set as _CI_NEW_D, different text: only the WITHIN-BATCH
+# near-dup stage can drop it (neither doc is in the corpus)
+_CI_NEAR_D = (
+    "delta echo franklin delta echo franklin delta echo franklin delta"
+)
+
+
+def _ci_frames(spark):
+    seen = spark.createDataFrame(
+        [(1, _CI_SEEN_A), (2, _CI_SEEN_B)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, _CI_NEW_C),   # genuinely new -> survives
+            (11, _CI_SEEN_A),  # exact replay of seen -> cross-corpus drop
+            (12, _CI_NEW_C),   # second copy in batch -> keep-first drop
+            (13, _CI_NEAR_B),  # shingle-set dup of seen -> MinHash drop
+            (14, "!!!"),       # junk -> quality-gate drop
+            (15, _CI_NEW_D),   # new -> survives
+            (16, _CI_NEAR_D),  # within-batch shingle-set dup of 15 -> drop
+        ],
+        "doc_id long, text string",
+    )
+    return seen, batch
+
+
+def _ci_ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_curate_incremental_stages_drop_the_planted_rows(spark):
+    from newsmaper_etl_spark.operators.curate import curate_corpus_incremental
+
+    seen, batch = _ci_frames(spark)
+    out = curate_corpus_incremental(
+        batch, seen, near_dup_threshold=1.0,
+        minhash_kwargs={"num_hashes": 8, "bands": 2},
+    )
+    assert _ci_ids(out) == [10, 15]
+    # the within-batch near-dup stage off: 16 survives, the cross-corpus
+    # stage still drops 13
+    no_wb = curate_corpus_incremental(
+        batch, seen, near_dup_threshold=1.0, within_batch_near_dup=False,
+        minhash_kwargs={"num_hashes": 8, "bands": 2},
+    )
+    assert _ci_ids(no_wb) == [10, 15, 16]
+    # without any near-dup stage both shingle-set dups survive
+    no_near = curate_corpus_incremental(batch, seen, near_dup=False)
+    assert _ci_ids(no_near) == [10, 13, 15, 16]
+
+
+def test_curate_incremental_index_seams_match_derived_path(spark):
+    """The persisted-index forms (seen_keys = the streaming sink's
+    _keys side table shape; seen_banded = the _banded side table) must
+    produce byte-identical output to deriving both from the corpus
+    frame per batch — the whole point of the seams is swapping WHERE
+    the index comes from, never WHAT survives."""
+    from newsmaper_etl_spark.keyindex import with_hashed_keys
+    from newsmaper_etl_spark.operators.curate import curate_corpus_incremental
+    from newsmaper_etl_spark.operators.dedup import banded_signatures
+
+    seen, batch = _ci_frames(spark)
+    kw = dict(
+        near_dup_threshold=1.0, minhash_kwargs={"num_hashes": 8, "bands": 2}
+    )
+    base = sorted(
+        map(tuple, curate_corpus_incremental(batch, seen, **kw).collect())
+    )
+    keys = (
+        with_hashed_keys(seen.select("text"), ["text"])
+        .select("__hk1", "__hk2")
+        .distinct()
+    )
+    banded = banded_signatures(seen, "doc_id", "text", num_hashes=8, bands=2)
+    via_idx = curate_corpus_incremental(
+        batch, seen, seen_keys=keys, seen_banded=banded, **kw
+    )
+    assert sorted(map(tuple, via_idx.collect())) == base

@@ -50,13 +50,22 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
     "1.0": os.path.join(REPO, ".scale", "dedup-sf1.0"),
     "3.0": os.path.join(REPO, ".scale", "dedup-sf3.0"),
+    "10.0": os.path.join(REPO, ".scale", "dedup-sf10"),
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SF3.json"))
+    ap.add_argument(
+        "--sfs",
+        default="0.1,1.0,3.0",
+        help="comma-separated SF keys to run (e.g. '0.1,1.0,3.0,10.0' "
+        "for the BENCH_SF10 record — VERDICT r07 #5: the 64-bit SimHash "
+        "bucket knee sits near 10^6 docs, past sf3's 150k)",
+    )
     args = ap.parse_args()
+    run_sfs = [s for s in args.sfs.split(",") if s in SF_DIRS]
 
     from pyspark.sql import functions as F
 
@@ -68,7 +77,8 @@ def main() -> None:
     spark = get_spark(app_name="bench-scale-dedup")
     out: dict = {"sfs": {}}
 
-    for sf, d in SF_DIRS.items():
+    for sf in run_sfs:
+        d = SF_DIRS[sf]
         if not os.path.isdir(d):
             print(f"sf{sf}: {d} missing — run tools/gen_scale.py first")
             continue
@@ -144,7 +154,7 @@ def main() -> None:
     # occupancy grows with corpus density, so a mild drift is expected;
     # >2x per-item growth over a 30x corpus would be superlinear pairing.
     growth = {}
-    keys = [k for k in ("0.1", "1.0", "3.0") if k in out["sfs"]]
+    keys = [k for k in run_sfs if k in out["sfs"]]
     ops = (
         "minhash_candidates",
         "simhash_pairs",
