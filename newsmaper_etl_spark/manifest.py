@@ -626,6 +626,40 @@ def last_txn_version(table: str, app_id: str) -> int:
     return int((m.get("txns") or {}).get(app_id, -1))
 
 
+def txn_commit_version(
+    table: str, app_id: str, txn_version: int
+) -> int | None:
+    """The snapshot version whose commit first carried
+    ``(app_id, txn_version)`` — i.e. the version at which the app's
+    high-water mark reached ``txn_version``. ``None`` when that txn
+    never committed, or when the backward walk would need a manifest
+    :func:`vacuum` has dropped (callers fall back to the current
+    snapshot; in the crash-replay window this fix exists for, the
+    commit is seconds old and well inside any retention window).
+
+    This is the replay-determinism primitive: reading an index table at
+    ``txn_commit_version(...) - 1`` yields the EXACT state the original
+    run of that batch saw — without it, a replayed batch whose keys
+    already committed anti-joins itself out of existence and any
+    LATER per-batch commit (e.g. the banded-signature index) is
+    appended from an empty frame."""
+    v = current_version(table)
+    if v == 0:
+        return None
+    m = _load_manifest(table, v)
+    if int((m.get("txns") or {}).get(app_id, -1)) < txn_version:
+        return None
+    while v > 1:
+        try:
+            prev = _load_manifest(table, v - 1)
+        except (FileNotFoundError, KeyError, OSError):
+            return None  # vacuumed past — undeterminable
+        if int((prev.get("txns") or {}).get(app_id, -1)) < txn_version:
+            return v
+        v -= 1
+    return v
+
+
 def _schema_ddl(manifest: dict) -> str | None:
     fields = manifest.get("schema")
     if not fields:
