@@ -67,12 +67,23 @@ def with_hashed_keys(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def read_key_index(spark: SparkSession, table: str) -> DataFrame | None:
-    """The index frame (``__hk1``, ``__hk2``) or None when absent/empty."""
+def read_key_index(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame | None:
+    """The index frame (``__hk1``, ``__hk2``) or None when absent/empty.
+
+    ``version`` time-travels to an older index snapshot — the crash-
+    replay determinism hook: a replayed batch whose keys ALREADY
+    committed must anti-join against the index as it stood BEFORE that
+    commit (``manifest.txn_commit_version(...) - 1``), or the batch
+    anti-joins itself out of existence and any later per-batch commit
+    (the banded-signature index) is appended from an empty frame
+    (ADVICE r08 high)."""
     ktable = key_index_path(table)
-    if M.current_version(ktable) == 0:
+    v = M.current_version(ktable) if version is None else version
+    if v == 0:
         return None
-    return M.read_table(spark, ktable).select("__hk1", "__hk2")
+    return M.read_table(spark, ktable, version=v).select("__hk1", "__hk2")
 
 
 def anti_join_index(
@@ -259,6 +270,7 @@ def near_dedup_batch(
     k: int = 3,
     within_batch: bool = False,
     max_candidate_ids: int = 100_000,
+    data_version: int | None = None,
 ) -> DataFrame:
     """Drop batch docs that near-duplicate ANY already-ingested doc,
     using the persisted banded index — the batch-scaled streaming form
@@ -277,12 +289,21 @@ def near_dedup_batch(
       occupancy yields O(B) candidates); above the cap the fetch falls
       back to a distributed semi-join against the full snapshot —
       correct, disclosed, and a sign the LSH parameters need retuning.
+      The verify is SIDE-SPLIT (:func:`operators.dedup.
+      cross_corpus_losers`): batch and seen shingles never merge under
+      a shared id, so a same-id re-crawl with edited text — which
+      exact-key dedup on text does not catch — scores its true Jaccard
+      instead of a corrupted one (ADVICE r08).
 
-    Parameter drift between the index and this batch's signing raises
-    (the banded stamp check)."""
+    ``data_version`` pins the seen-doc fetch to an older DATA-table
+    snapshot: a crash-replayed batch whose data already committed must
+    verify against the corpus as it stood BEFORE that commit, or its
+    own committed rows (same-id edits especially) pollute the seen
+    side. Parameter drift between the index and this batch's signing
+    raises (the banded stamp check)."""
     from newsmaper_etl_spark.operators.dedup import (
         banded_signatures,
-        jaccard_verify,
+        cross_corpus_losers,
         minhash_dedup,
     )
 
@@ -316,9 +337,9 @@ def near_dedup_batch(
             out = batch_df
         else:
             if len(seen_ids) > max_candidate_ids:
-                seen_docs = M.read_table(spark, table).select(
-                    id_col, text_col
-                ).join(
+                seen_docs = M.read_table(
+                    spark, table, version=data_version
+                ).select(id_col, text_col).join(
                     cands.select(F.col("id_b").alias(id_col)).distinct(),
                     on=id_col, how="left_semi",
                 )
@@ -331,19 +352,14 @@ def near_dedup_batch(
                     StructType([StructField(id_col, id_type)]),
                 )
                 seen_docs = M.read_table(
-                    spark, table, prune_in=(id_col, seen_ids)
+                    spark, table, version=data_version,
+                    prune_in=(id_col, seen_ids),
                 ).select(id_col, text_col).join(
                     F.broadcast(ids_df), on=id_col, how="left_semi",
                 )
-            batch_touched = batch_df.select(id_col, text_col).join(
-                cands.select(F.col("id_a").alias(id_col)).distinct(),
-                on=id_col, how="left_semi",
+            losers = cross_corpus_losers(
+                batch_df, seen_docs, cands, id_col, text_col, k, threshold
             )
-            union = batch_touched.unionAll(seen_docs)
-            verified = jaccard_verify(
-                union, cands, id_col, text_col, k, round_digits=None
-            ).filter(F.col("jaccard") >= threshold)
-            losers = verified.select(F.col("id_a").alias(id_col)).distinct()
             out = batch_df.join(losers, on=id_col, how="left_anti")
         if within_batch:
             out = minhash_dedup(out, id_col, text_col, threshold,

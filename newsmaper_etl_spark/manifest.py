@@ -743,17 +743,41 @@ def read_table(
         import bisect
 
         pcol, pvals = prune_in
-        svals = sorted(set(pvals))
+        pval_set = set(pvals)
+        try:
+            # None can't participate in range math; membership still
+            # sees it via pval_set (a null partition matches a null
+            # probe). Mixed incomparable probe types disable footer
+            # pruning entirely — conservative, like missing stats.
+            svals = sorted(v for v in pval_set if v is not None)
+        except TypeError:
+            svals = None
         kept = []
         for entry in files:
             part = entry.get("partition", {})
             if pcol in part:
-                if part[pcol] in set(svals):
+                pv = part[pcol]
+                if pv in pval_set:
                     kept.append(entry)
+                else:
+                    # A membership MISS may be a type mismatch, not an
+                    # absent value: partition path segments are
+                    # int-coerced on record, so a string-typed column
+                    # probed with "1" must not silently drop the file
+                    # holding 1 (ADVICE r08). Keep unless an ordered
+                    # comparison proves the types comparable — the same
+                    # conservative-keep contract as the stats branch.
+                    try:
+                        if svals:
+                            pv < svals[0]  # raises on type mismatch
+                        else:
+                            raise TypeError  # no comparable probe basis
+                    except TypeError:
+                        kept.append(entry)
                 continue
             rng = entry.get("stats", {}).get(pcol)
             try:
-                if rng is None:
+                if rng is None or svals is None:
                     kept.append(entry)  # no stats: conservatively keep
                     continue
                 lo, hi = rng

@@ -204,23 +204,35 @@ def banded_signatures(
 
 def _validate_banded_params(
     banded: DataFrame, num_hashes: int, bands: int, k: int
-) -> None:
+) -> DataFrame:
     """Fail fast when a pre-computed band-key frame was signed under a
     different (num_hashes, bands, k) than the batch side — mismatched
     parameterizations don't error on their own, they just produce
     garbage candidates (band hashes that never, or spuriously, collide).
-    Frames without the stamp (hand-built) are accepted as-is; the shape
-    (band, bh columns) is still required."""
+    Frames without any stamp (hand-built) are accepted as-is; the shape
+    (band, bh columns) is still required.
+
+    Two stamp carriers are checked (ADVICE r08): the ``bh`` column
+    METADATA that :func:`banded_signatures` writes (survives a plain
+    parquet round-trip but NOT the manifest's recorded-DDL projection),
+    and the ``__nh``/``__nb``/``__k`` STAMP COLUMNS that the persisted
+    index (``keyindex._stamped``) carries — so a frame loaded straight
+    through ``manifest.read_table`` is guarded too, not only callers
+    going through ``keyindex.check_banded_stamp``. The column check
+    reads one row (column-pruned to three RLE constants — a
+    millisecond job, and only on the manifest-loaded path); the frame
+    is returned with the stamp columns dropped so they never ride the
+    band join."""
     cols = set(banded.columns)
     if not {"band", "bh"} <= cols:
         raise ValueError(
             f"seen_banded must carry (band, bh) columns; got {sorted(cols)}"
         )
+    want = {"num_hashes": num_hashes, "bands": bands, "k": k}
     for f in banded.schema.fields:
         if f.name != "bh" or not f.metadata:
             continue
         stamp = {p: f.metadata.get(p) for p in ("num_hashes", "bands", "k")}
-        want = {"num_hashes": num_hashes, "bands": bands, "k": k}
         if any(v is not None and v != want[p] for p, v in stamp.items()):
             raise ValueError(
                 "seen_banded was built with "
@@ -229,6 +241,20 @@ def _validate_banded_params(
                 "from different parameterizations never match — rebuild "
                 "one side"
             )
+    stamp_cols = ("__nh", "__nb", "__k")
+    if set(stamp_cols) <= cols:
+        head = banded.select(*stamp_cols).head(1)
+        if head:
+            got = dict(zip(("num_hashes", "bands", "k"), head[0]))
+            if any(v is not None and v != want[p] for p, v in got.items()):
+                raise ValueError(
+                    f"seen_banded's persisted stamp says {got} but this "
+                    f"batch is being signed with {want}; band keys from "
+                    "different parameterizations never match — rebuild "
+                    "one side"
+                )
+        banded = banded.drop(*stamp_cols)
+    return banded
 
 
 def minhash_lsh_candidates(
@@ -534,7 +560,7 @@ def incremental_minhash_dedup(
     same multi-reference lineage rule as simhash_near_pairs). The frame
     is batch-scaled (bucket-mate pairs only), never corpus-scaled."""
     if seen_banded is not None:
-        _validate_banded_params(seen_banded, num_hashes, bands, k)
+        seen_banded = _validate_banded_params(seen_banded, num_hashes, bands, k)
     nb = banded_signatures(
         new_df, id_col, text_col, num_hashes, bands, k
     ).withColumnRenamed(id_col, "__new_id")
@@ -552,6 +578,47 @@ def incremental_minhash_dedup(
     )
     if checkpoint:
         cands = cands.localCheckpoint(eager=True)
+    losers = cross_corpus_losers(
+        new_df, seen_df, cands, id_col, text_col, k, threshold
+    )
+    out = new_df.join(losers, on=id_col, how="left_anti")
+    if within_batch:
+        out = minhash_dedup(
+            out, id_col, text_col, threshold, num_hashes, bands, k,
+            transitive=transitive,
+        )
+    return out
+
+
+def cross_corpus_losers(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Side-split exact-Jaccard verify for batch-vs-corpus candidate
+    pairs: the distinct batch ids (``id_a``) appearing in some pair
+    whose exact shingle Jaccard vs its ``id_b`` seen doc scores
+    ``>= threshold``. ``cands`` must carry (id_a = new-side ids,
+    id_b = seen-side ids); callers should materialize it (it is
+    referenced by both semi-joins and the verify join).
+
+    The two sides' shingle frames NEVER union (ADVICE r08): a batch doc
+    that shares an id with a committed doc — the same-id re-crawl with
+    edited text, the canonical streaming-ingest case that exact-key
+    dedup on text does not catch — keeps its shingles on its own side,
+    so Jaccard for every pair touching that id stays exact. Each side
+    is semi-joined to the candidate ids (only bucket-mates the batch
+    actually touched are ever shingled), exploded to (pair, shingle)
+    rows through the candidate list, and the two sides meet in ONE
+    full-outer join on (pair, shingle): per-pair row count = |A∪B| and
+    both-present count = |A∩B|, so Jaccard falls out of a single
+    aggregation with no per-doc size aggregation and no size joins.
+    Remaining id contract: ids must be unique WITHIN each side (two
+    seen rows under one id would still merge on the seen side)."""
 
     def _side_shingles(df: DataFrame, pair_id: str) -> DataFrame:
         touched = df.select(id_col, text_col).join(
@@ -581,18 +648,11 @@ def incremental_minhash_dedup(
             F.count(F.when((F.col("__ina") == 1) & (F.col("__inb") == 1), 1)).alias("__n_inter"),
         )
     )
-    losers = (
+    return (
         stats.filter(F.col("__n_inter") / F.col("__n_union") >= threshold)
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )
-    out = new_df.join(losers, on=id_col, how="left_anti")
-    if within_batch:
-        out = minhash_dedup(
-            out, id_col, text_col, threshold, num_hashes, bands, k,
-            transitive=transitive,
-        )
-    return out
 
 
 def jaccard_verify(

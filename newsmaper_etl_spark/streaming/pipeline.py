@@ -488,6 +488,7 @@ def write_stream_manifest(
             return  # replay of an already-committed batch: exactly-once
         persisted = False
         eff_stat_cols = tuple(stat_cols)
+        data_version = None
         if dedup_keys or nd is not None:
             from newsmaper_etl_spark import keyindex as K
 
@@ -503,6 +504,22 @@ def write_stream_manifest(
                 )
             if done:
                 return  # data and every index committed: pure replay
+            if main_done:
+                # Replay with a pending INDEX commit (crash between the
+                # data/key commit and a later index commit — ADVICE r08
+                # high): every read below must see the exact PRE-batch
+                # state the original run saw, or the batch's own
+                # already-committed rows/keys empty it out and the
+                # pending index is appended from an EMPTY frame —
+                # permanently losing the batch's keys/signatures. The
+                # manifest records which snapshot version first carried
+                # this (app, batch) txn; reading at version-1 is that
+                # pre-batch state. None (vacuumed past — impossible in
+                # the seconds-old replay window under any sane
+                # retention) falls back to the current snapshot.
+                dv = M.txn_commit_version(table, app, int(batch_id))
+                if dv is not None:
+                    data_version = dv - 1
         if dedup_keys:
             from newsmaper_etl_spark.operators.dedup import exact_dedup
 
@@ -514,7 +531,18 @@ def write_stream_manifest(
             else:
                 batch_df = batch_df.dropDuplicates(keys)
             K.ensure_bootstrap(spark, table, keys, app)
-            idx = K.read_key_index(spark, table)
+            kver = None
+            if main_done and batch_id <= M.last_txn_version(
+                K.key_index_path(table), app
+            ):
+                # this batch's keys already committed: anti-join against
+                # the index as it stood BEFORE that commit
+                kv = M.txn_commit_version(
+                    K.key_index_path(table), app, int(batch_id)
+                )
+                if kv is not None:
+                    kver = kv - 1
+            idx = K.read_key_index(spark, table, version=kver)
             if idx is not None:
                 batch_df = K.anti_join_index(batch_df, keys, idx)
         if nd is not None:
@@ -529,6 +557,7 @@ def write_stream_manifest(
                 batch_df, table, nd["id_col"], nd["text_col"],
                 nd["threshold"], nd["num_hashes"], nd["bands"], nd["k"],
                 nd["within_batch"], nd["max_candidate_ids"],
+                data_version=data_version,
             )  # returns an eagerly-materialized frame
         elif dedup_keys:
             # the deduped batch feeds TWO commits (data, then keys):

@@ -2127,3 +2127,43 @@ def test_decode_pixels_mutation_fuzz_never_raises():
             )
         d = M.decode_pixels(bytes(base))  # must not raise
         assert d is None or (len(d) == 5 and isinstance(d[4], bytes))
+
+
+def test_incremental_minhash_manifest_loaded_stamp_guard(spark, tmp_path):
+    """ADVICE r08 low: the manifest's recorded-DDL read path drops
+    column METADATA, so a seen_banded frame loaded straight through
+    manifest.read_table used to bypass the parameter-drift guard. The
+    persisted index's stamp COLUMNS (__nh/__nb/__k) are now validated
+    too — and dropped before the band join."""
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as MF
+
+    seen = values_df(spark, [(1, _BASE)], ["doc_id", "text"])
+    new = values_df(spark, [(10, _NEAR)], ["doc_id", "text"])
+    pre = K._stamped(
+        D.banded_signatures(seen, "doc_id", "text", num_hashes=32, bands=8),
+        32, 8, 3,
+    )
+    t = str(tmp_path / "banded32")
+    MF.append(pre, t, stat_cols=K._BSTAMP)
+    back = MF.read_table(spark, t)
+    # the metadata stamp really is gone on this path (the gap)
+    assert not back.schema["bh"].metadata
+    with _pytest.raises(ValueError, match="persisted stamp"):
+        D.incremental_minhash_dedup(
+            new, seen, threshold=0.5, seen_banded=back,
+            num_hashes=16, bands=4,
+        )
+    # matching parameters: accepted, stamp columns dropped, output right
+    t2 = str(tmp_path / "banded16")
+    MF.append(
+        K._stamped(D.banded_signatures(seen, "doc_id", "text"), 16, 4, 3),
+        t2, stat_cols=K._BSTAMP,
+    )
+    out = D.incremental_minhash_dedup(
+        new, seen, threshold=0.5, seen_banded=MF.read_table(spark, t2),
+    )
+    assert "__nh" not in out.columns
+    assert [r["doc_id"] for r in out.collect()] == []  # _NEAR drops

@@ -965,3 +965,45 @@ def test_prune_in_multi_point_file_skipping(spark, tmp_path):
     # no stats for column -> conservatively keep all files
     unpruned = M.read_table(spark, t, prune_in=("nosuch", [1]))
     assert len(unpruned.inputFiles()) == 3
+
+
+def test_prune_in_type_mismatch_keeps_conservatively(spark, tmp_path):
+    """ADVICE r08 (manifest.py prune_in): partition path segments are
+    int-coerced on record, so a STRING-typed partition column whose
+    values look numeric probes as a type mismatch — raw set membership
+    silently dropped the matching files (missing rows). The fix keeps
+    on type mismatch, the same conservative contract as the stats
+    branch; same-typed probes still prune."""
+    t = str(tmp_path / "tpmix")
+    df = values_df(
+        spark, [("1", "a"), ("1", "b"), ("2", "c")], ["pk", "v"]
+    )
+    M.append(df, t, partition_by=("pk",))
+    # recorded partition values are ints (path coercion); probing with
+    # the column's TRUE string values must not drop the files
+    got = M.read_table(spark, t, prune_in=("pk", ["1"]))
+    assert got.filter(F.col("pk") == "1").count() == 2
+    # int probes (matching the recorded coercion) still prune exactly
+    only1 = M.read_table(spark, t, prune_in=("pk", [1]))
+    assert {r["v"] for r in only1.collect()} == {"a", "b"}
+    assert M.read_table(spark, t, prune_in=("pk", [3])).count() == 0
+
+
+def test_prune_in_mixed_and_null_probe_values(spark, tmp_path):
+    """ADVICE r08: None-containing or mixed-type probe lists must not
+    raise from sorted(); footer pruning degrades to conservative keeps
+    instead."""
+    t = str(tmp_path / "tpnull")
+    for lo in (0, 1000):
+        M.append(
+            values_df(
+                spark, [(lo + i, f"r{lo + i}") for i in range(5)], ["id", "v"]
+            ).coalesce(1),
+            t, stat_cols=("id",),
+        )
+    # None rides along without a TypeError; the real value still prunes
+    got = M.read_table(spark, t, prune_in=("id", [3, None]))
+    assert len(got.inputFiles()) == 1 and got.count() == 5
+    # mixed incomparable types: pruning disabled, all files kept
+    got = M.read_table(spark, t, prune_in=("id", [3, "x"]))
+    assert len(got.inputFiles()) == 2

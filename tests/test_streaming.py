@@ -799,3 +799,133 @@ def test_stream_near_dedup_bootstrap_preexisting_table(spark, tmp_path):
     assert ids == {1, 11}
     boot = M._load_manifest(K.banded_index_path(table), 1).get("meta") or {}
     assert boot.get("op_detail") == "bandedindex-bootstrap"
+
+
+def test_near_dedup_same_id_recrawl_scores_true_jaccard(spark, tmp_path):
+    """ADVICE r08 (keyindex.near_dedup_batch): a batch doc sharing an
+    id with a committed doc — the same-id re-crawl with EDITED text,
+    which exact-key dedup on text does not catch — must score its TRUE
+    Jaccard in the verify. The old union-side verify merged both texts'
+    shingles under the shared id, corrupting every pair touching it
+    (a single common shingle pushed the score past any threshold), so a
+    heavily-edited re-crawl was silently dropped. Side-split verify:
+    the heavy edit (true j ~0.3, below threshold) is admitted; a light
+    edit under a FRESH id (j ~0.96) still drops."""
+    import json as _json
+
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank today while the miller grinds wheat into flour for the "
+            "village bakery stand")
+    heavy_edit = ("the quick brown fox jumps over the lazy dog near the "
+                  "river bank under a violet sky as distant thunder rolls "
+                  "across the quiet autumn valley tonight")
+    light_edit = base + " tonight"
+
+    src = tmp_path / "rin"
+    src.mkdir()
+    table = str(tmp_path / "rtable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"rq:{ck}",
+            near_dedup={"id_col": "id", "threshold": 0.8,
+                        "num_hashes": 16, "bands": 16},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(_json.dumps({"id": 1, "text": base}))
+    run(str(tmp_path / "rck0"))
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 1, "text": heavy_edit}) + "\n"
+        + _json.dumps({"id": 2, "text": light_edit})
+    )
+    run(str(tmp_path / "rck1"))
+    rows = {(r["id"], r["text"]) for r in M.read_table(spark, table).collect()}
+    assert rows == {(1, base), (1, heavy_edit)}  # light edit dropped
+
+
+def test_banded_index_survives_crash_between_key_and_banded_commits(
+    spark, tmp_path
+):
+    """ADVICE r08 high: crash AFTER the key-index commit but BEFORE the
+    banded-index commit. On replay the batch's keys are already
+    indexed; without the txn_commit_version pin the anti-join empties
+    the batch and the banded index is appended from an EMPTY frame —
+    the batch's band signatures are permanently lost and future
+    near-duplicates silently admitted. The replay must read the key
+    index (and the data table, for the verify fetch) at their exact
+    PRE-batch versions, re-derive the survivors, and append their real
+    signatures."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee at midnight near the harbor")
+    far = ("completely different subject matter entirely about orbital "
+           "mechanics and the trajectories of small icy bodies beyond "
+           "neptune in the scattered disk population")
+    third = ("a wholly distinct document describing medieval bread baking "
+             "guild regulations in fourteenth century flanders and their "
+             "seasonal grain pricing customs")
+
+    src = tmp_path / "xin"
+    src.mkdir()
+    table = str(tmp_path / "xtable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"xq:{ck}",
+            dedup_keys=("text",), dedup_order_col="id",
+            near_dedup={"id_col": "id", "threshold": 0.5},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": base}) + "\n"
+        + _json.dumps({"id": 2, "text": far})
+    )
+    run(str(tmp_path / "xck0"))
+
+    # second pipeline: one new doc; crash injected between the key
+    # commit and the banded commit
+    (src / "b1.json").write_text(_json.dumps({"id": 20, "text": third}))
+    ck1 = str(tmp_path / "xck1")
+    real = K.append_batch_banded
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before banded commit")
+
+    K.append_batch_banded = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck1)
+    finally:
+        K.append_batch_banded = real
+    # data + keys landed; banded index is one batch behind
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2, 20}
+    bidx = M.read_table(spark, K.banded_index_path(table))
+    assert {r["id"] for r in bidx.collect()} == {1, 2}
+
+    # restart the SAME checkpoint: replay must re-derive doc 20 as the
+    # survivor (pre-batch key index) and append its REAL signatures
+    run(ck1)
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2, 20}
+    bidx = M.read_table(spark, K.banded_index_path(table))
+    assert {r["id"] for r in bidx.collect()} == {1, 2, 20}
+
+    # and the healed index actually keeps 20's near-duplicates out
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 30, "text": third + " tonight"})
+    )
+    run(str(tmp_path / "xck2"))
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2, 20}
