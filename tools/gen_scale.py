@@ -129,28 +129,57 @@ def gen_embeddings(
     ANN self-hit/planted contracts, but two replicas of the same vector
     are then ≈0.9975-cosine to EACH OTHER, i.e. every replica pair is a
     true ≥0.95 near-dup and pair counts grow with factor² by
-    construction. ``decorrelate`` raises the noise to 35 % (replica-to-
-    replica cosine ≈ 0.89, below the 0.95 near-dup threshold) so
-    near-dup density stays constant as the corpus scales."""
+    construction.
+
+    ``decorrelate`` (the scale-curve corpus): replicas k>0 are fully
+    INDEPENDENT random unit vectors, with a constant per-row rate of
+    planted true near-dup pairs (every 12th row is a 15 %-noise copy of
+    its predecessor, ≈0.989-cosine — disjoint pairs, never cliques), so
+    BOTH the ≥0.95 near-dup density AND the just-below-threshold
+    neighborhood stay constant per vector as the corpus scales.
+
+    The r7 form (35 % noise on the source vector) only pushed
+    replica-to-replica cosine below the threshold (~0.89) — it left
+    every vector in a factor-sized ANGULAR CLIQUE at 0.85-0.92 cosine,
+    so the sub-threshold neighborhood grew ∝ factor (measured r9:
+    neighbors/vec at cos≥0.85 = 9.0 at factor 10 → 98.7 at factor 100,
+    while ≥0.95 stayed 0.16→0.28). Any threshold-faithful LSH must
+    examine a constant fraction of that band — the BENCH_SF10 r8
+    SUPERLINEAR verdict on embedding candidates measured this corpus
+    artifact, not the engine (engine candidates/vec stayed BELOW the
+    0.85-band floor at every SF)."""
     df = con.execute(
         f"SELECT * FROM '{os.path.join(src, 'embeddings.parquet')}'"
     ).df()
     n = len(df)
-    eps = 0.35 if decorrelate else 0.05
     out = []
     for k in range(factor):
         rep = df.copy()
         rep["vec_id"] = rep["vec_id"] + k * n
         if k > 0:
-            vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
             rng = np.random.default_rng(1_000_003 * k)
-            noise = rng.standard_normal(vecs.shape)
-            noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-            perturbed = vecs + eps * noise
-            perturbed /= np.linalg.norm(perturbed, axis=1, keepdims=True)
-            rep["embedding"] = [
-                row.astype(np.float32) for row in perturbed
-            ]
+            if decorrelate:
+                vecs = rng.standard_normal(
+                    (n, len(df["embedding"].iloc[0]))
+                )
+                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+                # planted near-dup pairs at a constant per-row rate:
+                # row i (i % 12 == 1) becomes a 15%-noise copy of row
+                # i-1 — cos ≈ 0.989 ≥ the 0.95 threshold, pairs are
+                # DISJOINT (never cliques), density/vec ≈ 2/12
+                plant = np.arange(1, n, 12)
+                noise = rng.standard_normal((len(plant), vecs.shape[1]))
+                noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+                planted = vecs[plant - 1] + 0.15 * noise
+                planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+                vecs[plant] = planted
+            else:
+                vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                noise = rng.standard_normal(vecs.shape)
+                noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+                vecs = vecs + 0.05 * noise
+                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            rep["embedding"] = [row.astype(np.float32) for row in vecs]
         out.append(rep)
     pd.concat(out, ignore_index=True).to_parquet(
         os.path.join(dst, "embeddings.parquet"), index=False
@@ -205,8 +234,9 @@ def main() -> None:
               + (" + decorrelating rewrite" if args.decorrelate else ""))
     if want("embeddings"):
         gen_embeddings(con, args.src, args.dst, args.factor, args.decorrelate)
-        print("embeddings: replicated with perturb+renormalize"
-              + (" (35% decorrelating noise)" if args.decorrelate else ""))
+        print("embeddings: replicated with "
+              + ("independent replicas + constant-rate planted pairs"
+                 if args.decorrelate else "perturb+renormalize"))
 
 
 if __name__ == "__main__":
