@@ -99,20 +99,33 @@ def anti_join_index(
 
 
 def ensure_bootstrap(
-    spark: SparkSession, table: str, cols: list[str], app: str
+    spark: SparkSession, table: str, cols: list[str], app: str,
+    version: int | None = None,
 ) -> bool:
     """One-time index build for a table that predates the index (rows
     committed before ``dedup_keys`` was enabled, or before r8): derive
-    the distinct hashed keys from the CURRENT snapshot — the single
-    deliberate O(corpus) scan, paid once instead of per batch — and
-    commit them as the index's first version. Returns True if a
-    bootstrap ran. Self-heals its own claim orphan like any writer."""
+    the distinct hashed keys from the snapshot — the single deliberate
+    O(corpus) scan, paid once instead of per batch — and commit them as
+    the index's first version. Returns True if a bootstrap ran.
+    Self-heals its own claim orphan like any writer.
+
+    ``version`` pins the build to the PRE-batch snapshot on crash
+    replay — defense-in-depth for the replay-determinism invariant
+    (every read a replayed batch performs must see the state the
+    original run saw): in the reachable crash windows the bootstrap has
+    already committed pre-batch content (it runs before the data
+    append), but a pinned replay can never be corrupted by a snapshot
+    containing the replayed batch's own rows regardless of ordering.
+    ``version=0`` (table was empty pre-batch) bootstraps nothing — the
+    replay re-derives the batch and its txn-marked appends rebuild both
+    indexes completely."""
     ktable = key_index_path(table)
-    if M.current_version(ktable) > 0 or M.current_version(table) == 0:
+    v = M.current_version(table) if version is None else version
+    if M.current_version(ktable) > 0 or v == 0:
         return False
     boot_app = app + _BOOT_APP_SUFFIX
     keys = (
-        with_hashed_keys(M.read_table(spark, table), cols)
+        with_hashed_keys(M.read_table(spark, table, version=v), cols)
         .select("__hk1", "__hk2")
         .distinct()
     )
@@ -120,8 +133,7 @@ def ensure_bootstrap(
     def _append() -> int:
         return M.append(
             keys, ktable, txn=(boot_app, 0),
-            meta={"op_detail": "keyindex-bootstrap",
-                  "covers_version": M.current_version(table)},
+            meta={"op_detail": "keyindex-bootstrap", "covers_version": v},
         )
 
     try:
@@ -224,20 +236,26 @@ def read_banded_index(spark: SparkSession, table: str) -> DataFrame | None:
 def ensure_banded_bootstrap(
     spark: SparkSession, table: str, id_col: str, text_col: str,
     num_hashes: int, bands: int, k: int, app: str,
+    version: int | None = None,
 ) -> bool:
     """One-time corpus signing for a table that predates the banded
     index — the single deliberate full-corpus MinHash pass, instead of
     re-signing the corpus every batch (the cost the ``seen_banded`` seam
-    exists to avoid)."""
+    exists to avoid). ``version`` pins the signing to an older snapshot
+    on crash replay (see :func:`ensure_bootstrap`): signing the current
+    snapshot would enroll the replayed batch's OWN rows, every batch
+    doc would then self-pair at Jaccard 1.0 and drop, and the batch
+    would be lost from the data table or its index commits emptied."""
     from newsmaper_etl_spark.operators.dedup import banded_signatures
 
     btable = banded_index_path(table)
-    if M.current_version(btable) > 0 or M.current_version(table) == 0:
+    v = M.current_version(table) if version is None else version
+    if M.current_version(btable) > 0 or v == 0:
         return False
     boot_app = app + _BOOT_APP_SUFFIX
     sigs = _stamped(
         banded_signatures(
-            M.read_table(spark, table).select(id_col, text_col),
+            M.read_table(spark, table, version=v).select(id_col, text_col),
             id_col, text_col, num_hashes, bands, k,
         ),
         num_hashes, bands, k,
@@ -246,8 +264,7 @@ def ensure_banded_bootstrap(
     def _append() -> int:
         return M.append(
             sigs, btable, txn=(boot_app, 0), stat_cols=_BSTAMP,
-            meta={"op_detail": "bandedindex-bootstrap",
-                  "covers_version": M.current_version(table)},
+            meta={"op_detail": "bandedindex-bootstrap", "covers_version": v},
         )
 
     try:

@@ -530,7 +530,7 @@ def write_stream_manifest(
                 )
             else:
                 batch_df = batch_df.dropDuplicates(keys)
-            K.ensure_bootstrap(spark, table, keys, app)
+            K.ensure_bootstrap(spark, table, keys, app, version=data_version)
             kver = None
             if main_done and batch_id <= M.last_txn_version(
                 K.key_index_path(table), app
@@ -552,6 +552,7 @@ def write_stream_manifest(
             K.ensure_banded_bootstrap(
                 spark, table, nd["id_col"], nd["text_col"],
                 nd["num_hashes"], nd["bands"], nd["k"], app,
+                version=data_version,
             )
             batch_df = K.near_dedup_batch(
                 batch_df, table, nd["id_col"], nd["text_col"],

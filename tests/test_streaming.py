@@ -929,3 +929,87 @@ def test_banded_index_survives_crash_between_key_and_banded_commits(
     )
     run(str(tmp_path / "xck2"))
     assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2, 20}
+
+
+def test_bootstrap_on_replay_pins_pre_batch_snapshot(spark, tmp_path):
+    """dedup_keys enabled mid-life on a table with an established
+    banded index, crash between the data commit and the key commit.
+    The key-index bootstrap runs BEFORE the data append, so the crash
+    leaves a bootstrap-only index holding exactly the PRE-batch keys —
+    the replay's anti-join must see that state (not the batch's own
+    keys), re-derive the survivor, and land both its key and its band
+    signatures. Also pins the bootstrap version-pin defense: a replay
+    that DOES need a bootstrap builds it from the pre-batch snapshot
+    (manifest.txn_commit_version - 1), never from a snapshot containing
+    the replayed batch."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee at midnight near the harbor")
+    third = ("a wholly distinct document describing medieval bread baking "
+             "guild regulations in fourteenth century flanders and their "
+             "seasonal grain pricing customs")
+
+    src = tmp_path / "yin"
+    src.mkdir()
+    table = str(tmp_path / "ytable")
+
+    def run(ck, with_keys):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"yq:{ck}",
+            dedup_keys=("text",) if with_keys else None,
+            dedup_order_col="id" if with_keys else None,
+            near_dedup={"id_col": "id", "threshold": 0.5},
+        ).awaitTermination()
+
+    # run 1: near_dedup only — banded index exists, key index does not
+    (src / "b0.json").write_text(_json.dumps({"id": 1, "text": base}))
+    run(str(tmp_path / "yck0"), with_keys=False)
+    assert M.current_version(K.key_index_path(table)) == 0
+    assert M.current_version(K.banded_index_path(table)) >= 1
+
+    # run 2: dedup_keys now enabled; crash between data and key commits
+    (src / "b1.json").write_text(_json.dumps({"id": 20, "text": third}))
+    ck1 = str(tmp_path / "yck1")
+    real = K.append_batch_keys
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before key commit")
+
+    K.append_batch_keys = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck1, with_keys=True)
+    finally:
+        K.append_batch_keys = real
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+    # the bootstrap committed BEFORE the data append: the index exists
+    # and holds exactly the pre-batch keys (base), not the batch's
+    kidx = M.read_table(spark, K.key_index_path(table))
+    assert kidx.distinct().count() == 1
+
+    # replay: bootstrap must pin to the pre-batch snapshot, re-derive
+    # doc 20 as the survivor, and land BOTH its key and its signatures
+    run(ck1, with_keys=True)
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+    kidx = M.read_table(spark, K.key_index_path(table))
+    assert kidx.distinct().count() == 2  # base (bootstrap) + third (batch)
+    bidx = M.read_table(spark, K.banded_index_path(table))
+    assert {r["id"] for r in bidx.collect()} == {1, 20}
+
+    # the healed banded index keeps 20's near-duplicates out; the healed
+    # key index keeps exact redeliveries out
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 30, "text": third + " tonight"}) + "\n"
+        + _json.dumps({"id": 31, "text": base})
+    )
+    run(str(tmp_path / "yck2"), with_keys=True)
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
