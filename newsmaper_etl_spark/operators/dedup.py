@@ -787,47 +787,33 @@ def simhash(
     return tmp.drop("__th")
 
 
-def simhash_near_pairs(
+def simhash_chunks(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    checkpoint: bool = True,
     bits: int = 64,
+    checkpoint: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on signature chunks, then
-    verify hamming distance inside buckets only.
+    """(id, simhash[, simhash_hi], chunk, cv) — each doc's pigeonhole
+    bucket keys PLUS its full fingerprint: the frame a deployment
+    PERSISTS per corpus for incremental SimHash dedup (the ``seen_chunks``
+    seam of :func:`incremental_simhash_dedup`, mirroring what
+    :func:`banded_signatures` is to the MinHash family). Unlike the
+    banded seam, the chunk frame carries everything the VERIFY needs
+    too (hamming distance is computed from the fingerprints riding the
+    candidate join) — a batch never touches corpus text at all: h+1
+    rows of three-or-four longs per seen doc is the entire per-batch
+    read.
 
-    The chunk count DERIVES from the radius: a pair within hamming ≤ h
-    of ``bits`` bits shares ≥1 identical chunk only when there are h+1
-    chunks (pigeonhole — with fewer, the differing bits can land one per
-    chunk and the pair never meets, silently dropping qualifying pairs).
-    The default h=3 → 4 sixteen-bit chunks; larger radii get narrower
-    chunks (coarser buckets, more verification work — the correct
-    recall/cost trade, made explicit instead of broken).
-
-    **Bucket-space scaling (``bits=128``)**: chunk width is what bounds
-    the candidate count — two random docs collide on a chunk with
-    probability 2^-width, so in-bucket pairs grow ~(h+1)·N²/2^width.
-    Sixteen-bit chunks (the 64-bit default) give a FIXED 2^16 bucket
-    space: sound to ~10^6 docs, degenerate at web scale (the sf3 curve
-    already measured the onset: 3× corpus → 3.46× wall). ``bits=128``
-    keeps h+1 = 4 chunks but at 32 bits each — collision probability
-    2^-32, pushing the quadratic knee past 10^9 docs — at the cost of a
-    second 64-lane signature pass. Note the RADIUS SEMANTICS change
-    with the fingerprint: hamming ≤ 3 of 128 bits is a relatively
-    tighter similarity bar than 3 of 64 (simhash bit-agreement ≈ cosine
-    of the token-frequency vectors, estimated over 2× the sample).
-
-    The (id, signature) frame is localCheckpoint-ed before the
-    self-join: both join sides would otherwise recompute the 64-lane
-    signature from raw text (a self-join duplicates its child's
-    lineage). 16 bytes/doc of executor storage buys halving the
-    dominant cost — the same materialize-the-narrow-sketch shape that
-    holds at corpus scale. ``checkpoint=False`` skips the eager
-    materialization for callers on tiny bounded inputs (the planted
-    contract fixtures): there, the extra job costs more than
-    recomputing 100 signatures twice."""
+    Chunking contract (pigeonhole): a pair within hamming ≤ h shares at
+    least one identical chunk only when there are h+1 chunks; chunk c
+    covers bits [c·bits//(h+1), (c+1)·bits//(h+1)). The (max_hamming,
+    bits) pair is stamped into the ``cv`` column metadata and validated
+    by consumers — chunk keys from different parameterizations never
+    (or spuriously) match. ``checkpoint`` eagerly materializes the
+    signature frame before the explode (the self-join callers' shape;
+    pointless for a frame about to be persisted anyway)."""
     if bits not in (64, 128):
         raise ValueError(f"bits={bits} unsupported (64 or 128)")
     lo_bound = 0 if bits == 64 else 1  # 128-bit: one 128-wide chunk
@@ -876,7 +862,7 @@ def simhash_near_pairs(
         )
         return lo_part.bitwiseOR(hi_part)
 
-    chunks = sigged.select(
+    out = sigged.select(
         id_col,
         *sig_cols,
         F.explode(
@@ -889,6 +875,196 @@ def simhash_near_pairs(
             ])
         ).alias("cc"),
     ).select(id_col, *sig_cols, "cc.chunk", "cc.cv")
+    meta = {"max_hamming": max_hamming, "bits": bits}
+    return out.withColumn("cv", F.col("cv").alias("cv", metadata=meta))
+
+
+def _validate_chunk_params(
+    chunks: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """The :func:`_validate_banded_params` twin for the SimHash chunk
+    seam: fail fast on (max_hamming, bits) drift between a persisted
+    chunk frame and the batch side, via the ``cv`` column metadata when
+    present, else the persisted ``__mh``/``__bits`` stamp columns (the
+    manifest read path drops metadata) — which are also dropped from
+    the returned frame. The fingerprint and chunk columns are required
+    either way."""
+    need = {"chunk", "cv", "simhash"} | ({"simhash_hi"} if bits == 128 else set())
+    cols = set(chunks.columns)
+    if not need <= cols:
+        raise ValueError(
+            f"seen_chunks must carry {sorted(need)} columns; got "
+            f"{sorted(cols)}"
+        )
+    want = {"max_hamming": max_hamming, "bits": bits}
+    for f in chunks.schema.fields:
+        if f.name != "cv" or not f.metadata:
+            continue
+        stamp = {p: f.metadata.get(p) for p in ("max_hamming", "bits")}
+        if any(v is not None and v != want[p] for p, v in stamp.items()):
+            raise ValueError(
+                f"seen_chunks was built with "
+                f"{ {p: v for p, v in stamp.items() if v is not None} } "
+                f"but this batch is being signed with {want}; chunk keys "
+                "from different parameterizations never match — rebuild "
+                "one side"
+            )
+    stamp_cols = ("__mh", "__bits")
+    if set(stamp_cols) <= cols:
+        head = chunks.select(*stamp_cols).head(1)
+        if head:
+            got = dict(zip(("max_hamming", "bits"), head[0]))
+            if any(v is not None and v != want[p] for p, v in got.items()):
+                raise ValueError(
+                    f"seen_chunks' persisted stamp says {got} but this "
+                    f"batch is being signed with {want}; chunk keys from "
+                    "different parameterizations never match — rebuild "
+                    "one side"
+                )
+        chunks = chunks.drop(*stamp_cols)
+    return chunks
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    transitive: bool = True,
+    max_iter: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Drop SimHash near-duplicates, one survivor (the lowest id) per
+    duplicate cluster — the :func:`minhash_dedup` semantics over the
+    hamming-radius pair surface of :func:`simhash_near_pairs` (same
+    transitive/single-link contract, same connected-components
+    machinery)."""
+    pairs = simhash_near_pairs(
+        df, id_col, text_col, max_hamming, checkpoint=checkpoint, bits=bits
+    )
+    if transitive:
+        comps = connected_components(pairs, "id_a", "id_b", max_iter)
+        losers = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_simhash_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    within_batch: bool = False,
+    seen_chunks: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Drop new-batch docs within SimHash hamming radius of ANY
+    already-ingested doc — the third member of the incremental family
+    (exact keys / MinHash bands / SimHash chunks), batch×corpus never
+    corpus×corpus.
+
+    Candidates come from the batch's pigeonhole chunk keys equi-joined
+    against the CORPUS's chunk frame; ``seen_chunks`` accepts the
+    persisted :func:`simhash_chunks` frame (h+1 rows of 3-4 longs per
+    doc) so nightly batches never re-sign the corpus — and because the
+    chunk frame carries the full fingerprints, the VERIFY (exact XOR
+    popcount ≤ h) also runs off it: unlike the MinHash path's
+    shingle-Jaccard verify, the batch never reads corpus TEXT at all.
+    A batch doc sharing an id with a seen doc is still compared (the
+    sides are split; nothing keys on id), so the same-id re-crawl case
+    is handled by construction. ``within_batch=True`` then runs
+    :func:`simhash_dedup` over the cross-corpus survivors (the seen
+    corpus has no in-radius pairs to resolve by induction, making the
+    two-step equal to a full dedup restricted to new ids).
+
+    Parameter drift between a persisted chunk frame and this batch's
+    signing raises (metadata stamp, or the ``__mh``/``__bits`` stamp
+    columns on manifest-persisted frames)."""
+    if seen_chunks is not None:
+        sc = _validate_chunk_params(seen_chunks, max_hamming, bits)
+    else:
+        if seen_df is None:
+            raise ValueError("pass seen_df or seen_chunks")
+        sc = simhash_chunks(seen_df, id_col, text_col, max_hamming, bits)
+    nc = simhash_chunks(new_df, id_col, text_col, max_hamming, bits,
+                        checkpoint=checkpoint)
+    sig_cols = ["simhash"] if bits == 64 else ["simhash", "simhash_hi"]
+    a = nc.select(
+        F.col(id_col).alias("__new_id"), F.col("simhash").alias("sig_a"),
+        *([F.col("simhash_hi").alias("sig_a_hi")] if bits == 128 else []),
+        "chunk", "cv",
+    )
+    b = sc.select(
+        F.col("simhash").alias("sig_b"),
+        *([F.col("simhash_hi").alias("sig_b_hi")] if bits == 128 else []),
+        "chunk", "cv",
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    if bits == 128:
+        ham = ham + F.bit_count(F.col("sig_a_hi").bitwiseXOR(F.col("sig_b_hi")))
+    losers = (
+        a.join(b, on=["chunk", "cv"])
+        .filter(ham <= max_hamming)
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    out = new_df.join(losers, on=id_col, how="left_anti")
+    if within_batch:
+        out = simhash_dedup(out, id_col, text_col, max_hamming, bits,
+                            checkpoint=checkpoint)
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    checkpoint: bool = True,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on signature chunks, then
+    verify hamming distance inside buckets only.
+
+    The chunk count DERIVES from the radius: a pair within hamming ≤ h
+    of ``bits`` bits shares ≥1 identical chunk only when there are h+1
+    chunks (pigeonhole — with fewer, the differing bits can land one per
+    chunk and the pair never meets, silently dropping qualifying pairs).
+    The default h=3 → 4 sixteen-bit chunks; larger radii get narrower
+    chunks (coarser buckets, more verification work — the correct
+    recall/cost trade, made explicit instead of broken).
+
+    **Bucket-space scaling (``bits=128``)**: chunk width is what bounds
+    the candidate count — two random docs collide on a chunk with
+    probability 2^-width, so in-bucket pairs grow ~(h+1)·N²/2^width.
+    Sixteen-bit chunks (the 64-bit default) give a FIXED 2^16 bucket
+    space: sound to ~10^6 docs, degenerate at web scale (the sf3 curve
+    already measured the onset: 3× corpus → 3.46× wall). ``bits=128``
+    keeps h+1 = 4 chunks but at 32 bits each — collision probability
+    2^-32, pushing the quadratic knee past 10^9 docs — at the cost of a
+    second 64-lane signature pass. Note the RADIUS SEMANTICS change
+    with the fingerprint: hamming ≤ 3 of 128 bits is a relatively
+    tighter similarity bar than 3 of 64 (simhash bit-agreement ≈ cosine
+    of the token-frequency vectors, estimated over 2× the sample).
+
+    The (id, signature) frame is localCheckpoint-ed before the
+    self-join: both join sides would otherwise recompute the 64-lane
+    signature from raw text (a self-join duplicates its child's
+    lineage). 16 bytes/doc of executor storage buys halving the
+    dominant cost — the same materialize-the-narrow-sketch shape that
+    holds at corpus scale. ``checkpoint=False`` skips the eager
+    materialization for callers on tiny bounded inputs (the planted
+    contract fixtures): there, the extra job costs more than
+    recomputing 100 signatures twice."""
+    chunks = simhash_chunks(df, id_col, text_col, max_hamming, bits,
+                            checkpoint=checkpoint)
+    sig_cols = ["simhash"] if bits == 64 else ["simhash", "simhash_hi"]
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
         *([F.col("simhash_hi").alias("sig_a_hi")] if bits == 128 else []),

@@ -422,6 +422,32 @@ def _cell_rank_array(dot_names: list[str]) -> Column:
     )
 
 
+def _cell_sorted_structs_hof_sql(vec: str, cents: list[list[float]]) -> str:
+    """The shared core of the compact cell-ranking expressions: the
+    array of (d = centroid dot, i = cell id) structs sorted by
+    (dot DESC, cell ASC). Centroid matrix rides as one array-of-arrays
+    literal (data to codegen, not code — no janino term limit)."""
+    mat = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cents
+    )
+    n = len(cents)
+    return (
+        f"array_sort(zip_with("
+        f"transform(array({mat}), c -> aggregate(zip_with(c, `{vec}`, "
+        f"(x, y) -> x * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)), "
+        f"sequence(0, {n - 1}), (d, i) -> struct(d, i)), "
+        f"(l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1 "
+        f"WHEN l.i < r.i THEN -1 WHEN l.i > r.i THEN 1 ELSE 0 END)"
+    )
+
+
+def _cell_top_hof_sql(vec: str, cents: list[list[float]]) -> str:
+    """The argmax cell as a single struct (d = best centroid dot, i =
+    cell id) — assignment plus the to-centroid affinity the SemDeDup
+    keep rule needs, one expression."""
+    return f"({_cell_sorted_structs_hof_sql(vec, cents)})[0]"
+
+
 def _cell_rank_hof_sql(vec: str, cents: list[list[float]]) -> str:
     """Compact one-expression cell ranking for the HOF path: the whole
     centroid matrix rides as ONE array-of-arrays literal, dots come from
@@ -432,19 +458,7 @@ def _cell_rank_hof_sql(vec: str, cents: list[list[float]]) -> str:
     bounded-corpus contracts this path serves (the literal array is
     DATA to codegen, not code, so the janino term-count limit that
     forces the unrolled path to split per-centroid does not apply)."""
-    mat = ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cents
-    )
-    n = len(cents)
-    return (
-        f"transform(array_sort(zip_with("
-        f"transform(array({mat}), c -> aggregate(zip_with(c, `{vec}`, "
-        f"(x, y) -> x * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)), "
-        f"sequence(0, {n - 1}), (d, i) -> struct(d, i)), "
-        f"(l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1 "
-        f"WHEN l.i < r.i THEN -1 WHEN l.i > r.i THEN 1 ELSE 0 END), "
-        f"s -> s.i)"
-    )
+    return f"transform({_cell_sorted_structs_hof_sql(vec, cents)}, s -> s.i)"
 
 
 def ivf_cosine_topk(
@@ -542,6 +556,9 @@ def _auto_planes(n_rows: int) -> int:
     return min(24, max(8, math.ceil(math.log2(max(n_rows, 256) / 8.0))))
 
 
+_REFINE_PLANES = 16
+
+
 def embedding_near_dup_candidates(
     df: DataFrame,
     dim: int,
@@ -552,6 +569,7 @@ def embedding_near_dup_candidates(
     seed: int = 42,
     expected_rows: int | None = None,
     unroll: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """RAW candidate pairs (id_a < id_b, one row per table collision)
     from banded multi-table hyperplane LSH — the machinery-cost surface
@@ -576,7 +594,32 @@ def embedding_near_dup_candidates(
     would bloat a single projection past janino's method limits, and
     bucketing is O(rows), off the pair hot path. ``unroll`` governs only
     the norm projection (and, in :func:`embedding_near_dups`, the
-    per-pair sim)."""
+    per-pair sim).
+
+    ``max_bucket`` (opt-in) caps per-bucket occupancy: a window count
+    over (table, bucket) tags each row with its bucket's size, and
+    oversized rows get ``ceil(log2(size/cap))`` extra per-table
+    hyperplane sign bits (lazy CASE — only heavy rows pay the dots; a
+    marker bit keeps refined ids disjoint) appended to the bucket id.
+    Refinement planes are per-table (independent seeds), so a true
+    pair split in one table still meets in another. Default OFF —
+    measured, not assumed (r9, sf10 = 200 k vecs): cap=64 cut
+    candidates only 81.0 → 76.4/vec while costing ~17 % wall (the
+    window shuffle), because the r8 SUPERLINEAR candidate growth
+    (34.7 → 81/vec over sf1→sf10) was NOT a heavy-tail artifact the
+    cap could trim — the per-(t,b) histogram put 64 % of all pairs in
+    buckets of 17-64 rows, which are the scale corpus's own replica
+    cliques at 0.85-0.92 cosine: its sub-threshold neighborhood grew
+    ∝ factor (neighbors/vec at cos≥0.85: 9.0 → 98.7, measured), a
+    floor any threshold-faithful LSH must examine a constant fraction
+    of. The engine tracked BELOW that floor at every SF — the growth
+    was the corpus construction's, and tools/gen_scale.py r9 fixes it
+    (independent replicas + constant-rate planted pairs). The cap also
+    cannot split what no hyperplane distinguishes (exact-dup floods
+    agree on every sign bit) — those pairs are true output, quadratic
+    by the pair-emitting contract itself. Turn the cap on for corpora
+    with moderate angular clusters you want trimmed at a recall cost
+    of 1−(1−p^(b+r))^L vs 1−(1−p^b)^L for heavy-bucket pairs."""
     if expected_rows is None and n_planes is None:
         expected_rows = df.count()
     if n_planes is None:
@@ -596,6 +639,42 @@ def embedding_near_dup_candidates(
         id_col, vec_col, "__n", F.explode(tables).alias("__tb")
     ).select(id_col, vec_col, "__n", F.col("__tb.t").alias("__t"),
              F.col("__tb.b").alias("__b"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        # one narrow-key shuffle to tag each row with its bucket's size;
+        # the exchange is shared by both join sides (ReusedExchange), so
+        # the base plane dots are now computed once, not once per side
+        keyed = keyed.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("__t", "__b"))
+        )
+        refine = None
+        for t in range(n_tables):
+            rb = lsh_bucket(
+                vec_col,
+                _hyperplanes(dim, _REFINE_PLANES, seed + 104729 + 7919 * t),
+                unroll=False,
+            )
+            cond = F.col("__t") == t
+            refine = F.when(cond, rb) if refine is None else refine.when(cond, rb)
+        nbits = F.least(
+            F.ceil(F.log(2.0,
+                         F.col("__bn").cast("double") / F.lit(float(max_bucket)))),
+            F.lit(_REFINE_PLANES),
+        ).cast("int")
+        # shiftleft needs a literal shift; 2^nbits is exact in a double
+        # for nbits <= 16
+        mask = F.pow(F.lit(2.0), nbits.cast("double")).cast("long") - F.lit(1)
+        keyed = keyed.withColumn(
+            "__b",
+            F.when(
+                F.col("__bn") > max_bucket,
+                # marker bit keeps refined ids disjoint from unrefined
+                F.shiftleft(F.col("__b"), _REFINE_PLANES + 1)
+                .bitwiseOR(F.lit(1 << _REFINE_PLANES).cast("long"))
+                .bitwiseOR(refine.cast("long").bitwiseAND(mask)),
+            ).otherwise(F.col("__b")),
+        ).drop("__bn")
     a_side = keyed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         F.col("__n").alias("__na"), "__t", "__b",
@@ -620,6 +699,7 @@ def embedding_near_dups(
     seed: int = 42,
     expected_rows: int | None = None,
     unroll: bool | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
     threshold) — the embedding analog of minhash_lsh, over the banded
@@ -648,7 +728,7 @@ def embedding_near_dups(
         unroll = False
     cands = embedding_near_dup_candidates(
         df, dim, id_col, vec_col, n_planes, n_tables, seed, expected_rows,
-        unroll,
+        unroll, max_bucket,
     )
     # threshold on the RAW similarity (the jaccard_verify rule: rounding
     # first admits pairs in [threshold−ulp, threshold) that an exact
@@ -662,3 +742,136 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round("__sim_raw", 4).alias("sim"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    sample_n: int = 2048,
+    seed: int = 42,
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    expected_rows: int | None = None,
+    keep: str = "centroid_far",
+    cache_key: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical-k-means the embedding space into
+    ``n_centroids`` Voronoi cells, find within-cell pairs with cosine ≥
+    ``threshold``, and keep ONE representative per duplicate group —
+    the training-data curation step that removes *semantically*
+    redundant documents, where exact/MinHash dedup removes textually
+    redundant ones (semantic dups — translations, paraphrases, template
+    re-renders — share no shingles). Returns the surviving rows of
+    ``df``.
+
+    Plan shape at scale — three linear passes, no corpus×corpus stage:
+
+    - **assign**: cells come from one JVM expression per row against a
+      literal centroid matrix (bounded ``n_centroids``, trained on a
+      driver-side sample — the ivf_cosine_topk machinery, shared cache
+      via ``cache_key``). The same expression yields the to-centroid
+      affinity the keep rule needs.
+    - **pair**: within-cell candidates do NOT self-join whole cells
+      (cells are density-adaptive but still grow ∝ N/K — a cell
+      self-join is the N²/K quadratic the scale curves exist to catch).
+      Instead the banded multi-table hyperplane LSH of
+      :func:`embedding_near_dup_candidates` runs WITH THE CELL ID
+      PREFIXED to every bucket key: the pair surface stays
+      ~N·occupancy·tables (occupancy-scaled planes track corpus size)
+      while the cell scope buys the data-adaptive precision k-means
+      gives over raw hyperplanes. Verify is the exact cosine on the
+      narrow candidate rows.
+    - **resolve**: duplicate groups are connected components of the
+      verified pair graph (driver union-find ≤100 k edges, label
+      propagation above — the minhash_dedup machinery); ``keep`` picks
+      the survivor per group: ``"centroid_far"`` (paper rule — the
+      member FARTHEST from its cluster centroid, the most atypical
+      example, ties by min id) or ``"min_id"`` (deterministic contract
+      form).
+
+    Semantics note: pairs are found within ONE cell (the argmax cell),
+    as in the paper — a pair straddling a cell boundary is by
+    construction not a "semantic duplicate within a cluster". Callers
+    wanting boundary-blind near-dup pairs use
+    :func:`embedding_near_dups` directly."""
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"keep={keep!r} (centroid_far or min_id)")
+    from newsmaper_etl_spark.operators.dedup import connected_components
+
+    if cache_key is not None:
+        ck = (cache_key, vec_col, n_centroids, sample_n, seed)
+        cents = _CENTROID_CACHE.get(ck)
+        if cents is None:
+            cents = _kmeans_centroids(df, vec_col, n_centroids, sample_n, seed=seed)
+            _CENTROID_CACHE[ck] = cents
+    else:
+        cents = _kmeans_centroids(df, vec_col, n_centroids, sample_n, seed=seed)
+    if expected_rows is None and n_planes is None:
+        expected_rows = df.count()
+    if n_planes is None:
+        n_planes = _auto_planes(expected_rows)
+    base = _with_norm(df.select(id_col, vec_col), vec_col, "__n", dim, unroll=False)
+    top = F.expr(_cell_top_hof_sql(vec_col, cents))
+    celled = base.select(
+        id_col, vec_col, "__n",
+        top["i"].alias("__cell"),
+        # cosine to the (unit-norm) assigned centroid — the keep rule's
+        # affinity; null/zero-norm rows yield null and sort last
+        (top["d"] / F.col("__n")).alias("__csim"),
+    )
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            lsh_bucket(
+                vec_col, _hyperplanes(dim, n_planes, seed + 7919 * t),
+                unroll=False,
+            ).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+    keyed = celled.select(
+        id_col, vec_col, "__n", "__cell", F.explode(tables).alias("__tb")
+    ).select(id_col, vec_col, "__n", "__cell",
+             F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+    a_side = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("__n").alias("__na"), "__cell", "__t", "__b",
+    )
+    b_side = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("__n").alias("__nb"), "__cell", "__t", "__b",
+    )
+    sim_raw = _sim_expr("vec_a", "vec_b", "__na", "__nb", dim, digits=None,
+                        unroll=False)
+    pairs = (
+        a_side.join(b_side, on=["__cell", "__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim_raw.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    comps = connected_components(pairs, "id_a", "id_b", max_iter)
+    if keep == "min_id":
+        losers = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        members = comps.join(
+            celled.select(F.col(id_col).alias("id"), "__csim"), on="id"
+        )
+        w = Window.partitionBy("comp").orderBy(
+            F.asc_nulls_last("__csim"), F.asc("id")
+        )
+        losers = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1224,11 +1224,17 @@ def q_minhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     # + union chain — measured ~30% of this contract's wall time. A
     # production caller's batch is equally materialize-once (it arrives
     # as a concrete micro-batch/file list, not a lazy filter).
-    seen = docs.filter(F.col("doc_id") < 50).localCheckpoint(eager=False)
+    # coalesce(1): 50-row bounded fixtures — single-partition toy
+    # layout cuts every downstream stage's task-launch floor (the
+    # q_curate_incremental precedent; VERDICT r07 machinery-creep item)
+    seen = docs.filter(F.col("doc_id") < 50).coalesce(1).localCheckpoint(
+        eager=False
+    )
     newb = seen.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     ).unionAll(
         docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75))
+        .coalesce(1)
     ).localCheckpoint(eager=False)
     # num_hashes=8/bands=2: the threshold=1.0 determinism argument is
     # independent of signature width (identical text collides in EVERY
@@ -1240,6 +1246,58 @@ def q_minhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame
         seen_banded=D.banded_signatures(
             seen, "doc_id", "text", num_hashes=8, bands=2
         ),
+    )
+    return out.select("doc_id")
+
+
+@query(
+    "q_simhash_incremental_planted",
+    oracle="""
+        WITH seen AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 50
+        ),
+        newb AS (
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id < 25
+            UNION ALL
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 50 AND doc_id < 75
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM newb
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen WHERE seen.text = newb.text
+        )
+    """,
+    tags=("DEDUP", "SIMHASH", "INCREMENTAL"),
+)
+def q_simhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the cross-corpus SimHash pipeline
+    (batch chunk keys ⋈ persisted corpus chunk frame → XOR-popcount
+    verify off the fingerprints riding the join → anti-join) — the
+    q_minhash_incremental_planted determinism argument transposed: at
+    ``max_hamming=0`` the chunk key is the whole 64-bit fingerprint, so
+    a batch doc drops iff its signature exactly equals some seen doc's
+    — identical text guarantees it, distinct text colliding on all 64
+    bits is a 2^-64 event (none at any test SF). seen = docs 0..49;
+    batch = exact copies of 0..24 under shifted ids (drop) + docs
+    50..74 (survive). Exercises the ``seen_chunks`` seam — the corpus
+    side joins from a pre-computed :func:`simhash_chunks` frame, the
+    shape a deployment persists per corpus snapshot; the batch never
+    reads corpus text (the verify runs off the persisted
+    fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") < 50).coalesce(1).localCheckpoint(
+        eager=False
+    )
+    newb = seen.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionAll(
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75))
+        .coalesce(1)
+    ).localCheckpoint(eager=False)
+    out = D.incremental_simhash_dedup(
+        newb, None, "doc_id", "text", max_hamming=0,
+        seen_chunks=D.simhash_chunks(seen, "doc_id", "text", max_hamming=0),
     )
     return out.select("doc_id")
 

@@ -412,7 +412,12 @@ def _planted_copies(docs):
     copies = sl.select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
     )
-    return sl.unionAll(copies)
+    # one partition for a 100-row fixture (the q_curate_incremental
+    # precedent): these contracts pin pipeline semantics, not scale —
+    # at the parquet layout's 16 partitions the multi-stage sketch
+    # pipelines pay task-launch floors that dwarf the data (VERDICT
+    # r07 'what's wrong' #2, the contract-machinery ratio creep)
+    return sl.unionAll(copies).coalesce(1)
 
 
 @query("q_minhash_selfpair", oracle=_MINHASH_SELFPAIR_ORACLE, tags=("DEDUP", "LSH"))
@@ -661,6 +666,42 @@ def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("rank") == 1).select(
         "qid", "neighbor_id", "sim", F.col("rank").alias("rnk")
     )
+
+
+@query(
+    "q_semantic_dedup_planted",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id
+        FROM embeddings WHERE vec_id < 1000
+    """,
+    tags=("DEDUP", "SEMANTIC", "ANN"),
+)
+def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the FULL SemDeDup pipeline (sampled
+    spherical k-means → cell assignment → cell-scoped banded LSH →
+    exact-cosine verify → connected components → keep-one-per-group),
+    by the planted-exact argument: every copy is an IDENTICAL vector
+    under a shifted id, so it has identical centroid dots (same argmax
+    cell), identical hyperplane signs in every table (guaranteed
+    candidate), cosine exactly 1.0 ≥ threshold, and an identical
+    to-centroid affinity — the ``centroid_far`` keep rule therefore
+    ties and resolves by min id, keeping the original. Max cross-sim
+    among the base vectors is ~0.51 (the ANN planted contracts' bound),
+    far under the 0.95 threshold, so the survivor set is exactly the
+    base corpus while every stage runs live. A bug in centroid
+    assignment, cell scoping, banding, verify, CC, or the keep window
+    flips the driver hash."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    copies = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    planted = emb.select("vec_id", "embedding").unionAll(copies).coalesce(1)
+    out = S.semantic_dedup(
+        planted, dim=64, threshold=0.95, n_centroids=8, sample_n=512,
+        keep="centroid_far", expected_rows=1030,
+        cache_key=sf_dir + ":semdedup_planted_1k",
+    )
+    return out.select("vec_id")
 
 
 @query(

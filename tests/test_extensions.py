@@ -2167,3 +2167,155 @@ def test_incremental_minhash_manifest_loaded_stamp_guard(spark, tmp_path):
     )
     assert "__nh" not in out.columns
     assert [r["doc_id"] for r in out.collect()] == []  # _NEAR drops
+
+
+def test_embedding_near_dup_bucket_cap_optin(spark):
+    """max_bucket (opt-in occupancy cap, r9): with a deliberately tiny
+    cap every planted twin pair must still surface — per-table
+    INDEPENDENT refinement means a pair split in one table's refined
+    bucket meets in another — and refined bucket ids stay disjoint
+    from unrefined ones (the marker bit), so no planted pair is lost
+    to an id collision either. Default stays OFF (measured at sf10:
+    6% candidate cut for 17% wall — the r8 growth was the corpus's
+    sub-threshold clique density, not a heavy tail; see the
+    embedding_near_dup_candidates docstring)."""
+    import numpy as np
+
+    df, n_planted = _planted_near_dup_df(spark)
+    # an angular CLUSTER of sub-threshold mates (pairwise cos ~0.86 —
+    # candidates, never output pairs): the crowd the cap exists to trim
+    rng = np.random.default_rng(99)
+    center = rng.standard_normal(64)
+    center /= np.linalg.norm(center)
+    crowd = []
+    for i in range(80):
+        noise = rng.standard_normal(64)
+        noise /= np.linalg.norm(noise)
+        v = center + 0.4 * noise
+        v /= np.linalg.norm(v)
+        crowd.append((5000 + i, [float(x) for x in v]))
+    df = df.unionAll(values_df(spark, crowd, ["vec_id", "embedding"]))
+    out = S.embedding_near_dups(
+        df, dim=64, threshold=0.95, max_bucket=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out if r["id_b"] < 5000}
+    assert pairs == {(i, 1000 + i) for i in range(n_planted)}
+    # and the cap genuinely engages: the crowd's candidate surface shrinks
+    n_capped = len(S.embedding_near_dup_candidates(df, dim=64, max_bucket=4).collect())
+    n_uncapped = len(S.embedding_near_dup_candidates(df, dim=64).collect())
+    assert n_capped < n_uncapped
+
+
+def test_incremental_simhash_dedup(spark):
+    """Cross-corpus SimHash dedup (the third incremental family member):
+    exact copies and one-token edits within the hamming radius drop
+    against the corpus, unrelated text survives; the seen_chunks seam
+    gives identical output to in-line signing; within_batch resolves
+    batch-internal near-dups; a same-id re-crawl is still compared
+    (sides split, nothing keys on id)."""
+    seen = values_df(spark, [(1, _BASE)], ["doc_id", "text"])
+    new = values_df(
+        spark,
+        [(10, _BASE), (11, _NEAR), (12, _FAR), (13, _FAR), (1, _BASE)],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in D.incremental_simhash_dedup(
+            new, seen, max_hamming=3
+        ).collect()
+    )
+    # 10 exact (hamming 0), 11 one-token edit (small hamming), and the
+    # SAME-ID re-crawl 1 all drop vs the corpus; _FAR survives twice
+    assert out == [12, 13]
+    pre = D.simhash_chunks(seen, "doc_id", "text", max_hamming=3)
+    out2 = sorted(
+        r["doc_id"]
+        for r in D.incremental_simhash_dedup(
+            new, None, max_hamming=3, seen_chunks=pre
+        ).collect()
+    )
+    assert out2 == out
+    out3 = sorted(
+        r["doc_id"]
+        for r in D.incremental_simhash_dedup(
+            new, seen, max_hamming=3, within_batch=True
+        ).collect()
+    )
+    assert out3 == [12]  # 13 is a batch-internal exact dup of 12
+
+
+def test_incremental_simhash_param_mismatch(spark, tmp_path):
+    """(max_hamming, bits) drift between a persisted chunk frame and the
+    batch raises — via column metadata in-session, via the __mh/__bits
+    stamp columns when the frame went through the manifest (which drops
+    metadata)."""
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import manifest as MF
+
+    seen = values_df(spark, [(1, _BASE)], ["doc_id", "text"])
+    new = values_df(spark, [(10, _NEAR)], ["doc_id", "text"])
+    pre = D.simhash_chunks(seen, "doc_id", "text", max_hamming=5)
+    with _pytest.raises(ValueError, match="parameterizations"):
+        D.incremental_simhash_dedup(
+            new, None, max_hamming=3, seen_chunks=pre
+        )
+    with _pytest.raises(ValueError, match="must carry"):
+        D.incremental_simhash_dedup(
+            new, None, max_hamming=3, seen_chunks=seen.select("doc_id")
+        )
+    # manifest round-trip: metadata is dropped; the stamp columns guard
+    t = str(tmp_path / "chunks5")
+    MF.append(
+        pre.withColumn("__mh", F.lit(5)).withColumn("__bits", F.lit(64)),
+        t, stat_cols=("__mh", "__bits"),
+    )
+    back = MF.read_table(spark, t)
+    assert not back.schema["cv"].metadata
+    with _pytest.raises(ValueError, match="persisted stamp"):
+        D.incremental_simhash_dedup(new, None, max_hamming=3, seen_chunks=back)
+    # matching params through the round-trip: accepted, stamp cols dropped
+    out = D.incremental_simhash_dedup(new, None, max_hamming=5, seen_chunks=back)
+    assert "__mh" not in out.columns
+    assert [r["doc_id"] for r in out.collect()] == []  # _NEAR drops at h=5
+
+
+def test_simhash_dedup_keep_first(spark):
+    """simhash_dedup: one survivor (lowest id) per hamming cluster, the
+    minhash_dedup semantics over the simhash pair surface."""
+    df = values_df(
+        spark,
+        [(1, _BASE), (2, _NEAR), (3, _FAR), (4, _BASE)],
+        ["doc_id", "text"],
+    )
+    out = sorted(r["doc_id"] for r in D.simhash_dedup(df, max_hamming=3).collect())
+    assert out == [1, 3]
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """semantic_dedup (SemDeDup): planted ≈0.999-cosine twins resolve to
+    one survivor per pair; unrelated base vectors all survive. min_id
+    keeps the originals outright; centroid_far keeps exactly one member
+    of each pair (whichever sits farther from its cluster centroid)."""
+    df, n_planted = _planted_near_dup_df(spark)
+    total = df.count()
+    out = S.semantic_dedup(
+        df, dim=64, threshold=0.95, n_centroids=4, keep="min_id"
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    assert len(ids) == total - n_planted
+    assert all(i < 1000 for i in ids)  # originals survive
+    out2 = {
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, dim=64, threshold=0.95, n_centroids=4, keep="centroid_far"
+        ).collect()
+    }
+    assert len(out2) == total - n_planted
+    for i in range(n_planted):  # exactly one member of each twin pair
+        assert (i in out2) != (1000 + i in out2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep="):
+        S.semantic_dedup(df, dim=64, keep="bogus")
