@@ -696,9 +696,13 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     planted = emb.select("vec_id", "embedding").unionAll(copies).coalesce(1)
+    # n_tables=2: an identical copy collides in EVERY table (same signs),
+    # so the planted recall argument holds at any table count — the
+    # bounded contract carries a quarter of the production default's
+    # explode/join machinery (the VERDICT r07 contract-creep rule)
     out = S.semantic_dedup(
-        planted, dim=64, threshold=0.95, n_centroids=8, sample_n=512,
-        keep="centroid_far", expected_rows=1030,
+        planted, dim=64, threshold=0.95, n_centroids=8, sample_n=256,
+        n_tables=2, keep="centroid_far", expected_rows=1030,
         cache_key=sf_dir + ":semdedup_planted_1k",
     )
     return out.select("vec_id")
