@@ -348,15 +348,32 @@ def pii_redact(
     no shuffle, fuses into the scan; at corpus scale this is the shape a
     PII pass must have (single pass, no Python)."""
     c = F.col(col)
+    # Every regex pass is gated behind a literal substring probe: an
+    # email match REQUIRES '@' and a phone match REQUIRES '+', and
+    # contains() is a memchr-style scan ~10-100x cheaper than a Java
+    # regex pass over the same bytes. On a clean-majority corpus (the
+    # normal case — 0% of the bench docs carry PII) the gate skips all
+    # four regex passes: measured 2.21 s -> 0.18 s at sf1.0 (50 k docs,
+    # 12x, bit-identical output; SCALE.md r9 weak-trio pass). Rows that
+    # DO probe positive pay one extra contains() — noise next to the
+    # regexes they were already paying.
+    at = c.contains("@")
     # phones are counted AFTER the email pass, on the same intermediate
     # the phone replacement runs on — counting the raw text would report
     # a phone-shaped substring inside an email address ('a+123456789@x')
     # as n_phone=1 while zero <PHONE> redactions occurred, and the audit
     # counts must match the redacted output
-    emailed = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
-    n_email = F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("int")
-    n_phone = F.regexp_count(emailed, F.lit(PII_PHONE_RE)).cast("int")
-    red = F.regexp_replace(emailed, PII_PHONE_RE, "<PHONE>")
+    emailed = F.when(at, F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")).otherwise(c)
+    n_email = (
+        F.when(at, F.regexp_count(c, F.lit(PII_EMAIL_RE)))
+        .otherwise(F.lit(0)).cast("int")
+    )
+    plus = emailed.contains("+")
+    n_phone = (
+        F.when(plus, F.regexp_count(emailed, F.lit(PII_PHONE_RE)))
+        .otherwise(F.lit(0)).cast("int")
+    )
+    red = F.when(plus, F.regexp_replace(emailed, PII_PHONE_RE, "<PHONE>")).otherwise(emailed)
     return (
         df.withColumn("n_email", n_email)
         .withColumn("n_phone", n_phone)
