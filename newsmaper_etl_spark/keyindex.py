@@ -452,3 +452,175 @@ def compact_key_index(
         spark, ktable, min_file_bytes=min_file_bytes,
         target_file_bytes=64 * 1024 * 1024,
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash chunk index (the hamming-radius mirror of the banded index)
+# --------------------------------------------------------------------------
+
+_CHUNKS_SUB = "_chunks"
+_CSTAMP = ("__mh", "__bits")
+
+
+def chunks_index_path(table: str) -> str:
+    return os.path.join(table, _CHUNKS_SUB)
+
+
+def _cstamped(chunks: DataFrame, max_hamming: int, bits: int) -> DataFrame:
+    """(max_hamming, bits) as constant stamp columns whose footer
+    min=max stats ride the manifest — the ``keyindex._stamped``
+    discipline applied to the SimHash seam (column metadata does not
+    survive the manifest's recorded-DDL read)."""
+    return chunks.withColumn("__mh", F.lit(max_hamming)).withColumn(
+        "__bits", F.lit(bits)
+    )
+
+
+def check_chunks_stamp(table: str, max_hamming: int, bits: int) -> None:
+    """Raise on (max_hamming, bits) drift between the persisted chunk
+    index and the caller's parameters — drifted chunk keys never (or
+    spuriously) collide, and a drifted radius silently changes the
+    dedup bar."""
+    ctable = chunks_index_path(table)
+    m = M._load_manifest(ctable, M.current_version(ctable))
+    want = dict(zip(_CSTAMP, (max_hamming, bits)))
+    for e in m["files"]:
+        st = e.get("stats", {})
+        for c, w in want.items():
+            rng = st.get(c)
+            if rng is not None and (rng[0] != w or rng[1] != w):
+                raise ValueError(
+                    f"chunk index at {ctable} was signed with {c}="
+                    f"{rng[0]} but this batch uses {c}={w}; rebuild the "
+                    "index or match the parameters"
+                )
+
+
+def read_chunks_index(spark: SparkSession, table: str) -> DataFrame | None:
+    """The persisted :func:`operators.dedup.simhash_chunks` frame for
+    the corpus — fingerprints + pigeonhole chunk keys, h+1 rows of 3-4
+    longs per doc. None when absent."""
+    ctable = chunks_index_path(table)
+    if M.current_version(ctable) == 0:
+        return None
+    return M.read_table(spark, ctable).drop(*_CSTAMP)
+
+
+def ensure_chunks_bootstrap(
+    spark: SparkSession, table: str, id_col: str, text_col: str,
+    max_hamming: int, bits: int, app: str, version: int | None = None,
+) -> bool:
+    """One-time corpus signing for a table that predates the chunk
+    index (the :func:`ensure_banded_bootstrap` twin, incl. the replay
+    ``version`` pin)."""
+    from newsmaper_etl_spark.operators.dedup import simhash_chunks
+
+    ctable = chunks_index_path(table)
+    v = M.current_version(table) if version is None else version
+    if M.current_version(ctable) > 0 or v == 0:
+        return False
+    boot_app = app + _BOOT_APP_SUFFIX
+    sigs = _cstamped(
+        simhash_chunks(
+            M.read_table(spark, table, version=v).select(id_col, text_col),
+            id_col, text_col, max_hamming, bits,
+        ),
+        max_hamming, bits,
+    )
+
+    def _append() -> int:
+        return M.append(
+            sigs, ctable, txn=(boot_app, 0), stat_cols=_CSTAMP,
+            meta={"op_detail": "chunkindex-bootstrap", "covers_version": v},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(ctable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def simhash_dedup_batch(
+    batch_df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    within_batch: bool = False,
+) -> DataFrame:
+    """Drop batch docs within SimHash hamming radius of ANY ingested
+    doc, via the persisted chunk index — the streaming form of
+    :func:`operators.dedup.incremental_simhash_dedup`. Unlike the
+    MinHash path there is NO verify fetch against the data table at
+    all: the index carries the fingerprints, so the per-batch read is
+    exactly the index's h+1 narrow rows per seen doc. Parameter drift
+    raises (the chunk stamp check). Returns an eagerly-materialized
+    frame (the sink appends it to multiple targets)."""
+    from newsmaper_etl_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_dedup,
+    )
+
+    spark = batch_df.sparkSession
+    idx = read_chunks_index(spark, table)
+    if idx is None:
+        out = (
+            simhash_dedup(batch_df, id_col, text_col, max_hamming, bits)
+            if within_batch else batch_df
+        )
+        return out
+    check_chunks_stamp(table, max_hamming, bits)
+    out = incremental_simhash_dedup(
+        batch_df, None, id_col, text_col, max_hamming, bits,
+        within_batch=within_batch, seen_chunks=idx,
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def append_batch_chunks(
+    batch_df: DataFrame, table: str, id_col: str, text_col: str,
+    max_hamming: int, bits: int, app: str, batch_id: int,
+) -> bool:
+    """Commit the batch survivors' chunk rows to the index under the
+    writer's txn mark (replay-skipped, orphan-self-healing)."""
+    from newsmaper_etl_spark.operators.dedup import simhash_chunks
+
+    ctable = chunks_index_path(table)
+    if batch_id <= M.last_txn_version(ctable, app):
+        return False
+    sigs = _cstamped(
+        simhash_chunks(
+            batch_df.select(id_col, text_col), id_col, text_col,
+            max_hamming, bits,
+        ),
+        max_hamming, bits,
+    )
+
+    def _append() -> int:
+        return M.append(sigs, ctable, txn=(app, int(batch_id)),
+                        stat_cols=_CSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(ctable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_chunks_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    ctable = chunks_index_path(table)
+    if M.current_version(ctable) == 0:
+        return 0
+    return M.compact(
+        spark, ctable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )

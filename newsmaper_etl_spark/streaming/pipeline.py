@@ -406,7 +406,20 @@ def write_stream_manifest(
     incremental_minhash_dedup composition, batch-scaled): a dict with
     ``id_col`` (required) and optional ``text_col`` ("text"),
     ``threshold`` (0.8), ``num_hashes`` (16), ``bands`` (4), ``k`` (3),
-    ``within_batch`` (False), ``max_candidate_ids`` (100_000). The sink
+    ``within_batch`` (False), ``max_candidate_ids`` (100_000).
+    ``method: "simhash"`` (r9) switches the near-dup notion to a
+    hamming radius (``max_hamming`` (3), ``bits`` (64)) over a
+    persisted :func:`operators.dedup.simhash_chunks` index at
+    ``<table>/_chunks`` — same txn/bootstrap/compaction discipline, but
+    the index carries the FINGERPRINTS, so the verify runs off the
+    candidate join itself and a batch never touches corpus text or the
+    data table at all (h+1 rows of 3-4 longs per seen doc is the whole
+    per-batch dedup read — there is no prune_in point fetch to tune,
+    no over-cap fallback, no data_version pin needed on replay). Pick
+    MinHash when "duplicate" means token-set overlap (robust to
+    reordering/small edits, exact-Jaccard verified); pick SimHash for
+    frequency-vector similarity at a fixed hamming bar with the
+    smallest per-batch I/O. The MinHash sink
     maintains a persisted :func:`operators.dedup.banded_signatures`
     side table at ``<table>/_banded`` (three longs per doc per band,
     parameter-stamped, same txn/bootstrap/compaction discipline as the
@@ -472,13 +485,26 @@ def write_stream_manifest(
 
     nd = dict(near_dedup) if near_dedup else None
     if nd is not None:
+        nd.setdefault("method", "minhash")
         nd.setdefault("text_col", "text")
-        nd.setdefault("threshold", 0.8)
-        nd.setdefault("num_hashes", 16)
-        nd.setdefault("bands", 4)
-        nd.setdefault("k", 3)
         nd.setdefault("within_batch", False)
-        nd.setdefault("max_candidate_ids", 100_000)
+        if nd["method"] == "minhash":
+            nd.setdefault("threshold", 0.8)
+            nd.setdefault("num_hashes", 16)
+            nd.setdefault("bands", 4)
+            nd.setdefault("k", 3)
+            nd.setdefault("max_candidate_ids", 100_000)
+        elif nd["method"] == "simhash":
+            # hamming-radius dedup via the persisted chunk index — no
+            # verify fetch against the data table at all (fingerprints
+            # ride the index), so the per-batch read is h+1 narrow
+            # rows per seen doc
+            nd.setdefault("max_hamming", 3)
+            nd.setdefault("bits", 64)
+        else:
+            raise ValueError(
+                f"near_dedup method={nd['method']!r} (minhash or simhash)"
+            )
         if "id_col" not in nd:
             raise ValueError("near_dedup requires an 'id_col' entry")
 
@@ -499,8 +525,13 @@ def write_stream_manifest(
                     K.key_index_path(table), app
                 )
             if nd is not None:
+                nd_index_path = (
+                    K.banded_index_path(table)
+                    if nd["method"] == "minhash"
+                    else K.chunks_index_path(table)
+                )
                 done = done and batch_id <= M.last_txn_version(
-                    K.banded_index_path(table), app
+                    nd_index_path, app
                 )
             if done:
                 return  # data and every index committed: pure replay
@@ -549,17 +580,29 @@ def write_stream_manifest(
             if nd["id_col"] not in eff_stat_cols:
                 # candidate point-fetch pruning needs id footer stats
                 eff_stat_cols = eff_stat_cols + (nd["id_col"],)
-            K.ensure_banded_bootstrap(
-                spark, table, nd["id_col"], nd["text_col"],
-                nd["num_hashes"], nd["bands"], nd["k"], app,
-                version=data_version,
-            )
-            batch_df = K.near_dedup_batch(
-                batch_df, table, nd["id_col"], nd["text_col"],
-                nd["threshold"], nd["num_hashes"], nd["bands"], nd["k"],
-                nd["within_batch"], nd["max_candidate_ids"],
-                data_version=data_version,
-            )  # returns an eagerly-materialized frame
+            if nd["method"] == "minhash":
+                K.ensure_banded_bootstrap(
+                    spark, table, nd["id_col"], nd["text_col"],
+                    nd["num_hashes"], nd["bands"], nd["k"], app,
+                    version=data_version,
+                )
+                batch_df = K.near_dedup_batch(
+                    batch_df, table, nd["id_col"], nd["text_col"],
+                    nd["threshold"], nd["num_hashes"], nd["bands"],
+                    nd["k"], nd["within_batch"], nd["max_candidate_ids"],
+                    data_version=data_version,
+                )  # returns an eagerly-materialized frame
+            else:
+                K.ensure_chunks_bootstrap(
+                    spark, table, nd["id_col"], nd["text_col"],
+                    nd["max_hamming"], nd["bits"], app,
+                    version=data_version,
+                )
+                batch_df = K.simhash_dedup_batch(
+                    batch_df, table, nd["id_col"], nd["text_col"],
+                    nd["max_hamming"], nd["bits"], nd["within_batch"],
+                )  # eagerly-materialized; verify runs off the index
+                # fingerprints, so no data_version pin is needed here
         elif dedup_keys:
             # the deduped batch feeds TWO commits (data, then keys):
             # persist so the dedup plan runs once, and so the
@@ -591,18 +634,29 @@ def write_stream_manifest(
                     batch_df, table, keys, app, int(batch_id)
                 )
             if nd is not None:
-                K.append_batch_banded(
-                    batch_df, table, nd["id_col"], nd["text_col"],
-                    nd["num_hashes"], nd["bands"], nd["k"],
-                    app, int(batch_id),
-                )
+                if nd["method"] == "minhash":
+                    K.append_batch_banded(
+                        batch_df, table, nd["id_col"], nd["text_col"],
+                        nd["num_hashes"], nd["bands"], nd["k"],
+                        app, int(batch_id),
+                    )
+                else:
+                    K.append_batch_chunks(
+                        batch_df, table, nd["id_col"], nd["text_col"],
+                        nd["max_hamming"], nd["bits"],
+                        app, int(batch_id),
+                    )
         finally:
             if persisted:
                 batch_df.unpersist()
         if compact_every and (int(batch_id) + 1) % int(compact_every) == 0:
             for _maint in (
                 [K.compact_key_index] if dedup_keys else []
-            ) + ([K.compact_banded_index] if nd is not None else []):
+            ) + (
+                [K.compact_banded_index if nd["method"] == "minhash"
+                 else K.compact_chunks_index]
+                if nd is not None else []
+            ):
                 try:
                     _maint(batch_df.sparkSession, table)
                 except M.ConcurrentWriteError:

@@ -1013,3 +1013,79 @@ def test_bootstrap_on_replay_pins_pre_batch_snapshot(spark, tmp_path):
     )
     run(str(tmp_path / "yck2"), with_keys=True)
     assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+
+
+def test_stream_manifest_simhash_dedup_on_ingest(spark, tmp_path):
+    """near_dedup method='simhash': a later run's small-edit redelivery
+    (within the hamming radius) never re-enters; candidates AND the
+    verify both come from the persisted chunk index (fingerprints ride
+    the join — the data table is never read by the dedup at all), the
+    index tracks survivors under the txn discipline, and parameter
+    drift against the persisted index is refused."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee at midnight near the harbor")
+    near = base.replace("lazy", "sleepy")  # one-token edit: tiny hamming
+    far = ("completely different subject matter entirely about orbital "
+           "mechanics and the trajectories of small icy bodies beyond "
+           "neptune in the scattered disk population")
+
+    src = tmp_path / "shin"
+    src.mkdir()
+    table = str(tmp_path / "shtable")
+    main_reads = []
+    real_read = M.read_table
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"shq:{ck}",
+            near_dedup={"id_col": "id", "method": "simhash",
+                        "max_hamming": 8},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": base}) + "\n"
+        + _json.dumps({"id": 2, "text": far})
+    )
+    run(str(tmp_path / "shck0"))
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2}
+
+    # second run: exact copy + small edit of base (both within radius)
+    # + one genuinely new doc; spy proves the dedup never read the DATA
+    # table (only manifests/indexes — the no-verify-fetch contract)
+    import os as _os
+
+    def _spy(spark_, tbl, *a, **kw):
+        main_reads.append(_os.path.normpath(tbl))
+        return real_read(spark_, tbl, *a, **kw)
+
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "text": base}) + "\n"
+        + _json.dumps({"id": 11, "text": near}) + "\n"
+        + _json.dumps({"id": 12, "text": "a third and wholly distinct "
+                       "document describing medieval bread baking guild "
+                       "regulations in fourteenth century flanders"})
+    )
+    M.read_table = _spy
+    try:
+        run(str(tmp_path / "shck1"))
+    finally:
+        M.read_table = real_read
+    assert _os.path.normpath(table) not in main_reads
+    ids = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert ids == {1, 2, 12}
+    cidx = M.read_table(spark, K.chunks_index_path(table))
+    assert {r["id"] for r in cidx.collect()} == {1, 2, 12}
+    with _pytest.raises(ValueError, match="signed with"):
+        K.check_chunks_stamp(table, max_hamming=3, bits=64)
+    # measured bar for this corpus: the one-token edit sits at hamming 7
+    # (dropped at radius 8); the distinct third doc sits far outside
