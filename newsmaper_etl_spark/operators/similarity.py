@@ -804,6 +804,48 @@ def semantic_dedup(
         raise ValueError(f"keep={keep!r} (centroid_far or min_id)")
     from newsmaper_etl_spark.operators.dedup import connected_components
 
+    celled, pairs = _semantic_cells_and_pairs(
+        df, dim, id_col, vec_col, threshold, n_centroids, sample_n, seed,
+        n_planes, n_tables, expected_rows, cache_key,
+    )
+    comps = connected_components(pairs, "id_a", "id_b", max_iter)
+    if keep == "min_id":
+        losers = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        members = comps.join(
+            celled.select(F.col(id_col).alias("id"), "__csim"), on="id"
+        )
+        w = Window.partitionBy("comp").orderBy(
+            F.asc_nulls_last("__csim"), F.asc("id")
+        )
+        losers = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def _semantic_cells_and_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int,
+    sample_n: int,
+    seed: int,
+    n_planes: int | None,
+    n_tables: int,
+    expected_rows: int | None,
+    cache_key: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared assign+pair core of :func:`semantic_dedup` /
+    :func:`semantic_dup_pairs`: (celled, pairs) where ``celled`` =
+    (id, vec, norm, cell, csim) and ``pairs`` = verified (id_a, id_b)
+    with id_a < id_b, cosine ≥ threshold, one row per pair."""
     if cache_key is not None:
         ck = (cache_key, vec_col, n_centroids, sample_n, seed)
         cents = _CENTROID_CACHE.get(ck)
@@ -857,21 +899,32 @@ def semantic_dedup(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    comps = connected_components(pairs, "id_a", "id_b", max_iter)
-    if keep == "min_id":
-        losers = comps.filter(F.col("id") != F.col("comp")).select(
-            F.col("id").alias(id_col)
-        )
-    else:
-        members = comps.join(
-            celled.select(F.col(id_col).alias("id"), "__csim"), on="id"
-        )
-        w = Window.partitionBy("comp").orderBy(
-            F.asc_nulls_last("__csim"), F.asc("id")
-        )
-        losers = (
-            members.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > 1)
-            .select(F.col("id").alias(id_col))
-        )
-    return df.join(losers, on=id_col, how="left_anti")
+    return celled, pairs
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    sample_n: int = 2048,
+    seed: int = 42,
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    expected_rows: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The raw semantic-duplicate PAIR surface of :func:`semantic_dedup`
+    (id_a < id_b, one row per within-cell pair with cosine ≥ threshold)
+    — exposed for telemetry and plan audits, the same
+    candidates-not-output-pairs discipline as
+    :func:`embedding_near_dup_candidates` (SCALE.md: a curve that only
+    counts survivors can be fooled; the pair surface is what the verify
+    pays for)."""
+    _, pairs = _semantic_cells_and_pairs(
+        df, dim, id_col, vec_col, threshold, n_centroids, sample_n, seed,
+        n_planes, n_tables, expected_rows, cache_key,
+    )
+    return pairs

@@ -668,6 +668,19 @@ def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_semantic_dedup", oracle=None, tags=("DEDUP", "SEMANTIC", "ANN"))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after SemDeDup semantic-duplicate removal at the
+    production threshold (rows-only: cell membership depends on the
+    sampled k-means centroids and hyperplane literals; the
+    planted-deterministic twin is q_semantic_dedup_planted)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, dim=64, threshold=0.9, n_centroids=8, sample_n=512,
+        cache_key=sf_dir + ":semdedup",
+    ).select("vec_id")
+
+
 @query(
     "q_semantic_dedup_planted",
     oracle="""

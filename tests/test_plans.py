@@ -417,3 +417,25 @@ def test_tpch_no_forced_broadcast_of_data_scaled_sides(spark, sf_dir, tmp_path):
         # and the toy path really does add hints on top of the fixed set
         assert hint_count(name, sf_dir) > fixed or fixed == 0 and \
             hint_count(name, sf_dir) >= 1, name
+
+
+def test_semantic_dedup_plans_hash_joins_only(spark, sf_dir):
+    """SemDeDup's pair stage must plan as a hash equi-join on (cell,
+    table, bucket) — never a nested-loop/cartesian pair surface — and
+    the whole pipeline stays JVM-side (no Python eval nodes; the only
+    driver materializations are the bounded centroid sample and the
+    <=100k-edge union-find)."""
+    from newsmaper_etl_spark.io import load_table
+    from newsmaper_etl_spark.operators.similarity import semantic_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dup_pairs(emb, dim=64, n_centroids=8, sample_n=512)
+    plan = _plan(pairs, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and the end-to-end op stays Python-free too (its final anti-join
+    # may be optimized away when no duplicate groups exist)
+    full = _plan(QUERIES["q_semantic_dedup"].fn(spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
