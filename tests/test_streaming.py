@@ -1089,3 +1089,70 @@ def test_stream_manifest_simhash_dedup_on_ingest(spark, tmp_path):
         K.check_chunks_stamp(table, max_hamming=3, bits=64)
     # measured bar for this corpus: the one-token edit sits at hamming 7
     # (dropped at radius 8); the distinct third doc sits far outside
+
+
+def test_chunks_index_survives_crash_before_chunk_commit(spark, tmp_path):
+    """The keys->banded replay-window fix, exercised on the SimHash
+    chunk index: crash after the data commit but before the chunk
+    commit; the replay must re-derive the survivor against pre-batch
+    state and append its REAL chunk rows (never an empty frame), and
+    the healed index keeps hamming-radius redeliveries out."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee at midnight near the harbor")
+    third = ("a wholly distinct document describing medieval bread baking "
+             "guild regulations in fourteenth century flanders and their "
+             "seasonal grain pricing customs")
+
+    src = tmp_path / "zin"
+    src.mkdir()
+    table = str(tmp_path / "ztable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"zq:{ck}",
+            near_dedup={"id_col": "id", "method": "simhash",
+                        "max_hamming": 8},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(_json.dumps({"id": 1, "text": base}))
+    run(str(tmp_path / "zck0"))
+
+    (src / "b1.json").write_text(_json.dumps({"id": 20, "text": third}))
+    ck1 = str(tmp_path / "zck1")
+    real = K.append_batch_chunks
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before chunk commit")
+
+    K.append_batch_chunks = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck1)
+    finally:
+        K.append_batch_chunks = real
+    # data landed; chunk index is one batch behind
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+    cidx = M.read_table(spark, K.chunks_index_path(table))
+    assert {r["id"] for r in cidx.collect()} == {1}
+
+    run(ck1)  # replay heals the index with doc 20's REAL chunk rows
+    cidx = M.read_table(spark, K.chunks_index_path(table))
+    assert {r["id"] for r in cidx.collect()} == {1, 20}
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+
+    # a small edit of 20's text (within radius) now stays out
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 30, "text": third.replace("medieval", "ancient")})
+    )
+    run(str(tmp_path / "zck2"))
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
