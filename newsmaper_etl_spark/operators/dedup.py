@@ -614,35 +614,67 @@ def cross_corpus_losers(
     is semi-joined to the candidate ids (only bucket-mates the batch
     actually touched are ever shingled), exploded to (pair, shingle)
     rows through the candidate list, and the two sides meet in ONE
-    full-outer join on (pair, shingle): per-pair row count = |A∪B| and
-    both-present count = |A∩B|, so Jaccard falls out of a single
-    aggregation with no per-doc size aggregation and no size joins.
-    Remaining id contract: ids must be unique WITHIN each side (two
-    seen rows under one id would still merge on the seen side)."""
+    full-outer join on (pair, version, shingle): per-(pair, version)
+    row count = |A∪B_v| and both-present count = |A∩B_v|, so Jaccard
+    falls out of a single aggregation with no per-doc size aggregation
+    and no size joins.
 
-    def _side_shingles(df: DataFrame, pair_id: str) -> DataFrame:
-        touched = df.select(id_col, text_col).join(
-            cands.select(F.col(pair_id).alias(id_col)).distinct(),
+    The SEEN side is version-aware (ADVICE r09): the data table can
+    legitimately hold several rows under one id — the same-id re-crawl
+    whose edit was admitted commits a second version — and merging
+    their shingles under the shared id deflates/inflates every later
+    Jaccard against that id. Each distinct seen (id, text) is scored
+    as its own version (``__v`` = xxhash64(text), deterministic, and
+    collapsing byte-identical rows is exact), and a batch doc loses
+    iff ANY version scores ≥ threshold — near-duplicating content the
+    corpus already holds, in any of its committed revisions, drops it.
+    Remaining id contract: NEW-side ids must be unique within the
+    batch (two batch rows under one id would still merge)."""
+    # one shingle row-set per distinct seen (id, text) version; the
+    # semi-join keeps the frame batch-scaled (bucket-mates only)
+    seen_touched = (
+        seen_df.select(id_col, text_col)
+        .join(
+            cands.select(F.col("id_b").alias(id_col)).distinct(),
             on=id_col, how="left_semi",
-        ).withColumn("__th", token_hashes_col(text_col))
-        # explode the EXPRESSION, not an aliased column — the
-        # jaccard_verify InferFiltersFromGenerate rule
-        return touched.select(
-            F.col(id_col).alias(pair_id),
-            F.explode(
-                F.array_distinct(hashed_shingles_expr("__th", k))
-            ).alias("s"),
         )
+        .withColumn("__v", F.xxhash64(F.col(text_col)))
+        .dropDuplicates([id_col, "__v"])
+    )
+    vcands = cands.join(
+        seen_touched.select(F.col(id_col).alias("id_b"), "__v"), on="id_b"
+    )
 
-    pa = cands.join(_side_shingles(new_df, "id_a"), on="id_a").withColumn(
-        "__ina", F.lit(1)
+    new_touched = (
+        new_df.select(id_col, text_col)
+        .join(
+            cands.select(F.col("id_a").alias(id_col)).distinct(),
+            on=id_col, how="left_semi",
+        )
+        .withColumn("__th", token_hashes_col(text_col))
     )
-    pb = cands.join(_side_shingles(seen_df, "id_b"), on="id_b").withColumn(
-        "__inb", F.lit(1)
+    # explode the EXPRESSION, not an aliased column — the
+    # jaccard_verify InferFiltersFromGenerate rule
+    na_sh = new_touched.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(
+            F.array_distinct(hashed_shingles_expr("__th", k))
+        ).alias("s"),
     )
+    sb_sh = seen_touched.withColumn(
+        "__th", token_hashes_col(text_col)
+    ).select(
+        F.col(id_col).alias("id_b"),
+        "__v",
+        F.explode(
+            F.array_distinct(hashed_shingles_expr("__th", k))
+        ).alias("s"),
+    )
+    pa = vcands.join(na_sh, on="id_a").withColumn("__ina", F.lit(1))
+    pb = vcands.join(sb_sh, on=["id_b", "__v"]).withColumn("__inb", F.lit(1))
     stats = (
-        pa.join(pb, on=["id_a", "id_b", "s"], how="full")
-        .groupBy("id_a", "id_b")
+        pa.join(pb, on=["id_a", "id_b", "__v", "s"], how="full")
+        .groupBy("id_a", "id_b", "__v")
         .agg(
             F.count(F.lit(1)).alias("__n_union"),
             F.count(F.when((F.col("__ina") == 1) & (F.col("__inb") == 1), 1)).alias("__n_inter"),
@@ -994,7 +1026,6 @@ def incremental_simhash_dedup(
         sc = simhash_chunks(seen_df, id_col, text_col, max_hamming, bits)
     nc = simhash_chunks(new_df, id_col, text_col, max_hamming, bits,
                         checkpoint=checkpoint)
-    sig_cols = ["simhash"] if bits == 64 else ["simhash", "simhash_hi"]
     a = nc.select(
         F.col(id_col).alias("__new_id"), F.col("simhash").alias("sig_a"),
         *([F.col("simhash_hi").alias("sig_a_hi")] if bits == 128 else []),

@@ -665,13 +665,21 @@ def embedding_near_dup_candidates(
         # shiftleft needs a literal shift; 2^nbits is exact in a double
         # for nbits <= 16
         mask = F.pow(F.lit(2.0), nbits.cast("double")).cast("long") - F.lit(1)
+        # the marker bit must sit ABOVE the widest possible UNREFINED
+        # bucket id (ADVICE r09): _auto_planes reaches 17-24 at ~1M+
+        # rows, where a marker at bit _REFINE_PLANES=16 lets a refined
+        # id (small __b) equal an unrefined heavy-tail id, merging
+        # unrelated buckets. With W = max(n_planes, _REFINE_PLANES),
+        # every refined id is ≥ 2^W > any unrefined id — provably
+        # disjoint key spaces (refine payload r < 2^_REFINE_PLANES ≤
+        # 2^W keeps the refined encoding itself injective).
+        w = max(n_planes, _REFINE_PLANES)
         keyed = keyed.withColumn(
             "__b",
             F.when(
                 F.col("__bn") > max_bucket,
-                # marker bit keeps refined ids disjoint from unrefined
-                F.shiftleft(F.col("__b"), _REFINE_PLANES + 1)
-                .bitwiseOR(F.lit(1 << _REFINE_PLANES).cast("long"))
+                F.shiftleft(F.col("__b"), w + 1)
+                .bitwiseOR(F.lit(1 << w).cast("long"))
                 .bitwiseOR(refine.cast("long").bitwiseAND(mask)),
             ).otherwise(F.col("__b")),
         ).drop("__bn")

@@ -357,7 +357,14 @@ def pii_redact(
     # 12x, bit-identical output; SCALE.md r9 weak-trio pass). Rows that
     # DO probe positive pay one extra contains() — noise next to the
     # regexes they were already paying.
-    at = c.contains("@")
+    # NULL text must stay NULL through the gate (ADVICE r09): contains()
+    # over NULL is NULL, and when(NULL, ...).otherwise(0) would turn the
+    # counts into 0 where SQL regexp_count semantics (and the DuckDB
+    # oracle) propagate NULL. Gate with coalesce(..., false) ONLY to
+    # pick the replace branch; the counts' otherwise(0) then fires only
+    # for non-NULL probe-negative rows (regexp_count itself still
+    # propagates NULL on the probe-positive branch, vacuously).
+    at = F.coalesce(c.contains("@"), F.lit(False))
     # phones are counted AFTER the email pass, on the same intermediate
     # the phone replacement runs on — counting the raw text would report
     # a phone-shaped substring inside an email address ('a+123456789@x')
@@ -365,12 +372,14 @@ def pii_redact(
     # counts must match the redacted output
     emailed = F.when(at, F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")).otherwise(c)
     n_email = (
-        F.when(at, F.regexp_count(c, F.lit(PII_EMAIL_RE)))
+        F.when(c.isNull(), F.lit(None))
+        .when(at, F.regexp_count(c, F.lit(PII_EMAIL_RE)))
         .otherwise(F.lit(0)).cast("int")
     )
-    plus = emailed.contains("+")
+    plus = F.coalesce(emailed.contains("+"), F.lit(False))
     n_phone = (
-        F.when(plus, F.regexp_count(emailed, F.lit(PII_PHONE_RE)))
+        F.when(c.isNull(), F.lit(None))
+        .when(plus, F.regexp_count(emailed, F.lit(PII_PHONE_RE)))
         .otherwise(F.lit(0)).cast("int")
     )
     red = F.when(plus, F.regexp_replace(emailed, PII_PHONE_RE, "<PHONE>")).otherwise(emailed)

@@ -1,0 +1,54 @@
+"""Process-level cache for planted-contract fixture frames.
+
+The planted contracts (q_minhash_dedup_planted, q_curate_incremental_planted,
+the multimodal corpora, …) synthesize a small deterministic input corpus
+before running the operator under test. The corpus itself is test
+scaffolding, not the measured operator — but rebuilding it on every
+invocation (the bench runs each query best-of-3-to-8, and several
+contracts share one corpus) re-pays its scan + union + checkpoint jobs
+each time (VERDICT r09 'do this' #1a: the planted-contract machinery was
+~+11% of the whole sf0.1 bench). This cache builds each fixture ONCE per
+(SparkSession, sf_dir) as an eager localCheckpoint and hands every later
+caller the materialized frame — the exact analog of how the REAL queries
+amortize input cost through the OS page cache over the parquet files,
+and, for the persisted-index fixtures (banded signatures, SimHash
+chunks), of how a deployment persists the index once per corpus snapshot
+rather than re-deriving it per batch.
+
+Keys carry the applicationId so a stopped/restarted session (tests spin
+up several) never sees another JVM's checkpoint handles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def cached_fixture(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    builder: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the fixture frame for (session, name, sf_dir), building and
+    eagerly localCheckpoint-ing it on first request.
+
+    ``builder`` must be deterministic in (name, sf_dir) — the cache
+    assumes two calls under one key are interchangeable. Fixtures are
+    bounded by construction (tens to hundreds of rows), so pinning their
+    checkpoint blocks for the process lifetime is noise."""
+    key = (spark.sparkContext.applicationId, name, sf_dir)
+    df = _CACHE.get(key)
+    if df is None:
+        df = builder().localCheckpoint(eager=True)
+        _CACHE[key] = df
+    return df
+
+
+def clear() -> None:
+    """Drop every cached fixture (test isolation hook)."""
+    _CACHE.clear()

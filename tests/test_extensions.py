@@ -2319,3 +2319,91 @@ def test_semantic_dedup_planted_twins(spark):
 
     with _pytest.raises(ValueError, match="keep="):
         S.semantic_dedup(df, dim=64, keep="bogus")
+
+
+# --------------------------------------------------------------------------
+# ADVICE r09 regressions
+# --------------------------------------------------------------------------
+
+def test_cross_corpus_verify_is_version_aware(spark):
+    """ADVICE r09 medium: the data table legitimately holds several rows
+    under one id (an admitted same-id re-crawl commits a second
+    version), and the old seen-side verify merged BOTH versions'
+    shingles under the shared id — a later batch doc that exactly
+    copies ONE committed version then scored |A|/|A∪A'| < 1 against
+    the union and was silently admitted at threshold=1.0. Version-aware
+    verify scores each committed (id, text) separately and drops on ANY
+    version ≥ threshold."""
+    seen = values_df(
+        spark, [(1, _BASE), (1, _FAR)], ["doc_id", "text"]
+    )  # two committed versions under id 1 (re-crawl with heavy edit)
+    new = values_df(
+        spark,
+        [(100, _BASE),   # exact copy of version 1 → must drop
+         (101, _FAR),    # exact copy of version 2 → must drop
+         (102, _NEAR)],  # near-miss of version 1 → survives at 1.0
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, seen, threshold=1.0
+        ).collect()
+    )
+    assert out == [102]
+    # byte-identical duplicate rows on the seen side collapse to one
+    # version: the exact copy still scores 1.0, not a double-counted
+    # union ratio
+    seen2 = values_df(spark, [(1, _BASE), (1, _BASE)], ["doc_id", "text"])
+    out2 = sorted(
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            values_df(spark, [(100, _BASE), (101, _FAR)], ["doc_id", "text"]),
+            seen2, threshold=1.0,
+        ).collect()
+    )
+    assert out2 == [101]
+
+
+def test_pii_redact_null_text_stays_null(spark):
+    """ADVICE r09 low: the contains() probe gates must not rewrite NULL
+    text semantics — regexp_count over NULL is NULL in SQL (and the
+    DuckDB oracle), so n_email/n_phone stay NULL and the redacted text
+    stays NULL for a NULL input row."""
+    from newsmaper_etl_spark.operators import text as TX2
+
+    df = values_df(
+        spark,
+        [(1, None), (2, "mail a@b.co and call +1234567 89")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in TX2.pii_redact(df).collect()}
+    assert rows[1]["n_email"] is None
+    assert rows[1]["n_phone"] is None
+    assert rows[1]["redacted"] is None
+    assert rows[2]["n_email"] == 1
+
+
+def test_embedding_bucket_cap_disjoint_at_wide_planes(spark):
+    """ADVICE r09 low: with n_planes > _REFINE_PLANES (auto at ~1M+
+    rows) the refined-bucket marker bit must sit ABOVE the unrefined
+    key width, or a refined id can equal an unrefined heavy-tail id and
+    merge unrelated buckets (spurious candidates inflating the scale
+    telemetry). At 18 planes: every planted identical pair still
+    surfaces (identical signs are unsplittable), and the capped
+    candidate set stays a SUBSET of the uncapped one — refinement may
+    only split buckets, never merge them."""
+    df, n_planted = _planted_near_dup_df(spark)
+    kw = dict(dim=64, n_planes=18, n_tables=2)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_candidates(
+            df, max_bucket=2, **kw
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_candidates(df, **kw).collect()
+    }
+    assert {(i, 1000 + i) for i in range(n_planted)} <= capped
+    assert capped <= uncapped
