@@ -294,10 +294,37 @@ def main() -> None:
         "spark_excess_shared": excess,
         "ratio_excl_floor": round(excess / duck_total, 2) if duck_total else None,
     }
+    # Box-state canary (VERDICT r09 'do this' #1b/#2): the r9 record was
+    # taken on a degraded box (sched/arrow floors ~2x the r8 baseline,
+    # DuckDB unaffected) and the round argued about which number was
+    # real. Every record now carries the floor baseline it is judged
+    # against and a degraded verdict, so a reader can see box state IN
+    # the record instead of reconstructing it from A/B notes. Baseline =
+    # the r8-record floors (the last known-healthy box).
+    _FLOOR_BASELINE = {"sched": 0.0132, "arrow": 0.2385}
+    out["box"] = {
+        "floor_baseline_sec": _FLOOR_BASELINE,
+        "sched_floor_ratio": round(floor_sec / _FLOOR_BASELINE["sched"], 2),
+        "arrow_floor_ratio": round(
+            arrow_floor_sec / _FLOOR_BASELINE["arrow"], 2
+        ),
+        "degraded": bool(
+            floor_sec > 1.5 * _FLOOR_BASELINE["sched"]
+            or arrow_floor_sec > 1.5 * _FLOOR_BASELINE["arrow"]
+        ),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
+        # BENCH_LOCAL.json is THE current record (single source of
+        # truth); every run also appends its summary to the append-only
+        # BENCH_HISTORY.jsonl so conflicting snapshots can't coexist as
+        # two "current" records again (VERDICT r09 'do this' #2)
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(out, f, indent=1)
+        hist = {k: v for k, v in out.items() if k not in ("queries", "duckdb_sec")}
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(hist, separators=(",", ":")) + "\n")
     except OSError:
         pass
 
@@ -323,6 +350,7 @@ def main() -> None:
         "spark_excess_shared": excess,
         "ratio_excl_floor": out["ratio_excl_floor"],
         "duckdb_drift": drift,
+        "box": out["box"],
         "queries": {n: [timings[n], duck[n]] for n in worst},
         "full_record": "BENCH_LOCAL.json",
     }

@@ -1170,6 +1170,39 @@ def ngram_jaccard_pairs(
 # Benchmark decontamination
 # --------------------------------------------------------------------------
 
+#: Bloom pre-filter sizing for contamination_check: bits per eval gram
+#: (k=1 probe → false-positive rate ≈ 1 − e^(−1/16) ≈ 6%) and the cap
+#: on eval grams collected to the driver to build the mask (1M grams →
+#: a 2 MB long-array literal, broadcast once per stage with the task
+#: binary). Above the cap the pre-filter is skipped — correct either
+#: way, the bloom only prunes rows the join would reject.
+_CONTAM_BLOOM_BITS_PER_GRAM = 16
+_CONTAM_BLOOM_MAX_GRAMS = 1_000_000
+
+
+def _bloom_mask(hashes, n_longs: int) -> list[int]:
+    """k=1 Bloom bitmask over 64-bit hashes as SIGNED longs (the
+    Literal array type Spark accepts): word = (h >>> 6) % n_longs,
+    bit = h & 63."""
+    mask = [0] * n_longs
+    for h in hashes:
+        h &= 0xFFFFFFFFFFFFFFFF
+        mask[(h >> 6) % n_longs] |= 1 << (h & 63)
+    return [m - (1 << 64) if m >= (1 << 63) else m for m in mask]
+
+
+def _bloom_might_contain(gh, mask_lit, n_longs: int):
+    """JVM-side membership probe mirroring :func:`_bloom_mask` — pure
+    built-in expressions (pmod/shiftrightunsigned/element_at/bit_get),
+    so it stays inside whole-stage codegen on the corpus hot path."""
+    idx = F.pmod(F.shiftrightunsigned(gh, 6), F.lit(n_longs)).cast(
+        "int"
+    ) + F.lit(1)
+    return F.bit_get(
+        F.element_at(mask_lit, idx), gh.bitwiseAND(F.lit(63))
+    ) == F.lit(1)
+
+
 def contamination_check(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -1180,6 +1213,7 @@ def contamination_check(
     broadcast_eval: bool = True,
     hashed: bool = True,
     exclude_same_id: bool = True,
+    bloom: bool = True,
 ) -> DataFrame:
     """Flag training documents sharing any n-gram with a benchmark/eval
     set → ``(id, n_contam)`` with n_contam = #distinct contaminated
@@ -1193,7 +1227,13 @@ def contamination_check(
     default and the bulk corpus never shuffles: the only exchanged rows
     are the JOIN HITS (grams actually shared with the benchmark — a
     vanishingly small slice), which the post-join distinct + count
-    aggregate shuffle by (id, gram). With ``exclude_same_id`` (the
+    aggregate shuffle by (id, gram). ``bloom=True`` (default) further
+    gates the corpus grams behind a broadcast Bloom bitmask of the eval
+    grams' hashes — pure bit-ops in the explode's own codegen stage —
+    so ~94% of corpus grams never reach the join-relation probe; the
+    mask is built from a driver collect bounded by
+    ``_CONTAM_BLOOM_MAX_GRAMS`` (skipped above it) and cannot change
+    the output (no false negatives; the join rejects false positives). With ``exclude_same_id`` (the
     default) an eval doc also present in the corpus under the SAME id
     doesn't flag itself — only valid when the eval set was drawn from
     the corpus; for an EXTERNAL benchmark whose id space is independent
@@ -1234,6 +1274,30 @@ def contamination_check(
 
     c_grams = _grams(corpus, "id")
     e_grams = _grams(eval_df, "eval_id").distinct()
+    if bloom:
+        # Bloom pre-filter (VERDICT r09 'do this' #3): the corpus-side
+        # explode feeds every gram of every doc into the broadcast-join
+        # probe, but almost no training doc shares an 8-gram with the
+        # benchmark — so probe a 2 MB-max bit mask of the eval grams'
+        # xxhash64 values FIRST (three bit-ops inside the same codegen
+        # stage as the explode) and let only the ~6% false-positive
+        # slice reach the hash-relation probe. Exactness is untouched:
+        # every true eval gram is in the mask (no false negatives) and
+        # the real join still rejects the false positives. The mask is
+        # built from a bounded driver collect of the eval side — the
+        # operator already assumes the benchmark is broadcast-tiny; if
+        # it exceeds the cap the pre-filter silently drops out.
+        eh = (F.col("g") if hashed else F.xxhash64(F.col("g"))).alias("__gh")
+        gh_rows = (
+            e_grams.select(eh).distinct()
+            .limit(_CONTAM_BLOOM_MAX_GRAMS + 1).collect()
+        )
+        if len(gh_rows) <= _CONTAM_BLOOM_MAX_GRAMS:
+            n_bits = max(1024, _CONTAM_BLOOM_BITS_PER_GRAM * len(gh_rows))
+            n_longs = (n_bits + 63) // 64
+            mask = F.lit(_bloom_mask((r[0] for r in gh_rows), n_longs))
+            ch = F.col("g") if hashed else F.xxhash64(F.col("g"))
+            c_grams = c_grams.filter(_bloom_might_contain(ch, mask, n_longs))
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
     hits = c_grams.join(e_grams, on="g")

@@ -1370,14 +1370,74 @@ class _JpegBits:
             return True
         return False
 
+    def read_bits(self, n: int) -> int | None:
+        """Read n RAW bits MSB-first (no EXTEND sign logic — the EOBn
+        run-length extension bits of progressive AC scans)."""
+        v = 0
+        for _ in range(n):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+
+def _jpeg_parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> bool:
+    """Parse a DHT segment into the table dicts (shared by the baseline
+    marker walk and the progressive between-scan walk — progressive
+    files redefine Huffman tables per scan)."""
+    j = 0
+    while j + 17 <= len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 0x0F
+        bits = list(seg[j + 1 : j + 17])
+        n = sum(bits)
+        vals = seg[j + 17 : j + 17 + n]
+        if len(vals) < n:
+            return False
+        table = _JpegHuffman(bits, bytes(vals))
+        (huff_dc if tc == 0 else huff_ac)[th] = table
+        j += 17 + n
+    return True
+
+
+def _jpeg_assemble(
+    planes: list, comps: list, hmax: int, vmax: int, w: int, h: int, np
+) -> tuple[str, int, int, int, bytes] | None:
+    """Shared tail of both decode paths: upsample chroma planes to the
+    luma grid, crop the MCU padding, level-shift / YCbCr→RGB."""
+    out_planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        p = planes[ci]
+        # box-replicate up to the luma grid, then crop to (h, w)
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
+        return ("jpeg", w, h, 1, gray.astype(np.uint8).tobytes())
+    y, cb, cr = out_planes
+    y = y + 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bb = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(r), 0, 255), np.clip(np.round(g), 0, 255),
+         np.clip(np.round(bb), 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    return ("jpeg", w, h, 3, rgb.tobytes())
+
 
 def _decode_jpeg(b: bytes) -> tuple[str, int, int, int, bytes] | None:
-    """Baseline (sequential, Huffman) JPEG → (format, w, h, channels,
-    row-major samples). Grayscale stays 1-channel; 3-component scans
-    come back as RGB via the JFIF YCbCr transform with chroma planes
-    box-replicated up to the luma grid. Anything this decoder does not
-    fully implement — progressive, arithmetic, hierarchical, 12-bit,
-    4-component — returns None rather than wrong pixels."""
+    """Huffman JPEG → (format, w, h, channels, row-major samples), both
+    BASELINE (SOF0/SOF1, single interleaved scan) and PROGRESSIVE (SOF2,
+    multi-scan spectral selection + successive approximation — the
+    dominant web-crawl encoding; VERDICT r09 'do this' #8). Grayscale
+    stays 1-channel; 3-component scans come back as RGB via the JFIF
+    YCbCr transform with chroma planes box-replicated up to the luma
+    grid. Anything this decoder does not fully implement — arithmetic
+    coding, hierarchical, 12-bit, 4-component — returns None rather
+    than wrong pixels."""
     import numpy as np
 
     global _IDCT_M
@@ -1390,6 +1450,7 @@ def _decode_jpeg(b: bytes) -> tuple[str, int, int, int, bytes] | None:
     huff_ac: dict[int, _JpegHuffman] = {}
     restart_interval = 0
     frame = None  # (w, h, components)
+    progressive = False
     i = 2
     try:
         while i + 4 <= len(b):
@@ -1416,18 +1477,9 @@ def _decode_jpeg(b: bytes) -> tuple[str, int, int, int, bytes] | None:
                     else:
                         return None
             elif marker == 0xC4:  # DHT
-                j = 0
-                while j + 17 <= len(seg):
-                    tc, th = seg[j] >> 4, seg[j] & 0x0F
-                    bits = list(seg[j + 1 : j + 17])
-                    n = sum(bits)
-                    vals = seg[j + 17 : j + 17 + n]
-                    if len(vals) < n:
-                        return None
-                    table = _JpegHuffman(bits, bytes(vals))
-                    (huff_dc if tc == 0 else huff_ac)[th] = table
-                    j += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+                if not _jpeg_parse_dht(seg, huff_dc, huff_ac):
+                    return None
+            elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
                 if seg[0] != 8:  # sample precision
                     return None
                 h = struct.unpack(">H", seg[1:3])[0]
@@ -1442,14 +1494,20 @@ def _decode_jpeg(b: bytes) -> tuple[str, int, int, int, bytes] | None:
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, tq))
                 frame = (w, h, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / hierarchical
+                return None  # lossless / arithmetic / hierarchical
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", seg[0:2])[0]
             elif marker == 0xDA:  # SOS — entropy-coded data follows
                 if frame is None:
                     return None
+                if progressive:
+                    return _jpeg_progressive(
+                        b, i, frame, qt, huff_dc, huff_ac,
+                        restart_interval, np,
+                    )
                 ns = seg[0]
                 scan_sel = {}
                 for c in range(ns):
@@ -1548,27 +1606,331 @@ def _jpeg_scan(
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    out_planes = []
-    for ci, (cid, ch, cv, tq) in enumerate(comps):
-        p = planes[ci]
-        # box-replicate up to the luma grid, then crop to (h, w)
-        if ch != hmax or cv != vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        gray = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
-        return ("jpeg", w, h, 1, gray.astype(np.uint8).tobytes())
-    y, cb, cr = out_planes
-    y = y + 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bb = y + 1.772 * cb
-    rgb = np.stack(
-        [np.clip(np.round(r), 0, 255), np.clip(np.round(g), 0, 255),
-         np.clip(np.round(bb), 0, 255)],
-        axis=-1,
-    ).astype(np.uint8)
-    return ("jpeg", w, h, 3, rgb.tobytes())
+    return _jpeg_assemble(planes, comps, hmax, vmax, w, h, np)
+
+
+def _jpeg_progressive(
+    b: bytes,
+    i: int,
+    frame,
+    qt: dict[int, list[int]],
+    huff_dc: dict[int, "_JpegHuffman"],
+    huff_ac: dict[int, "_JpegHuffman"],
+    restart_interval: int,
+    np,
+) -> tuple[str, int, int, int, bytes] | None:
+    """Progressive (SOF2) driver: accumulate DCT coefficients across
+    every scan (spectral selection Ss..Se, successive approximation
+    Ah/Al — ITU T.81 §G.2, the libjpeg jdphuff algorithm), continuing
+    the marker walk between scans (DHT/DQT/DRI redefinitions), then
+    dequantize + batched IDCT once at EOI. ``i`` points at the first
+    SOS marker. Any malformed scan returns None — never wrong pixels."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        return None
+    for cid, ch, cv, tq in comps:
+        if ch == 0 or cv == 0:
+            return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    byid = {c[0]: c for c in comps}
+    if len(byid) != len(comps):
+        return None
+    # full MCU-padded coefficient grids (raster-position index 0..63),
+    # plus the tighter per-component block counts non-interleaved scans
+    # iterate (ceil(comp_dim/8), comp_dim = ceil(dim*sampling/max))
+    coefs: dict[int, "np.ndarray"] = {}
+    sbx: dict[int, int] = {}
+    sby: dict[int, int] = {}
+    for cid, ch, cv, tq in comps:
+        coefs[cid] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+        sbx[cid] = (w * ch + 8 * hmax - 1) // (8 * hmax)
+        sby[cid] = (h * cv + 8 * vmax - 1) // (8 * vmax)
+    preds: dict[int, int] = {}
+    pos = i
+    saw_scan = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xC4:
+            if not _jpeg_parse_dht(seg, huff_dc, huff_ac):
+                return None
+        elif marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq != 0:
+                    return None
+                qt[tq] = list(seg[j : j + 64])
+                j += 64
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            if not 1 <= ns <= len(comps) or len(seg) < 4 + 2 * ns:
+                return None
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                if cs not in byid:
+                    return None
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if se > 63 or ss > se or al > 13:
+                return None
+            pos = _jpeg_prog_scan(
+                b, pos + 2 + seg_len, scan_comps, ss, se, ah, al,
+                coefs, sbx, sby, mcux, mcuy, byid, huff_dc, huff_ac,
+                restart_interval, preds,
+            )
+            if pos is None:
+                return None
+            saw_scan = True
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            return None  # second frame: out of scope
+        pos += 2 + seg_len
+    if not saw_scan:
+        return None
+    # dequantize (quant tables are stored in zigzag order; coefficients
+    # in raster positions) + batched IDCT: out = Mᵀ · coef · M per block
+    zz = _JPEG_ZIGZAG
+    planes = []
+    for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            return None
+        qr = np.empty(64, dtype=np.float64)
+        for k in range(64):
+            qr[zz[k]] = qt[tq][k]
+        c = coefs[cid].astype(np.float64) * qr
+        nby_, nbx_ = c.shape[0], c.shape[1]
+        blocks = c.reshape(nby_, nbx_, 8, 8)
+        sp = np.einsum("ui,yxuv,vj->yxij", _IDCT_M, blocks, _IDCT_M)
+        planes.append(sp.transpose(0, 2, 1, 3).reshape(nby_ * 8, nbx_ * 8))
+    return _jpeg_assemble(planes, comps, hmax, vmax, w, h, np)
+
+
+def _jpeg_prog_scan(
+    b: bytes,
+    pos: int,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: dict,
+    sbx: dict[int, int],
+    sby: dict[int, int],
+    mcux: int,
+    mcuy: int,
+    byid: dict,
+    huff_dc: dict[int, "_JpegHuffman"],
+    huff_ac: dict[int, "_JpegHuffman"],
+    restart_interval: int,
+    preds: dict[int, int],
+) -> int | None:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    grids; returns the byte position of the next marker, or None on a
+    malformed stream. Four scan kinds (T.81 §G.2): DC first (Ah=0,
+    diff-coded at Al precision, interleaved when ns>1), DC refinement
+    (one appended bit per block), AC first (single component, EOB-run
+    coded), AC refinement (newly-nonzero ±1·2^Al insertions threaded
+    through correction bits for already-nonzero history — the libjpeg
+    decode_mcu_AC_refine control flow)."""
+    reader = _JpegBits(b, pos)
+    zz = _JPEG_ZIGZAG
+    eobrun = 0
+    unit = 0  # MCU (interleaved) / block (non-interleaved) counter
+
+    def _restart() -> bool:
+        nonlocal eobrun
+        if not reader.sync_restart():
+            return False
+        eobrun = 0
+        for k in preds:
+            preds[k] = 0
+        return True
+
+    if ss == 0:
+        if se != 0:
+            return None  # DC scan must be exactly the DC band
+        for cid, td, ta in scan_comps:
+            preds[cid] = 0  # DC prediction restarts with every scan
+            if ah == 0 and td not in huff_dc:
+                return None
+        if len(scan_comps) > 1:  # interleaved DC scan, MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        if not _restart():
+                            return None
+                    for cid, td, ta in scan_comps:
+                        _, ch, cv, _tq = byid[cid]
+                        grid = coefs[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                if not _jpeg_dc_block(
+                                    reader, grid[my * cv + by, mx * ch + bx],
+                                    huff_dc.get(td), ah, al, preds, cid,
+                                ):
+                                    return None
+                    unit += 1
+        else:
+            cid, td, ta = scan_comps[0]
+            grid = coefs[cid]
+            for byy in range(sby[cid]):
+                for bxx in range(sbx[cid]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        if not _restart():
+                            return None
+                    if not _jpeg_dc_block(
+                        reader, grid[byy, bxx], huff_dc.get(td), ah, al,
+                        preds, cid,
+                    ):
+                        return None
+                    unit += 1
+    else:
+        if len(scan_comps) != 1:
+            return None  # AC scans are single-component by spec
+        cid, td, ta = scan_comps[0]
+        act = huff_ac.get(ta)
+        if act is None:
+            return None
+        grid = coefs[cid]
+        p1 = 1 << al
+        m1 = -1 << al
+        for byy in range(sby[cid]):
+            for bxx in range(sbx[cid]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if not _restart():
+                        return None
+                unit += 1
+                c = grid[byy, bxx]
+                if ah == 0:  # AC first scan
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = act.decode(reader)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                ext = reader.read_bits(r)
+                                if ext is None:
+                                    return None
+                                eobrun += ext
+                            break
+                        k += r
+                        if k > se:
+                            return None
+                        v = reader.receive_extend(s)
+                        if v is None:
+                            return None
+                        c[zz[k]] = v << al
+                        k += 1
+                else:  # AC refinement scan
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = act.decode(reader)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    return None  # spec: s must be 1
+                                bit = reader.read_bit()
+                                if bit is None:
+                                    return None
+                                newval = p1 if bit else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    ext = reader.read_bits(r)
+                                    if ext is None:
+                                        return None
+                                    eobrun += ext
+                                break
+                            # advance over r zero-history positions,
+                            # refining nonzero-history ones en route
+                            while k <= se:
+                                if c[zz[k]] != 0:
+                                    bit = reader.read_bit()
+                                    if bit is None:
+                                        return None
+                                    if bit and (c[zz[k]] & p1) == 0:
+                                        c[zz[k]] += p1 if c[zz[k]] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                c[zz[k]] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # EOB-covered blocks still refine their nonzero
+                        # history in the band
+                        while k <= se:
+                            if c[zz[k]] != 0:
+                                bit = reader.read_bit()
+                                if bit is None:
+                                    return None
+                                if bit and (c[zz[k]] & p1) == 0:
+                                    c[zz[k]] += p1 if c[zz[k]] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+    # the reader stops on whole-byte boundaries; skip any pad byte up
+    # to the next marker
+    p = reader.pos
+    while p < len(b) and b[p] != 0xFF:
+        p += 1
+    return p
+
+
+def _jpeg_dc_block(reader, c, dct, ah: int, al: int, preds: dict, cid) -> bool:
+    """One block of a progressive DC scan: first pass decodes the
+    Huffman-coded diff at Al precision; refinement appends one bit."""
+    if ah == 0:
+        if dct is None:
+            return False
+        t = dct.decode(reader)
+        if t is None or t > 15:
+            return False
+        diff = reader.receive_extend(t)
+        if diff is None:
+            return False
+        preds[cid] += diff
+        c[0] = preds[cid] << al
+    else:
+        bit = reader.read_bit()
+        if bit is None:
+            return False
+        if bit:
+            c[0] |= 1 << al
+    return True
 
 
 def decode_pixels(b: bytes | None) -> tuple[str, int, int, int, bytes] | None:
