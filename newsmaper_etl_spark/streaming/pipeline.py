@@ -415,11 +415,22 @@ def write_stream_manifest(
     candidate join itself and a batch never touches corpus text or the
     data table at all (h+1 rows of 3-4 longs per seen doc is the whole
     per-batch dedup read — there is no prune_in point fetch to tune,
-    no over-cap fallback, no data_version pin needed on replay). Pick
+    no over-cap fallback, no data_version pin needed on replay).
+    ``method: "semantic"`` (r10) switches to embedding-cosine SemDeDup
+    over a persisted (cell, LSH-table, bucket) index at
+    ``<table>/_semcells`` with frozen k-means centroids at
+    ``<table>/_semcentroids`` (``vec_col`` ("embedding"), ``dim`` (64),
+    ``threshold`` (0.9), ``n_centroids`` (64), ``n_tables`` (8),
+    ``sample_n`` (2048), ``seed`` (42), ``max_candidate_ids``
+    (100_000); ``n_planes`` is index-owned — occupancy-scaled at index
+    birth, frozen in the stamp): see
+    :func:`keyindex.semantic_dedup_batch` for the cost contract. Pick
     MinHash when "duplicate" means token-set overlap (robust to
     reordering/small edits, exact-Jaccard verified); pick SimHash for
     frequency-vector similarity at a fixed hamming bar with the
-    smallest per-batch I/O. The MinHash sink
+    smallest per-batch I/O; pick semantic when "duplicate" means
+    same-meaning content that shares no tokens (translations,
+    paraphrases, template re-renders — embeddings required). The MinHash sink
     maintains a persisted :func:`operators.dedup.banded_signatures`
     side table at ``<table>/_banded`` (three longs per doc per band,
     parameter-stamped, same txn/bootstrap/compaction discipline as the
@@ -501,9 +512,30 @@ def write_stream_manifest(
             # rows per seen doc
             nd.setdefault("max_hamming", 3)
             nd.setdefault("bits", 64)
+        elif nd["method"] == "semantic":
+            # embedding-cosine (SemDeDup) dedup via the persisted cell
+            # index at <table>/_semcells + frozen centroids at
+            # _semcentroids (keyindex.semantic_dedup_batch): candidates
+            # come from the batch's (cell, LSH-table, bucket) keys
+            # joined against the index, verify is the exact cosine with
+            # seen vectors point-fetched via prune_in — per-batch cost
+            # is index-sized, never a corpus re-cluster. Centroids are
+            # trained once (snapshot bootstrap, or the first batch of a
+            # born-streaming table) and frozen; n_planes is index-owned
+            # (occupancy-scaled at birth, read back from the stamp).
+            nd.setdefault("vec_col", "embedding")
+            nd.setdefault("dim", 64)
+            nd.setdefault("threshold", 0.9)
+            nd.setdefault("n_centroids", 64)
+            nd.setdefault("n_planes", None)
+            nd.setdefault("n_tables", 8)
+            nd.setdefault("sample_n", 2048)
+            nd.setdefault("seed", 42)
+            nd.setdefault("max_candidate_ids", 100_000)
         else:
             raise ValueError(
-                f"near_dedup method={nd['method']!r} (minhash or simhash)"
+                f"near_dedup method={nd['method']!r} "
+                "(minhash, simhash, or semantic)"
             )
         if "id_col" not in nd:
             raise ValueError("near_dedup requires an 'id_col' entry")
@@ -525,11 +557,11 @@ def write_stream_manifest(
                     K.key_index_path(table), app
                 )
             if nd is not None:
-                nd_index_path = (
-                    K.banded_index_path(table)
-                    if nd["method"] == "minhash"
-                    else K.chunks_index_path(table)
-                )
+                nd_index_path = {
+                    "minhash": K.banded_index_path,
+                    "simhash": K.chunks_index_path,
+                    "semantic": K.semcells_index_path,
+                }[nd["method"]](table)
                 done = done and batch_id <= M.last_txn_version(
                     nd_index_path, app
                 )
@@ -592,7 +624,7 @@ def write_stream_manifest(
                     nd["k"], nd["within_batch"], nd["max_candidate_ids"],
                     data_version=data_version,
                 )  # returns an eagerly-materialized frame
-            else:
+            elif nd["method"] == "simhash":
                 K.ensure_chunks_bootstrap(
                     spark, table, nd["id_col"], nd["text_col"],
                     nd["max_hamming"], nd["bits"], app,
@@ -603,6 +635,21 @@ def write_stream_manifest(
                     nd["max_hamming"], nd["bits"], nd["within_batch"],
                 )  # eagerly-materialized; verify runs off the index
                 # fingerprints, so no data_version pin is needed here
+            else:
+                K.ensure_semantic_bootstrap(
+                    spark, table, nd["id_col"], nd["vec_col"], nd["dim"],
+                    nd["n_centroids"], nd["n_planes"], nd["n_tables"],
+                    nd["sample_n"], nd["seed"], app,
+                    version=data_version,
+                )
+                batch_df = K.semantic_dedup_batch(
+                    batch_df, table, nd["id_col"], nd["vec_col"],
+                    nd["dim"], nd["threshold"], nd["within_batch"],
+                    nd["max_candidate_ids"], data_version=data_version,
+                    n_centroids=nd["n_centroids"],
+                    n_tables=nd["n_tables"], seed=nd["seed"],
+                )  # eagerly-materialized; verify point-fetches seen
+                # vectors from the pinned data snapshot
         elif dedup_keys:
             # the deduped batch feeds TWO commits (data, then keys):
             # persist so the dedup plan runs once, and so the
@@ -640,10 +687,17 @@ def write_stream_manifest(
                         nd["num_hashes"], nd["bands"], nd["k"],
                         app, int(batch_id),
                     )
-                else:
+                elif nd["method"] == "simhash":
                     K.append_batch_chunks(
                         batch_df, table, nd["id_col"], nd["text_col"],
                         nd["max_hamming"], nd["bits"],
+                        app, int(batch_id),
+                    )
+                else:
+                    K.append_batch_cells(
+                        batch_df, table, nd["id_col"], nd["vec_col"],
+                        nd["dim"], nd["n_centroids"], nd["n_planes"],
+                        nd["n_tables"], nd["sample_n"], nd["seed"],
                         app, int(batch_id),
                     )
         finally:
@@ -653,8 +707,9 @@ def write_stream_manifest(
             for _maint in (
                 [K.compact_key_index] if dedup_keys else []
             ) + (
-                [K.compact_banded_index if nd["method"] == "minhash"
-                 else K.compact_chunks_index]
+                [{"minhash": K.compact_banded_index,
+                  "simhash": K.compact_chunks_index,
+                  "semantic": K.compact_semcells_index}[nd["method"]]]
                 if nd is not None else []
             ):
                 try:

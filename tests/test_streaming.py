@@ -1156,3 +1156,206 @@ def test_chunks_index_survives_crash_before_chunk_commit(spark, tmp_path):
     )
     run(str(tmp_path / "zck2"))
     assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+
+
+def test_stream_manifest_semantic_dedup_on_ingest(spark, tmp_path):
+    """near_dedup method='semantic': a later run redelivering an exact
+    OR near (cosine ≥ threshold) embedding never re-enters the corpus;
+    candidates come from the persisted (cell, t, b) index against
+    frozen centroids, verify is the exact cosine with seen vectors
+    POINT-fetched (every data-table read the dedup performs carries a
+    prune_in bound — never a corpus scan), the index tracks survivors
+    under the txn discipline, and parameter drift against the frozen
+    stamp is refused."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    dim = 8
+    v1 = [1.0] + [0.0] * 7
+    v2 = [0.0, 1.0] + [0.0] * 6
+    near1 = [1.0, 0.05] + [0.0] * 6       # cos vs v1 ≈ 0.9988 ≥ 0.9
+    v3 = [0.0, 0.0, 1.0] + [0.0] * 5      # orthogonal to both: survives
+
+    src = tmp_path / "semin"
+    src.mkdir()
+    table = str(tmp_path / "semtable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema(
+            "id LONG, embedding ARRAY<DOUBLE>"
+        ).json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"semq:{ck}",
+            near_dedup={"id_col": "id", "method": "semantic",
+                        "vec_col": "embedding", "dim": dim,
+                        "threshold": 0.9, "n_centroids": 2,
+                        "sample_n": 64},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "embedding": v1}) + "\n"
+        + _json.dumps({"id": 2, "embedding": v2})
+    )
+    run(str(tmp_path / "semck0"))
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2}
+
+    # second run: exact copy + near copy of v1 + one genuinely new
+    # direction; spy proves every dedup read of the DATA table was a
+    # bounded point fetch (prune_in set), never a full scan
+    data_scans = []
+    real_read = M.read_table
+
+    def _spy(spark_, tbl, *a, **kw):
+        if _os.path.normpath(tbl) == _os.path.normpath(table):
+            data_scans.append(kw.get("prune_in"))
+        return real_read(spark_, tbl, *a, **kw)
+
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "embedding": v1}) + "\n"
+        + _json.dumps({"id": 11, "embedding": near1}) + "\n"
+        + _json.dumps({"id": 12, "embedding": v3})
+    )
+    M.read_table = _spy
+    try:
+        run(str(tmp_path / "semck1"))
+    finally:
+        M.read_table = real_read
+    assert data_scans and all(p is not None for p in data_scans)
+    ids = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert ids == {1, 2, 12}
+    sidx = M.read_table(spark, K.semcells_index_path(table))
+    assert {r["id"] for r in sidx.collect()} == {1, 2, 12}
+    # the frozen parameterization is readable and drift is refused
+    params = K.read_semantic_params(table)
+    assert params["n_centroids"] == 2 and params["dim"] == dim
+    with _pytest.raises(ValueError, match="signed with"):
+        K.check_semantic_stamp(table, dim=dim, n_centroids=64,
+                               n_tables=None, seed=None)
+    with _pytest.raises(ValueError, match="signed with"):
+        K.check_semantic_stamp(table, dim=16, n_centroids=None,
+                               n_tables=None, seed=None)
+
+
+def test_semantic_bootstrap_preexisting_table(spark, tmp_path):
+    """A table with embedding rows committed BEFORE semantic dedup was
+    enabled gets a one-time bootstrap (centroids trained + every
+    snapshot row signed into the cell index); near redeliveries then
+    dedup against it, and per-batch index growth is survivor-sized —
+    the corpus is never re-assigned."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    dim = 8
+    v1 = [1.0] + [0.0] * 7
+    v2 = [0.0, 1.0] + [0.0] * 6
+    table = str(tmp_path / "bsem")
+    M.append(
+        spark.createDataFrame(
+            [(1, v1), (2, v2)], "id LONG, embedding ARRAY<DOUBLE>"
+        ),
+        table,
+    )
+
+    src = tmp_path / "bsemin"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 10, "embedding": [1.0, 0.04] + [0.0] * 6}) + "\n"
+        + _json.dumps({"id": 11, "embedding": [0.0] * 7 + [1.0]})
+    )
+
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    stream = spark.readStream.schema(
+        "id LONG, embedding ARRAY<DOUBLE>"
+    ).json(str(src))
+    write_stream_manifest(
+        stream, table, str(tmp_path / "bsemck"), app_id="bsemq",
+        near_dedup={"id_col": "id", "method": "semantic",
+                    "vec_col": "embedding", "dim": dim,
+                    "threshold": 0.9, "n_centroids": 2, "sample_n": 64},
+    ).awaitTermination()
+    ids = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert ids == {1, 2, 11}  # 10 ≈ v1 (cos .999) dropped; 11 orthogonal
+    sidx = M.read_table(spark, K.semcells_index_path(table))
+    assert {r["id"] for r in sidx.collect()} == {1, 2, 11}
+    # bootstrap committed version 1 of the index; the batch appended its
+    # one survivor on top — batch-sized, not corpus-sized
+    assert M.current_version(K.semcells_index_path(table)) >= 2
+
+
+def test_semcells_index_survives_crash_before_cells_commit(spark, tmp_path):
+    """The keys->banded replay-window discipline on the semantic index:
+    crash after the data commit but before the cells commit; the replay
+    re-derives the survivor against the PRE-batch snapshot (data_version
+    pin) and appends its REAL cell rows (never an empty frame), and the
+    healed index keeps near-duplicate redeliveries out."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    dim = 8
+    v1 = [1.0] + [0.0] * 7
+    v3 = [0.0, 0.0, 1.0] + [0.0] * 5
+
+    src = tmp_path / "csemin"
+    src.mkdir()
+    table = str(tmp_path / "csemtable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema(
+            "id LONG, embedding ARRAY<DOUBLE>"
+        ).json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"csemq:{ck}",
+            near_dedup={"id_col": "id", "method": "semantic",
+                        "vec_col": "embedding", "dim": dim,
+                        "threshold": 0.9, "n_centroids": 2,
+                        "sample_n": 64},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(_json.dumps({"id": 1, "embedding": v1}))
+    run(str(tmp_path / "csemck0"))
+
+    (src / "b1.json").write_text(_json.dumps({"id": 20, "embedding": v3}))
+    ck1 = str(tmp_path / "csemck1")
+    real = K.append_batch_cells
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before cells commit")
+
+    K.append_batch_cells = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck1)
+    finally:
+        K.append_batch_cells = real
+    # data landed; cell index is one batch behind
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+    sidx = M.read_table(spark, K.semcells_index_path(table))
+    assert {r["id"] for r in sidx.collect()} == {1}
+
+    run(ck1)  # replay heals the index with doc 20's REAL cell rows
+    sidx = M.read_table(spark, K.semcells_index_path(table))
+    assert {r["id"] for r in sidx.collect()} == {1, 20}
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+
+    # a near copy of 20's embedding (cos ≈ 0.9988) now stays out
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 30, "embedding": [0.0, 0.0, 1.0, 0.05] + [0.0] * 4})
+    )
+    run(str(tmp_path / "csemck2"))
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
