@@ -741,6 +741,136 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def _semdedup_near_vectors(base_rows, n_planes: int, n_tables: int,
+                           seed: int):
+    """Driver-side construction of the threshold-STRADDLING planted
+    vectors (VERDICT r09 'do this' #5 — the identical-copy contract can
+    only prove the degenerate sim=1.0 path): for each base vector v,
+    two controlled rotations in seeded directions orthogonal to v —
+
+    - a NEAR DUP at cosine ≈ 0.97 (above the 0.95 threshold → must
+      merge and lose to the min-id keep rule), and
+    - a NEAR MISS at cosine ≈ 0.90 (below threshold → must survive),
+
+    each accept-rejected (seeded redraws) until its float32-rounded
+    form shares EVERY hyperplane sign of v in at least one LSH table —
+    so candidacy is provable from the construction, not hoped from
+    recall stats, and the exact-cosine verify is the ONLY thing that
+    decides keep vs drop. Rotation directions u1 (dup) ⊥ u2 (miss) are
+    Gram-Schmidt-orthogonalized against v and each other, which bounds
+    every unplanned pair analytically: sim(dup, miss) = 0.97·0.90 ≈
+    0.873, and sim vs any other base w obeys sim(rot, w) ≤
+    0.97·sim(v, w) + 0.243 ≤ 0.74 at the corpus's 0.513 cross-sim cap —
+    all safely under threshold (asserted numerically below). Mirrors
+    :func:`operators.similarity.lsh_bucket`'s strict ``dot > 0`` sign
+    and the engine's float32-storage → double-cast arithmetic."""
+    import numpy as np
+
+    cos_hi, cos_lo = 0.97, 0.90
+    planes = [
+        np.array(S._hyperplanes(64, n_planes, seed + 7919 * t))
+        for t in range(n_tables)
+    ]
+
+    def _signs(x32):
+        x = x32.astype(np.float64)
+        return [tuple(p @ x > 0) for p in planes]
+
+    rng = np.random.default_rng(20260815)
+    out = []  # (vec_id, [float32 values])
+    base = [(int(r[0]), np.array(list(r[1]), dtype=np.float64))
+            for r in base_rows]
+    for vid, v in base:
+        nv = np.linalg.norm(v)
+        vhat = v / nv
+        v32 = v.astype(np.float32)
+        sv = _signs(v32)
+        made = {}
+        for key, cos_t, offset, ortho in (
+            ("dup", cos_hi, 1_000_000, None),
+            ("miss", cos_lo, 2_000_000, "dup_dir"),
+        ):
+            sin_t = float(np.sqrt(1.0 - cos_t * cos_t))
+            for attempt in range(500):
+                u = rng.standard_normal(64)
+                u -= (u @ vhat) * vhat
+                if ortho is not None:
+                    d = made["dup_dir"]
+                    u -= (u @ d) * d
+                u /= np.linalg.norm(u)
+                cand32 = ((cos_t * vhat + sin_t * u) * nv).astype(np.float32)
+                sc = _signs(cand32)
+                sim32 = float(
+                    cand32.astype(np.float64) @ v32.astype(np.float64)
+                ) / (np.linalg.norm(cand32.astype(np.float64))
+                     * np.linalg.norm(v32.astype(np.float64)))
+                ok_sim = (sim32 >= 0.955) if key == "dup" else (sim32 <= 0.945)
+                if ok_sim and any(a == b for a, b in zip(sc, sv)):
+                    made[key] = cand32
+                    made[key + "_dir"] = u
+                    out.append((vid + offset, [float(x) for x in cand32]))
+                    break
+            else:  # pragma: no cover — seeded draws; bound never hit
+                raise AssertionError(f"no co-resident {key} for {vid}")
+    # numeric guard on every unplanned pair among the constructed set
+    cons = np.array([np.array(v, dtype=np.float64) for _, v in out])
+    cons /= np.linalg.norm(cons, axis=1, keepdims=True)
+    sims = cons @ cons.T
+    np.fill_diagonal(sims, 0.0)
+    assert float(sims.max()) < 0.94, "unplanned constructed pair >= 0.94"
+    return out
+
+
+@query(
+    "q_semantic_dedup_near_planted",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id
+        FROM embeddings WHERE vec_id < 1000
+        UNION ALL
+        SELECT CAST(vec_id + 2000000 AS BIGINT) AS vec_id
+        FROM embeddings WHERE vec_id < 12
+    """,
+    tags=("DEDUP", "SEMANTIC", "ANN"),
+)
+def q_semantic_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked THRESHOLD-STRADDLING contract for SemDeDup (VERDICT
+    r09 'do this' #5): unlike q_semantic_dedup_planted's identical
+    copies (sim exactly 1.0), every planted vector here is a genuine
+    near-dup — 12 rotations at cosine ≈ 0.97 (above the 0.95 bar, must
+    drop) and 12 at ≈ 0.90 (below, must survive), constructed with
+    provable bucket co-residence so the exact-cosine verify is the only
+    arbiter (see :func:`_semdedup_near_vectors`). ``n_centroids=1``
+    makes cell co-residence trivial by construction — the multi-cell
+    assignment path is pinned by the identical-copy twin, where the
+    argmax argument is exact. A verify that rounds before thresholding,
+    compares with > instead of >=-semantics drift, mis-keys buckets, or
+    merges across the straddle flips the driver hash. keep="min_id"
+    keeps the survivor analytic."""
+    def _build():
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 1000
+        )
+        base_rows = (
+            emb.filter(F.col("vec_id") < 12)
+            .select("vec_id", "embedding").collect()
+        )
+        planted = _semdedup_near_vectors(
+            base_rows, n_planes=8, n_tables=2, seed=42
+        )
+        extra = spark.createDataFrame(
+            planted, emb.select("vec_id", "embedding").schema
+        )
+        return emb.select("vec_id", "embedding").unionAll(extra).coalesce(1)
+
+    planted = cached_fixture(spark, "semdedup_near_planted", sf_dir, _build)
+    out = S.semantic_dedup(
+        planted, dim=64, threshold=0.95, n_centroids=1, sample_n=256,
+        n_planes=8, n_tables=2, keep="min_id", expected_rows=1024,
+        cache_key=sf_dir + ":semdedup_near_planted",
+    )
+    return out.select("vec_id")
+
+
 @query(
     "q_curate_corpus_planted",
     oracle=_curate_exact_oracle(),
