@@ -1118,6 +1118,122 @@ def q_image_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixels(blobs, id_col="id", binary_col="media")
 
 
+# Progressive twin of the baseline recipe (VERDICT r09 'do this' #8):
+# the same DC-only analytic-pixel construction, emitted as a REAL SOF2
+# progressive stream — three scans exercising spectral selection and
+# successive approximation: (1) DC first at Al=1 (diff-coded v>>1),
+# (2) DC refinement appending the low bit, (3) an AC first scan over
+# band 1..63 that is all EOBs. The decoder must walk scans, accumulate
+# coefficients (v reassembles EXACTLY as (v>>1)<<1 | (v&1)), restart DC
+# prediction per scan, and run the EOB path — then dequantize + IDCT
+# once, so pixels stay the analytic 128 + 2v of the baseline recipe.
+_JPEG_PROG_FIELDS = {
+    "w": "8 + 5 * (doc_id % 2)",
+    "h": "8 + 3 * (doc_id % 3)",
+    "v": "doc_id % 44 - 22",           # DC value; pixel = 128 + 2v
+}
+
+
+def _jpeg_pack_hex(bits: str) -> str:
+    """Byte-pad a SQL bit-string with 1-bits and pack to hex with FF00
+    byte stuffing (reachable here: a DC-refinement scan of odd-valued
+    blocks is a run of 1-bits that pads to 0xFF)."""
+    padded = (
+        f"concat({bits}, repeat('1', CAST((8 - length({bits}) % 8) % 8 AS INT)))"
+    )
+    byte = "conv(substring(__p, __i * 8 + 1, 8), 2, 10)"
+    return (
+        f"array_join(transform(sequence(0, length(__p) DIV 8 - 1), __i -> "
+        f"CASE WHEN {byte} = '255' THEN 'FF00' "
+        f"ELSE lpad(hex(CAST({byte} AS INT)), 2, '0') END), '')"
+    ).replace("__p", padded)
+
+
+def _jpeg_prog_hex(v: str, w: str, h: str) -> str:
+    """Spark-SQL hex expression for a complete DC-only grayscale
+    PROGRESSIVE (SOF2) JPEG — same macro-expansion discipline as
+    :func:`_jpeg_hex`."""
+    v1 = f"(shiftright({v}, 1))"
+    bit = f"({v} & 1)"
+    cat = f"(CASE WHEN {v1} = 0 THEN 0 ELSE length(conv(abs({v1}), 10, 2)) END)"
+    mag = (
+        f"(CASE WHEN {v1} = 0 THEN '' "
+        f"WHEN {v1} > 0 THEN lpad(conv({v1}, 10, 2), {cat}, '0') "
+        f"ELSE lpad(conv({v1} + shiftleft(1, {cat}) - 1, 10, 2), {cat}, '0') END)"
+    )
+    nblocks = (
+        f"(CAST(({w} + 7) DIV 8 AS INT) * CAST(({h} + 7) DIV 8 AS INT))"
+    )
+    # scan 1 (DC first, Al=1): category code + magnitude of the first
+    # block's diff (= v>>1), then zero diffs ('00') for the rest — no
+    # EOB symbols in DC scans
+    bits1 = (
+        f"concat(element_at(array('00','010','011','100','101','110'), "
+        f"{cat} + 1), {mag}, repeat('00', {nblocks} - 1))"
+    )
+    # scan 2 (DC refine, Al=0): one raw low bit per block
+    bits2 = f"repeat(CAST({bit} AS STRING), {nblocks})"
+    # scan 3 (AC first, band 1..63): every block is an immediate EOB
+    # against the single-symbol AC table (code '0')
+    bits3 = f"repeat('0', {nblocks})"
+    return (
+        f"concat('FFD8', '{_JPEG_DQT}', "
+        # SOF2: precision 8, dims, 1 component (id 1, 1×1 sampling, qt 0)
+        f"'FFC2000B08', lpad(hex({h}), 4, '0'), lpad(hex({w}), 4, '0'), "
+        f"'01011100', '{_JPEG_DHT}', "
+        f"'FFDA0008010100000001', {_jpeg_pack_hex(bits1)}, "
+        f"'FFDA0008010100000010', {_jpeg_pack_hex(bits2)}, "
+        f"'FFDA0008010100013F00', {_jpeg_pack_hex(bits3)}, 'FFD9')"
+    )
+
+
+@query(
+    "q_image_pixels_progressive",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_JPEG_PROG_FIELDS['w']} AS w,
+                   {_JPEG_PROG_FIELDS['h']} AS h,
+                   128 + 2 * ({_JPEG_PROG_FIELDS['v']}) AS p
+            FROM documents
+        )
+        SELECT doc_id AS id, 'jpeg' AS "format",
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(w * h * p AS BIGINT) AS pixel_sum,
+               CAST(w * h * p * p AS BIGINT) AS pixel_sq_sum
+        FROM d
+    """,
+    tags=("MULTIMODAL",),
+)
+def q_image_pixels_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG pixel decode under the driver gate (VERDICT
+    r09 'do this' #8 — progressive is the dominant web-crawl encoding
+    and was the engine's most-hit pixel-decode null through r9): every
+    doc id derives a complete grayscale SOF2 JPEG whose entropy data
+    spans three scans (DC first at Al=1, DC refinement, all-EOB AC
+    first), assembled as hex in SQL against real Huffman tables — see
+    _JPEG_PROG_FIELDS. The Arrow kernel must run the full progressive
+    driver (operators/multimodal.py _jpeg_progressive): between-scan
+    marker walk, per-scan DC prediction restart, successive-
+    approximation reassembly ((v>>1)<<1 | (v&1) = v exactly), EOB-run
+    accounting, then one dequantize+IDCT at EOI. DC-only blocks decode
+    to exact integers, so the oracle recomputes the sums analytically;
+    a bug in any scan kind flips the hash. The AC-coefficient scan
+    paths (nonzero bands, refinement insertions, EOBRUN extensions) are
+    pinned by the encoder-roundtrip + fuzz unit tests
+    (tests/test_extensions.py::_make_progressive_jpeg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _jpeg_prog_hex(
+        f"({_JPEG_PROG_FIELDS['v']})",
+        f"({_JPEG_PROG_FIELDS['w']})",
+        f"({_JPEG_PROG_FIELDS['h']})",
+    )
+    blobs = _blob_fixture(spark, sf_dir, f"unhex({hex_expr})")
+    return M.image_pixels(blobs, id_col="id", binary_col="media")
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------
