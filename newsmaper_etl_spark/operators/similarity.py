@@ -558,6 +558,47 @@ def _auto_planes(n_rows: int) -> int:
 
 _REFINE_PLANES = 16
 
+#: auto-cap trigger (VERDICT r09 'do this' #7): enable the occupancy
+#: cap only when the per-(table, bucket) histogram is HEAVY-TAILED by
+#: ROW MASS — more than _AUTO_CAP_HEAVY_FRAC of all (row, table)
+#: entries sit in buckets above _AUTO_CAP_HEAVY_OCC (= 8× the ~8-row
+#: mean occupancy _auto_planes targets). Row mass rather than a
+#: bucket-count percentile (the VERDICT sketch's "p99 bucket > 8×
+#: median"): a pathological flood concentrated in 0.1 % of buckets
+#: never moves a bucket-count p99, but it IS most of the candidate
+#: mass — the thing the cap exists to trim. Rationale from the r9 sf10
+#: measurement (SCALE.md §lsh-occupancy-cap): on the fixed scale
+#: corpus the mass lives in 17-64-row buckets — the corpus's own
+#: sub-threshold neighborhood, which a threshold-faithful LSH must
+#: examine — and the cap bought a 6 % candidate cut for 17 % wall, so
+#: that shape must stay OFF; an embedding flood (template re-renders,
+#: exact-dup storms) pushes most rows into ≫64-row buckets, exactly
+#: where refinement splits pay.
+_AUTO_CAP_HEAVY_OCC = 64
+_AUTO_CAP_HEAVY_FRAC = 0.25
+
+
+def _auto_max_bucket(occ: DataFrame) -> int | None:
+    """The cap decision from a per-(t, b) occupancy frame (column
+    ``n``): None (cap off) unless > _AUTO_CAP_HEAVY_FRAC of row mass
+    sits in buckets over _AUTO_CAP_HEAVY_OCC rows; then
+    ``max(64, 8×median-bucket)`` — high enough that ordinary buckets
+    never pay the refinement dots, low enough to split the
+    pathological tail. Driver cost: one two-number aggregate."""
+    row = occ.select(
+        F.percentile_approx("n", F.lit(0.5), 10_000).alias("med"),
+        (
+            F.sum(F.when(F.col("n") > _AUTO_CAP_HEAVY_OCC, F.col("n"))
+                  .otherwise(F.lit(0)))
+            / F.sum("n")
+        ).alias("heavy_frac"),
+    ).first()
+    if row is None or row["med"] is None or row["heavy_frac"] is None:
+        return None
+    if row["heavy_frac"] <= _AUTO_CAP_HEAVY_FRAC:
+        return None
+    return int(max(64, 8 * row["med"]))
+
 
 def embedding_near_dup_candidates(
     df: DataFrame,
@@ -569,7 +610,7 @@ def embedding_near_dup_candidates(
     seed: int = 42,
     expected_rows: int | None = None,
     unroll: bool = False,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """RAW candidate pairs (id_a < id_b, one row per table collision)
     from banded multi-table hyperplane LSH — the machinery-cost surface
@@ -610,6 +651,12 @@ def embedding_near_dup_candidates(
     cap could trim — the per-(t,b) histogram put 64 % of all pairs in
     buckets of 17-64 rows, which are the scale corpus's own replica
     cliques at 0.85-0.92 cosine: its sub-threshold neighborhood grew
+    [``max_bucket="auto"`` encodes that lesson as a trigger: one extra
+    occupancy aggregate, cap enabled at max(64, 8×median-bucket) only
+    when >25 % of row mass sits in buckets over 64 rows — heavy-tailed
+    skew — and left OFF on mass-in-the-middle histograms like this
+    corpus's (SCALE.md §lsh-occupancy-cap pins the rule with the sf3
+    measurement)]
     ∝ factor (neighbors/vec at cos≥0.85: 9.0 → 98.7, measured), a
     floor any threshold-faithful LSH must examine a constant fraction
     of. The engine tracked BELOW that floor at every SF — the growth
@@ -639,6 +686,13 @@ def embedding_near_dup_candidates(
         id_col, vec_col, "__n", F.explode(tables).alias("__tb")
     ).select(id_col, vec_col, "__n", F.col("__tb.t").alias("__t"),
              F.col("__tb.b").alias("__b"))
+    if max_bucket == "auto":
+        # one extra aggregate pass over the bucket keys (the plane dots
+        # re-run for it — bounded, off the pair hot path) to decide
+        # from the occupancy histogram whether the cap pays at all
+        max_bucket = _auto_max_bucket(
+            keyed.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("n"))
+        )
     if max_bucket is not None:
         from pyspark.sql.window import Window
 
@@ -707,7 +761,7 @@ def embedding_near_dups(
     seed: int = 42,
     expected_rows: int | None = None,
     unroll: bool | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
     threshold) — the embedding analog of minhash_lsh, over the banded

@@ -2748,3 +2748,67 @@ def test_decode_pixels_progressive_truncated_returns_none():
     j = _make_progressive_jpeg(g)
     sos = j.find(b"\xff\xda")
     assert M.decode_pixels(j[: sos + 12]) is None
+
+
+# --- LSH occupancy cap auto-trigger (VERDICT r09 #7) ---
+
+
+def test_auto_max_bucket_flat_histogram_stays_off(spark):
+    """The fixed scale corpus's shape — row mass in moderate buckets —
+    must NOT trip the cap (the r9 sf10 measurement: 6 % candidate cut
+    for 17 % wall there)."""
+    from newsmaper_etl_spark.operators.similarity import _auto_max_bucket
+
+    occ = spark.createDataFrame(
+        [(0, b, 8) for b in range(200)] + [(0, 999, 40)],
+        "t INT, b LONG, n LONG",
+    )
+    assert _auto_max_bucket(occ) is None
+
+
+def test_auto_max_bucket_flood_triggers(spark):
+    """A flood concentrated in 0.2 % of buckets (most of the ROW mass,
+    invisible to a bucket-count percentile) must enable the cap at
+    max(64, 8×median-bucket)."""
+    from newsmaper_etl_spark.operators.similarity import _auto_max_bucket
+
+    occ = spark.createDataFrame(
+        [(0, b, 2) for b in range(1000)] + [(0, 5000 + i, 5000)
+                                            for i in range(2)],
+        "t INT, b LONG, n LONG",
+    )
+    assert _auto_max_bucket(occ) == 64
+
+
+def test_embedding_near_dups_auto_cap_end_to_end(spark):
+    """max_bucket='auto' on a flood corpus: the trigger enables
+    refinement, and the FINAL verified pairs are identical to the
+    uncapped run (the cap trims candidates, never output — exact
+    cosine decides membership either way)."""
+    import numpy as np
+
+    from newsmaper_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.default_rng(7)
+    flood = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in flood]) for i in range(300)]
+    rows += [
+        (1000 + i, [float(x) for x in rng.standard_normal(16)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    kw = dict(dim=16, threshold=0.95, n_planes=6, n_tables=2,
+              expected_rows=350)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, max_bucket="auto", **kw).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, max_bucket=None, **kw).collect()
+    }
+    assert auto == plain
+    # the flood clique is in the output (identical vectors)
+    assert (0, 1) in auto and len(auto) >= 300 * 299 // 2
