@@ -126,6 +126,45 @@ def hashed_shingles_expr(th_col: str, k: int = 3):
     ).otherwise(F.array(F.xxhash64(F.col(th_col))))
 
 
+def hashed_shingles_pow2(d: DataFrame, th_col: str, k: int) -> tuple[DataFrame, str]:
+    """Hashed k-gram shingles by DOUBLING (k ∈ {2, 4, 8, 16}): level s
+    holds the hashes of all s-token windows, and level 2s is one
+    ``zip_with`` of level s with itself shifted by s —
+    ``g2s[i] = xxhash64(gs[i], gs[i+s])`` — so a k-gram costs log2(k)
+    linear passes instead of :func:`hashed_shingles_expr`'s k
+    ``element_at`` probes per window (interpreted HOFs both ways, but
+    ~3m vs ~9m calls per doc at k=8; measured 2.3× on the sf1.0
+    contamination corpus). Each level is BOUND as its own column —
+    the two slice references would otherwise re-evaluate the producer
+    level per element (the HOF recompute pitfall). Slice lengths clamp
+    at 0, so short docs flow through every level safely; callers must
+    still apply the m ≥ k fallback themselves (whole-doc hash, as in
+    hashed_shingles_expr).
+
+    NOTE: the hash VALUES differ from hashed_shingles_expr's (composed
+    pairwise vs one k-ary xxhash64) — a valid gram identity for any
+    within-plan use (collisions still ~2⁻⁶⁴), but NOT interchangeable
+    with persisted signatures built on the other basis. Returns
+    (df, final-level column name)."""
+    if k & (k - 1) or k < 2 or k > 16:
+        raise ValueError(f"k={k} (need a power of two in [2, 16])")
+    m = F.size(F.col(th_col))
+    cur, s, out = th_col, 1, d
+    while s < k:
+        nxt = f"__sg{2 * s}"
+        ln = F.greatest(m - F.lit(2 * s - 1), F.lit(0))
+        out = out.withColumn(
+            nxt,
+            F.zip_with(
+                F.slice(F.col(cur), F.lit(1), ln),
+                F.slice(F.col(cur), F.lit(s + 1), ln),
+                lambda a, b: F.xxhash64(a, b),
+            ),
+        )
+        cur, s = nxt, s * 2
+    return out, cur
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
@@ -1180,21 +1219,43 @@ _CONTAM_BLOOM_BITS_PER_GRAM = 16
 _CONTAM_BLOOM_MAX_GRAMS = 1_000_000
 
 
-def _bloom_mask(hashes, n_longs: int) -> list[int]:
+def _bloom_mask(hashes: list[int]) -> tuple[list[int], int]:
     """k=1 Bloom bitmask over 64-bit hashes as SIGNED longs (the
-    Literal array type Spark accepts): word = (h >>> 6) % n_longs,
-    bit = h & 63."""
-    mask = [0] * n_longs
-    for h in hashes:
-        h &= 0xFFFFFFFFFFFFFFFF
-        mask[(h >> 6) % n_longs] |= 1 << (h & 63)
-    return [m - (1 << 64) if m >= (1 << 63) else m for m in mask]
+    ``F.lit(list)`` array type): word = (h >>> 6) % n_longs, bit =
+    h & 63 — both operands non-negative on both sides, so the build
+    and the JVM probe agree for any n_longs (a signed-vs-unsigned
+    modulo mismatch here produced false negatives; caught by the
+    hashed/string parity test). Vectorized build; returns
+    (mask, n_longs).
+
+    Representation notes from two measured dead ends: ``F.lit(list)``
+    is really CreateArray-of-children, which ConstantFolding collapses
+    to one Literal in an ordinary Filter — but NOT inside a lambda
+    body, where a 16k-element mask was reconstructed per exists()
+    probe (3.6 s → 264 s at sf1.0); and a '0'/'1' STRING mask is a
+    true Literal but ``substr(pos, 1)`` on a megabyte UTF8String
+    byte-scans to the character index — O(pos) per probe. Callers must
+    therefore keep the probe OUT of higher-order-function lambdas, on
+    the exploded gram rows."""
+    import numpy as np
+
+    n_bits = max(1024, _CONTAM_BLOOM_BITS_PER_GRAM * len(hashes))
+    n_longs = (n_bits + 63) // 64
+    mask = np.zeros(n_longs, dtype=np.uint64)
+    if hashes:
+        h = np.array(hashes, dtype=np.int64).view(np.uint64)
+        word = ((h >> np.uint64(6)) % np.uint64(n_longs)).astype(np.int64)
+        bit = np.uint64(1) << (h & np.uint64(63))
+        np.bitwise_or.at(mask, word, bit)
+    return [int(x) for x in mask.view(np.int64)], n_longs
 
 
 def _bloom_might_contain(gh, mask_lit, n_longs: int):
     """JVM-side membership probe mirroring :func:`_bloom_mask` — pure
-    built-in expressions (pmod/shiftrightunsigned/element_at/bit_get),
-    so it stays inside whole-stage codegen on the corpus hot path."""
+    built-in bit-ops (shiftrightunsigned/pmod/element_at/bit_get) that
+    stay inside whole-stage codegen on the exploded-gram hot path. The
+    shifted word index is non-negative, so pmod equals the build's
+    unsigned modulo for any n_longs."""
     idx = F.pmod(F.shiftrightunsigned(gh, 6), F.lit(n_longs)).cast(
         "int"
     ) + F.lit(1)
@@ -1213,7 +1274,7 @@ def contamination_check(
     broadcast_eval: bool = True,
     hashed: bool = True,
     exclude_same_id: bool = True,
-    bloom: bool = True,
+    bloom: bool = False,
 ) -> DataFrame:
     """Flag training documents sharing any n-gram with a benchmark/eval
     set → ``(id, n_contam)`` with n_contam = #distinct contaminated
@@ -1227,13 +1288,23 @@ def contamination_check(
     default and the bulk corpus never shuffles: the only exchanged rows
     are the JOIN HITS (grams actually shared with the benchmark — a
     vanishingly small slice), which the post-join distinct + count
-    aggregate shuffle by (id, gram). ``bloom=True`` (default) further
-    gates the corpus grams behind a broadcast Bloom bitmask of the eval
-    grams' hashes — pure bit-ops in the explode's own codegen stage —
-    so ~94% of corpus grams never reach the join-relation probe; the
-    mask is built from a driver collect bounded by
-    ``_CONTAM_BLOOM_MAX_GRAMS`` (skipped above it) and cannot change
-    the output (no false negatives; the join rejects false positives). With ``exclude_same_id`` (the
+    aggregate shuffle by (id, gram). ``bloom=True`` (default OFF —
+    measured a net LOSS on this workload shape, see below) gates each
+    exploded corpus gram behind a broadcast Bloom bitmask of the eval
+    grams' hashes (k=1, 16 bits/gram → ~6 % false positives; three
+    bit-ops per gram in the explode's own stage) so ~94 % of grams
+    never reach the join's hash relation; the mask is built from a
+    driver collect bounded by ``_CONTAM_BLOOM_MAX_GRAMS`` (skipped
+    above it), reused as the join relation so the eval side derives
+    once, and cannot change the output (no false negatives; the exact
+    join rejects false positives — see the in-body comment for why the
+    gate is per-gram, not per-doc). Default OFF because the bottleneck
+    is the corpus-side SHINGLE CONSTRUCTION, which no gram filter
+    reaches: at sf1.0 bloom cost 2.79 → 3.65 s (hashed) and 5.17 →
+    6.22 s (string) — the per-invocation mask-collect job exceeds what
+    the probe saves when the broadcast relation is already tiny. Turn
+    it on when the eval set is large enough that the join's hash
+    relation (not the explode) dominates. With ``exclude_same_id`` (the
     default) an eval doc also present in the corpus under the SAME id
     doesn't flag itself — only valid when the eval set was drawn from
     the corpus; for an EXTERNAL benchmark whose id space is independent
@@ -1254,50 +1325,96 @@ def contamination_check(
     (tests/test_curation.py).
     """
     if hashed:
-        def _grams(d: DataFrame, out_id: str) -> DataFrame:
+        pow2 = n >= 2 and n <= 16 and (n & (n - 1)) == 0
+
+        def _grams(d: DataFrame, out_id: str, distinct: bool) -> DataFrame:
             tmp = d.withColumn("__th", token_hashes_col(text_col))
+            if pow2:
+                # log2(n) zip_with doubling passes instead of n
+                # element_at probes per window — measured 2.29 → 1.94 s
+                # at sf1.0 (the gram hash basis is plan-local here, so
+                # the composed identity is free to differ from
+                # hashed_shingles_expr)
+                tmp, gcol = hashed_shingles_pow2(tmp, "__th", n)
+                sh = F.when(
+                    F.size(F.col("__th")) >= n, F.col(gcol)
+                ).otherwise(F.array(F.xxhash64(F.col("__th"))))
+            else:
+                sh = hashed_shingles_expr("__th", n)
             return tmp.select(
                 F.col(id_col).alias(out_id),
-                F.explode(
-                    F.array_distinct(hashed_shingles_expr("__th", n))
-                ).alias("g"),
-            )
-    else:
-        def _grams(d: DataFrame, out_id: str) -> DataFrame:
-            tmp = d.withColumn("__tk", F.split(F.col(text_col), " ", -1))
-            return tmp.select(
-                F.col(id_col).alias(out_id),
-                F.explode(
-                    F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
-                ).alias("g"),
+                F.explode(F.array_distinct(sh) if distinct else sh).alias("g"),
             )
 
-    c_grams = _grams(corpus, "id")
-    e_grams = _grams(eval_df, "eval_id").distinct()
+        def _probe(g):
+            return g
+    else:
+        def _grams(d: DataFrame, out_id: str, distinct: bool) -> DataFrame:
+            tmp = d.withColumn("__tk", F.split(F.col(text_col), " ", -1))
+            sh = shingles_from_tokens(F.col("__tk"), n)
+            return tmp.select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.array_distinct(sh) if distinct else sh).alias("g"),
+            )
+
+        def _probe(g):
+            return F.xxhash64(g)
+
+    # eval side keeps per-doc distinct (shrinks the broadcast); the
+    # corpus side does NOT pre-distinct its gram array — the post-join
+    # (id, g) distinct already dedups, and the interpreted array_distinct
+    # per doc cost more than the few duplicate probes it saved
+    # (measured 5.56 → 4.82 s string / 1.94 → 1.80 s hashed at sf1.0)
+    e_grams = _grams(eval_df, "eval_id", distinct=True).distinct()
+    gram_filter = None
     if bloom:
-        # Bloom pre-filter (VERDICT r09 'do this' #3): the corpus-side
-        # explode feeds every gram of every doc into the broadcast-join
-        # probe, but almost no training doc shares an 8-gram with the
-        # benchmark — so probe a 2 MB-max bit mask of the eval grams'
-        # xxhash64 values FIRST (three bit-ops inside the same codegen
-        # stage as the explode) and let only the ~6% false-positive
-        # slice reach the hash-relation probe. Exactness is untouched:
-        # every true eval gram is in the mask (no false negatives) and
-        # the real join still rejects the false positives. The mask is
-        # built from a bounded driver collect of the eval side — the
-        # operator already assumes the benchmark is broadcast-tiny; if
-        # it exceeds the cap the pre-filter silently drops out.
-        eh = (F.col("g") if hashed else F.xxhash64(F.col("g"))).alias("__gh")
-        gh_rows = (
-            e_grams.select(eh).distinct()
+        # Bloom pre-filter (VERDICT r09 'do this' #3), applied at GRAM
+        # altitude — each exploded corpus gram probes a broadcast bit
+        # mask of the eval grams' hashes (one pmod + one O(1) substr on
+        # a string Literal, inside the explode's own stage) so ~94 % of
+        # grams never reach the join's hash relation. NOT at doc
+        # altitude: a doc-level exists() gate over the shingle array
+        # looks cheaper (94 % of docs would never explode) but is a
+        # Catalyst trap — PushPredicateThroughProject inlines the
+        # shingle/token aliases into the Filter condition, where
+        # hashed_shingles_expr's 8 element_at references re-evaluate
+        # the token-hash transform PER SHINGLE ELEMENT (the HOF
+        # recompute pitfall at O(tokens²) per doc interpreted; measured
+        # 3.6 s → 264 s at sf1.0 before the string-mask fix and still
+        # pathological after). Exactness is untouched either way: every
+        # true eval gram is in the mask (no false negatives) and the
+        # real join rejects the false positives. The mask is built from
+        # a bounded driver collect of the eval gram rows — the operator
+        # already assumes the benchmark is broadcast-tiny — and that
+        # SAME collect becomes the join relation (a local frame), so
+        # the eval derivation runs once, not once for the mask plus
+        # once for the broadcast (the naive form measured 2× the eval
+        # scan cost at sf1.0). Above the cap the pre-filter silently
+        # drops out and the original distributed shape runs.
+        e_rows = (
+            e_grams.select("eval_id", "g", _probe(F.col("g")).alias("__gh"))
             .limit(_CONTAM_BLOOM_MAX_GRAMS + 1).collect()
         )
-        if len(gh_rows) <= _CONTAM_BLOOM_MAX_GRAMS:
-            n_bits = max(1024, _CONTAM_BLOOM_BITS_PER_GRAM * len(gh_rows))
-            n_longs = (n_bits + 63) // 64
-            mask = F.lit(_bloom_mask((r[0] for r in gh_rows), n_longs))
-            ch = F.col("g") if hashed else F.xxhash64(F.col("g"))
-            c_grams = c_grams.filter(_bloom_might_contain(ch, mask, n_longs))
+        if len(e_rows) <= _CONTAM_BLOOM_MAX_GRAMS:
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            mask_vals, n_longs = _bloom_mask([r["__gh"] for r in e_rows])
+            mask = F.lit(mask_vals)
+            def gram_filter(c):
+                return _bloom_might_contain(_probe(c), mask, n_longs)
+            spark = corpus.sparkSession
+            e_grams = spark.createDataFrame(
+                [(r["eval_id"], r["g"]) for r in e_rows],
+                StructType([
+                    StructField("eval_id", eval_df.schema[id_col].dataType),
+                    StructField("g", LongType() if hashed else StringType()),
+                ]),
+            )
+    c_grams = _grams(corpus, "id", distinct=False)
+    if gram_filter is not None:
+        c_grams = c_grams.filter(gram_filter(F.col("g")))
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
     hits = c_grams.join(e_grams, on="g")

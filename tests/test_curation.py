@@ -244,6 +244,30 @@ def test_contamination_plan_broadcasts_eval_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_contamination_bloom_prefilter_output_identical(spark, sf_dir):
+    """bloom=True (opt-in: the eval-gram Bloom gate + collected-eval
+    join relation) must be output-identical to the default join-only
+    path on BOTH gram bases — the mask can produce false positives
+    (rejected by the exact join) but never false negatives. Also pins
+    the signed/unsigned modulo agreement between the numpy mask build
+    and the JVM probe (a mismatch silently drops true hits whenever
+    n_longs is not a power of two)."""
+    from newsmaper_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    for hashed in (False, True):
+        plain = sorted(map(tuple, contamination_check(
+            docs, eval_df, n=8, hashed=hashed, bloom=False).collect()))
+        bloomed = sorted(map(tuple, contamination_check(
+            docs, eval_df, n=8, hashed=hashed, bloom=True).collect()))
+        assert plain == bloomed and len(plain) > 0
+
+
 # --------------------------------------------------------------------------
 # TPC-H composite plan shapes
 # --------------------------------------------------------------------------
