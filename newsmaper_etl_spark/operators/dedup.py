@@ -307,8 +307,21 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
     band. rows = bands × docs before the bucket join; the self-join
     shuffles on (band, band_hash) so only same-bucket docs ever meet.
-    Banding contract in :func:`banded_signatures`."""
-    banded = banded_signatures(df, id_col, text_col, num_hashes, bands, k)
+    Banding contract in :func:`banded_signatures`.
+
+    The explicit ``repartition`` on the join key BELOW the side aliases
+    is load-bearing: both self-join sides then hang off one canonical
+    Exchange subtree, which physical planning deduplicates
+    (ReusedExchange) — the MinHash signature lanes are computed ONCE
+    and read twice from shuffle files, instead of once per side (the
+    renames above the exchange don't break canonical equality; without
+    the repartition they do, and the whole interpreted signature
+    lineage runs twice). The join was going to shuffle both sides on
+    (band, bh) anyway, so this adds no exchange at scale — it only
+    pins WHERE the shuffle happens so it can be shared."""
+    banded = banded_signatures(
+        df, id_col, text_col, num_hashes, bands, k
+    ).repartition("band", "bh")
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
     return (

@@ -693,6 +693,13 @@ def embedding_near_dup_candidates(
         max_bucket = _auto_max_bucket(
             keyed.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("n"))
         )
+    if max_bucket is None:
+        # no cap → no window exchange for the sides to share, so pin one
+        # explicitly: both self-join sides reuse a single shuffle of the
+        # keyed frame (ReusedExchange) and the plane-dot lineage runs
+        # once, not once per side (the capped branch gets the same
+        # sharing from the window's own exchange)
+        keyed = keyed.repartition("__t", "__b")
     if max_bucket is not None:
         from pyspark.sql.window import Window
 
@@ -943,6 +950,12 @@ def _semantic_cells_and_pairs(
         id_col, vec_col, "__n", "__cell", F.explode(tables).alias("__tb")
     ).select(id_col, vec_col, "__n", "__cell",
              F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+    # one shared Exchange under both self-join sides (ReusedExchange):
+    # the centroid-assignment + plane-dot lineage is computed once and
+    # read twice from shuffle files — without this the aliased sides
+    # break canonical equality and the whole interpreted HOF pipeline
+    # runs twice (see minhash_lsh_candidates for the same pattern)
+    keyed = keyed.repartition("__cell", "__t", "__b")
     a_side = keyed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         F.col("__n").alias("__na"), "__cell", "__t", "__b",
