@@ -113,8 +113,50 @@ def _best(fn, repeat: int) -> float | None:
         return s[0]
 
 
+#: pre-flight contention gate: the in-process DuckDB drift probe is a
+#: pure-CPU benchmark needing no JVM, so it is a cheap read of BOX
+#: STATE before the expensive run commits to a record. r9's record was
+#: taken on a box with doubled floors and the round argued about which
+#: number was real; r10's 2.31→2.54 swing was a run that STARTED with
+#: the drift probe 27% over baseline. If the probe exceeds
+#: _PREFLIGHT_MAX_RATIO × the healthy baseline, sleep and re-probe
+#: (bounded) before starting; the attempts are recorded in the box
+#: block either way.
+_PREFLIGHT_BASELINE_SEC = 0.0121  # the r8-record healthy-box probe
+_PREFLIGHT_MAX_RATIO = 1.35
+_PREFLIGHT_RETRIES = 4
+_PREFLIGHT_SLEEP_SEC = 45
+
+
+def _preflight(sf_dir: str) -> dict:
+    from newsmaper_etl_spark.oracle import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    con.execute(DRIFT_PROBE).fetchall()  # warm the parquet readers
+    probes = []
+    for attempt in range(_PREFLIGHT_RETRIES + 1):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(DRIFT_PROBE).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        probes.append(round(best, 4))
+        if best <= _PREFLIGHT_MAX_RATIO * _PREFLIGHT_BASELINE_SEC:
+            break
+        if attempt < _PREFLIGHT_RETRIES:
+            time.sleep(_PREFLIGHT_SLEEP_SEC)
+    con.close()
+    return {
+        "probes": probes,
+        "ratio": round(probes[-1] / _PREFLIGHT_BASELINE_SEC, 2),
+        "contended": probes[-1] > _PREFLIGHT_MAX_RATIO * _PREFLIGHT_BASELINE_SEC,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    preflight = _preflight(sf_dir)
     from newsmaper_etl_spark.io import parse_sf
 
     sf = parse_sf(sf_dir)
@@ -134,6 +176,17 @@ def main() -> None:
         app_name="newsmaper-bench",
         shuffle_partitions=4 if small else cpus,
     )
+    if small:
+        # Toy-SF physical switch (SCALE.md §Toy-SF physical switches):
+        # AQE's per-stage re-optimization buys nothing at 4 shuffle
+        # partitions over MB-scale data and costs a re-plan round per
+        # stage — measured −16 % on a 13-query basket at sf0.1 (5.73 →
+        # 4.83 s; biggest on multi-stage contract pipelines,
+        # q_semantic_dedup_planted 1.40 → 1.00 s). Physical-only: plans
+        # stay semantically identical, and the 100 TB posture keeps AQE
+        # ON (skew-join splitting + partition coalescing are
+        # load-bearing at real SF).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # warmup: JVM + codegen + parquet footer caches
     evaluate(QUERIES["q_star_join"].fn(spark, sf_dir))
@@ -303,6 +356,7 @@ def main() -> None:
     # the r8-record floors (the last known-healthy box).
     _FLOOR_BASELINE = {"sched": 0.0132, "arrow": 0.2385}
     out["box"] = {
+        "preflight": preflight,
         "floor_baseline_sec": _FLOOR_BASELINE,
         "sched_floor_ratio": round(floor_sec / _FLOOR_BASELINE["sched"], 2),
         "arrow_floor_ratio": round(

@@ -482,8 +482,18 @@ def minhash_dedup(
     ``transitive=False`` is the cheaper one-level single-link rule (every
     id_b of a verified pair loses): no iteration, but a transitive chain's
     survivor set depends on pair orientation — fine when clusters are
-    known-shallow."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k)
+    known-shallow.
+
+    The candidate frame is localCheckpoint-ed before verification:
+    jaccard_verify references it three times (member scoping, the
+    intersection join, the every-pair-gets-a-verdict left join), and
+    each reference would otherwise re-run the banded self-join. The
+    frame is candidate-pair-scaled (bucket mates only), never
+    corpus-scaled — the same materialize-the-narrow-frame shape as
+    incremental_minhash_dedup's ``checkpoint``."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, k
+    ).localCheckpoint(eager=True)
     verified = jaccard_verify(df, cands, id_col, text_col, k, round_digits=None).filter(
         F.col("jaccard") >= threshold
     )
@@ -762,10 +772,27 @@ def jaccard_verify(
     column: exploding a named column lets InferFiltersFromGenerate infer
     a size()>0 filter that predicate-pushdown re-inlines as a full
     recompute of the shingle pipeline per row (measured 20× slower);
-    exploding the expression skips the rule."""
-    sh = df.withColumn("__th", token_hashes_col(text_col)).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(hashed_shingles_expr("__th", k))).alias("s"),
+    exploding the expression skips the rule.
+
+    ``df`` is first SCOPED to the pair members (one semi-join on the
+    exploded pair-id list): verification only ever needs the docs that
+    appear in a candidate pair, and the shingle pipeline below is
+    referenced FOUR times (both join sides + both size lookups) — at
+    corpus scale the unscoped form shingled the whole corpus four
+    times per verify call, the exact cost the incremental path's
+    side-split verify was built to avoid (r10)."""
+    ids = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    sh = (
+        df.join(ids, on=id_col, how="left_semi")
+        .withColumn("__th", token_hashes_col(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(hashed_shingles_expr("__th", k))
+            ).alias("s"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_a")
