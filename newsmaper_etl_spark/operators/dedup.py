@@ -471,6 +471,7 @@ def minhash_dedup(
     k: int = 3,
     transitive: bool = True,
     max_iter: int = 20,
+    cc_strategy: str = "auto",
 ) -> DataFrame:
     """Drop near-duplicates: LSH candidates → exact shingle-Jaccard
     verification → one survivor (the lowest id) per duplicate cluster.
@@ -498,7 +499,12 @@ def minhash_dedup(
         F.col("jaccard") >= threshold
     )
     if transitive:
-        comps = connected_components(verified, "id_a", "id_b", max_iter)
+        # cc_strategy="driver" skips the auto-sizing count() — one
+        # fewer action for callers that KNOW the verified-pair graph is
+        # bounded (the planted contracts); "auto" is the production
+        # default
+        comps = connected_components(verified, "id_a", "id_b", max_iter,
+                                     strategy=cc_strategy)
         losers = comps.filter(F.col("id") != F.col("comp")).select(
             F.col("id").alias(id_col)
         )

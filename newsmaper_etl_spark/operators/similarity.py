@@ -828,6 +828,7 @@ def semantic_dedup(
     keep: str = "centroid_far",
     cache_key: str | None = None,
     max_iter: int = 20,
+    cc_strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): spherical-k-means the embedding space into
@@ -877,7 +878,12 @@ def semantic_dedup(
         df, dim, id_col, vec_col, threshold, n_centroids, sample_n, seed,
         n_planes, n_tables, expected_rows, cache_key,
     )
-    comps = connected_components(pairs, "id_a", "id_b", max_iter)
+    # cc_strategy="driver" skips connected_components' auto-sizing
+    # count() — one fewer action for callers that KNOW the pair graph
+    # is bounded (the planted contracts); "auto" stays the production
+    # default
+    comps = connected_components(pairs, "id_a", "id_b", max_iter,
+                                 strategy=cc_strategy)
     if keep == "min_id":
         losers = comps.filter(F.col("id") != F.col("comp")).select(
             F.col("id").alias(id_col)

@@ -526,7 +526,9 @@ def q_minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_minhash_dedup (VERDICT r05 'do this' #2)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup(
-        _planted_copies(spark, sf_dir), "doc_id", "text", threshold=1.0
+        _planted_copies(spark, sf_dir), "doc_id", "text", threshold=1.0,
+        # bounded planted graph: skip the CC auto-sizing count action
+        cc_strategy="driver",
     ).select("doc_id")
 
 
@@ -736,7 +738,7 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.semantic_dedup(
         planted, dim=64, threshold=0.95, n_centroids=8, sample_n=256,
         n_tables=2, keep="centroid_far", expected_rows=1030,
-        cache_key=sf_dir + ":semdedup_planted_1k",
+        cache_key=sf_dir + ":semdedup_planted_1k", cc_strategy="driver",
     )
     return out.select("vec_id")
 
@@ -866,7 +868,7 @@ def q_semantic_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     out = S.semantic_dedup(
         planted, dim=64, threshold=0.95, n_centroids=1, sample_n=256,
         n_planes=8, n_tables=2, keep="min_id", expected_rows=1024,
-        cache_key=sf_dir + ":semdedup_near_planted",
+        cache_key=sf_dir + ":semdedup_near_planted", cc_strategy="driver",
     )
     return out.select("vec_id")
 
