@@ -874,6 +874,76 @@ def q_semantic_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q_semantic_incremental_planted",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id
+        FROM embeddings WHERE vec_id >= 500 AND vec_id < 1000
+    """,
+    tags=("DEDUP", "SEMANTIC", "ANN", "INCREMENTAL"),
+)
+def q_semantic_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the INCREMENTAL SemDeDup composition
+    (r10: the batch-vs-corpus path the streaming sink runs through
+    keyindex.semantic_dedup_batch) — frozen centroids trained on the
+    SEEN corpus, batch (cell, t, b) keys joined against the seen keys,
+    exact-cosine verify of the candidates — exercised through the very
+    helpers the sink uses (semantic_cell_keys +
+    semantic_losers_vs_seen). seen = vectors 0..499; the batch replays
+    20 of them as IDENTICAL copies under shifted ids (identical vector
+    ⇒ identical argmax cell against ANY frozen centroid set and
+    identical hyperplane signs in every table ⇒ guaranteed candidate,
+    cosine exactly 1.0 ≥ 0.95 ⇒ dropped) plus vectors 500..999 as the
+    genuinely new load (max cross-sim in the 0..999 slice is ~0.51 —
+    the ANN planted contracts' bound — so the verify keeps them all).
+    Survivors are therefore exactly the 500..999 rows while the whole
+    assign/key/join/verify machinery runs live; a bug in frozen-cell
+    assignment, key banding, the candidate join, or the verify
+    threshold flips the driver hash."""
+    def _build():
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 1000
+        )
+        seen = emb.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
+        batch = (
+            emb.filter(F.col("vec_id") >= 500)
+            .select("vec_id", "embedding")
+            .unionAll(
+                emb.filter(F.col("vec_id") < 20).select(
+                    (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        )
+        return seen.coalesce(1), batch.coalesce(1)
+
+    seen = cached_fixture(spark, "seminc_seen", sf_dir,
+                          lambda: _build()[0])
+    batch = cached_fixture(spark, "seminc_batch", sf_dir,
+                           lambda: _build()[1])
+    ck = (sf_dir + ":seminc_centroids", "embedding", 4, 256, 42)
+    cents = S._CENTROID_CACHE.get(ck)
+    if cents is None:
+        cents = S._kmeans_centroids(seen, "embedding", 4, 256, seed=42)
+        S._CENTROID_CACHE[ck] = cents
+    sk = S.semantic_cell_keys(
+        seen, 64, "vec_id", "embedding", cents, n_planes=8, n_tables=2
+    ).withColumnRenamed("vec_id", "__seen_id")
+    bk = S.semantic_cell_keys(
+        batch, 64, "vec_id", "embedding", cents, n_planes=8, n_tables=2
+    ).withColumnRenamed("vec_id", "__new_id")
+    cands = (
+        bk.join(sk, on=["cell", "t", "b"])
+        .select(F.col("__new_id").alias("id_a"),
+                F.col("__seen_id").alias("id_b"))
+        .distinct()
+    )
+    losers = S.semantic_losers_vs_seen(
+        batch, seen, cands, "vec_id", "embedding", 64, threshold=0.95
+    )
+    return batch.join(losers, on="vec_id", how="left_anti").select("vec_id")
+
+
+@query(
     "q_curate_corpus_planted",
     oracle=_curate_exact_oracle(),
     tags=("DEDUP", "TEXT", "PIPELINE"),

@@ -2812,3 +2812,43 @@ def test_embedding_near_dups_auto_cap_end_to_end(spark):
     assert auto == plain
     # the flood clique is in the output (identical vectors)
     assert (0, 1) in auto and len(auto) >= 300 * 299 // 2
+
+
+def test_lsh_self_joins_reuse_one_exchange(spark, sf_dir):
+    """The self-join candidate pipelines must hang BOTH sides off one
+    canonical Exchange (ReusedExchange): the signature / plane-dot
+    lineage is the dominant cost and must be computed once, not once
+    per side (r10 — the repartition below the side aliases is what
+    makes the subtrees canonical-equal; a regression recomputes the
+    whole interpreted pipeline twice at every scale)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from newsmaper_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").limit(500)
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # assert on the static physical plan: under AQE the ReuseExchange
+    # decision is deferred to runtime and the formatted explain shows
+    # the un-reused initial plan
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p1 = plan(D.minhash_lsh_candidates(docs, "doc_id", "text"))
+        assert "ReusedExchange" in p1, "minhash self-join lost exchange reuse"
+        p2 = plan(S.embedding_near_dup_candidates(
+            emb, dim=64, id_col="vec_id", expected_rows=500))
+        assert "ReusedExchange" in p2, "embedding self-join lost exchange reuse"
+        p3 = plan(S.semantic_dup_pairs(emb, dim=64, id_col="vec_id",
+                                       n_centroids=4, sample_n=128,
+                                       expected_rows=500))
+        assert "ReusedExchange" in p3, "semantic self-join lost exchange reuse"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
