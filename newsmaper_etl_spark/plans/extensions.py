@@ -1234,6 +1234,116 @@ def q_image_pixels_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixels(blobs, id_col="id", binary_col="media")
 
 
+# Planted PackBits-TIFF recipe: a complete little-endian strip TIFF per
+# doc — 9 inline IFD entries (sorted tags), one strip at fixed offset
+# 122, uniform pixel value p run-length-encoded as PackBits 128-byte
+# repeat runs (control 0x81 + p) plus a remainder run. Uniform pixels
+# make the PackBits stream SQL-expressible AND the pixel stats analytic
+# (sum = w·h·p), while the decoder must still walk the IFD, read the
+# strip arrays, expand the RLE and validate lengths. LZW / Deflate /
+# predictor / multi-strip / big-endian paths of the same decoder are
+# pinned by roundtrip + fuzz unit tests (tests/test_extensions.py::
+# _make_tiff).
+_TIFF_FIELDS = {
+    "w": "8 + 9 * (doc_id % 3)",        # 8 | 17 | 26
+    "h": "6 + 5 * (doc_id % 4)",        # 6 | 11 | 16 | 21
+    "p": "(doc_id * 37) % 251",
+}
+
+
+def _u16le(x: str) -> str:
+    return (
+        f"concat(substring(lpad(hex({x}), 4, '0'), 3, 2), "
+        f"substring(lpad(hex({x}), 4, '0'), 1, 2))"
+    )
+
+
+def _u32le(x: str) -> str:
+    hh = f"lpad(hex({x}), 8, '0')"
+    return (
+        f"concat(substring({hh}, 7, 2), substring({hh}, 5, 2), "
+        f"substring({hh}, 3, 2), substring({hh}, 1, 2))"
+    )
+
+
+def _tiff_hex(p: str, w: str, h: str) -> str:
+    """Spark-SQL hex expression for a complete uniform-pixel PackBits
+    grayscale TIFF (see the recipe comment above)."""
+    def short_entry(tag: int, val: str) -> str:
+        return f"'{tag.to_bytes(2, 'little').hex().upper()}030001000000', {_u16le(val)}, '0000'"
+
+    def long_entry(tag: int, val: str) -> str:
+        return f"'{tag.to_bytes(2, 'little').hex().upper()}040001000000', {_u32le(val)}"
+
+    npix = f"({w}) * ({h})"
+    n_full = f"CAST({npix} DIV 128 AS INT)"
+    rem = f"CAST({npix} % 128 AS INT)"
+    strip_len = f"(2 * {n_full} + CASE WHEN {rem} > 0 THEN 2 ELSE 0 END)"
+    pp = f"lpad(hex({p}), 2, '0')"
+    strip = (
+        f"concat(repeat(concat('81', {pp}), {n_full}), "
+        f"CASE WHEN {rem} >= 2 THEN concat(lpad(hex(257 - {rem}), 2, '0'), {pp}) "
+        f"WHEN {rem} = 1 THEN concat('00', {pp}) ELSE '' END)"
+    )
+    return (
+        "concat('49492A0008000000', '0900', "   # II*\0, IFD@8, 9 entries
+        + ", ".join([
+            long_entry(256, f"({w})"),
+            long_entry(257, f"({h})"),
+            short_entry(258, "8"),
+            short_entry(259, "32773"),
+            short_entry(262, "1"),
+            long_entry(273, "122"),
+            short_entry(277, "1"),
+            long_entry(278, f"({h})"),
+            long_entry(279, strip_len),
+        ])
+        + f", '00000000', {strip})"
+    )
+
+
+@query(
+    "q_image_pixels_tiff",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_TIFF_FIELDS['w']} AS w,
+                   {_TIFF_FIELDS['h']} AS h,
+                   {_TIFF_FIELDS['p']} AS p
+            FROM documents
+        )
+        SELECT doc_id AS id, 'tiff' AS "format",
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(w * h * p AS BIGINT) AS pixel_sum,
+               CAST(w * h * p * p AS BIGINT) AS pixel_sq_sum
+        FROM d
+    """,
+    tags=("MULTIMODAL",),
+)
+def q_image_pixels_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-TIFF pixel decode under the driver gate (r10 —
+    closes the last image-format pixel null besides lossy WebP): every
+    doc id derives a complete little-endian strip TIFF with a
+    PackBits-compressed uniform payload (see _TIFF_FIELDS); the Arrow
+    kernel (operators/multimodal.py image_pixels → _decode_tiff) must
+    walk the IFD, validate the tag surface, read the strip tables,
+    expand the RLE and byte-count the result. Pixels are planted
+    uniform, so the oracle recomputes the stats analytically; the
+    LZW-EarlyChange / Deflate / horizontal-predictor / multi-strip /
+    big-endian paths of the same decoder are pinned by the
+    _make_tiff roundtrip + fuzz unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex_expr = _tiff_hex(
+        f"({_TIFF_FIELDS['p']})",
+        f"({_TIFF_FIELDS['w']})",
+        f"({_TIFF_FIELDS['h']})",
+    )
+    blobs = _blob_fixture(spark, sf_dir, f"unhex({hex_expr})")
+    return M.image_pixels(blobs, id_col="id", binary_col="media")
+
+
 # --------------------------------------------------------------------------
 # Deduplication (oracle-checked paths)
 # --------------------------------------------------------------------------

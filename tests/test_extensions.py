@@ -2852,3 +2852,241 @@ def test_lsh_self_joins_reuse_one_exchange(spark, sf_dir):
         assert "ReusedExchange" in p3, "semantic self-join lost exchange reuse"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+# --- TIFF pixel decode: strip/compression roundtrips (r10) ---
+
+
+def _tiff_packbits_encode(row: bytes) -> bytes:
+    """PackBits encoder (runs ≥3 become repeats; literals batched)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and len(bytearray(row[lit_start:i])) < 128:
+            run = 1
+            while i + run < n and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+            if i - lit_start >= 128:
+                i = lit_start + 128
+                break
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder: MSB-first, ClearCode 256 / EOI 257,
+    EarlyChange (width steps one code early) — the jcphuff-style mirror
+    of operators/multimodal.py::_tiff_lzw."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(256)  # initial Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange: widen when the NEXT code to assign would not fit
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        put(table[w])
+    put(257)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _make_tiff(px, spp=1, compression=1, predictor=1, photometric=None,
+               rows_per_strip=None, endian="<"):
+    """Assemble a strip-organized 8-bit TIFF from a numpy (h, w, spp)
+    array, with per-strip compression and optional horizontal
+    differencing."""
+    import struct as _struct
+
+    import numpy as _np
+    import zlib as _zlib
+
+    h, w = px.shape[0], px.shape[1]
+    rps = rows_per_strip or h
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    data = px.astype(_np.uint8)
+    if photometric == 0:
+        data = 255 - data
+    if predictor == 2:
+        d = data.astype(_np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+        data = (d % 256).astype(_np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = data[y0 : y0 + rps].tobytes()
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 32773:
+            strips.append(_tiff_packbits_encode(raw))
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(_zlib.compress(raw))
+    tags = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]),
+        (258, 3, spp, [8] * spp), (259, 3, 1, [compression]),
+        (262, 3, 1, [photometric]), (277, 3, 1, [spp]),
+        (278, 4, 1, [rps]),
+        (273, 4, len(strips), None), (279, 4, len(strips), None),
+        (317, 3, 1, [predictor]),
+    ]
+    tags.sort()
+    n = len(tags)
+    ifd_size = 2 + 12 * n + 4
+    # out-of-line arrays come right after the IFD
+    extra_off = 8 + ifd_size
+    extra = bytearray()
+
+    def val_bytes(typ, count, vals):
+        fmt = "H" if typ == 3 else "I"
+        return _struct.pack(endian + fmt * count, *vals)
+
+    strip_offsets = []
+    pos = None  # filled after extras
+    # first pass to size extras for value arrays (except strip arrays)
+    entries = []
+    pending = {}
+    for tag, typ, count, vals in tags:
+        if vals is None:
+            pending[tag] = (typ, count)
+            entries.append([tag, typ, count, None])
+            continue
+        vb = val_bytes(typ, count, vals)
+        if len(vb) <= 4:
+            entries.append([tag, typ, count, vb.ljust(4, b"\x00")])
+        else:
+            entries.append(
+                [tag, typ, count, _struct.pack(endian + "I", extra_off + len(extra))]
+            )
+            extra += vb
+    # strip arrays: offsets unknown until extras sized; reserve space
+    strip_arr_off = {}
+    for tag in (273, 279):
+        typ, count = pending[tag]
+        if 4 * count <= 4:
+            strip_arr_off[tag] = None
+        else:
+            strip_arr_off[tag] = extra_off + len(extra)
+            extra += b"\x00" * (4 * count)
+    data_off = extra_off + len(extra)
+    cur = data_off
+    counts = []
+    for srow in strips:
+        strip_offsets.append(cur)
+        counts.append(len(srow))
+        cur += len(srow)
+    for ent in entries:
+        tag, typ, count, vb = ent
+        if vb is not None:
+            continue
+        vals = strip_offsets if tag == 273 else counts
+        vbb = val_bytes(typ, count, vals)
+        if strip_arr_off[tag] is None:
+            ent[3] = vbb.ljust(4, b"\x00")
+        else:
+            off = strip_arr_off[tag]
+            extra[off - extra_off : off - extra_off + len(vbb)] = vbb
+            ent[3] = _struct.pack(endian + "I", off)
+    out = bytearray()
+    out += (b"II*\x00" if endian == "<" else b"MM\x00*")
+    out += _struct.pack(endian + "I", 8)
+    out += _struct.pack(endian + "H", n)
+    for tag, typ, count, vb in entries:
+        out += _struct.pack(endian + "HHI", tag, typ, count) + vb
+    out += _struct.pack(endian + "I", 0)
+    out += extra
+    for srow in strips:
+        out += srow
+    return bytes(out)
+
+
+def test_decode_tiff_roundtrips_all_compressions():
+    import numpy as np
+
+    from newsmaper_etl_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.default_rng(11)
+    for spp in (1, 3):
+        px = rng.integers(0, 256, size=(13, 9, spp), dtype=np.uint8)
+        for comp in (1, 32773, 5, 8):
+            for pred in (1, 2):
+                for rps in (13, 4):
+                    blob = _make_tiff(px, spp=spp, compression=comp,
+                                      predictor=pred, rows_per_strip=rps)
+                    got = decode_pixels(blob)
+                    assert got is not None, (spp, comp, pred, rps)
+                    f, w, h, ch, raw = got
+                    assert (f, w, h, ch) == ("tiff", 9, 13, spp)
+                    assert raw == px.tobytes(), (spp, comp, pred, rps)
+
+
+def test_decode_tiff_big_endian_and_inverted():
+    import numpy as np
+
+    from newsmaper_etl_spark.operators.multimodal import decode_pixels
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    blob = _make_tiff(px, compression=32773, photometric=0, endian=">")
+    f, w, h, ch, raw = decode_pixels(blob)
+    assert (f, w, h, ch) == ("tiff", 8, 8, 1)
+    assert raw == px.tobytes()  # inversion is undone by the decoder
+
+
+def test_decode_tiff_rejects_out_of_scope_and_fuzz():
+    """Tiled / planar / 16-bit / unknown-compression files return None,
+    and random mutations never crash (the corrupt-blob posture)."""
+    import numpy as np
+
+    from newsmaper_etl_spark.operators.multimodal import decode_pixels
+
+    px = np.full((6, 6, 1), 7, dtype=np.uint8)
+    base = bytearray(_make_tiff(px, compression=5, predictor=2))
+    assert decode_pixels(bytes(base)) is not None
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        decode_pixels(bytes(mut))  # must not raise
+    for _ in range(100):
+        decode_pixels(bytes(base[: rng.integers(4, len(base))]))
