@@ -1244,21 +1244,21 @@ def q_image_pixels_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predictor / multi-strip / big-endian paths of the same decoder are
 # pinned by roundtrip + fuzz unit tests (tests/test_extensions.py::
 # _make_tiff).
-_TIFF_FIELDS = {
+_TIFF_PX_FIELDS = {
     "w": "8 + 9 * (doc_id % 3)",        # 8 | 17 | 26
     "h": "6 + 5 * (doc_id % 4)",        # 6 | 11 | 16 | 21
     "p": "(doc_id * 37) % 251",
 }
 
 
-def _u16le(x: str) -> str:
+def _px_u16le(x: str) -> str:
     return (
         f"concat(substring(lpad(hex({x}), 4, '0'), 3, 2), "
         f"substring(lpad(hex({x}), 4, '0'), 1, 2))"
     )
 
 
-def _u32le(x: str) -> str:
+def _px_u32le(x: str) -> str:
     hh = f"lpad(hex({x}), 8, '0')"
     return (
         f"concat(substring({hh}, 7, 2), substring({hh}, 5, 2), "
@@ -1270,10 +1270,10 @@ def _tiff_hex(p: str, w: str, h: str) -> str:
     """Spark-SQL hex expression for a complete uniform-pixel PackBits
     grayscale TIFF (see the recipe comment above)."""
     def short_entry(tag: int, val: str) -> str:
-        return f"'{tag.to_bytes(2, 'little').hex().upper()}030001000000', {_u16le(val)}, '0000'"
+        return f"'{tag.to_bytes(2, 'little').hex().upper()}030001000000', {_px_u16le(val)}, '0000'"
 
     def long_entry(tag: int, val: str) -> str:
-        return f"'{tag.to_bytes(2, 'little').hex().upper()}040001000000', {_u32le(val)}"
+        return f"'{tag.to_bytes(2, 'little').hex().upper()}040001000000', {_px_u32le(val)}"
 
     npix = f"({w}) * ({h})"
     n_full = f"CAST({npix} DIV 128 AS INT)"
@@ -1307,9 +1307,9 @@ def _tiff_hex(p: str, w: str, h: str) -> str:
     oracle=f"""
         WITH d AS (
             SELECT doc_id,
-                   {_TIFF_FIELDS['w']} AS w,
-                   {_TIFF_FIELDS['h']} AS h,
-                   {_TIFF_FIELDS['p']} AS p
+                   {_TIFF_PX_FIELDS['w']} AS w,
+                   {_TIFF_PX_FIELDS['h']} AS h,
+                   {_TIFF_PX_FIELDS['p']} AS p
             FROM documents
         )
         SELECT doc_id AS id, 'tiff' AS "format",
@@ -1326,7 +1326,7 @@ def q_image_pixels_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-TIFF pixel decode under the driver gate (r10 —
     closes the last image-format pixel null besides lossy WebP): every
     doc id derives a complete little-endian strip TIFF with a
-    PackBits-compressed uniform payload (see _TIFF_FIELDS); the Arrow
+    PackBits-compressed uniform payload (see _TIFF_PX_FIELDS); the Arrow
     kernel (operators/multimodal.py image_pixels → _decode_tiff) must
     walk the IFD, validate the tag surface, read the strip tables,
     expand the RLE and byte-count the result. Pixels are planted
@@ -1336,9 +1336,9 @@ def q_image_pixels_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     _make_tiff roundtrip + fuzz unit tests."""
     docs = load_table(spark, sf_dir, "documents")
     hex_expr = _tiff_hex(
-        f"({_TIFF_FIELDS['p']})",
-        f"({_TIFF_FIELDS['w']})",
-        f"({_TIFF_FIELDS['h']})",
+        f"({_TIFF_PX_FIELDS['p']})",
+        f"({_TIFF_PX_FIELDS['w']})",
+        f"({_TIFF_PX_FIELDS['h']})",
     )
     blobs = _blob_fixture(spark, sf_dir, f"unhex({hex_expr})")
     return M.image_pixels(blobs, id_col="id", binary_col="media")
