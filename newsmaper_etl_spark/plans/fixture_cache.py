@@ -49,6 +49,41 @@ def cached_fixture(
     return df
 
 
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def cached_plan(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    builder: Callable[[], DataFrame],
+) -> DataFrame:
+    """Memoize an UNEXECUTED DataFrame plan per (session, name, sf_dir) —
+    prepared-statement reuse for the planted contracts whose plan is
+    PURE (no driver actions during construction, no checkpoint nodes
+    that would freeze an intermediate result after the first run).
+    Unlike :func:`cached_fixture`, nothing is materialized here: every
+    evaluation of the returned frame re-executes the full pipeline, so
+    the measured machinery stays live per invocation — only the
+    Python-side plan construction and its per-operator JVM analysis
+    passes (measured ~0.4-0.7 s for the multi-stage dedup contracts,
+    VERDICT r10 'do this' #1) are paid once. DuckDB's oracle pays the
+    analogous parse+bind cost in microseconds; amortizing Spark's is
+    the fair comparison, not a shortcut.
+
+    ``builder`` must return a plan with NO eager actions and NO
+    localCheckpoint(eager=False) nodes (those materialize on first use
+    and silently bake that stage for later evaluations — the exact
+    dishonesty this helper exists to avoid)."""
+    key = (spark.sparkContext.applicationId, name, sf_dir)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = builder()
+        _PLAN_CACHE[key] = df
+    return df
+
+
 def clear() -> None:
-    """Drop every cached fixture (test isolation hook)."""
+    """Drop every cached fixture and plan (test isolation hook)."""
     _CACHE.clear()
+    _PLAN_CACHE.clear()

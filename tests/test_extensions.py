@@ -371,6 +371,88 @@ def test_ngram_jaccard_values(spark):
     assert 0.8 < out[(1, 2)] < 1.0
 
 
+def _hot_token_corpus(spark):
+    """200 docs sharing the stop words 'the a of' plus per-doc unique
+    tokens, and one true near-dup of doc 1 — the stop-word-dense regime
+    whose raw inverted-index join goes quadratic in document frequency
+    (VERDICT r10 'do this' #4)."""
+    rows = [
+        (i, f"the a of u{i}x v{i}y w{i}z q{i}k") for i in range(200)
+    ] + [(1000, "the a of u1x v1y w1z q1k")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_prefix_filter_identical_output(spark):
+    """The positional prefix filter must be a pure pruning: identical
+    (id_a, id_b, jaccard) rows on the hot-token planted corpus AND on a
+    scoped corpus, at two thresholds."""
+    docs = _hot_token_corpus(spark)
+    for threshold in (0.4, 0.8):
+        raw = sorted(map(tuple, D.ngram_jaccard_pairs(
+            docs, scope_col=None, threshold=threshold, prefix_filter=False
+        ).collect()))
+        pf = sorted(map(tuple, D.ngram_jaccard_pairs(
+            docs, scope_col=None, threshold=threshold, prefix_filter=True
+        ).collect()))
+        assert raw == pf and len(raw) >= 1
+    scoped = docs.withColumn("source", (F.col("doc_id") % 2).cast("string"))
+    raw = sorted(map(tuple, D.ngram_jaccard_pairs(
+        scoped, threshold=0.4, prefix_filter=False).collect()))
+    pf = sorted(map(tuple, D.ngram_jaccard_pairs(
+        scoped, threshold=0.4, prefix_filter=True).collect()))
+    assert raw == pf
+
+
+def test_ngram_jaccard_prefix_bounds_hot_tokens(spark):
+    """On the stop-word-dense corpus the prefix must actually PRUNE:
+    every doc is 3/7 stop words, so at t=0.8 the prefix (first
+    n − ⌈t·n⌉ + 1 = 2 rarest tokens) contains no stop word for docs
+    with ≥2 unique tokens — the hot 'the/a/of' inverted lists receive
+    ~no prefix entries, while the raw join pays C(201,2)·3 hot-token
+    rows. Asserted at the candidate surface, not wall clock (box noise
+    rule)."""
+    docs = _hot_token_corpus(spark)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " ", -1))
+        ).alias("w0"),
+    ).select("doc_id", F.xxhash64("w0").alias("w"))
+    raw_cands = (
+        toks.withColumnRenamed("doc_id", "id_a")
+        .join(toks.withColumnRenamed("doc_id", "id_b"), on="w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    # reproduce the operator's prefix construction at t=0.8
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        toks.join(freq, on="w")
+        .withColumn("__rnk", F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("w"))
+        ))
+        .withColumn("__sz", F.count(F.lit(1)).over(
+            W.partitionBy("doc_id")
+        ))
+    )
+    prefix = ranked.filter(
+        F.col("__rnk")
+        <= F.col("__sz") - F.ceil(F.lit(0.8) * F.col("__sz")) + F.lit(1)
+    ).select("doc_id", "w")
+    pf_cands = (
+        prefix.withColumnRenamed("doc_id", "id_a")
+        .join(prefix.withColumnRenamed("doc_id", "id_b"), on="w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    # raw: all 201 docs meet pairwise through the stop words (20100
+    # pairs); prefix: only the planted dup pair survives
+    assert raw_cands >= 20100
+    assert pf_cands <= 5
+
+
 def test_lsh_recalls_identical_vectors(spark, sf_dir):
     """Queries that ARE corpus vectors (fresh ids) must find their twin as
     the top neighbor with sim 1.0 — identical vectors share every LSH
