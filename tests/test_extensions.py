@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from newsmaper_etl_spark.fixtures import values_df
@@ -1590,6 +1591,76 @@ def test_decode_pixels_png_all_filters_and_color_types():
         for x in range(4)
     )
     assert d == ("png", 4, 3, 3, expect)
+
+
+@pytest.mark.skipif(M._pil() is None, reason="Pillow not installed")
+def test_decode_pixels_native_parity():
+    """Native-codec parity (VERDICT r10 'do this' #6): when PIL is
+    importable, decode_pixels_native must be BIT-IDENTICAL to the
+    stdlib reference on lossless formats (PNG all color types, BMP both
+    row orders, GIF, TIFF), and dimension/channel-identical with
+    per-sample |Δ| ≤ 1 on JPEG (IDCT rounding is the spec's permitted
+    tolerance). Runs only where PIL exists — the stdlib decoders remain
+    the tested reference everywhere."""
+    import numpy as np
+
+    blobs = []
+    for ct in (0, 2, 4, 6):
+        blobs.append(_make_png(
+            5, 6, ct, lambda x, y, c: (x * 7 + y * 13 + c * 31) % 256,
+            filters=[0, 1, 2, 3, 4, 1],
+        ))
+    plte = bytes(b for i in range(256) for b in (i, (i * 2) % 256, (i * 3) % 256))
+    blobs.append(_make_png(4, 3, 3, lambda x, y, c: (x + y * 5) % 256,
+                           palette=plte))
+    for td in (False, True):
+        blobs.append(_make_bmp24(
+            3, 2, lambda x, y: ((x * 10) % 256, (y * 20) % 256, (x + y) % 256),
+            topdown=td,
+        ))
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    blobs.append(_make_gif(4, 4, pal, [(x + y) % 4 for y in range(4)
+                                       for x in range(4)]))
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        blobs.append(_make_tiff(px, spp=3, compression=comp))
+    for blob in blobs:
+        ref = M.decode_pixels(blob)
+        nat = M.decode_pixels_native(blob)
+        assert ref is not None and nat == ref
+    g = rng.integers(0, 256, size=(16, 11), dtype=np.uint8)
+    jref = M.decode_pixels(_make_jpeg(g))
+    jnat = M.decode_pixels_native(_make_jpeg(g))
+    assert jref is not None and jnat is not None
+    assert jnat[:4] == jref[:4]
+    a = np.frombuffer(jref[4], dtype=np.uint8).astype(int)
+    b = np.frombuffer(jnat[4], dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+
+def test_decode_pixels_native_falls_back_without_pil(monkeypatch):
+    """With PIL absent (this environment), decode_pixels_native must be
+    exactly the stdlib path — same tuple on a valid blob, None on
+    garbage and on WebP (disclosed null, never wrong pixels)."""
+    png = _make_png(5, 6, 2, lambda x, y, c: (x + y + c) % 256)
+    assert M.decode_pixels_native(png) == M.decode_pixels(png)
+    assert M.decode_pixels_native(b"\x00" * 64) is None
+    webp = b"RIFF" + b"\x20\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 32
+    if M._pil() is None:
+        assert M.decode_pixels_native(webp) is None
+
+
+def test_image_pixels_native_flag_plumbs(spark):
+    """image_pixels(native=True) must produce the same rows as the
+    stdlib path in a PIL-less environment (the dispatcher falls back
+    per blob) — pinning the kernel wiring, not the codec."""
+    png = _make_png(4, 4, 0, lambda x, y, c: (x * y) % 256)
+    df = spark.createDataFrame([(1, bytearray(png)), (2, None)],
+                               "id long, media binary")
+    a = sorted(map(tuple, M.image_pixels(df).collect()))
+    b = sorted(map(tuple, M.image_pixels(df, native=True).collect()))
+    assert a == b and a[0][1] == "png"
 
 
 def test_decode_pixels_bmp_both_row_orders():
