@@ -803,11 +803,15 @@ def ensure_semantic_bootstrap(
         n_centroids, np_, n_tables, dim, seed,
     )
     boot_app = app + _BOOT_APP_SUFFIX
+    # BASELINE drift entry: the affinity of the very corpus the
+    # centroids were trained on — the reference later batches decay from
+    drift = _affinity_stats(snap, vec_col, cents, dim)
 
     def _append() -> int:
         return M.append(
             keys, stable, txn=(boot_app, 0), stat_cols=_SSTAMP,
-            meta={"op_detail": "semcells-bootstrap", "covers_version": v},
+            meta={"op_detail": "semcells-bootstrap", "covers_version": v,
+                  "drift": drift},
         )
 
     try:
@@ -884,6 +888,12 @@ def semantic_dedup_batch(
     )
 
     spark = batch_df.sparkSession
+    if semantic_index_stale(table):
+        raise ValueError(
+            f"semantic index at {table} is mid-rebuild (centroids flipped, "
+            "cells not re-signed) — re-run rebuild_semantic_index to "
+            "converge before deduping against it"
+        )
     idx = read_semcells_index(spark, table)
     if idx is None:
         out = (
@@ -979,11 +989,15 @@ def append_batch_cells(
         params["n_centroids"], np_, params["n_tables"], dim,
         params["seed"],
     )
+    # drift telemetry riding the commit (VERDICT r10 #8): batch-scaled
+    # affinity vs the frozen centroids — see semantic_drift_history
+    drift = _affinity_stats(batch_df, vec_col, cents, dim)
 
     def _append() -> int:
         return M.append(keys, stable, txn=(app, int(batch_id)),
                         stat_cols=_SSTAMP,
-                        meta={"app": app, "batch_id": int(batch_id)})
+                        meta={"app": app, "batch_id": int(batch_id),
+                              "drift": drift})
 
     try:
         _append()
@@ -1004,3 +1018,180 @@ def compact_semcells_index(
         spark, stable, min_file_bytes=min_file_bytes,
         target_file_bytes=64 * 1024 * 1024,
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic-index drift telemetry + offline rebuild (VERDICT r10 #8)
+# --------------------------------------------------------------------------
+
+def _affinity_stats(df: DataFrame, vec_col: str, cents: list[list[float]],
+                    dim: int) -> dict:
+    """Batch affinity against the FROZEN centroids: count / mean / min
+    of each row's best cosine-to-centroid. One bounded batch-scaled agg
+    (a scalar collect — the per-batch telemetry read, not a corpus
+    scan). This is the drift signal: frozen centroids keep cells
+    COMPARABLE forever, but as the corpus distribution moves away from
+    the training sample the best-cosine affinity decays, cells widen,
+    and LSH recall inside them drops silently — the mean riding each
+    cells-commit makes that decay visible in the manifest history
+    instead of in a recall postmortem."""
+    from newsmaper_etl_spark.operators.similarity import (
+        _cell_top_hof_sql,
+        _with_norm,
+    )
+
+    base = _with_norm(df.select(vec_col), vec_col, "__n", dim, unroll=False)
+    top = F.expr(_cell_top_hof_sql(vec_col, cents))
+    aff = base.select((top["d"] / F.col("__n")).alias("__a"))
+    row = aff.agg(
+        F.count("__a").alias("n"),
+        F.avg("__a").alias("mean"),
+        F.min("__a").alias("mn"),
+    ).collect()[0]
+    return {
+        "n": int(row["n"] or 0),
+        "mean_csim": None if row["mean"] is None else round(float(row["mean"]), 6),
+        "min_csim": None if row["mn"] is None else round(float(row["mn"]), 6),
+    }
+
+
+def semantic_drift_history(table: str) -> list[dict]:
+    """The per-commit drift telemetry recorded on the ``_semcells``
+    manifest metas, oldest first: one entry per commit that carried
+    stats — {version, batch_id?, n, mean_csim, min_csim}. The bootstrap
+    commit's entry is the BASELINE (affinity of the very corpus the
+    centroids were trained on); compare later batches against it and
+    rebuild when the decay crosses the deployment's tolerance
+    (:func:`rebuild_semantic_index`). Driver-side manifest walk, no
+    Spark job."""
+    stable = semcells_index_path(table)
+    out: list[dict] = []
+    for v in range(1, M.current_version(stable) + 1):
+        try:
+            m = M._load_manifest(stable, v)
+        except FileNotFoundError:  # vacuumed
+            continue
+        meta = m.get("meta") or {}
+        drift = meta.get("drift")
+        if drift is None:
+            continue
+        entry = {"version": v, **drift}
+        if "batch_id" in meta:
+            entry["batch_id"] = meta["batch_id"]
+        out.append(entry)
+    return out
+
+
+def semantic_index_stale(table: str) -> bool:
+    """True when the cells table's stamp disagrees with the centroids
+    table's — the crash window of :func:`rebuild_semantic_index` (new
+    centroids committed, corpus not yet re-signed). A stale index MUST
+    NOT serve candidate joins: batch keys signed under the new
+    centroids would meet cells signed under the old ones. Re-run the
+    rebuild (idempotent) to converge."""
+    cstamp = _read_stamp(semcentroids_path(table), _SSTAMP)
+    sstamp = _read_stamp(semcells_index_path(table), _SSTAMP)
+    if cstamp is None or sstamp is None:
+        return False
+    return any(cstamp.get(c) != sstamp.get(c) for c in _SSTAMP)
+
+
+def rebuild_semantic_index(
+    spark: SparkSession,
+    table: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    seed: int | None = None,
+    version: int | None = None,
+) -> dict:
+    """OFFLINE re-cluster of the semantic index (VERDICT r10 'do this'
+    #8): retrain spherical-k-means on a fresh sample of the CURRENT
+    corpus snapshot, overwrite the frozen centroids under a BUMPED
+    seed stamp, and re-sign every snapshot row's (cell, t, b) keys —
+    the one deliberate O(corpus) pass, paid when
+    :func:`semantic_drift_history` says cell tightness has decayed past
+    tolerance. Run QUIESCED (no concurrent ingest writer), like
+    ``compact``: batches committed between the pinned snapshot and the
+    pointer flips would miss the re-sign.
+
+    Crash-safe by stamp ordering: the new ``seed`` (default old+1) makes
+    the new parameterization DISTINGUISHABLE from the old, centroids
+    flip first, and a crash before the cells flip leaves the two stamps
+    disagreeing — :func:`semantic_index_stale` detects it, and re-running
+    this function converges (retrain is skipped when the centroids
+    already carry the target stamp — the persisted set, trained on the
+    ``covers_version`` snapshot recorded in its meta, is canonical; the
+    cells re-sign then redoes only the missing flip). Dimension and
+    structural parameters (n_centroids/n_planes/n_tables/dim) are kept
+    from the frozen stamp — a rebuild re-fits the SAME index shape to
+    the drifted distribution. Returns {version, seed, drift} where
+    drift is the post-rebuild baseline affinity."""
+    from newsmaper_etl_spark.operators.similarity import (
+        _kmeans_centroids,
+        semantic_cell_keys,
+    )
+
+    old = read_semantic_params(table)
+    if old is None:
+        raise ValueError(f"no semantic index at {table} to rebuild; use "
+                         "ensure_semantic_bootstrap for first signing")
+    stale = semantic_index_stale(table)
+    if seed is None:
+        # crash replay adopts the already-flipped centroid stamp (the
+        # persisted set is canonical) instead of bumping past it
+        new_seed = old["seed"] if stale else old["seed"] + 1
+    else:
+        new_seed = int(seed)
+    if new_seed == old["seed"] and not stale:
+        raise ValueError(
+            f"rebuild seed {new_seed} equals the live stamp's; cells from "
+            "the old and new centroid sets would be indistinguishable — "
+            "bump the seed"
+        )
+    nc, np_, nt, dim = (old["n_centroids"], old["n_planes"],
+                        old["n_tables"], old["dim"])
+    ctable = semcentroids_path(table)
+    stable = semcells_index_path(table)
+    v = M.current_version(table) if version is None else version
+    snap = M.read_table(spark, table, version=v).select(id_col, vec_col)
+
+    cstamp = _read_stamp(ctable, _SSTAMP) or {}
+    if cstamp.get("__seed") == new_seed:
+        # crash replay: the target centroids already flipped — canonical;
+        # re-pin the snapshot they were trained against for the re-sign
+        cents = read_centroids(spark, table)
+        cmeta = M._load_manifest(ctable, M.current_version(ctable)).get(
+            "meta"
+        ) or {}
+        v = int(cmeta.get("covers_version", v))
+        snap = M.read_table(spark, table, version=v).select(id_col, vec_col)
+    else:
+        cents = _kmeans_centroids(snap, vec_col, nc, sample_n, seed=new_seed)
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, IntegerType, StructField, StructType,
+        )
+
+        cdf = _sstamped(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                StructType([
+                    StructField("cell", IntegerType()),
+                    StructField("c", ArrayType(DoubleType())),
+                ]),
+            ),
+            nc, np_, nt, dim, new_seed,
+        )
+        M.overwrite(cdf, ctable, stat_cols=_SSTAMP,
+                    meta={"op_detail": "semcentroids-rebuild",
+                          "covers_version": v})
+    keys = _sstamped(
+        semantic_cell_keys(snap, dim, id_col, vec_col, cents, np_, nt,
+                           new_seed),
+        nc, np_, nt, dim, new_seed,
+    )
+    drift = _affinity_stats(snap, vec_col, cents, dim)
+    M.overwrite(keys, stable, stat_cols=_SSTAMP,
+                meta={"op_detail": "semcells-rebuild", "covers_version": v,
+                      "drift": drift})
+    return {"version": v, "seed": new_seed, "drift": drift}

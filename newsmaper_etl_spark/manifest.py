@@ -478,6 +478,7 @@ def overwrite(
     stat_cols: tuple[str, ...] = (),
     base_version: int | None = None,
     partition_by: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> int:
     """Transactional full rewrite (the atomic form of sinks.rewrite_dedup's
     rename swap): the new snapshot references ONLY the fresh batch; old
@@ -493,7 +494,8 @@ def overwrite(
     prev = _load_manifest(table, base)
     new_files = _write_batch(df, table, list(stat_cols), tuple(partition_by))
     return _commit(
-        table, base, new_files, op="overwrite", schema=_schema_fields(df),
+        table, base, new_files, op="overwrite", meta=meta,
+        schema=_schema_fields(df),
         prev_txns=prev.get("txns"), partition_by=tuple(partition_by),
     )
 

@@ -1359,3 +1359,108 @@ def test_semcells_index_survives_crash_before_cells_commit(spark, tmp_path):
     )
     run(str(tmp_path / "csemck2"))
     assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 20}
+
+
+def test_semantic_drift_telemetry_and_offline_rebuild(spark, tmp_path):
+    """VERDICT r10 'do this' #8, end to end: (a) every cells commit —
+    bootstrap baseline included — records batch affinity vs the FROZEN
+    centroids in its manifest meta, and a distribution shift shows up
+    as a mean_csim drop in semantic_drift_history; (b)
+    rebuild_semantic_index retrains on the current snapshot under a
+    BUMPED seed stamp, re-signs the corpus, and restores affinity;
+    (c) a crash between the centroid flip and the cells flip leaves a
+    detectable stale index that refuses to serve dedup and converges on
+    rebuild replay."""
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    dim = 8
+    # tight cluster around e1 — the bootstrap corpus
+    base = [[1.0, 0.02 * i] + [0.0] * 6 for i in range(8)]
+    table = str(tmp_path / "driftdata")
+    M.append(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(base)],
+            "id long, embedding array<double>",
+        ),
+        table,
+    )
+    assert K.ensure_semantic_bootstrap(
+        spark, table, "id", "embedding", dim, n_centroids=2, n_planes=4,
+        n_tables=2, sample_n=64, seed=42, app="driftapp",
+    )
+    hist = K.semantic_drift_history(table)
+    assert len(hist) == 1 and hist[0]["n"] == 8
+    baseline = hist[0]["mean_csim"]
+    assert baseline is not None and baseline > 0.99
+
+    # a drifted batch (orthogonal direction): commit its keys -> the
+    # telemetry entry rides the commit and shows the affinity drop
+    drifted = [(100 + i, [0.0, 0.0, 1.0, 0.3 * i] + [0.0] * 4)
+               for i in range(4)]
+    bdf = spark.createDataFrame(drifted, "id long, embedding array<double>")
+    M.append(bdf, table, txn=("driftapp", 1))
+    assert K.append_batch_cells(
+        bdf, table, "id", "embedding", dim, n_centroids=2, n_planes=4,
+        n_tables=2, sample_n=64, seed=42, app="driftapp", batch_id=1,
+    )
+    hist = K.semantic_drift_history(table)
+    assert len(hist) == 2 and hist[1]["batch_id"] == 1
+    assert hist[1]["mean_csim"] < baseline - 0.1  # visible decay
+
+    # offline rebuild: bumped seed stamp, corpus re-signed, affinity back
+    old_seed = K.read_semantic_params(table)["seed"]
+    res = K.rebuild_semantic_index(spark, table, "id", "embedding",
+                                   sample_n=64)
+    assert res["seed"] == old_seed + 1
+    params = K.read_semantic_params(table)
+    assert params["seed"] == old_seed + 1 and params["n_centroids"] == 2
+    assert not K.semantic_index_stale(table)
+    assert res["drift"]["mean_csim"] > hist[1]["mean_csim"]
+    sidx = M.read_table(spark, K.semcells_index_path(table))
+    assert {r["id"] for r in sidx.collect()} == set(range(8)) | {
+        100, 101, 102, 103
+    }
+
+    # the rebuilt index still serves dedup: an exact redelivery drops
+    redeliver = spark.createDataFrame(
+        [(999, base[0])], "id long, embedding array<double>"
+    )
+    out = K.semantic_dedup_batch(redeliver, table, "id", "embedding",
+                                 dim=dim, threshold=0.9)
+    assert out.count() == 0
+
+    # crash injection: centroids flip, cells flip crashes -> stale,
+    # dedup refuses, replay converges
+    real_overwrite = M.overwrite
+    calls = {"n": 0}
+
+    def _crashing(df, t, **kw):
+        v = real_overwrite(df, t, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after centroid flip")
+        return v
+
+    M.overwrite = _crashing
+    try:
+        with _pytest.raises(RuntimeError, match="injected"):
+            K.rebuild_semantic_index(spark, table, "id", "embedding",
+                                     sample_n=64)
+    finally:
+        M.overwrite = real_overwrite
+    assert K.semantic_index_stale(table)
+    with _pytest.raises(ValueError, match="mid-rebuild"):
+        K.semantic_dedup_batch(redeliver, table, "id", "embedding",
+                               dim=dim, threshold=0.9)
+    res2 = K.rebuild_semantic_index(spark, table, "id", "embedding",
+                                    sample_n=64)
+    # replay ADOPTS the crashed flip's stamp (no second bump): the
+    # persisted centroids are canonical, only the cells flip is redone
+    assert res2["seed"] == old_seed + 2
+    assert not K.semantic_index_stale(table)
+    out = K.semantic_dedup_batch(redeliver, table, "id", "embedding",
+                                 dim=dim, threshold=0.9)
+    assert out.count() == 0
