@@ -23,6 +23,7 @@ from newsmaper_etl_spark.io import fan_out, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import sampling as SP
 from newsmaper_etl_spark.operators import text as TX
+from newsmaper_etl_spark.plans.fixture_cache import plan_cached
 from newsmaper_etl_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -255,6 +256,7 @@ def q_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("DEDUP", "CURATION"),
 )
+@plan_cached
 def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked contract for the hashed decontamination path (VERDICT
     r04 'do this' #4): run the STRING-gram and HASHED-gram paths over the

@@ -22,7 +22,11 @@ from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import multimodal as M
 from newsmaper_etl_spark.operators import similarity as S
 from newsmaper_etl_spark.operators import text as TX
-from newsmaper_etl_spark.plans.fixture_cache import cached_fixture, cached_plan
+from newsmaper_etl_spark.plans.fixture_cache import (
+    cached_fixture,
+    cached_plan,
+    plan_cached,
+)
 from newsmaper_etl_spark.registry import query
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX._ALL_STOPWORDS) + "]"
@@ -202,6 +206,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline, end to end, on the REAL header
     decoder (VERDICT r04 'what's missing' #1): each document's bytes are
@@ -332,6 +337,7 @@ _WAV_HEX = (
     ).format(div="//", **_WAV_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column pipeline on the REAL header decoder: every document
     id derives a complete, valid PCM WAV file (RIFF/fmt/data chunks,
@@ -382,6 +388,7 @@ _WEBP_HEX = (
     ).format(**_WEBP_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_media_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WebP branch of the image parser under the q_media_features
     driver-hashed contract: each doc id derives a valid VP8X extended
@@ -446,6 +453,7 @@ _FLAC_HEX = (
     ).format(div="//", **_FLAC_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAC branch of the audio parser under the same driver-hashed
     contract as q_audio_features: each doc id derives a valid fLaC
@@ -496,6 +504,7 @@ _MP3_HEX = (
     ).format(**_MP3_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MPEG-audio branch of the audio parser under the driver-hashed
     contract: each doc id derives a CBR MP3 whose frame headers plant a
@@ -567,6 +576,7 @@ _MP4_HEX = (
     ).format(div="//", **_MP4_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-column pipeline on the REAL container-header decoder: every
     document id derives a complete valid MP4 (ftyp + moov/mvhd +
@@ -622,6 +632,7 @@ _AVI_HEX = (
     ).format(div="//", **_AVI_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AVI branch of the video parser under the same driver-hashed
     contract as q_video_features: the RIFF chunk walk must find the
@@ -699,6 +710,7 @@ _KF_HEX = (
     ).format(**_KF_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame extraction, driver-hashed end to end: every doc id
     derives an MP4 with a complete sample table and 4 planted encoded
@@ -734,6 +746,7 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).format(**_KF_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL evenly-spaced frame sampling under the driver gate (round
     6): over the q_video_keyframes MP4 fixture (4 planted samples,
@@ -783,6 +796,7 @@ _TIFF_HEX = (
     ).format(**_TIFF_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TIFF branch of the image parser under the driver-hashed
     contract: each doc id derives a valid little-endian TIFF whose IFD
@@ -836,6 +850,7 @@ _GIF_HEX = (
     ).format(div="//", **_GIF_FIELDS, **_WAV_FIELDS, **_MP4_FIELDS),
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified one-pass dispatcher over a MIXED media column,
     driver-hashed end to end: each doc id derives a GIF, a WAV or an
@@ -881,6 +896,7 @@ def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).format(div="//", **_GIF_FIELDS, **_WAV_FIELDS, **_MP4_FIELDS),
     tags=("MULTIMODAL", "CURATION"),
 )
+@plan_cached
 def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal CURATION gate a training pipeline runs over a
     mixed media column, composed from the real kernels end to end: one
@@ -983,6 +999,7 @@ _BMP_HEX = (
     """,
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode under the driver gate (VERDICT r05 'do this'
     #3): every doc id derives a complete uncompressed 24-bit BMP —
@@ -1094,6 +1111,7 @@ def _jpeg_hex(v: str, w: str, h: str) -> str:
     """,
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_image_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG pixel decode under the driver gate (VERDICT
     r07 'do this' #3): every doc id derives a complete grayscale
@@ -1207,6 +1225,7 @@ def _jpeg_prog_hex(v: str, w: str, h: str) -> str:
     """,
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_image_pixels_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG pixel decode under the driver gate (VERDICT
     r09 'do this' #8 — progressive is the dominant web-crawl encoding
@@ -1322,6 +1341,7 @@ def _tiff_hex(p: str, w: str, h: str) -> str:
     """,
     tags=("MULTIMODAL",),
 )
+@plan_cached
 def q_image_pixels_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-TIFF pixel decode under the driver gate (r10 —
     closes the last image-format pixel null besides lossy WebP): every

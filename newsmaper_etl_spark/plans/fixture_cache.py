@@ -83,6 +83,28 @@ def cached_plan(
     return df
 
 
+def plan_cached(fn):
+    """Decorator form of :func:`cached_plan` for planted-contract query
+    functions: memoizes the BUILT plan per (session, query, sf_dir).
+    Apply ONLY where the body satisfies cached_plan's purity contract —
+    a deterministic planted fixture (cached_fixture / _CENTROID_CACHE
+    carry the one-time actions) feeding an action-free, checkpoint-free
+    plan — so every evaluation still executes the full pipeline live
+    and only the per-invocation plan construction amortizes. Production
+    queries over live tables are NOT wrapped: their declared-query cost
+    keeps including plan construction, as the bench methodology
+    states."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return cached_plan(
+            spark, fn.__name__, sf_dir, lambda: fn(spark, sf_dir)
+        )
+
+    return wrapper
+
+
 def clear() -> None:
     """Drop every cached fixture and plan (test isolation hook)."""
     _CACHE.clear()

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from newsmaper_etl_spark.io import fan_out, load_table, parse_sf
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import similarity as S
-from newsmaper_etl_spark.plans.fixture_cache import cached_fixture, cached_plan
+from newsmaper_etl_spark.plans.fixture_cache import (
+    cached_fixture,
+    cached_plan,
+    plan_cached,
+)
 from newsmaper_etl_spark.registry import query
 
 from pyspark.sql import functions as F
@@ -147,6 +151,7 @@ def _curate_exact_oracle() -> str:
 
 
 @query("q_curate_exact", oracle=_curate_exact_oracle(), tags=("DEDUP", "TEXT", "PIPELINE"))
+@plan_cached
 def q_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation recipe's deterministic sub-pipeline (quality gate →
     exact keep-first dedup → annotation), hash-checked END TO END as one
@@ -353,6 +358,7 @@ _SELFHIT_ORACLE = """
 
 
 @query("q_ann_lsh_selfhit", oracle=_SELFHIT_ORACLE, tags=("ANN", "LSH"))
+@plan_cached
 def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked LSH contract (VERDICT r03 #3): a query drawn from the
     corpus MUST find itself — identical vectors share every sign bit, so
@@ -382,6 +388,7 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_ann_ivf_selfhit", oracle=_SELFHIT_ORACLE, tags=("ANN", "IVF"))
+@plan_cached
 def q_ann_ivf_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked IVF contract: a corpus-drawn query's top probe cell
     IS its own assignment cell (same dots, same deterministic tie-break),
@@ -642,6 +649,7 @@ _ANN_PLANTED_ORACLE = """
 
 
 @query("q_ann_lsh_planted", oracle=_ANN_PLANTED_ORACLE, tags=("ANN", "LSH"))
+@plan_cached
 def q_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked planted-exact top-1 contract (VERDICT r05 'do this'
     #2): every query vector's exact copy is planted in the corpus under a
@@ -671,6 +679,7 @@ def q_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_ann_ivf_planted", oracle=_ANN_PLANTED_ORACLE, tags=("ANN", "IVF"))
+@plan_cached
 def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked planted-exact top-1 contract for the IVF path
     (VERDICT r06 'do this' #3 — the last sketch family without a
@@ -1039,13 +1048,20 @@ def q_curate_corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies are already gone after the exact-dedup stage, and 1.0 only
     merges identical shingle sets — see q_minhash_dedup_planted), so the
     full recipe's output equals the deterministic oracle while the
-    banding/verify/CC machinery runs live in the plan. A sketch stage
-    that drops or duplicates ANY row flips the driver hash. The
-    statistical 0.8-threshold recipe stays rows-only as
-    q_curate_corpus."""
+    banding/verify machinery runs live in the plan. A sketch stage
+    that drops or duplicates ANY row flips the driver hash.
+    ``transitive=False`` (single-link) is equal to CC here by the
+    q_minhash_dedup_planted argument — identical-shingle-set groups are
+    complete candidate cliques at threshold 1.0 (and the oracle's
+    premise is that none exist post-exact-dedup, under which BOTH
+    resolutions remove nothing) — and with ``checkpoint=False`` the
+    whole recipe is action-free, so the built plan is memoized
+    (cached_plan): every evaluation re-executes gate → exact dedup →
+    banding self-join → verify → annotate live. The statistical
+    0.8-threshold recipe stays rows-only as q_curate_corpus."""
     from newsmaper_etl_spark.operators.curate import curate_corpus
 
-    def _build():
+    def _fixture():
         docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
         base = docs.select("doc_id", "text")
         tenth = base.filter(F.col("doc_id") % 10 == 0)
@@ -1058,10 +1074,14 @@ def q_curate_corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    planted = cached_fixture(spark, "curate_planted", sf_dir, _build)
-    return curate_corpus(
-        planted, near_dup=True, near_dup_threshold=1.0
-    ).select("doc_id", "lang_pred", "n_tokens", "n_bpe", "fp", "quality")
+    def _build():
+        planted = cached_fixture(spark, "curate_planted", sf_dir, _fixture)
+        return curate_corpus(
+            planted, near_dup=True, near_dup_threshold=1.0,
+            minhash_kwargs={"transitive": False, "checkpoint": False},
+        ).select("doc_id", "lang_pred", "n_tokens", "n_bpe", "fp", "quality")
+
+    return cached_plan(spark, "q_curate_corpus_planted", sf_dir, _build)
 
 
 def _curate_incremental_oracle() -> str:
