@@ -1411,6 +1411,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("DEDUP", "INCREMENTAL"),
 )
+@plan_cached
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup — tonight's batch against the ingested
     corpus (operators.dedup.incremental_exact_dedup): seen = every 4th
@@ -1559,6 +1560,7 @@ def q_minhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("DEDUP", "SIMHASH", "INCREMENTAL"),
 )
+@plan_cached
 def q_simhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked contract for the cross-corpus SimHash pipeline
     (batch chunk keys ⋈ persisted corpus chunk frame → XOR-popcount
@@ -1581,6 +1583,10 @@ def q_simhash_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = D.incremental_simhash_dedup(
         newb, None, "doc_id", "text", max_hamming=0, seen_chunks=chunks,
+        # checkpoint=False keeps the plan pure for @plan_cached: the
+        # batch chunk frame is referenced once here (the a-side of the
+        # chunk join), so the eager materialization bought nothing
+        checkpoint=False,
     )
     return out.select("doc_id")
 
