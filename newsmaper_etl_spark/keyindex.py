@@ -717,6 +717,30 @@ def read_centroids(spark: SparkSession, table: str) -> list[list[float]] | None:
     return [list(r["c"]) for r in rows]
 
 
+def _centroid_frame(
+    spark: SparkSession, cents: list[list[float]], n_centroids: int,
+    n_planes: int, n_tables: int, dim: int, seed: int,
+) -> DataFrame:
+    """The stamped (cell, c) frame both centroid writers commit —
+    factored so bootstrap (:func:`_commit_centroids`) and offline
+    rebuild (:func:`rebuild_semantic_index`) can never fork the
+    centroid-table format."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    return _sstamped(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            StructType([
+                StructField("cell", IntegerType()),
+                StructField("c", ArrayType(DoubleType())),
+            ]),
+        ),
+        n_centroids, n_planes, n_tables, dim, seed,
+    )
+
+
 def _commit_centroids(
     spark: SparkSession, table: str, src_df: DataFrame, vec_col: str,
     dim: int, n_centroids: int, n_planes: int | None, n_tables: int,
@@ -743,20 +767,8 @@ def _commit_centroids(
         n_planes = _auto_planes(src_df.count())
     cents = _kmeans_centroids(src_df, vec_col, n_centroids, sample_n,
                               seed=seed)
-    from pyspark.sql.types import (
-        ArrayType, DoubleType, IntegerType, StructField, StructType,
-    )
-
-    cdf = _sstamped(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-            StructType([
-                StructField("cell", IntegerType()),
-                StructField("c", ArrayType(DoubleType())),
-            ]),
-        ),
-        n_centroids, n_planes, n_tables, dim, seed,
-    )
+    cdf = _centroid_frame(spark, cents, n_centroids, n_planes, n_tables,
+                          dim, seed)
     boot_app = app + _BOOT_APP_SUFFIX
 
     def _append() -> int:
@@ -974,6 +986,18 @@ def append_batch_cells(
     stable = semcells_index_path(table)
     if batch_id <= M.last_txn_version(stable, app):
         return False
+    if semantic_index_stale(table):
+        # same guard as semantic_dedup_batch, on the WRITE path: a
+        # commit landing in rebuild_semantic_index's crash window would
+        # append keys signed under the flipped centroid stamp to a
+        # cells table still carrying the old one — the __seed stat goes
+        # non-constant and every later stamp read raises, bricking the
+        # documented replay recovery
+        raise ValueError(
+            f"semantic index at {table} is mid-rebuild (centroids "
+            "flipped, cells not re-signed) — re-run "
+            "rebuild_semantic_index before committing batch keys"
+        )
     spark = batch_df.sparkSession
     cents, np_ = _commit_centroids(
         spark, table, batch_df.select(id_col, vec_col), vec_col, dim,
@@ -1168,20 +1192,7 @@ def rebuild_semantic_index(
         snap = M.read_table(spark, table, version=v).select(id_col, vec_col)
     else:
         cents = _kmeans_centroids(snap, vec_col, nc, sample_n, seed=new_seed)
-        from pyspark.sql.types import (
-            ArrayType, DoubleType, IntegerType, StructField, StructType,
-        )
-
-        cdf = _sstamped(
-            spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-                StructType([
-                    StructField("cell", IntegerType()),
-                    StructField("c", ArrayType(DoubleType())),
-                ]),
-            ),
-            nc, np_, nt, dim, new_seed,
-        )
+        cdf = _centroid_frame(spark, cents, nc, np_, nt, dim, new_seed)
         M.overwrite(cdf, ctable, stat_cols=_SSTAMP,
                     meta={"op_detail": "semcentroids-rebuild",
                           "covers_version": v})

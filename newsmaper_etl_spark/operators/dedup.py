@@ -1313,10 +1313,19 @@ def ngram_jaccard_pairs(
                 Window.partitionBy(id_col)
             ))
         )
+        # prefix length p = n − ceil(t·n) + 1, with the ceil taken on
+        # (t·n − ε): the double product can overshoot an exactly-integer
+        # t·n by one ulp (0.28·25 → 7.000000000000001 → ceil 8), which
+        # would SHORTEN the prefix and drop exact-threshold pairs. The
+        # epsilon only ever errs toward a LONGER prefix (more
+        # candidates, never fewer) — the safe direction, since the
+        # exact verify below rejects any extras.
         lit_t = F.lit(float(threshold))
         prefix = ranked.filter(
             F.col("__rnk")
-            <= F.col("__sz") - F.ceil(lit_t * F.col("__sz")) + F.lit(1)
+            <= F.col("__sz")
+            - F.ceil(lit_t * F.col("__sz") - F.lit(1e-9))
+            + F.lit(1)
         ).select(id_col, *join_keys)
         pa = prefix.withColumnRenamed(id_col, "id_a")
         pb = prefix.withColumnRenamed(id_col, "id_b")
@@ -1326,14 +1335,19 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        # exact verify: full-token intersection, candidate-bounded —
-        # scope is implied by doc identity (candidates are within-scope
-        # by construction), so the verify joins need no scope key
-        ta = toks.select(F.col(id_col).alias("id_a"), "w")
-        tb = toks.select(F.col(id_col).alias("id_b"), "w")
+        # exact verify: full-token intersection, candidate-bounded. The
+        # scope key rides BOTH verify joins so an id that (dirtily)
+        # appears under several scopes counts per-scope matches exactly
+        # as the raw path's (w, scope) join does; prefix CANDIDACY
+        # completeness still assumes each id lives in one scope (the
+        # frame contract everywhere in this module) — with ids spanning
+        # scopes, use the raw path.
+        scope_keys = [scope_col] if scope_col else []
+        ta = toks.select(F.col(id_col).alias("id_a"), *scope_keys, "w")
+        tb = toks.select(F.col(id_col).alias("id_b"), *scope_keys, "w")
         inter = (
             cands.join(ta, on="id_a")
-            .join(tb, on=["id_b", "w"])
+            .join(tb, on=["id_b", "w", *scope_keys])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )

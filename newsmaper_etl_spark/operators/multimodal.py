@@ -2147,15 +2147,24 @@ def decode_pixels(b: bytes | None) -> tuple[str, int, int, int, bytes] | None:
     return None
 
 
+_PIL_SENTINEL: list = []  # [] = unresolved; [None] = absent; [Image] = found
+
+
 def _pil():
     """Import gate for the optional native codec path (Pillow is NOT in
     this environment's dependency set — the stdlib decoders above are
-    the tested reference implementation; PIL is dispatch-when-present)."""
-    try:
-        from PIL import Image  # noqa: PLC0415
-        return Image
-    except ImportError:
-        return None
+    the tested reference implementation; PIL is dispatch-when-present).
+    The result is memoized: a failed import is NOT negatively cached by
+    Python, and decode_pixels_native probes this per blob — re-running
+    the finder scan per row would tax exactly the path sold as the
+    throughput path."""
+    if not _PIL_SENTINEL:
+        try:
+            from PIL import Image  # noqa: PLC0415
+            _PIL_SENTINEL.append(Image)
+        except ImportError:
+            _PIL_SENTINEL.append(None)
+    return _PIL_SENTINEL[0]
 
 
 #: PIL mode → our channel convention (matches the stdlib decoders:

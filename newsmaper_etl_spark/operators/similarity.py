@@ -910,6 +910,12 @@ def semantic_dedup(
             "resolve='single_link' has no component notion — the "
             "centroid_far keep rule needs CC; use keep='min_id'"
         )
+    if frame_cache and cache_key is None:
+        raise ValueError(
+            "frame_cache=True requires cache_key (the frames are "
+            "memoized per corpus identity; without one the cache would "
+            "silently not happen)"
+        )
     from newsmaper_etl_spark.operators.dedup import connected_components
 
     celled, pairs = _semantic_cells_and_pairs(

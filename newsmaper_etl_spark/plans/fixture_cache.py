@@ -106,6 +106,18 @@ def plan_cached(fn):
 
 
 def clear() -> None:
-    """Drop every cached fixture and plan (test isolation hook)."""
+    """Drop every process-level memo a declared query can read through:
+    fixtures, plans, the semantic celled/keyed frame cache, and the
+    seminc split (test isolation hook — a partial clear would hand an
+    'isolated' run stale frames from the caches it forgot)."""
     _CACHE.clear()
     _PLAN_CACHE.clear()
+    from newsmaper_etl_spark.operators import similarity as _S
+
+    _S._FRAME_CACHE.clear()
+    try:
+        from newsmaper_etl_spark.plans import sketches as _sk
+
+        _sk._SEMINC_SPLIT.clear()
+    except ImportError:  # pragma: no cover — plans are optional at import
+        pass

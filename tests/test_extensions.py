@@ -404,6 +404,46 @@ def test_ngram_jaccard_prefix_filter_identical_output(spark):
     assert raw == pf
 
 
+def test_ngram_jaccard_prefix_exact_threshold_float_ceil(spark):
+    """Exact-threshold pair survives the prefix filter (code-review r11):
+    0.28·25 evaluates to 7.000000000000001 in doubles, so a bare
+    F.ceil() overshot to 8 and SHORTENED the prefix below the bound —
+    doc a's 18 df=1 unique tokens rank first, so an 18-token prefix
+    held no shared token and the J=0.28 pair silently vanished from the
+    prefix path while the raw path kept it."""
+    shared = [f"s{i}" for i in range(7)]
+    a_text = " ".join([f"u{i}" for i in range(18)] + shared)
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, " ".join(shared))], "doc_id long, text string"
+    )
+    raw = sorted(map(tuple, D.ngram_jaccard_pairs(
+        docs, scope_col=None, threshold=0.28, prefix_filter=False
+    ).collect()))
+    pf = sorted(map(tuple, D.ngram_jaccard_pairs(
+        docs, scope_col=None, threshold=0.28, prefix_filter=True
+    ).collect()))
+    assert raw == pf == [(1, 2, 0.28)]
+
+
+def test_ngram_jaccard_prefix_scoped_verify_matches_raw(spark):
+    """The prefix path's verify joins must carry the scope key (code
+    review r11): an id appearing under two scopes (dirty input) made
+    the scope-less verify count cross-scope token matches, inflating
+    n_inter vs the raw (w, scope) join. Both paths must agree."""
+    rows = [
+        (1, "a b c d", "s1"),
+        (1, "a b x y", "s2"),   # same id, second scope
+        (2, "a b c e", "s1"),
+        (3, "a b x z", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    raw = sorted(map(tuple, D.ngram_jaccard_pairs(
+        docs, threshold=0.3, prefix_filter=False).collect()))
+    pf = sorted(map(tuple, D.ngram_jaccard_pairs(
+        docs, threshold=0.3, prefix_filter=True).collect()))
+    assert raw == pf and len(raw) >= 1
+
+
 def test_ngram_jaccard_prefix_bounds_hot_tokens(spark):
     """On the stop-word-dense corpus the prefix must actually PRUNE:
     every doc is 3/7 stop words, so at t=0.8 the prefix (first

@@ -1455,6 +1455,15 @@ def test_semantic_drift_telemetry_and_offline_rebuild(spark, tmp_path):
     with _pytest.raises(ValueError, match="mid-rebuild"):
         K.semantic_dedup_batch(redeliver, table, "id", "embedding",
                                dim=dim, threshold=0.9)
+    # the WRITE path refuses too (code review r11): committing batch
+    # keys signed under the flipped stamp would make the cells table's
+    # __seed stat non-constant and brick every later stamp read
+    with _pytest.raises(ValueError, match="mid-rebuild"):
+        K.append_batch_cells(
+            redeliver, table, "id", "embedding", dim, n_centroids=2,
+            n_planes=4, n_tables=2, sample_n=64, seed=42,
+            app="driftapp", batch_id=99,
+        )
     res2 = K.rebuild_semantic_index(spark, table, "id", "embedding",
                                     sample_n=64)
     # replay ADOPTS the crashed flip's stamp (no second bump): the

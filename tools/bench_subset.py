@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """In-process subset benchmark for contract-hog A/B work (round 11).
 
-Runs a comma-separated list of query names (argv[1], default = the five
-planted dedup-contract hogs from VERDICT r10 'do this' #1) at
+Runs a comma-separated list of query names (argv[1], default = the six
+planted dedup-contract hogs from VERDICT r10 'do this' #1+#2) at
 $SPARK_GRAFT_SF_DIR with the bench.py methodology in miniature: one
 untimed warmup pass over the subset, then best-of-N noop-sink evaluation
 per query. Prints one JSON line {name: sec}. Use for before/after A/B in
