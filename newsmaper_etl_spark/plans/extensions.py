@@ -1443,6 +1443,118 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _substring_dedup_oracle(input_cte: str, k: int = 8) -> str:
+    """The exact-substring-dedup semantics in ANSI SQL over an ``input``
+    CTE with (doc_id, text): per-position k-grams, first occurrence in
+    (doc_id, position) order kept, every other occurrence's k covered
+    positions excised, surviving tokens re-joined in order. The oracle
+    grams are STRINGS where the Spark side grams are xxhash64 values —
+    the q_contamination_hashed precedent: identical grouping unless two
+    distinct grams collide in 2^-64 (none at any test SF)."""
+    return f"""
+        WITH input AS ({input_cte}),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM input
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS gpos,
+                   array_to_string(t[i : i + {k - 1}], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - {k} + 2)) u(i)
+            WHERE len(t) >= {k}
+        ),
+        marked AS (
+            SELECT doc_id, gpos,
+                   COUNT(*) OVER (PARTITION BY g) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g ORDER BY doc_id, gpos
+                   ) AS rn
+            FROM grams
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, gpos + j AS pos
+            FROM marked, unnest(range(0, {k})) v(j)
+            WHERE c > 1 AND rn > 1
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) u(i)
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM tokpos p LEFT JOIN covered c
+              ON c.doc_id = p.doc_id AND c.pos = p.pos
+            WHERE c.doc_id IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+                   COUNT(*) AS kept_n
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(r.text_dedup, '') AS text_dedup,
+               CAST(len(t.t) - COALESCE(r.kept_n, 0) AS INTEGER) AS n_removed
+        FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@query(
+    "q_substring_dedup",
+    oracle=_substring_dedup_oracle("SELECT doc_id, text FROM documents"),
+    tags=("DEDUP", "SUBSTRING"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING-level dedup over the raw corpus (Lee et al. 2021,
+    arXiv:2107.06499 — the span-level pass the big-corpus pipelines run
+    AFTER doc-level dedup, because boilerplate shared across otherwise
+    distinct pages never loses a doc-level comparison): every 8-token
+    window appearing more than once keeps its first (doc_id, pos)
+    occurrence and is excised everywhere else; docs come back edited,
+    never dropped. Fully deterministic (exact string logic), so the raw
+    corpus is driver-hashable end to end — text reassembly included."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, "doc_id", "text", k=8)
+
+
+@query(
+    "q_substring_dedup_planted",
+    oracle=_substring_dedup_oracle("""
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' ' || text
+        FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+    """),
+    tags=("DEDUP", "SUBSTRING"),
+)
+@plan_cached
+def q_substring_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-work twin of q_substring_dedup: a slice of the corpus
+    plus, for every 7th doc, a planted page whose text is the doc
+    CONCATENATED WITH ITSELF. The original doc owns every prefix gram's
+    first occurrence (its id is smaller), so BOTH copies inside the
+    planted page lose their in-prefix windows and the page comes back
+    heavily cut, while boundary-straddling windows (suffix‖prefix
+    seams, which occur once in the corpus) survive — both engines
+    DERIVE that surface from the same semantics rather than asserting
+    literals, so the contract is honest about the fiddly seam cases.
+    Pins that the operator actually removes spans at every SF (the raw
+    corpus may legitimately contain no duplicated 8-gram)."""
+    def _fixture():
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 200)
+        )
+        plants = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"),
+        )
+        return docs.unionAll(plants).coalesce(1)
+
+    planted = cached_fixture(spark, "substring_planted", sf_dir, _fixture)
+    return D.remove_duplicate_spans(planted, "doc_id", "text", k=8)
+
+
 def _incremental_fixture(spark, sf_dir):
     """Shared planted corpus for the incremental-dedup contracts
     (MinHash and SimHash twins plant the SAME seen/batch split): seen =

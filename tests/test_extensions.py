@@ -3283,3 +3283,51 @@ def test_decode_tiff_rejects_out_of_scope_and_fuzz():
         decode_pixels(bytes(mut))  # must not raise
     for _ in range(100):
         decode_pixels(bytes(base[: rng.integers(4, len(base))]))
+
+
+def test_substring_dedup_semantics(spark):
+    """Span-level dedup semantics pinned at token level: the first
+    (doc_id, pos) occurrence of a repeated 8-gram survives verbatim,
+    every other occurrence's covered positions are cut (cross-doc AND
+    within-doc stutter), boundary windows that occur once survive,
+    sub-k docs are untouched, and a fully-covered doc comes back as an
+    empty string row, never a dropped row."""
+    span = " ".join(f"s{i}" for i in range(8))        # the repeated span
+    uniq = " ".join(f"u{i}" for i in range(4))
+    rows = [
+        (1, span + " " + uniq),                        # first occurrence
+        (2, span),                                     # exact copy -> empty
+        (3, "x0 x1 " + span + " y0 y1"),               # embedded copy
+        (4, span + " " + span),                        # within-doc stutter
+        (5, "short doc only"),                         # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+           for r in D.remove_duplicate_spans(df, k=8).collect()}
+    assert out[1] == (span + " " + uniq, 0)            # first occurrence kept
+    assert out[2] == ("", 8)                           # fully covered, kept as row
+    assert out[3] == ("x0 x1 y0 y1", 8)                # span cut, context kept
+    # doc 4: first copy's windows exist in doc 1 (earlier id) -> cut;
+    # second copy cut; boundary windows (s_tail..s_head) occur twice
+    # (doc 4 is the only doc with the seam)... the stutter makes the
+    # seam windows repeat ONLY if present twice — here the seam occurs
+    # once, so seam-only tokens could survive; assert the invariant
+    # that at least the 8 pure-repeat positions are gone and nothing
+    # from outside the doc leaked in
+    d4_text, d4_removed = out[4]
+    assert d4_removed >= 8 and set(d4_text.split()) <= {f"s{i}" for i in range(8)} | {""}
+    assert out[5] == ("short doc only", 0)             # sub-k untouched
+
+
+def test_substring_dedup_first_occurrence_order(spark):
+    """First occurrence = min (doc_id, pos), so the KEEPER is the lowest
+    id even when the duplicate appears earlier in a higher id's text."""
+    span = " ".join(f"t{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(10, "a b c " + span), (20, span + " d e f")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in D.remove_duplicate_spans(df, k=8).collect()}
+    assert out[10] == "a b c " + span
+    assert out[20] == "d e f"
