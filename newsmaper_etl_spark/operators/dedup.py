@@ -1416,19 +1416,7 @@ def duplicate_span_positions(
     doubling form is the measured 2.3× winner on the long-doc sf1.0
     contamination corpus at the same k=8, and the gram identity is
     plan-local either way, so the scale basis is the default."""
-    tmp = df.withColumn("__th", token_hashes_col(text_col))
-    if 2 <= k <= 16 and (k & (k - 1)) == 0:
-        tmp, gcol = hashed_shingles_pow2(tmp, "__th", k)
-        sh = F.col(gcol)
-    else:
-        sh = hashed_shingles_expr("__th", k)
-    grams = tmp.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(F.size(F.col("__th")) >= k, sh)
-            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
-        ).alias("gpos", "g"),
-    )
+    grams = _gram_positions(df, id_col, text_col, k)
     firsts = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("__c"),
         F.min(F.struct(F.col(id_col).alias("i"), F.col("gpos").alias("p"))).alias("__f"),
@@ -1464,6 +1452,17 @@ def remove_duplicate_spans(
     delete them (doc-level dedup is :func:`exact_dedup` /
     :func:`minhash_dedup`'s job)."""
     covered = duplicate_span_positions(df, id_col, text_col, k)
+    return _excise_positions(df, covered, id_col, text_col)
+
+
+def _excise_positions(
+    df: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut the (id, pos) ``covered`` tokens out of ``df`` and reassemble:
+    (id, text_dedup, n_removed) — the shared output stage of both
+    span-dedup forms. Surviving tokens rejoin in original order (sorted
+    (pos, tok) structs); a fully-covered doc yields an empty string row,
+    never a dropped row."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ", -1)).alias("pos", "tok"),
@@ -1490,6 +1489,114 @@ def remove_duplicate_spans(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+def _gram_positions(df: DataFrame, id_col: str, text_col: str,
+                    k: int) -> DataFrame:
+    """(id, gpos, g): the per-position k-gram hash frame both span-dedup
+    forms build — pow2 doubling basis where applicable (see
+    :func:`duplicate_span_positions`); docs shorter than k yield no
+    rows."""
+    tmp = df.withColumn("__th", token_hashes_col(text_col))
+    if 2 <= k <= 16 and (k & (k - 1)) == 0:
+        tmp, gcol = hashed_shingles_pow2(tmp, "__th", k)
+        sh = F.col(gcol)
+    else:
+        sh = hashed_shingles_expr("__th", k)
+    return tmp.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(F.col("__th")) >= k, sh)
+            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        ).alias("gpos", "g"),
+    )
+
+
+def corpus_gram_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The persistable index of :func:`incremental_remove_duplicate_spans`:
+    the corpus's DISTINCT k-gram hashes, one 8-byte column. Honest size
+    disclosure: unlike the banded/chunks indexes (a few longs per DOC),
+    this is ~one long per corpus TOKEN — the same reason the
+    suffix-array literature builds its structure offline; at 100 TB it
+    shards by hash range and still beats re-gramming the corpus per
+    batch by the corpus/batch ratio."""
+    return _gram_positions(df, id_col, text_col, k).select("g").distinct()
+
+
+def incremental_duplicate_span_positions(
+    new_df: DataFrame,
+    seen_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    seen_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Batch token positions covered by a k-gram the CORPUS already
+    contains (the corpus's retained occurrence is by definition first)
+    or by a non-first within-batch repeat — the incremental form of
+    :func:`duplicate_span_positions`, batch×index instead of a
+    corpus-wide re-group. Given a corpus whose own spans were excised
+    when IT was ingested (the induction every incremental_* operator in
+    this module states), this equals the full-corpus run restricted to
+    batch rows.
+
+    ``seen_grams`` accepts the persisted :func:`corpus_gram_index`
+    frame; per-batch cost is then batch grams ⋈ index (left semi — only
+    the batch side ever shuffles its positions) plus the batch-internal
+    first-occurrence group."""
+    if seen_grams is None:
+        if seen_df is None:
+            raise ValueError("pass seen_df or seen_grams")
+        seen_grams = corpus_gram_index(seen_df, id_col, text_col, k)
+    elif "g" not in seen_grams.columns:
+        raise ValueError(
+            f"seen_grams must carry a 'g' column; got {seen_grams.columns}"
+        )
+    ng = _gram_positions(new_df, id_col, text_col, k)
+    cov_corpus = ng.join(seen_grams.select("g"), on="g", how="left_semi")
+    firsts = ng.groupBy("g").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("gpos").alias("p"))
+        ).alias("__f"),
+    )
+    cov_batch = ng.join(firsts, on="g").filter(
+        (F.col("__c") > 1)
+        & ~(
+            (F.col(id_col) == F.col("__f.i"))
+            & (F.col("gpos") == F.col("__f.p"))
+        )
+    )
+    starts = cov_corpus.select(id_col, "gpos").unionAll(
+        cov_batch.select(id_col, "gpos")
+    )
+    return starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+
+
+def incremental_remove_duplicate_spans(
+    new_df: DataFrame,
+    seen_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    seen_grams: DataFrame | None = None,
+) -> DataFrame:
+    """The batch with every span the corpus (or an earlier batch
+    position) already holds excised — (id, text_dedup, n_removed), the
+    :func:`remove_duplicate_spans` output shape over
+    :func:`incremental_duplicate_span_positions`'s cut surface."""
+    covered = incremental_duplicate_span_positions(
+        new_df, seen_df, id_col, text_col, k, seen_grams=seen_grams
+    )
+    return _excise_positions(new_df, covered, id_col, text_col)
 
 
 # --------------------------------------------------------------------------

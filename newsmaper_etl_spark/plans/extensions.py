@@ -1555,6 +1555,142 @@ def q_substring_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_duplicate_spans(planted, "doc_id", "text", k=8)
 
 
+@query(
+    "q_substring_incremental",
+    oracle="""
+        WITH seen AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id < 300 AND doc_id % 3 = 0
+        ),
+        newb AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id < 300 AND doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id < 300 AND doc_id % 21 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents
+            WHERE doc_id < 300 AND doc_id % 21 = 1
+            UNION ALL
+            SELECT doc_id + 3000000, text FROM documents
+            WHERE doc_id < 300 AND doc_id % 21 = 1
+        ),
+        stoks AS (SELECT string_split(text, ' ') AS t FROM seen),
+        sg AS (
+            SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS g
+            FROM stoks, unnest(range(1, len(t) - 6)) u(i)
+            WHERE len(t) >= 8
+        ),
+        ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM newb),
+        ng AS (
+            SELECT doc_id, i - 1 AS gpos,
+                   array_to_string(t[i : i + 7], ' ') AS g
+            FROM ntoks, unnest(range(1, len(t) - 6)) u(i)
+            WHERE len(t) >= 8
+        ),
+        marked AS (
+            SELECT doc_id, gpos,
+                   COUNT(*) OVER (PARTITION BY g) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g ORDER BY doc_id, gpos
+                   ) AS rn
+            FROM ng
+        ),
+        starts AS (
+            SELECT doc_id, gpos FROM ng WHERE g IN (SELECT g FROM sg)
+            UNION
+            SELECT doc_id, gpos FROM marked WHERE c > 1 AND rn > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, gpos + j AS pos
+            FROM starts, unnest(range(0, 8)) v(j)
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM ntoks, unnest(range(1, len(t) + 1)) u(i)
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM tokpos p LEFT JOIN covered c
+              ON c.doc_id = p.doc_id AND c.pos = p.pos
+            WHERE c.doc_id IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+                   COUNT(*) AS kept_n
+            FROM kept GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               COALESCE(r.text_dedup, '') AS text_dedup,
+               CAST(len(n.t) - COALESCE(r.kept_n, 0) AS INTEGER) AS n_removed
+        FROM ntoks n LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("DEDUP", "SUBSTRING", "INCREMENTAL"),
+)
+@plan_cached
+def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the INCREMENTAL span-dedup composition:
+    tonight's batch cut against the persisted corpus-gram index
+    (corpus_gram_index — the ``seen_banded``/``seen_chunks`` seam
+    transposed to span dedup) plus the within-batch first-occurrence
+    rule. seen = every 3rd doc; the batch = the %3==1 docs (whatever
+    grams they naturally share with the corpus get cut — both engines
+    DERIVE the surface), plus replays of corpus docs under shifted ids
+    (fully covered → empty string rows), plus an identical pair of
+    batch docs (the within-batch rule must cut the non-first copy and
+    every copy of a text whose original is already in the batch). The
+    oracle encodes the incremental semantics directly — corpus-gram
+    membership OR batch-internal non-first — so this row pins the
+    operator's own promise, not the full-run equivalence (that
+    induction is pinned in tests/test_extensions.py)."""
+    def _seen():
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter((F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 0))
+            .coalesce(1)
+        )
+
+    def _batch():
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 300)
+        )
+        return (
+            docs.filter(F.col("doc_id") % 3 == 1)
+            .unionAll(
+                docs.filter(F.col("doc_id") % 21 == 0).select(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+                )
+            )
+            .unionAll(
+                docs.filter(F.col("doc_id") % 21 == 1).select(
+                    (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+                )
+            )
+            .unionAll(
+                docs.filter(F.col("doc_id") % 21 == 1).select(
+                    (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+                )
+            )
+            .coalesce(1)
+        )
+
+    seen = cached_fixture(spark, "ssi_seen", sf_dir, _seen)
+    batch = cached_fixture(spark, "ssi_batch", sf_dir, _batch)
+    # the gram index is the PERSISTED seam — derived once per corpus
+    # snapshot, like ci_banded / inc_banded
+    grams = cached_fixture(
+        spark, "ssi_grams", sf_dir,
+        lambda: D.corpus_gram_index(seen, "doc_id", "text", k=8),
+    )
+    return D.incremental_remove_duplicate_spans(
+        batch, None, "doc_id", "text", k=8, seen_grams=grams
+    )
+
+
 def _incremental_fixture(spark, sf_dir):
     """Shared planted corpus for the incremental-dedup contracts
     (MinHash and SimHash twins plant the SAME seen/batch split): seen =

@@ -3331,3 +3331,47 @@ def test_substring_dedup_first_occurrence_order(spark):
            for r in D.remove_duplicate_spans(df, k=8).collect()}
     assert out[10] == "a b c " + span
     assert out[20] == "d e f"
+
+
+def test_substring_incremental_equals_full_run(spark):
+    """The incremental induction: over a corpus that is already
+    span-deduped (no repeated 8-gram inside it), incremental span dedup
+    of a batch equals the FULL corpus∪batch run restricted to batch
+    rows — for cross-corpus replays, within-batch repeats, and fresh
+    text alike; and the persisted corpus_gram_index seam gives the
+    identical answer to deriving from seen_df."""
+    seen_rows = [
+        (1, " ".join(f"a{i}" for i in range(12))),
+        (2, " ".join(f"b{i}" for i in range(10))),
+    ]
+    span = " ".join(f"a{i}" for i in range(8))        # corpus prefix gram run
+    batch_rows = [
+        (100, span + " fresh0 fresh1"),               # corpus-covered prefix
+        (101, " ".join(f"c{i}" for i in range(9))),   # fresh
+        (102, " ".join(f"c{i}" for i in range(9))),   # within-batch copy
+        (103, "tiny doc"),                            # sub-k
+    ]
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    inc = sorted(map(tuple, D.incremental_remove_duplicate_spans(
+        batch, seen, k=8).collect()))
+    grams = D.corpus_gram_index(seen, k=8)
+    inc_idx = sorted(map(tuple, D.incremental_remove_duplicate_spans(
+        batch, None, k=8, seen_grams=grams).collect()))
+    full = sorted(map(tuple, (
+        D.remove_duplicate_spans(seen.unionAll(batch), k=8)
+        .filter(F.col("doc_id") >= 100)
+    ).collect()))
+    assert inc == inc_idx == full
+    out = dict((r[0], (r[1], r[2])) for r in inc)
+    assert out[100] == ("fresh0 fresh1", 8)    # corpus span cut, fresh kept
+    assert out[101][1] == 0                    # first batch occurrence kept
+    assert out[102] == ("", 9)                 # within-batch copy emptied
+    assert out[103] == ("tiny doc", 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seen_df or seen_grams"):
+        D.incremental_remove_duplicate_spans(batch, None, k=8)
+    with _pytest.raises(ValueError, match="'g' column"):
+        D.incremental_remove_duplicate_spans(
+            batch, None, k=8, seen_grams=seen)

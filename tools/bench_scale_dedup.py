@@ -147,6 +147,16 @@ def main() -> None:
             return D.contamination_check(docs, eval_df, n=8)
 
         timed("contamination_hashed", _contam, n_docs)
+        # substring-span dedup (r11): no pair join exists to blow up —
+        # the risk profile is the gram groupBy's volume, linear in
+        # corpus token count by construction — so the curve's job here
+        # is the wall-time column; covered-position counts stay ~0 on
+        # the decorrelated corpora (replicas share no 8-gram).
+        timed(
+            "substring_covered",
+            lambda: D.duplicate_span_positions(docs, "doc_id", "text", k=8),
+            n_docs,
+        )
         out["sfs"][sf] = rec
         print(f"sf{sf}: {json.dumps(rec)}")
 
@@ -161,6 +171,7 @@ def main() -> None:
         "simhash128_pairs",
         "embedding_candidates",
         "embedding_near_dups",
+        "substring_covered",
     )
     for op in ops:
         series = {k: out["sfs"][k][op]["per_item"] for k in keys}
