@@ -1045,6 +1045,183 @@ def compact_semcells_index(
 
 
 # --------------------------------------------------------------------------
+# Corpus gram index — the substring-span-dedup mirror of _keys/_banded
+# --------------------------------------------------------------------------
+
+_GRAMS_SUB = "_grams"
+_GSTAMP = ("__gk",)
+
+
+def grams_index_path(table: str) -> str:
+    return os.path.join(table, _GRAMS_SUB)
+
+
+def _gstamped(df: DataFrame, k: int) -> DataFrame:
+    """k as a constant stamp column (footer min=max stats ride the
+    manifest): gram hashes built at one window width never compare
+    against another's."""
+    return df.withColumn("__gk", F.lit(k))
+
+
+def check_grams_stamp(table: str, k: int) -> None:
+    """Raise when the persisted gram index was built at a different
+    window width than this batch's signing."""
+    st = _read_stamp(grams_index_path(table), _GSTAMP)
+    if st is not None and st.get("__gk") != k:
+        raise ValueError(
+            f"gram index at {table} was built with k={st.get('__gk')} "
+            f"but this batch is being signed with k={k}; gram hashes "
+            "from different window widths never match — rebuild one side"
+        )
+
+
+def read_grams_index(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame | None:
+    """The persisted distinct-gram-hash frame (one 8-byte column), or
+    None when absent. Honest size note: ~one row per corpus TOKEN —
+    orders beyond the per-doc banded/chunks indexes (the suffix-array
+    literature builds its structure offline for the same reason); at
+    100 TB it shards by hash range, and per-batch cost is still batch
+    grams ⋈ index instead of re-gramming the corpus."""
+    gtable = grams_index_path(table)
+    if M.current_version(gtable) == 0:
+        return None
+    return M.read_table(spark, gtable, version=version).drop(*_GSTAMP)
+
+
+def ensure_grams_bootstrap(
+    spark: SparkSession, table: str, id_col: str, text_col: str, k: int,
+    app: str, version: int | None = None,
+) -> bool:
+    """One-time gram registration for a table that predates the index —
+    the single deliberate O(corpus-tokens) pass (``version`` pins the
+    snapshot on crash replay, the :func:`ensure_banded_bootstrap`
+    rule: signing the current snapshot would enroll the replayed
+    batch's own rows and every batch gram would self-cover)."""
+    from newsmaper_etl_spark.operators.dedup import corpus_gram_index
+
+    gtable = grams_index_path(table)
+    v = M.current_version(table) if version is None else version
+    if M.current_version(gtable) > 0 or v == 0:
+        return False
+    boot_app = app + _BOOT_APP_SUFFIX
+    grams = _gstamped(
+        corpus_gram_index(
+            M.read_table(spark, table, version=v).select(id_col, text_col),
+            id_col, text_col, k,
+        ),
+        k,
+    )
+
+    def _append() -> int:
+        return M.append(
+            grams, gtable, txn=(boot_app, 0), stat_cols=_GSTAMP,
+            meta={"op_detail": "gramsindex-bootstrap", "covers_version": v},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(gtable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def span_dedup_batch(
+    batch_df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """EDIT the batch against the persisted gram index: every span the
+    corpus already holds (and every within-batch non-first repeat) is
+    excised from ``text_col``; all other columns ride through, rows are
+    never dropped — span dedup is a rewrite gate, not a filter (the
+    :func:`operators.dedup.incremental_remove_duplicate_spans`
+    composition on the streaming seam). With no index yet (born-
+    streaming first batch), only the within-batch rule applies. The
+    result is eagerly materialized: it feeds two commits (data, then
+    grams) that must see identical rows."""
+    from newsmaper_etl_spark.operators.dedup import (
+        incremental_duplicate_span_positions,
+        _excise_positions,
+    )
+
+    spark = batch_df.sparkSession
+    check_grams_stamp(table, k)
+    idx = read_grams_index(spark, table)
+    if idx is None:
+        idx = spark.range(0).select(F.col("id").alias("g"))
+    covered = incremental_duplicate_span_positions(
+        batch_df, None, id_col, text_col, k, seen_grams=idx
+    )
+    edited = _excise_positions(batch_df, covered, id_col, text_col)
+    cols = [
+        F.col("__e.text_dedup").alias(text_col) if c == text_col
+        else F.col(f"__b.{c}")
+        for c in batch_df.columns
+    ]
+    out = (
+        batch_df.alias("__b")
+        .join(edited.alias("__e"), on=id_col)
+        .select(*cols)
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def append_batch_grams(
+    batch_df: DataFrame, table: str, id_col: str, text_col: str, k: int,
+    app: str, batch_id: int,
+) -> bool:
+    """Commit the batch's NEW gram hashes (anti-joined against the
+    index so the stored frame stays a set) under the writer's txn mark —
+    replay-skipped, orphan-self-healing. ``batch_df`` must be the
+    AS-COMMITTED (already span-edited) rows: the induction every future
+    batch relies on is that the index covers exactly the grams the
+    corpus text still contains."""
+    from newsmaper_etl_spark.operators.dedup import corpus_gram_index
+
+    gtable = grams_index_path(table)
+    if batch_id <= M.last_txn_version(gtable, app):
+        return False
+    spark = batch_df.sparkSession
+    grams = corpus_gram_index(
+        batch_df.select(id_col, text_col), id_col, text_col, k
+    )
+    idx = read_grams_index(spark, table)
+    if idx is not None:
+        grams = grams.join(idx, on="g", how="left_anti")
+
+    def _append() -> int:
+        return M.append(_gstamped(grams, k), gtable,
+                        txn=(app, int(batch_id)), stat_cols=_GSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(gtable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_grams_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    gtable = grams_index_path(table)
+    if M.current_version(gtable) == 0:
+        return 0
+    return M.compact(
+        spark, gtable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+
+
+# --------------------------------------------------------------------------
 # Semantic-index drift telemetry + offline rebuild (VERDICT r10 #8)
 # --------------------------------------------------------------------------
 

@@ -370,6 +370,7 @@ def write_stream_manifest(
     dedup_keys: tuple[str, ...] | None = None,
     dedup_order_col: str | None = None,
     near_dedup: dict | None = None,
+    span_dedup: dict | None = None,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
@@ -443,6 +444,21 @@ def write_stream_manifest(
     on data commits automatically so that point fetch can skip files.
     Runs AFTER ``dedup_keys`` (cheap exact-key drops first shrink the
     signing work).
+
+    ``span_dedup`` adds SUBSTRING-level span excision on ingest (the
+    incremental_remove_duplicate_spans composition — Lee et al. 2021:
+    repeated ≥k-token spans the corpus already holds are CUT FROM the
+    batch's text, rows are edited, never dropped): a dict with
+    ``id_col`` (required) and optional ``text_col`` ("text"), ``k``
+    (8). Maintains the persisted distinct-gram index at
+    ``<table>/_grams`` (same txn/bootstrap/compaction discipline; size
+    disclosed in :func:`keyindex.read_grams_index` — ~one 8-byte row
+    per corpus token). Runs LAST of the content gates (after
+    ``dedup_keys`` and ``near_dedup``): whole-document drops first, so
+    span excision only pays for rows that will actually commit —
+    and the grams committed to the index are the grams of the text AS
+    COMMITTED, which is the induction every future batch's cut relies
+    on.
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -540,14 +556,21 @@ def write_stream_manifest(
         if "id_col" not in nd:
             raise ValueError("near_dedup requires an 'id_col' entry")
 
+    sd = dict(span_dedup) if span_dedup else None
+    if sd is not None:
+        if "id_col" not in sd:
+            raise ValueError("span_dedup requires an 'id_col' entry")
+        sd.setdefault("text_col", "text")
+        sd.setdefault("k", 8)
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         main_done = batch_id <= M.last_txn_version(table, app)
-        if main_done and not dedup_keys and nd is None:
+        if main_done and not dedup_keys and nd is None and sd is None:
             return  # replay of an already-committed batch: exactly-once
         persisted = False
         eff_stat_cols = tuple(stat_cols)
         data_version = None
-        if dedup_keys or nd is not None:
+        if dedup_keys or nd is not None or sd is not None:
             from newsmaper_etl_spark import keyindex as K
 
             spark = batch_df.sparkSession
@@ -564,6 +587,10 @@ def write_stream_manifest(
                 }[nd["method"]](table)
                 done = done and batch_id <= M.last_txn_version(
                     nd_index_path, app
+                )
+            if sd is not None:
+                done = done and batch_id <= M.last_txn_version(
+                    K.grams_index_path(table), app
                 )
             if done:
                 return  # data and every index committed: pure replay
@@ -650,7 +677,20 @@ def write_stream_manifest(
                     n_tables=nd["n_tables"], seed=nd["seed"],
                 )  # eagerly-materialized; verify point-fetches seen
                 # vectors from the pinned data snapshot
-        elif dedup_keys:
+        if sd is not None:
+            # LAST content gate: edit surviving rows' text against the
+            # persisted gram index (+ within-batch rule). On replay with
+            # a pending grams commit the index is still pre-batch by
+            # construction (the grams txn hasn't advanced), so the edit
+            # is reproduced bit-for-bit from the redelivered rows.
+            K.ensure_grams_bootstrap(
+                spark, table, sd["id_col"], sd["text_col"], sd["k"], app,
+                version=data_version,
+            )
+            batch_df = K.span_dedup_batch(
+                batch_df, table, sd["id_col"], sd["text_col"], sd["k"]
+            )  # eagerly-materialized: feeds the data AND grams commits
+        if (nd is None and sd is None) and dedup_keys:
             # the deduped batch feeds TWO commits (data, then keys):
             # persist so the dedup plan runs once, and so the
             # arbitrary-survivor dropDuplicates path can't pick
@@ -693,13 +733,20 @@ def write_stream_manifest(
                         nd["max_hamming"], nd["bits"],
                         app, int(batch_id),
                     )
-                else:
+                elif nd["method"] == "semantic":
                     K.append_batch_cells(
                         batch_df, table, nd["id_col"], nd["vec_col"],
                         nd["dim"], nd["n_centroids"], nd["n_planes"],
                         nd["n_tables"], nd["sample_n"], nd["seed"],
                         app, int(batch_id),
                     )
+            if sd is not None:
+                # grams of the text AS COMMITTED (batch_df is the edited,
+                # materialized frame both commits read)
+                K.append_batch_grams(
+                    batch_df, table, sd["id_col"], sd["text_col"],
+                    sd["k"], app, int(batch_id),
+                )
         finally:
             if persisted:
                 batch_df.unpersist()
@@ -711,6 +758,8 @@ def write_stream_manifest(
                   "simhash": K.compact_chunks_index,
                   "semantic": K.compact_semcells_index}[nd["method"]]]
                 if nd is not None else []
+            ) + (
+                [K.compact_grams_index] if sd is not None else []
             ):
                 try:
                     _maint(batch_df.sparkSession, table)

@@ -1473,3 +1473,89 @@ def test_semantic_drift_telemetry_and_offline_rebuild(spark, tmp_path):
     out = K.semantic_dedup_batch(redeliver, table, "id", "embedding",
                                  dim=dim, threshold=0.9)
     assert out.count() == 0
+
+
+def test_stream_manifest_span_dedup_on_ingest(spark, tmp_path):
+    """span_dedup: ingested text is EDITED against the persisted gram
+    index — a batch doc repeating a span the corpus already holds
+    commits with that span cut (rows edited, never dropped), the
+    _grams side table tracks exactly the as-committed text's grams
+    under the txn discipline, and a crash between the data commit and
+    the grams commit heals on replay with the same edit."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    span = " ".join(f"w{i}" for i in range(8))
+    src = tmp_path / "spanin"
+    src.mkdir()
+    table = str(tmp_path / "spantable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"spanq:{ck}",
+            span_dedup={"id_col": "id", "k": 8},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": span + " tail0 tail1"}) + "\n"
+        + _json.dumps({"id": 2, "text": "other doc entirely here"})
+    )
+    run(str(tmp_path / "spanck0"))
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    # first batch: no prior index; within-batch rule finds no repeat
+    assert rows[1] == span + " tail0 tail1"
+    gidx = M.read_table(spark, K.grams_index_path(table))
+    assert gidx.count() > 0
+
+    # second batch: a doc repeating the corpus span (edited), a fresh
+    # doc (untouched), and a within-batch identical pair (second copy
+    # emptied)
+    fresh = " ".join(f"f{i}" for i in range(9))
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "text": span + " new0 new1"}) + "\n"
+        + _json.dumps({"id": 11, "text": fresh}) + "\n"
+        + _json.dumps({"id": 12, "text": fresh})
+    )
+    run(str(tmp_path / "spanck1"))
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[10] == "new0 new1"          # corpus span cut, row kept
+    assert rows[11] == fresh                # first occurrence kept
+    assert rows[12] == ""                   # within-batch copy emptied
+    assert set(rows) == {1, 2, 10, 11, 12}  # edited, never dropped
+
+    # crash between data commit and grams commit: replay heals with the
+    # SAME edit and the index registers the as-committed grams
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 20, "text": fresh + " extra0"})
+    )
+    ck2 = str(tmp_path / "spanck2")
+    real = K.append_batch_grams
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before grams commit")
+
+    K.append_batch_grams = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck2)
+    finally:
+        K.append_batch_grams = real
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    # data landed with the edit (fresh's grams were already indexed)
+    assert rows[20] == "extra0"
+    gv_before = M.current_version(K.grams_index_path(table))
+    run(ck2)  # replay: data append skips, grams commit proceeds
+    assert M.current_version(K.grams_index_path(table)) > gv_before
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[20] == "extra0"
+
+    # parameter drift refused
+    with _pytest.raises(ValueError, match="k="):
+        K.check_grams_stamp(table, k=4)
