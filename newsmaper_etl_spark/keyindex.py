@@ -1156,7 +1156,8 @@ def span_dedup_batch(
     if idx is None:
         idx = spark.range(0).select(F.col("id").alias("g"))
     covered = incremental_duplicate_span_positions(
-        batch_df, None, id_col, text_col, k, seen_grams=idx
+        batch_df, None, id_col, text_col, k, seen_grams=idx,
+        distinct=False,
     )
     edited = _excise_positions(batch_df, covered, id_col, text_col)
     cols = [

@@ -1384,6 +1384,7 @@ def duplicate_span_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    distinct: bool = True,
 ) -> DataFrame:
     """Token positions covered by a NON-FIRST occurrence of any k-gram
     that appears more than once in the corpus — the position surface of
@@ -1415,7 +1416,13 @@ def duplicate_span_positions(
     0.30-0.36 vs 0.29-0.32 s — this corpus's docs are short), but the
     doubling form is the measured 2.3× winner on the long-doc sf1.0
     contamination corpus at the same k=8, and the gram identity is
-    plan-local either way, so the scale basis is the default."""
+    plan-local either way, so the scale basis is the default.
+
+    ``distinct=True`` (the public contract: one row per (id, pos)) pays
+    a shuffle the excision paths don't need — a LEFT ANTI join treats
+    duplicate right-side keys identically, so the ``remove_*`` forms
+    pass ``distinct=False`` (in-process A/B: 0.53-0.66 → 0.44-0.53 s at
+    sf0.1, identical output)."""
     grams = _gram_positions(df, id_col, text_col, k)
     firsts = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -1428,12 +1435,13 @@ def duplicate_span_positions(
             & (F.col("gpos") == F.col("__f.p"))
         )
     )
-    return dups.select(
+    out = dups.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
         ).alias("pos"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def remove_duplicate_spans(
@@ -1451,7 +1459,11 @@ def remove_duplicate_spans(
     string, not a dropped row — span dedup edits documents, it does not
     delete them (doc-level dedup is :func:`exact_dedup` /
     :func:`minhash_dedup`'s job)."""
-    covered = duplicate_span_positions(df, id_col, text_col, k)
+    # distinct=False: the anti-join in _excise_positions treats
+    # duplicate covered keys identically — skipping the distinct's
+    # shuffle was an in-process-A/B win (see duplicate_span_positions)
+    covered = duplicate_span_positions(df, id_col, text_col, k,
+                                       distinct=False)
     return _excise_positions(df, covered, id_col, text_col)
 
 
@@ -1533,6 +1545,7 @@ def incremental_duplicate_span_positions(
     text_col: str = "text",
     k: int = 8,
     seen_grams: DataFrame | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Batch token positions covered by a k-gram the CORPUS already
     contains (the corpus's retained occurrence is by definition first)
@@ -1573,12 +1586,13 @@ def incremental_duplicate_span_positions(
     starts = cov_corpus.select(id_col, "gpos").unionAll(
         cov_batch.select(id_col, "gpos")
     )
-    return starts.select(
+    out = starts.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
         ).alias("pos"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def incremental_remove_duplicate_spans(
@@ -1594,7 +1608,8 @@ def incremental_remove_duplicate_spans(
     :func:`remove_duplicate_spans` output shape over
     :func:`incremental_duplicate_span_positions`'s cut surface."""
     covered = incremental_duplicate_span_positions(
-        new_df, seen_df, id_col, text_col, k, seen_grams=seen_grams
+        new_df, seen_df, id_col, text_col, k, seen_grams=seen_grams,
+        distinct=False,
     )
     return _excise_positions(new_df, covered, id_col, text_col)
 
