@@ -34,6 +34,15 @@ silently re-admitted content that a maintenance rewrite had removed).
 Reference parity note: the reference dedups by re-reading its whole SQL
 table per DAG run (`newsmaperdag.py` search_id/is_in_base per-row
 lookups); this module is the scale-correct form of that contract.
+
+The same side-table discipline now hosts every dedup family's index:
+``_keys`` (exact, above), ``_banded`` (MinHash band keys), ``_chunks``
+(SimHash pigeonhole chunks + fingerprints), ``_semcells`` +
+``_semcentroids`` (SemDeDup cells under frozen centroids, with drift
+telemetry and an offline rebuild), and ``_grams`` (substring-span dedup's
+distinct gram set) — each parameter-stamped, bootstrap-able from a
+pre-existing snapshot, appended under the writer's exactly-once txn
+marks, compacted alongside the table, and crash-replay safe.
 """
 from __future__ import annotations
 
