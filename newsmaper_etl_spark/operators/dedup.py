@@ -1673,6 +1673,62 @@ def _bloom_might_contain(gh, mask_lit, n_longs: int):
     ) == F.lit(1)
 
 
+def redact_contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination: every corpus token position covered
+    by an n-gram that also appears in the benchmark/eval set is EXCISED
+    from the text — the surgical counterpart of
+    :func:`contamination_check` (which flags whole documents for a
+    drop decision). Dropping a 50k-token page over one leaked question
+    throws away clean training text; redaction keeps the page and cuts
+    exactly the overlapping spans (adjacent/overlapping hits merge at
+    the position level). Returns (id, text_dedup, n_removed) — the
+    :func:`remove_duplicate_spans` output shape; rows are edited, never
+    dropped.
+
+    Plan shape: the eval side reduces to its distinct gram hashes and
+    BROADCASTS (benchmarks are ~10³-10⁵ docs); the corpus side explodes
+    to (id, pos, gram-hash) rows and takes one broadcast LEFT SEMI —
+    the bulk corpus never shuffles for the match, and only HIT
+    positions reach the excision anti-join. Gram basis = the xxhash64
+    token-hash windows shared with contamination_check's hashed path
+    (2^-64 collisions can at worst redact one spurious window).
+    ``exclude_same_id`` keeps the same self-flag contract as
+    contamination_check: only valid when the eval set was drawn from
+    the corpus under the SAME ids."""
+    e_grams = (
+        _gram_positions(eval_df, id_col, text_col, n)
+        .select(F.col(id_col).alias("__eid"), "g")
+        .distinct()
+    )
+    cg = _gram_positions(corpus, id_col, text_col, n)
+    if exclude_same_id:
+        hits = (
+            cg.join(F.broadcast(e_grams), on="g")
+            .filter(F.col(id_col) != F.col("__eid"))
+            .select(id_col, "gpos")
+        )
+    else:
+        hits = cg.join(
+            F.broadcast(e_grams.select("g").distinct()), on="g",
+            how="left_semi",
+        ).select(id_col, "gpos")
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
+        ).alias("pos"),
+    )
+    return _excise_positions(corpus, covered, id_col, text_col)
+
+
 def contamination_check(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -290,6 +290,83 @@ def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_decontaminate_spans",
+    oracle="""
+        WITH ev AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[1 : 20], ' ')
+                       AS text
+            FROM documents WHERE doc_id % 97 = 0
+        ),
+        etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+        eg AS (
+            SELECT DISTINCT doc_id AS eid,
+                   array_to_string(t[i : i + 7], ' ') AS g
+            FROM etoks, unnest(range(1, len(t) - 6)) u(i)
+            WHERE len(t) >= 8
+        ),
+        ctoks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        cg AS (
+            SELECT doc_id, i - 1 AS gpos,
+                   array_to_string(t[i : i + 7], ' ') AS g
+            FROM ctoks, unnest(range(1, len(t) - 6)) u(i)
+            WHERE len(t) >= 8
+        ),
+        hits AS (
+            SELECT DISTINCT c.doc_id, c.gpos
+            FROM cg c JOIN eg e ON c.g = e.g AND c.doc_id <> e.eid
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, gpos + j AS pos
+            FROM hits, unnest(range(0, 8)) v(j)
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM ctoks, unnest(range(1, len(t) + 1)) u(i)
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM tokpos p LEFT JOIN covered c
+              ON c.doc_id = p.doc_id AND c.pos = p.pos
+            WHERE c.doc_id IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+                   COUNT(*) AS kept_n
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(r.text_dedup, '') AS text_dedup,
+               CAST(len(t.t) - COALESCE(r.kept_n, 0) AS INTEGER) AS n_removed
+        FROM ctoks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("DEDUP", "CURATION", "SUBSTRING"),
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination (redact, don't drop): the corpus with
+    every 8-gram the planted benchmark snippets contain CUT from the
+    text — operators.dedup.redact_contaminated_spans, the surgical
+    counterpart of q_contamination's whole-doc flag. Eval = the
+    q_contamination fixture (every 97th doc's first 20 tokens under a
+    shifted id), so every eval snippet's span demonstrably comes back
+    excised from its source doc while the rest of that doc survives —
+    the drop-vs-redact difference a 50k-token page with one leaked
+    question makes real. Deterministic end to end (exact gram logic;
+    hashed grams vs the oracle's string grams is the
+    q_contamination_hashed 2^-64 basis), text reassembly included."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    return D.redact_contaminated_spans(docs, eval_df, n=8)
+
+
 # --------------------------------------------------------------------------
 # Mixture sampling / packing / chunking
 # --------------------------------------------------------------------------

@@ -3375,3 +3375,35 @@ def test_substring_incremental_equals_full_run(spark):
     with _pytest.raises(ValueError, match="'g' column"):
         D.incremental_remove_duplicate_spans(
             batch, None, k=8, seen_grams=seen)
+
+
+def test_redact_contaminated_spans_semantics(spark):
+    """Redaction semantics: the eval-overlapping span is cut while the
+    rest of the doc survives (the drop-vs-redact difference), clean
+    docs are untouched, same-id self-hits are excluded, and rows are
+    edited, never dropped."""
+    leak = " ".join(f"q{i}" for i in range(8))          # the leaked span
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here " + leak + " outro words"),
+            (2, "completely clean document " + " ".join(f"c{i}" for i in range(6))),
+            (3, leak),                                   # wholly leaked
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+           for r in D.redact_contaminated_spans(corpus, ev, n=8).collect()}
+    assert out[1] == ("intro words here outro words", 8)
+    assert out[2][1] == 0
+    assert out[3] == ("", 8)                             # edited, kept as row
+    # same-id self-hit excluded: an eval row under doc 3's OWN id must
+    # not redact doc 3
+    ev_same = spark.createDataFrame([(3, leak)], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["n_removed"]
+            for r in D.redact_contaminated_spans(corpus, ev_same, n=8).collect()}
+    assert out2[3] == 0 and out2[1] == 8                 # others still hit
+    out3 = {r["doc_id"]: r["n_removed"]
+            for r in D.redact_contaminated_spans(
+                corpus, ev_same, n=8, exclude_same_id=False).collect()}
+    assert out3[3] == 8                                  # opt-out flags self
