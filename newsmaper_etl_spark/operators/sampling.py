@@ -103,6 +103,62 @@ def stratified_sample(
     return df.filter(bucket < rate * 10_000)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture subsampling (the multilingual
+    α-sampling of XLM-R / mT5: group shares ∝ n_g^α, α < 1 boosting the
+    tail languages a raw-proportional mix starves): keep group g at the
+    deterministic per-row rate that lands its kept count near
+    ``share_g(α) · budget_frac · N``, capped at keeping every row —
+    this operator only SUBSAMPLES; upsampling the tail beyond 1× is the
+    training loader's epoch arithmetic, not a corpus edit.
+
+    Group counts come from one aggregate whose result is COLLECTED —
+    ``group_col`` must be bounded-cardinality by construction (langs,
+    sources — the keyword-map contract); the filter itself is the
+    shuffle-free :func:`mix_bucket` membership, so the whole sample is
+    one scan + one bounded agg, reproducible across runs and engines.
+
+    Cross-engine determinism: per-group thresholds are fixed as INTEGER
+    bucket cutoffs via round-then-floor (``floor(round(rate·10⁴, 4))``)
+    computed from the same expression shape the SQL oracle uses — the
+    4-digit round absorbs libm/summation-order ulp differences so both
+    engines derive identical cutoffs."""
+    import math
+
+    _require_numeric_id(df, id_col, "temperature_sample")
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha={alpha} (0 < alpha <= 1)")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    total = sum(counts.values())
+    s = sum(n ** alpha for _, n in sorted(counts.items()))
+    thr = {
+        g: min(
+            10_000,
+            math.floor(
+                round((n ** alpha / s) * (budget_frac * total) / n * 10_000, 4)
+            ),
+        )
+        for g, n in counts.items()
+    }
+    bucket = mix_bucket(id_col)
+    cutoff: Column = F.lit(0)
+    for g, v in sorted(thr.items()):
+        cutoff = F.when(F.col(group_col) == g, F.lit(v)).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -376,6 +376,42 @@ _DEFAULT_RATE = 0.05
 
 
 @query(
+    "q_temperature_sample",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang AS g, COUNT(*) AS n FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        t AS (SELECT SUM(POW(n, 0.5)) AS s, SUM(n) AS total FROM c),
+        r AS (
+            SELECT g,
+                   LEAST(10000, CAST(FLOOR(ROUND(
+                       POW(n, 0.5) / s * (0.5 * total) / n * 10000, 4
+                   )) AS BIGINT)) AS thr
+            FROM c, t
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r ON r.g = d.lang
+        WHERE {SP.mix_bucket_sql('doc_id')} < r.thr
+    """,
+    tags=("CURATION",),
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture subsampling (XLM-R/mT5 α-sampling,
+    α=0.5, half-corpus budget): per-language keep rates derive from the
+    α-flattened share n^α/Σn^α — the tail languages a raw-proportional
+    mix starves get boosted relative shares — applied through the same
+    deterministic id-bucket membership as q_stratified_sample. The
+    oracle recomputes counts, shares, and the round-then-floor integer
+    cutoffs from the same expression shape, so group arithmetic AND row
+    membership are both driver-hashed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.temperature_sample(
+        docs, "lang", alpha=0.5, budget_frac=0.5
+    ).select("doc_id", "lang", "source")
+
+
+@query(
     "q_stratified_sample",
     oracle=f"""
         SELECT doc_id, lang, source FROM documents

@@ -412,3 +412,29 @@ def test_curate_incremental_index_seams_match_derived_path(spark):
         batch, seen, seen_keys=keys, seen_banded=banded, **kw
     )
     assert sorted(map(tuple, via_idx.collect())) == base
+
+
+def test_temperature_sample_flattens_tail(spark):
+    """α < 1 must BOOST the tail group's kept fraction relative to the
+    head's (the whole point of temperature sampling), total kept must
+    land near the budget, membership must be deterministic, and α
+    bounds are validated."""
+    import pytest
+
+    from newsmaper_etl_spark.operators import sampling as SP
+
+    rows = [(i, "en" if i < 900 else "sw") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = SP.temperature_sample(df, "lang", alpha=0.3, budget_frac=0.5)
+    kept = out.groupBy("lang").count().collect()
+    k = {r["lang"]: r["count"] for r in kept}
+    # tail kept-fraction > head kept-fraction (flattening), and the
+    # tail is kept entirely or nearly so at this skew
+    assert k["sw"] / 100 > k["en"] / 900
+    total = sum(k.values())
+    assert 350 <= total <= 650                     # near the 500 budget
+    again = SP.temperature_sample(df, "lang", alpha=0.3, budget_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError, match="alpha"):
+        SP.temperature_sample(df, "lang", alpha=1.5)
