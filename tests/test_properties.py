@@ -15,6 +15,10 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from newsmaper_etl_spark.fixtures import values_df
+from newsmaper_etl_spark.operators.dedup import (
+    incremental_remove_duplicate_spans,
+    remove_duplicate_spans,
+)
 from newsmaper_etl_spark.operators.newsmaper import (
     dedup_keep_first,
     parse_pubdate,
@@ -349,3 +353,110 @@ def test_media_families_are_mutually_exclusive(a, b_, c, pick):
     for other, parse in parsers.items():
         if other != kind:
             assert parse(blob) is None, (pick, other)
+
+
+def _span_dedup_reference(docs: list[tuple[int, str]], k: int):
+    """Pure-Python reference for remove_duplicate_spans: k-gram first
+    occurrence in (doc_id, pos) order kept, every other occurrence's k
+    covered positions cut, tokens rejoined in order."""
+    toks = {d: t.split(" ") for d, t in docs}
+    first: dict[tuple, tuple] = {}
+    for d, t in sorted(docs):
+        ts = toks[d]
+        for i in range(len(ts) - k + 1):
+            g = tuple(ts[i : i + k])
+            first.setdefault(g, (d, i))
+    out = {}
+    for d, t in docs:
+        ts = toks[d]
+        cut = set()
+        for i in range(len(ts) - k + 1):
+            g = tuple(ts[i : i + k])
+            if first[g] != (d, i):
+                cut.update(range(i, i + k))
+        kept = [tok for j, tok in enumerate(ts) if j not in cut]
+        out[d] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet + short docs force frequent k-gram repeats,
+            # overlaps, and boundary seams — the hard cases
+            st.sampled_from(["a", "b", "c"]),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3, 4]),
+)
+def test_substring_dedup_matches_reference(spark, docs, k):
+    """remove_duplicate_spans agrees with a pure-Python reference on
+    adversarial corpora (tiny alphabet → dense repeats, within-doc
+    overlaps, cross-doc seams, sub-k docs) for k = 2..4 — including the
+    non-pow2 k=3 gram basis."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    expect = _span_dedup_reference(rows, k)
+    df = values_df(spark, rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_removed"])
+        for r in remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    seen=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    batch=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_substring_incremental_reference_parity(spark, seen, batch, k):
+    """The incremental form against its own reference on adversarial
+    corpora: batch positions covered by any corpus gram, or by a
+    non-first within-batch occurrence — regardless of whether the seen
+    corpus is internally deduped (the operator's own promise, stronger
+    than the full-run-equivalence induction)."""
+    seen_rows = [(i, " ".join(t)) for i, t in enumerate(seen)]
+    batch_rows = [(100 + i, " ".join(t)) for i, t in enumerate(batch)]
+    seen_grams = set()
+    for _, t in seen_rows:
+        ts = t.split(" ")
+        for i in range(len(ts) - k + 1):
+            seen_grams.add(tuple(ts[i : i + k]))
+    first: dict[tuple, tuple] = {}
+    for d, t in sorted(batch_rows):
+        ts = t.split(" ")
+        for i in range(len(ts) - k + 1):
+            first.setdefault(tuple(ts[i : i + k]), (d, i))
+    expect = {}
+    for d, t in batch_rows:
+        ts = t.split(" ")
+        cut = set()
+        for i in range(len(ts) - k + 1):
+            g = tuple(ts[i : i + k])
+            if g in seen_grams or first[g] != (d, i):
+                cut.update(range(i, i + k))
+        kept = [tok for j, tok in enumerate(ts) if j not in cut]
+        expect[d] = (" ".join(kept), len(ts) - len(kept))
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_removed"])
+        for r in incremental_remove_duplicate_spans(
+            values_df(spark, batch_rows, ["doc_id", "text"]),
+            values_df(spark, seen_rows, ["doc_id", "text"]),
+            k=k,
+        ).collect()
+    }
+    assert got == expect
