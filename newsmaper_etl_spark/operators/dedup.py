@@ -536,6 +536,68 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def minhash_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_iter: int = 20,
+    cc_strategy: str = "auto",
+    banded: DataFrame | None = None,
+    checkpoint: bool = True,
+    resolve: str = "cc",
+) -> DataFrame:
+    """The CLUSTER AUDIT surface of :func:`minhash_dedup`: (id,
+    cluster_id) for EVERY input row — duplicates share their connected
+    component's min id, singletons carry their own id. Curation
+    pipelines want this table, not only the survivor set: it is what a
+    reviewer samples to validate a threshold, what joins dup groups
+    back to source/crawl metadata, and what the keep-rule replays
+    against when the survivor policy changes (keep-first today,
+    keep-longest tomorrow) without re-running banding+verify.
+
+    ``resolve="cc"`` (default) labels via
+    :func:`connected_components` — correct at any chain depth.
+    ``resolve="min_neighbor"`` labels each row with the min verified
+    id_a seen as that row's partner (one lazy aggregate, no CC
+    iteration/collect) — EQUAL to CC exactly when every duplicate
+    group's verified pairs form a complete clique containing the group
+    min (identical-content groups at threshold 1.0, the planted
+    contracts' shape); on sparse pair graphs it can split a chain, so
+    production thresholds keep the default."""
+    if resolve not in ("cc", "min_neighbor"):
+        raise ValueError(f"resolve={resolve!r} (cc or min_neighbor)")
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, k, banded=banded
+    )
+    if checkpoint:
+        cands = cands.localCheckpoint(eager=True)
+    verified = jaccard_verify(
+        df, cands, id_col, text_col, k, round_digits=None
+    ).filter(F.col("jaccard") >= threshold)
+    if resolve == "min_neighbor":
+        labels = (
+            verified.groupBy("id_b")
+            .agg(F.min("id_a").alias("comp"))
+            .select(F.col("id_b").alias("__cid"), "comp")
+        )
+    else:
+        labels = connected_components(
+            verified, "id_a", "id_b", max_iter, strategy=cc_strategy
+        ).select(F.col("id").alias("__cid"), "comp")
+    return (
+        df.select(id_col)
+        .join(labels, on=F.col(id_col) == F.col("__cid"), how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup (new batch vs already-ingested corpus)
 # --------------------------------------------------------------------------

@@ -563,6 +563,48 @@ def q_minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_plan(spark, "q_minhash_dedup_planted", sf_dir, _build)
 
 
+@query(
+    "q_dup_clusters_planted",
+    oracle=f"""
+        WITH input AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < {_PLANT_SLICE}
+            UNION ALL
+            SELECT doc_id + {_PLANT_OFFSET}, text
+            FROM documents WHERE doc_id < {_PLANT_SLICE}
+        )
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+        FROM input
+    """,
+    tags=("DEDUP", "LSH"),
+)
+def q_dup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the CLUSTER AUDIT surface
+    (minhash_dup_clusters — the (id, cluster_id) table reviewers sample
+    and keep-rule changes replay against): over the planted-copies
+    corpus at threshold 1.0, every identical-text group labels with its
+    min id and every singleton with its own — derived by both engines
+    from the corpus. resolve="min_neighbor" is equal to CC here
+    (identical-text groups are complete verified cliques containing
+    the min — the q_minhash_dedup_planted argument) and keeps the plan
+    action-free for cached_plan; the banded frame is the shared
+    persisted-index fixture."""
+    def _build():
+        planted = _planted_copies(spark, sf_dir)
+        banded = cached_fixture(
+            spark, "mdp_banded", sf_dir,
+            lambda: D.banded_signatures(
+                planted, "doc_id", "text", num_hashes=8, bands=2
+            ),
+        )
+        return D.minhash_dup_clusters(
+            planted, "doc_id", "text", threshold=1.0,
+            num_hashes=8, bands=2, banded=banded,
+            checkpoint=False, resolve="min_neighbor",
+        )
+
+    return cached_plan(spark, "q_dup_clusters_planted", sf_dir, _build)
+
+
 # Honest derivation (see _MINHASH_DEDUP_PLANTED_ORACLE): identical
 # signature at h=0 ⟺ identical text, so the expected pair surface is
 # the identical-text pairs of the planted corpus, computed as such.

@@ -3407,3 +3407,30 @@ def test_redact_contaminated_spans_semantics(spark):
             for r in D.redact_contaminated_spans(
                 corpus, ev_same, n=8, exclude_same_id=False).collect()}
     assert out3[3] == 8                                  # opt-out flags self
+
+
+def test_minhash_dup_clusters_cc_vs_min_neighbor(spark):
+    """Cluster labeling: CC and min_neighbor agree on complete cliques
+    (identical texts), CC alone follows a sparse near-dup CHAIN, and
+    singletons self-label under both — the documented divergence that
+    keeps resolve='cc' the production default."""
+    clique = [(1, "x y z w"), (2, "x y z w"), (3, "x y z w"), (9, "solo doc")]
+    df = spark.createDataFrame(clique, "doc_id long, text string")
+    for resolve in ("cc", "min_neighbor"):
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in D.minhash_dup_clusters(
+                   df, threshold=1.0, num_hashes=8, bands=2, k=3,
+                   resolve=resolve).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+    # chain a~b, b~c with a~c below threshold: CC merges all three
+    chain = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g X"),   # near 1
+        (3, "a b c d e f Y X"),   # near 2, farther from 1
+    ]
+    cdf = spark.createDataFrame(chain, "doc_id long, text string")
+    cc = {r["doc_id"]: r["cluster_id"]
+          for r in D.minhash_dup_clusters(
+              cdf, threshold=0.5, num_hashes=16, bands=8, k=2,
+              resolve="cc").collect()}
+    assert cc == {1: 1, 2: 1, 3: 1}
