@@ -464,3 +464,50 @@ def rare_token_stats(
     return out.withColumn(
         "rare_ratio", F.floor(F.lit(10000) * F.col("n_rare") / F.col("n_tokens")) / 10000
     )
+
+
+#: Script character classes for :func:`script_profile`, as regex ranges
+#: valid in BOTH Java regex (Spark) and RE2 (DuckDB) — the oracle runs
+#: the same character-class counts. Order fixes the dominant tie-break.
+_SCRIPT_RANGES = (
+    ("arabic", "؀-ۿ"),
+    ("cjk", "぀-ヿ一-鿿"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("latin", "A-Za-z"),
+)
+
+
+def script_profile(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document SCRIPT profile — the writing-system signal a
+    multilingual curation pipeline gates on before any language model
+    runs (a page whose chars are 60% CJK is not 'en' whatever its
+    stopwords say, and mixed-script pages are a known spam/SEO tell):
+    the character fraction per script class (Arabic, CJK, Cyrillic,
+    Latin — rounded to 4 digits) plus ``dominant_script``, the
+    alphabetically-first class achieving the max fraction ('none' when
+    every class is 0, e.g. digits/punctuation-only). Pure JVM
+    expressions (regexp_replace + length per class — no tokenizer, no
+    Python), linear and shuffle-free; fractions are of RAW characters
+    incl. spaces/digits, so the four classes need not sum to 1."""
+    n = F.length(F.col(col))
+    fracs = {}
+    for name, rng in _SCRIPT_RANGES:
+        cnt = F.length(F.regexp_replace(F.col(col), f"[^{rng}]", ""))
+        fracs[name] = F.round(
+            F.when(n > 0, cnt / n).otherwise(F.lit(0.0)), 4
+        )
+    out = df
+    for name, _ in _SCRIPT_RANGES:
+        out = out.withColumn(f"frac_{name}", fracs[name])
+    fa, fc, fy, fl = (F.col(f"frac_{n}") for n in
+                      ("arabic", "cjk", "cyrillic", "latin"))
+    # alphabetical priority on ties, comparing the ROUNDED fractions so
+    # both engines branch on identical values
+    dominant = (
+        F.when((fa == 0) & (fc == 0) & (fy == 0) & (fl == 0), "none")
+        .when((fa >= fc) & (fa >= fy) & (fa >= fl), "arabic")
+        .when((fc >= fy) & (fc >= fl), "cjk")
+        .when(fy >= fl, "cyrillic")
+        .otherwise("latin")
+    )
+    return out.withColumn("dominant_script", dominant)

@@ -102,6 +102,79 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.language_id(docs).select("doc_id", "lang_pred")
 
 
+#: planted non-Latin rows for q_script_profile — the corpus is Latin-only,
+#: so every non-Latin branch (and the mixed-script tie-break) needs rows
+#: PLANTED identically in the Spark fixture and the SQL oracle.
+_SCRIPT_ROWS = (
+    (9_000_001, "Привет мир это кириллица"),
+    (9_000_002, "你好世界 漢字 テスト"),
+    (9_000_003, "مرحبا بالعالم نص عربي"),
+    (9_000_004, "mixed Привет text 漢字 here"),
+    (9_000_005, "1234 5678 !!!"),
+)
+
+
+def _script_profile_sql(input_cte: str) -> str:
+    classes = (
+        ("arabic", "؀-ۿ"),
+        ("cjk", "぀-ヿ一-鿿"),
+        ("cyrillic", "Ѐ-ӿ"),
+        ("latin", "A-Za-z"),
+    )
+    frac_cols = ", ".join(
+        f"ROUND(CASE WHEN len(text) > 0 THEN "
+        f"len(regexp_replace(text, '[^{rng}]', '', 'g')) * 1.0 / len(text) "
+        f"ELSE 0.0 END, 4) AS frac_{name}"
+        for name, rng in classes
+    )
+    return f"""
+        WITH input AS ({input_cte}),
+        f AS (SELECT doc_id, {frac_cols} FROM input)
+        SELECT doc_id, frac_arabic, frac_cjk, frac_cyrillic, frac_latin,
+               CASE
+                   WHEN frac_arabic = 0 AND frac_cjk = 0
+                        AND frac_cyrillic = 0 AND frac_latin = 0
+                       THEN 'none'
+                   WHEN frac_arabic >= frac_cjk
+                        AND frac_arabic >= frac_cyrillic
+                        AND frac_arabic >= frac_latin THEN 'arabic'
+                   WHEN frac_cjk >= frac_cyrillic
+                        AND frac_cjk >= frac_latin THEN 'cjk'
+                   WHEN frac_cyrillic >= frac_latin THEN 'cyrillic'
+                   ELSE 'latin'
+               END AS dominant_script
+        FROM f
+    """
+
+
+@query(
+    "q_script_profile",
+    oracle=_script_profile_sql(
+        "SELECT doc_id, text FROM documents\nUNION ALL\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT), '{t}'" for i, t in _SCRIPT_ROWS
+        )
+    ),
+    tags=("TEXT", "CURATION"),
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document writing-system profile (operators.text.script_profile
+    — the multilingual curation gate that runs BEFORE any language
+    model): per-script character fractions + the dominant script with
+    an alphabetical tie-break, over the corpus plus planted
+    Cyrillic/CJK/Arabic/mixed/none rows so every branch is exercised at
+    every SF. Both engines count the same regex character classes and
+    branch on the ROUNDED fractions, so the whole surface — fractions
+    and the CASE chain — is driver-hashed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(list(_SCRIPT_ROWS),
+                                  "doc_id long, text string")
+    return TX.script_profile(docs.unionAll(extra)).select(
+        "doc_id", "frac_arabic", "frac_cjk", "frac_cyrillic",
+        "frac_latin", "dominant_script",
+    )
+
+
 @query(
     "q_doc_fingerprint",
     oracle="""
