@@ -511,3 +511,53 @@ def script_profile(df: DataFrame, col: str = "text") -> DataFrame:
         .otherwise("latin")
     )
     return out.withColumn("dominant_script", dominant)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): per doc, the distinct LOCAL-MINIMUM k-gram
+    hashes over every window of ``w`` consecutive grams — exploded to
+    (id, fp) rows, the join surface for sub-document overlap detection.
+    The selection guarantee is positional: any shared token run of
+    length ≥ w + k − 1 spans a full gram window on both sides, and both
+    sides select the same minimum inside it — so two docs sharing such
+    a run share ≥1 fingerprint, while storage is ~|grams|/w per doc
+    (the density the w knob buys). Complements :func:`fingerprint`
+    (order-sensitive whole-doc scalar) and substring-span dedup (exact
+    excision): winnowing is the cheap overlap-DETECTION index.
+
+    All JVM higher-order expressions over the shared token-hash gram
+    basis (no Python, no shuffle before the distinct); selection is
+    hash-order-dependent, so driver checks are rows-only by design
+    (the minhash/simhash precedent) and the guarantee is
+    property-tested. Docs with fewer than k tokens fingerprint their
+    whole-token-array hash; docs with fewer than w grams select the
+    minimum of what exists (one window)."""
+    from newsmaper_etl_spark.operators.dedup import (
+        hashed_shingles_expr,
+        token_hashes_col,
+    )
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k={k}, w={w} (both >= 1)")
+    tmp = df.withColumn("__th", token_hashes_col(col))
+    grams = hashed_shingles_expr("__th", k)  # whole-array hash when < k
+    tmp = tmp.withColumn("__g", grams)
+    n = F.size(F.col("__g"))
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("__g"), i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("__g"))))
+    return tmp.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(mins)).alias("fp"),
+    )

@@ -563,6 +563,55 @@ def q_minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_plan(spark, "q_minhash_dedup_planted", sf_dir, _build)
 
 
+@query("q_winnow_fingerprint", oracle=None, tags=("DEDUP", "TEXT"))
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint surface over the corpus — the
+    sub-document overlap-detection index (rows-only: selection is
+    xxhash64-order-dependent, the minhash-candidates precedent; the
+    positional guarantee is property- and contract-tested)."""
+    import newsmaper_etl_spark.operators.text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+_WINNOW_SELFPAIR_ORACLE = f"""
+    SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b
+    FROM documents WHERE doc_id < {_PLANT_SLICE}
+"""
+
+
+@query(
+    "q_winnow_selfpair",
+    oracle=_WINNOW_SELFPAIR_ORACLE,
+    tags=("DEDUP", "TEXT"),
+)
+def q_winnow_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall contract for winnowing (the selfpair
+    pattern): an exact copy selects the IDENTICAL fingerprint set
+    (same grams, same minima), so every planted (i, i+offset) pair
+    shares ≥1 fingerprint and survives the fp equi-join; filtering to
+    the planted offset pins exactly that recall floor — a broken gram
+    basis, window min, or distinct would drop pairs and flip the
+    driver hash. Statistical cross-pairs stay rows-only in
+    q_winnow_fingerprint."""
+    import newsmaper_etl_spark.operators.text as TX
+
+    def _build():
+        planted = _planted_copies(spark, sf_dir)
+        fps = TX.winnow_fingerprints(planted, "doc_id", "text", k=5, w=4)
+        a = fps.withColumnRenamed("doc_id", "id_a")
+        b = fps.withColumnRenamed("doc_id", "id_b")
+        return (
+            a.join(b, on="fp")
+            .filter(F.col("id_b") - F.col("id_a") == _PLANT_OFFSET)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    return cached_plan(spark, "q_winnow_selfpair", sf_dir, _build)
+
+
 @query(
     "q_dup_clusters_planted",
     oracle=f"""

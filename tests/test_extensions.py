@@ -14,6 +14,7 @@ from newsmaper_etl_spark.fixtures import values_df
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import multimodal as M
 from newsmaper_etl_spark.operators import similarity as S
+from newsmaper_etl_spark.operators import text as TX
 
 _BASE = (
     "the quick brown fox jumps over the lazy dog near the river bank today "
@@ -3434,3 +3435,33 @@ def test_minhash_dup_clusters_cc_vs_min_neighbor(spark):
               cdf, threshold=0.5, num_hashes=16, bands=8, k=2,
               resolve="cc").collect()}
     assert cc == {1: 1, 2: 1, 3: 1}
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """The winnowing guarantee: docs sharing a token run of length
+    >= w + k - 1 share at least one fingerprint; unrelated docs (no
+    shared k-gram) share none; density is ~|grams|/w not |grams|; and
+    sub-k docs still fingerprint."""
+    k, w = 5, 4
+    run = " ".join(f"s{i}" for i in range(k + w - 1))   # exactly w+k-1
+    rows = [
+        (1, "a b c " + run + " x y z"),
+        (2, run + " p q r t u"),
+        (3, " ".join(f"u{i}" for i in range(20))),       # unrelated
+        (4, "tiny doc"),                                 # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = TX.winnow_fingerprints(df, k=k, w=w)
+    by = {}
+    for r in fps.collect():
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[1] & by[2]                # guaranteed shared fingerprint
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+    assert by[4]                        # sub-k doc still fingerprints
+    # density: doc 3 has 20-5+1=16 grams, 13 windows -> far fewer
+    # selections than grams
+    assert len(by[3]) <= 8
+
+    import pytest
+    with pytest.raises(ValueError, match="k="):
+        TX.winnow_fingerprints(df, k=0)
