@@ -371,6 +371,7 @@ def write_stream_manifest(
     dedup_order_col: str | None = None,
     near_dedup: dict | None = None,
     span_dedup: dict | None = None,
+    telemetry: bool = False,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
     (newsmaper_etl_spark/manifest.py) via ``foreachBatch``.
@@ -494,6 +495,17 @@ def write_stream_manifest(
     every batch; dropped/retyped columns still fail loudly
     (manifest._check_schema).
 
+    ``telemetry=True`` records per-batch GATE COUNTS in the data
+    commit's manifest meta — ``{"gates": {"input": n, "after_exact":
+    n, "after_near": n, "committed": n}}`` (only the stages configured
+    appear) — the "what did my dedup gates drop last night?" audit,
+    readable without a Spark job via :func:`ingest_history`. Each
+    recorded stage costs one count() action per batch over the already-
+    materialized batch frame (the gate frames are eagerly checkpointed
+    anyway); default OFF so the bare sink's per-batch job count is
+    unchanged. The drift telemetry riding the semantic index commits
+    (keyindex.semantic_drift_history) is separate and always on.
+
     ``compact_every=N`` runs :func:`manifest.compact` after every Nth
     committed batch — the maintenance a 20-minute-micro-batch table
     needs forever (each batch adds small files; a year of that is ~10⁵
@@ -567,6 +579,9 @@ def write_stream_manifest(
         main_done = batch_id <= M.last_txn_version(table, app)
         if main_done and not dedup_keys and nd is None and sd is None:
             return  # replay of an already-committed batch: exactly-once
+        gates: dict | None = {} if telemetry else None
+        if gates is not None:
+            gates["input"] = batch_df.count()
         persisted = False
         eff_stat_cols = tuple(stat_cols)
         data_version = None
@@ -635,6 +650,8 @@ def write_stream_manifest(
             idx = K.read_key_index(spark, table, version=kver)
             if idx is not None:
                 batch_df = K.anti_join_index(batch_df, keys, idx)
+            if gates is not None:
+                gates["after_exact"] = batch_df.count()
         if nd is not None:
             if nd["id_col"] not in eff_stat_cols:
                 # candidate point-fetch pruning needs id footer stats
@@ -677,6 +694,8 @@ def write_stream_manifest(
                     n_tables=nd["n_tables"], seed=nd["seed"],
                 )  # eagerly-materialized; verify point-fetches seen
                 # vectors from the pinned data snapshot
+            if gates is not None:
+                gates["after_near"] = batch_df.count()
         if sd is not None:
             # LAST content gate: edit surviving rows' text against the
             # persisted gram index (+ within-batch rule). On replay with
@@ -699,11 +718,17 @@ def write_stream_manifest(
             # bit-identical)
             batch_df = batch_df.persist()
             persisted = True
+        if gates is not None:
+            gates["committed"] = batch_df.count()
+
         def _append() -> None:
+            meta = {"app": app, "batch_id": int(batch_id)}
+            if gates is not None:
+                meta["gates"] = gates
             M.append(
                 batch_df, table, stat_cols=eff_stat_cols,
                 txn=(app, int(batch_id)),
-                meta={"app": app, "batch_id": int(batch_id)},
+                meta=meta,
                 merge_schema=merge_schema,
             )
         try:
@@ -802,3 +827,26 @@ def write_stream_manifest(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def ingest_history(table: str) -> list[dict]:
+    """The per-batch gate telemetry recorded by
+    ``write_stream_manifest(telemetry=True)``, oldest first: one entry
+    per data commit that carried counts — {version, batch_id, input,
+    after_exact?, after_near?, committed}. Driver-side manifest walk,
+    no Spark job (the :func:`keyindex.semantic_drift_history`
+    pattern)."""
+    from newsmaper_etl_spark import manifest as M
+
+    out: list[dict] = []
+    for v in range(1, M.current_version(table) + 1):
+        try:
+            m = M._load_manifest(table, v)
+        except FileNotFoundError:  # vacuumed
+            continue
+        meta = m.get("meta") or {}
+        if "gates" in meta:
+            entry = {"version": v, "batch_id": meta.get("batch_id")}
+            entry.update(meta["gates"])
+            out.append(entry)
+    return out

@@ -1559,3 +1559,61 @@ def test_stream_manifest_span_dedup_on_ingest(spark, tmp_path):
     # parameter drift refused
     with _pytest.raises(ValueError, match="k="):
         K.check_grams_stamp(table, k=4)
+
+
+def test_ingest_gate_telemetry(spark, tmp_path):
+    """telemetry=True: every data commit records the gate counts —
+    input, after_exact (dedup_keys configured), committed — and
+    ingest_history reads them back without a Spark job; the default
+    (telemetry off) records none."""
+    import json as _json
+
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.streaming.pipeline import (
+        ingest_history,
+        write_stream_manifest,
+    )
+
+    src = tmp_path / "telin"
+    src.mkdir()
+    table = str(tmp_path / "teltable")
+
+    def run(ck, telemetry):
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"telq:{ck}",
+            dedup_keys=("text",), dedup_order_col="id",
+            telemetry=telemetry,
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": "alpha"}) + "\n"
+        + _json.dumps({"id": 2, "text": "alpha"}) + "\n"   # within-batch dup
+        + _json.dumps({"id": 3, "text": "beta"})
+    )
+    run(str(tmp_path / "telck0"), telemetry=True)
+    hist = ingest_history(table)
+    assert len(hist) == 1
+    h = hist[0]
+    assert h["input"] == 3 and h["after_exact"] == 2 and h["committed"] == 2
+
+    # second run (fresh checkpoint): re-reads ALL files (5 rows) — the
+    # gate counts must show the whole funnel: 5 in, keep-first +
+    # corpus anti-join down to the one genuinely new text
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "text": "alpha"}) + "\n"    # seen by corpus
+        + _json.dumps({"id": 11, "text": "gamma"})
+    )
+    run(str(tmp_path / "telck1"), telemetry=True)
+    hist = ingest_history(table)
+    assert len(hist) == 2
+    assert hist[1]["input"] == 5 and hist[1]["after_exact"] == 1
+    assert hist[1]["committed"] == 1
+
+    # telemetry off -> no gates on the commit
+    (src / "b2.json").write_text(_json.dumps({"id": 20, "text": "delta"}))
+    run(str(tmp_path / "telck2"), telemetry=False)
+    assert len(ingest_history(table)) == 2
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {
+        1, 3, 11, 20
+    }
