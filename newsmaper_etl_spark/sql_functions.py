@@ -115,10 +115,15 @@ def _pipelines() -> dict:
         exact_dedup,
         incremental_exact_dedup,
         incremental_minhash_dedup,
+        incremental_remove_duplicate_spans,
         minhash_dedup,
+        minhash_dup_clusters,
+        redact_contaminated_spans,
+        remove_duplicate_spans,
         simhash_near_pairs,
     )
     from newsmaper_etl_spark.operators.newsmaper import tag_country
+    from newsmaper_etl_spark.operators.sampling import temperature_sample
 
     def _minhash(spark: SparkSession, view: str, **kw) -> DataFrame:
         return minhash_dedup(spark.table(view), **kw)
@@ -181,6 +186,31 @@ def _pipelines() -> dict:
             spark.table(view), spark.table(seen), **kw
         )
 
+    def _substring(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return remove_duplicate_spans(spark.table(view), **kw)
+
+    def _inc_substring(spark: SparkSession, view: str, **kw) -> DataFrame:
+        seen = kw.pop("seen_view", None)
+        grams = kw.pop("seen_grams_view", None)
+        if grams is not None:
+            kw["seen_grams"] = spark.table(grams)
+        return incremental_remove_duplicate_spans(
+            spark.table(view),
+            spark.table(seen) if seen is not None else None, **kw
+        )
+
+    def _redact(spark: SparkSession, view: str, **kw) -> DataFrame:
+        eval_view = kw.pop("eval_view")
+        return redact_contaminated_spans(
+            spark.table(view), spark.table(eval_view), **kw
+        )
+
+    def _clusters(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return minhash_dup_clusters(spark.table(view), **kw)
+
+    def _temperature(spark: SparkSession, view: str, **kw) -> DataFrame:
+        return temperature_sample(spark.table(view), **kw)
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -191,6 +221,11 @@ def _pipelines() -> dict:
         "incremental_exact_dedup": _inc_exact,
         "incremental_minhash_dedup": _inc_minhash,
         "curate_corpus_incremental": _curate_inc,
+        "substring_dedup": _substring,
+        "substring_dedup_incremental": _inc_substring,
+        "redact_contaminated_spans": _redact,
+        "minhash_dup_clusters": _clusters,
+        "temperature_sample": _temperature,
     }
 
 

@@ -174,3 +174,66 @@ def test_incremental_pipelines_over_views(spark):
         threshold=1.0,
     )
     assert [r["doc_id"] for r in out2.collect()] == [11]
+
+
+def test_run_sql_pipeline_r11_surfaces(spark):
+    """The r11 operators are reachable from view-space: substring dedup
+    (full + incremental through the seen_grams seam), span redaction,
+    cluster export, and temperature sampling each run over temp views
+    and agree with their DataFrame forms."""
+    from newsmaper_etl_spark.operators import dedup as D
+    from newsmaper_etl_spark.operators import sampling as SP
+    from newsmaper_etl_spark.sql_functions import run_sql_pipeline
+
+    span = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, span + " a b"), (2, span), (3, "clean doc " + " ".join(f"c{i}" for i in range(6)))],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("__r11_docs")
+    out = run_sql_pipeline(spark, "substring_dedup", "__r11_docs", "__o1", k=8)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, D.remove_duplicate_spans(docs, k=8).collect())
+    )
+
+    seen = spark.createDataFrame([(0, span)], "doc_id long, text string")
+    seen.createOrReplaceTempView("__r11_seen")
+    grams = D.corpus_gram_index(seen, k=8)
+    grams.createOrReplaceTempView("__r11_grams")
+    out = run_sql_pipeline(
+        spark, "substring_dedup_incremental", "__r11_docs", "__o2",
+        seen_grams_view="__r11_grams", k=8,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple,
+        D.incremental_remove_duplicate_spans(
+            docs, None, k=8, seen_grams=grams).collect()))
+
+    ev = spark.createDataFrame([(100, span)], "doc_id long, text string")
+    ev.createOrReplaceTempView("__r11_eval")
+    out = run_sql_pipeline(
+        spark, "redact_contaminated_spans", "__r11_docs", "__o3",
+        eval_view="__r11_eval", n=8,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple,
+        D.redact_contaminated_spans(docs, ev, n=8).collect()))
+
+    out = run_sql_pipeline(
+        spark, "minhash_dup_clusters", "__r11_docs", "__o4",
+        threshold=1.0, num_hashes=8, bands=2,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple,
+        D.minhash_dup_clusters(
+            docs, threshold=1.0, num_hashes=8, bands=2).collect()))
+
+    langs = spark.createDataFrame(
+        [(i, "en" if i < 80 else "sw") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    langs.createOrReplaceTempView("__r11_langs")
+    out = run_sql_pipeline(
+        spark, "temperature_sample", "__r11_langs", "__o5",
+        group_col="lang", alpha=0.5, budget_frac=0.5,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in SP.temperature_sample(
+            langs, "lang", alpha=0.5, budget_frac=0.5).collect())
