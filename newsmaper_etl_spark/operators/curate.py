@@ -5,6 +5,7 @@ plan over the extension operators.
       → quality gate      (pure expressions — evaluates in the scan stage)
       → exact dedup       (one hash window on text)
       → near-dup removal  (MinHash-LSH → verify → connected components)
+      → span dedup        (optional r11: repeated ≥k-token spans excised)
       → annotate          (language, token stats, BPE budget, fingerprint)
 
 Order matters at scale: the quality gate is shuffle-free so it runs
@@ -17,6 +18,7 @@ stage for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import text as TX
@@ -31,6 +33,7 @@ def curate_corpus(
     minhash_kwargs: dict | None = None,
     salt: int | None = None,
     near_dup: bool = True,
+    span_dedup_k: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -40,7 +43,16 @@ def curate_corpus(
     ``near_dup=False`` skips the MinHash stage, leaving the fully
     deterministic sub-pipeline (gate → exact dedup → annotate) — the
     hash-checkable slice of the recipe (q_curate_exact); the sketch
-    stage stays rows-only by nature."""
+    stage stays rows-only by nature.
+
+    ``span_dedup_k`` (r11) adds the SUBSTRING-span stage between
+    near-dedup and annotation — repeated ≥k-token spans excised with
+    first occurrence kept (:func:`~newsmaper_etl_spark.operators.dedup.
+    remove_duplicate_spans`), the Lee-et-al pass that catches the
+    boilerplate doc-level dedup can't. It runs LAST of the dedup stages
+    (cheapest corpus: whole-doc drops already happened) and the
+    annotations are computed over the EDITED text — token counts, BPE
+    budget, and fingerprints must describe what a loader will read."""
     gated = TX.quality_score(docs, text_col).filter(
         f"quality >= {float(min_quality)}"
     )
@@ -55,6 +67,16 @@ def curate_corpus(
         )
     else:
         near = exact
+    if span_dedup_k:
+        spans = D.remove_duplicate_spans(
+            near, id_col, text_col, k=int(span_dedup_k)
+        )
+        near = near.drop(text_col).join(
+            spans.select(
+                F.col(id_col), F.col("text_dedup").alias(text_col)
+            ),
+            on=id_col,
+        )
     annotated = TX.token_stats(
         TX.fingerprint(TX.token_count_bpe(TX.language_id(near, text_col), text_col), text_col),
         text_col,
@@ -75,6 +97,8 @@ def curate_corpus_incremental(
     seen_banded: DataFrame | None = None,
     seen_keys: DataFrame | None = None,
     checkpoint: bool = True,
+    span_dedup_k: int | None = None,
+    seen_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The NIGHTLY-pipeline shape of :func:`curate_corpus`: curate
     tonight's batch against the already-ingested corpus instead of
@@ -111,7 +135,17 @@ def curate_corpus_incremental(
     anti-join), and without materialization each reference re-runs the
     quality gate and the corpus-key anti-join — 3x the batch pipeline
     at any scale. The frame is batch-scaled, never corpus-scaled, the
-    same bound as the operator's own candidate checkpoint."""
+    same bound as the operator's own candidate checkpoint.
+
+    ``span_dedup_k`` (r11) adds the incremental SUBSTRING-span stage
+    after the near-dedup survivors: batch spans the corpus already
+    holds are excised via
+    :func:`~newsmaper_etl_spark.operators.dedup.
+    incremental_remove_duplicate_spans` — pass ``seen_grams`` (the
+    persisted ``_grams`` side table / :func:`~newsmaper_etl_spark.
+    operators.dedup.corpus_gram_index` frame) to keep the stage
+    index-sized; without it the corpus is re-grammed from
+    ``seen_docs``. Annotations describe the EDITED text."""
     gated = TX.quality_score(new_docs, text_col).filter(
         f"quality >= {float(min_quality)}"
     )
@@ -142,6 +176,20 @@ def curate_corpus_incremental(
         )
     else:
         near = exact
+    if span_dedup_k:
+        spans = D.incremental_remove_duplicate_spans(
+            near,
+            None if seen_grams is not None else seen_docs.select(
+                id_col, text_col
+            ),
+            id_col, text_col, k=int(span_dedup_k), seen_grams=seen_grams,
+        )
+        near = near.drop(text_col).join(
+            spans.select(
+                F.col(id_col), F.col("text_dedup").alias(text_col)
+            ),
+            on=id_col,
+        )
     return TX.token_stats(
         TX.fingerprint(
             TX.token_count_bpe(TX.language_id(near, text_col), text_col),

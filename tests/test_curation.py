@@ -438,3 +438,80 @@ def test_temperature_sample_flattens_tail(spark):
            sorted(r["doc_id"] for r in again.collect())
     with pytest.raises(ValueError, match="alpha"):
         SP.temperature_sample(df, "lang", alpha=1.5)
+
+
+def test_curate_corpus_span_stage_composition(spark):
+    """The span_dedup_k stage composes exactly: the recipe's output
+    equals applying remove_duplicate_spans to the near-dedup survivors
+    and annotating the EDITED text (token counts/fingerprints must
+    describe what the loader reads); without the flag the recipe is
+    unchanged."""
+    from newsmaper_etl_spark.operators import dedup as D
+    from newsmaper_etl_spark.operators import text as TX
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    span = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " unique0 tail words here now"),
+            (2, "other page starts " + span + " then ends differently ok"),
+            (3, "a completely different document with enough words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = curate_corpus(docs, near_dup=False, span_dedup_k=8).select(
+        "doc_id", "text", "n_tokens", "n_bpe", "fp"
+    )
+    base = curate_corpus(docs, near_dup=False).select("doc_id", "text")
+    spans = D.remove_duplicate_spans(base, k=8)
+    edited = base.drop("text").join(
+        spans.selectExpr("doc_id", "text_dedup AS text"), on="doc_id"
+    )
+    expect = TX.token_stats(
+        TX.fingerprint(
+            TX.token_count_bpe(TX.language_id(edited), "text"), "text"
+        ),
+        "text",
+    ).select("doc_id", "text", "n_tokens", "n_bpe", "fp")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # doc 2's copy of the span is gone from ITS text; doc 1 keeps it
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert span in texts[1] and span not in texts[2]
+    assert "other page starts" in texts[2]
+
+
+def test_curate_incremental_span_stage(spark):
+    """Incremental recipe with the span stage: a batch doc repeating a
+    corpus span commits with the span excised (through BOTH the
+    seen_docs derivation and the persisted seen_grams seam, identical
+    results), fresh text is untouched, annotations describe the edited
+    text."""
+    from newsmaper_etl_spark.operators import dedup as D
+    from newsmaper_etl_spark.operators.curate import curate_corpus_incremental
+
+    span = " ".join(f"w{i}" for i in range(8))
+    seen = spark.createDataFrame(
+        [(1, span + " corpus tail words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, span + " brand new ending words"),
+            (11, "totally fresh page with plenty of words inside"),
+        ],
+        "doc_id long, text string",
+    )
+    a = curate_corpus_incremental(
+        batch, seen, near_dup=False, span_dedup_k=8
+    ).select("doc_id", "text", "n_tokens")
+    grams = D.corpus_gram_index(seen, k=8)
+    b = curate_corpus_incremental(
+        batch, seen, near_dup=False, span_dedup_k=8, seen_grams=grams
+    ).select("doc_id", "text", "n_tokens")
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    texts = dict((r[0], (r[1], r[2])) for r in ra)
+    assert texts[10] == ("brand new ending words", 4)  # span cut, count edited
+    assert texts[11][0].startswith("totally fresh")
