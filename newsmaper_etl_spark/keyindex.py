@@ -505,14 +505,22 @@ def check_chunks_stamp(table: str, max_hamming: int, bits: int) -> None:
                 )
 
 
-def read_chunks_index(spark: SparkSession, table: str) -> DataFrame | None:
+def read_chunks_index(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame | None:
     """The persisted :func:`operators.dedup.simhash_chunks` frame for
     the corpus — fingerprints + pigeonhole chunk keys, h+1 rows of 3-4
-    longs per doc. None when absent."""
+    longs per doc. None when absent. ``version`` time-travels to an
+    older index snapshot (the crash-replay determinism hook — see
+    :func:`read_key_index`): unlike the MinHash/semantic paths, the
+    simhash verify runs OFF THE INDEX, so a replayed batch whose chunks
+    already committed would otherwise self-match at hamming 0 against
+    its own fingerprints and empty itself out."""
     ctable = chunks_index_path(table)
-    if M.current_version(ctable) == 0:
+    v = M.current_version(ctable) if version is None else version
+    if v == 0:
         return None
-    return M.read_table(spark, ctable).drop(*_CSTAMP)
+    return M.read_table(spark, ctable, version=v).drop(*_CSTAMP)
 
 
 def ensure_chunks_bootstrap(
@@ -560,6 +568,7 @@ def simhash_dedup_batch(
     max_hamming: int = 3,
     bits: int = 64,
     within_batch: bool = False,
+    index_version: int | None = None,
 ) -> DataFrame:
     """Drop batch docs within SimHash hamming radius of ANY ingested
     doc, via the persisted chunk index — the streaming form of
@@ -568,14 +577,21 @@ def simhash_dedup_batch(
     all: the index carries the fingerprints, so the per-batch read is
     exactly the index's h+1 narrow rows per seen doc. Parameter drift
     raises (the chunk stamp check). Returns an eagerly-materialized
-    frame (the sink appends it to multiple targets)."""
+    frame (the sink appends it to multiple targets).
+
+    ``index_version`` pins the chunk-index read on crash replay (code
+    review r11): when a LATER per-batch commit (the ``_grams`` table)
+    is still pending, the replay re-runs this gate AFTER the batch's
+    own chunks committed — unpinned, every redelivered row would
+    self-match at hamming 0 and the batch would empty out, and the
+    pending commit would then be appended from an empty frame."""
     from newsmaper_etl_spark.operators.dedup import (
         incremental_simhash_dedup,
         simhash_dedup,
     )
 
     spark = batch_df.sparkSession
-    idx = read_chunks_index(spark, table)
+    idx = read_chunks_index(spark, table, version=index_version)
     if idx is None:
         out = (
             simhash_dedup(batch_df, id_col, text_col, max_hamming, bits)
@@ -1168,7 +1184,15 @@ def span_dedup_batch(
         batch_df, None, id_col, text_col, k, seen_grams=idx,
         distinct=False,
     )
-    edited = _excise_positions(batch_df, covered, id_col, text_col)
+    # one edited row per id BEFORE the join-back: a duplicate-id batch
+    # (at-least-once source without dedup_keys — a contract violation,
+    # ids must be batch-unique like every *_batch gate documents) would
+    # otherwise multiply rows 2x2 through the many-to-many join; with
+    # the dropDuplicates the row COUNT is preserved even on dirty input
+    # (code review r11)
+    edited = _excise_positions(
+        batch_df, covered, id_col, text_col
+    ).dropDuplicates([id_col])
     cols = [
         F.col("__e.text_dedup").alias(text_col) if c == text_col
         else F.col(f"__b.{c}")

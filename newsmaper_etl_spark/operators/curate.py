@@ -68,13 +68,20 @@ def curate_corpus(
     else:
         near = exact
     if span_dedup_k:
+        # materialize before the span stage: remove_duplicate_spans
+        # references its input four times (grams twice, toks, base) and
+        # the join-back makes five — unmaterialized, each reference
+        # re-runs the gate + both dedup stages (the same multiplier the
+        # incremental recipe's exact checkpoint documents; code review
+        # r11)
+        near = near.localCheckpoint(eager=False)
         spans = D.remove_duplicate_spans(
             near, id_col, text_col, k=int(span_dedup_k)
         )
         near = near.drop(text_col).join(
             spans.select(
                 F.col(id_col), F.col("text_dedup").alias(text_col)
-            ),
+            ).dropDuplicates([id_col]),
             on=id_col,
         )
     annotated = TX.token_stats(
@@ -177,6 +184,10 @@ def curate_corpus_incremental(
     else:
         near = exact
     if span_dedup_k:
+        if checkpoint:
+            # same five-reference multiplier as curate_corpus's span
+            # stage (code review r11)
+            near = near.localCheckpoint(eager=False)
         spans = D.incremental_remove_duplicate_spans(
             near,
             None if seen_grams is not None else seen_docs.select(
@@ -187,7 +198,7 @@ def curate_corpus_incremental(
         near = near.drop(text_col).join(
             spans.select(
                 F.col(id_col), F.col("text_dedup").alias(text_col)
-            ),
+            ).dropDuplicates([id_col]),
             on=id_col,
         )
     return TX.token_stats(

@@ -1497,13 +1497,9 @@ def duplicate_span_positions(
             & (F.col("gpos") == F.col("__f.p"))
         )
     )
-    out = dups.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
-        ).alias("pos"),
+    return _covered_positions(
+        dups.select(id_col, "gpos"), id_col, k, distinct
     )
-    return out.distinct() if distinct else out
 
 
 def remove_duplicate_spans(
@@ -1529,6 +1525,21 @@ def remove_duplicate_spans(
     return _excise_positions(df, covered, id_col, text_col)
 
 
+def _covered_positions(
+    starts: DataFrame, id_col: str, k: int, distinct: bool
+) -> DataFrame:
+    """Expand gram-start rows (id, gpos) to the k covered token
+    positions (id, pos) — the shared cut-surface stage of all three
+    span operators (full, incremental, decontamination-redact)."""
+    out = starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+        ).alias("pos"),
+    )
+    return out.distinct() if distinct else out
+
+
 def _excise_positions(
     df: DataFrame, covered: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -1536,7 +1547,12 @@ def _excise_positions(
     (id, text_dedup, n_removed) — the shared output stage of both
     span-dedup forms. Surviving tokens rejoin in original order (sorted
     (pos, tok) structs); a fully-covered doc yields an empty string row,
-    never a dropped row."""
+    never a dropped row; a NULL-text row passes through VERBATIM
+    (text_dedup null, n_removed 0 — the span gate must not rewrite a
+    null to '' and change what `text IS NULL` sees downstream; code
+    review r11). Precondition: ``id_col`` is unique in ``df`` — the
+    reassembly groups by id, so duplicate ids would interleave their
+    token streams (the cross_corpus_losers id contract)."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ", -1)).alias("pos", "tok"),
@@ -1558,8 +1574,11 @@ def _excise_positions(
     )
     return base.join(rebuilt, on=id_col, how="left").select(
         F.col(id_col),
-        F.coalesce(F.col("__txt"), F.lit("")).alias("text_dedup"),
-        (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+        F.when(F.col("__n").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("__txt"), F.lit("")))
+        .alias("text_dedup"),
+        (F.coalesce(F.col("__n"), F.lit(0))
+         - F.coalesce(F.col("__kept"), F.lit(0)))
         .cast("int")
         .alias("n_removed"),
     )
@@ -1600,6 +1619,32 @@ def corpus_gram_index(
     return _gram_positions(df, id_col, text_col, k).select("g").distinct()
 
 
+def _validate_gram_params(seen_grams: DataFrame, k: int) -> DataFrame:
+    """Fail fast when a persisted gram frame was built at a different
+    window width than this batch's signing — mismatched k (or gram
+    basis) never errors on its own, it just matches NOTHING and
+    silently disables all corpus-side excision (code review r11; the
+    streaming path already guards via keyindex.check_grams_stamp —
+    this covers the library/curate/SQL seams). Frames carrying the
+    persisted ``__gk`` stamp column are checked with one pruned
+    one-row read and returned without it; unstamped frames (fresh
+    corpus_gram_index output) are accepted as-is."""
+    if "g" not in seen_grams.columns:
+        raise ValueError(
+            f"seen_grams must carry a 'g' column; got {seen_grams.columns}"
+        )
+    if "__gk" in seen_grams.columns:
+        head = seen_grams.select("__gk").head(1)
+        if head and head[0][0] != k:
+            raise ValueError(
+                f"seen_grams was built with k={head[0][0]} but this "
+                f"batch is being signed with k={k}; gram hashes from "
+                "different window widths never match — rebuild one side"
+            )
+        seen_grams = seen_grams.drop("__gk")
+    return seen_grams
+
+
 def incremental_duplicate_span_positions(
     new_df: DataFrame,
     seen_df: DataFrame | None,
@@ -1626,10 +1671,8 @@ def incremental_duplicate_span_positions(
         if seen_df is None:
             raise ValueError("pass seen_df or seen_grams")
         seen_grams = corpus_gram_index(seen_df, id_col, text_col, k)
-    elif "g" not in seen_grams.columns:
-        raise ValueError(
-            f"seen_grams must carry a 'g' column; got {seen_grams.columns}"
-        )
+    else:
+        seen_grams = _validate_gram_params(seen_grams, k)
     ng = _gram_positions(new_df, id_col, text_col, k)
     cov_corpus = ng.join(seen_grams.select("g"), on="g", how="left_semi")
     firsts = ng.groupBy("g").agg(
@@ -1648,13 +1691,7 @@ def incremental_duplicate_span_positions(
     starts = cov_corpus.select(id_col, "gpos").unionAll(
         cov_batch.select(id_col, "gpos")
     )
-    out = starts.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
-        ).alias("pos"),
-    )
-    return out.distinct() if distinct else out
+    return _covered_positions(starts, id_col, k, distinct)
 
 
 def incremental_remove_duplicate_spans(
@@ -1782,12 +1819,7 @@ def redact_contaminated_spans(
             F.broadcast(e_grams.select("g").distinct()), on="g",
             how="left_semi",
         ).select(id_col, "gpos")
-    covered = hits.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
-        ).alias("pos"),
-    )
+    covered = _covered_positions(hits, id_col, n, distinct=False)
     return _excise_positions(corpus, covered, id_col, text_col)
 
 

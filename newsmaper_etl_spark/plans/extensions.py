@@ -115,12 +115,10 @@ _SCRIPT_ROWS = (
 
 
 def _script_profile_sql(input_cte: str) -> str:
-    classes = (
-        ("arabic", "؀-ۿ"),
-        ("cjk", "぀-ヿ一-鿿"),
-        ("cyrillic", "Ѐ-ӿ"),
-        ("latin", "A-Za-z"),
-    )
+    # ONE source of truth for the ranges: the operator's constant (the
+    # oracle must count the same character classes byte-for-byte; a
+    # second inline copy would drift — code review r11)
+    classes = TX._SCRIPT_RANGES
     frac_cols = ", ".join(
         f"ROUND(CASE WHEN len(text) > 0 THEN "
         f"len(regexp_replace(text, '[^{rng}]', '', 'g')) * 1.0 / len(text) "

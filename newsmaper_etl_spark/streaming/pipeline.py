@@ -674,11 +674,28 @@ def write_stream_manifest(
                     nd["max_hamming"], nd["bits"], app,
                     version=data_version,
                 )
+                # replay-with-pending-LATER-commit (code review r11,
+                # only reachable with span_dedup configured after this
+                # gate): the batch's own chunks may already be in the
+                # index — pin the read to the pre-commit version, the
+                # kver pattern, or every redelivered row self-matches
+                # at hamming 0 and the pending grams commit is appended
+                # from an empty frame
+                cver = None
+                if main_done and batch_id <= M.last_txn_version(
+                    K.chunks_index_path(table), app
+                ):
+                    cv = M.txn_commit_version(
+                        K.chunks_index_path(table), app, int(batch_id)
+                    )
+                    if cv is not None:
+                        cver = cv - 1
                 batch_df = K.simhash_dedup_batch(
                     batch_df, table, nd["id_col"], nd["text_col"],
                     nd["max_hamming"], nd["bits"], nd["within_batch"],
-                )  # eagerly-materialized; verify runs off the index
-                # fingerprints, so no data_version pin is needed here
+                    index_version=cver,
+                )  # eagerly-materialized; the hamming verify runs off
+                # the (pinned) index fingerprints — no data fetch
             else:
                 K.ensure_semantic_bootstrap(
                     spark, table, nd["id_col"], nd["vec_col"], nd["dim"],

@@ -3465,3 +3465,33 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     import pytest
     with pytest.raises(ValueError, match="k="):
         TX.winnow_fingerprints(df, k=0)
+
+
+def test_span_dedup_null_text_and_k_stamp_guard(spark):
+    """Null-text rows pass through span dedup VERBATIM (text_dedup null,
+    n_removed 0 — not rewritten to ''), and a persisted gram index
+    stamped at a different k is refused on the library seam instead of
+    silently matching nothing (code review r11)."""
+    import pytest
+
+    span = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, span), (2, span), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+           for r in D.remove_duplicate_spans(df, k=8).collect()}
+    assert out[3] == (None, 0)
+    assert out[1] == (span, 0) and out[2] == ("", 8)
+
+    seen = spark.createDataFrame([(0, span)], "doc_id long, text string")
+    stamped = D.corpus_gram_index(seen, k=4).withColumn("__gk", F.lit(4))
+    with pytest.raises(ValueError, match="k=4"):
+        D.incremental_remove_duplicate_spans(
+            df.filter("text IS NOT NULL"), None, k=8, seen_grams=stamped
+        )
+    # matching stamp accepted (and the stamp column dropped)
+    ok = D.incremental_remove_duplicate_spans(
+        df.filter("text IS NOT NULL"), None, k=4,
+        seen_grams=stamped,
+    )
+    assert ok.count() == 2

@@ -1617,3 +1617,67 @@ def test_ingest_gate_telemetry(spark, tmp_path):
     assert {r["id"] for r in M.read_table(spark, table).collect()} == {
         1, 3, 11, 20
     }
+
+
+def test_simhash_plus_span_crash_replay_pins_chunk_index(spark, tmp_path):
+    """Code review r11 (high): with near_dedup simhash AND span_dedup
+    configured, a crash between the chunks commit and the grams commit
+    replays the whole gate chain AFTER the batch's own fingerprints
+    entered the chunks index — unpinned, every redelivered row
+    self-matches at hamming 0, the batch empties, and the pending grams
+    commit permanently records an EMPTY set. The replay must pin the
+    chunk-index read to the pre-commit version and converge with the
+    batch's grams present."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "sscin"
+    src.mkdir()
+    table = str(tmp_path / "ssctable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"sscq:{ck}",
+            near_dedup={"id_col": "id", "method": "simhash",
+                        "max_hamming": 0},
+            span_dedup={"id_col": "id", "k": 8},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": "base document with plenty of words"})
+    )
+    run(str(tmp_path / "sscck0"))
+
+    fresh = " ".join(f"f{i}" for i in range(10))
+    (src / "b1.json").write_text(_json.dumps({"id": 2, "text": fresh}))
+    ck1 = str(tmp_path / "sscck1")
+    real = K.append_batch_grams
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before grams commit")
+
+    K.append_batch_grams = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck1)
+    finally:
+        K.append_batch_grams = real
+    # data AND chunks committed; grams one behind
+    assert {r["id"] for r in M.read_table(spark, table).collect()} == {1, 2}
+    cidx = M.read_table(spark, K.chunks_index_path(table))
+    assert 2 in {r["id"] for r in cidx.collect()}
+    g_before = M.read_table(spark, K.grams_index_path(table)).count()
+
+    run(ck1)  # replay: must pin the chunks read, keep row 2's text, and
+    # commit its grams (not an empty frame)
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[2] == fresh
+    g_after = M.read_table(spark, K.grams_index_path(table)).count()
+    assert g_after > g_before  # the batch's grams landed on replay
