@@ -1550,7 +1550,11 @@ def _excise_positions(
     never a dropped row; a NULL-text row passes through VERBATIM
     (text_dedup null, n_removed 0 — the span gate must not rewrite a
     null to '' and change what `text IS NULL` sees downstream; code
-    review r11). Precondition: ``id_col`` is unique in ``df`` — the
+    review r11). An UNTOUCHED doc (no covered position) also passes
+    through verbatim — the single-space rejoin must not silently
+    normalize a doc the operator had no reason to edit (kept == n is
+    the zero-cost detection; only genuinely-cut docs get rebuilt
+    text). Precondition: ``id_col`` is unique in ``df`` — the
     reassembly groups by id, so duplicate ids would interleave their
     token streams (the cross_corpus_losers id contract)."""
     toks = df.select(
@@ -1570,11 +1574,14 @@ def _excise_positions(
     )
     base = df.select(
         F.col(id_col),
+        F.col(text_col).alias("__orig"),
         F.size(F.split(F.col(text_col), " ", -1)).alias("__n"),
     )
+    untouched = F.coalesce(F.col("__kept"), F.lit(0)) == F.col("__n")
     return base.join(rebuilt, on=id_col, how="left").select(
         F.col(id_col),
         F.when(F.col("__n").isNull(), F.lit(None).cast("string"))
+        .when(untouched, F.col("__orig"))
         .otherwise(F.coalesce(F.col("__txt"), F.lit("")))
         .alias("text_dedup"),
         (F.coalesce(F.col("__n"), F.lit(0))

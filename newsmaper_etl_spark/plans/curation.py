@@ -308,6 +308,7 @@ def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ctoks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id < 2500
         ),
         cg AS (
             SELECT doc_id, i - 1 AS gpos,
@@ -340,9 +341,13 @@ def q_contamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM kept GROUP BY doc_id
         )
         SELECT t.doc_id,
-               COALESCE(r.text_dedup, '') AS text_dedup,
+               CASE WHEN COALESCE(r.kept_n, 0) = len(t.t)
+                    THEN d.text
+                    ELSE COALESCE(r.text_dedup, '') END AS text_dedup,
                CAST(len(t.t) - COALESCE(r.kept_n, 0) AS INTEGER) AS n_removed
-        FROM ctoks t LEFT JOIN rebuilt r USING (doc_id)
+        FROM ctoks t
+        JOIN documents d USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
     """,
     tags=("DEDUP", "CURATION", "SUBSTRING"),
 )
@@ -358,7 +363,9 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     question makes real. Deterministic end to end (exact gram logic;
     hashed grams vs the oracle's string grams is the
     q_contamination_hashed 2^-64 basis), text reassembly included."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2500
+    )
     toks = F.split(F.col("text"), " ", -1)
     eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),

@@ -1563,9 +1563,13 @@ def _substring_dedup_oracle(input_cte: str, k: int = 8) -> str:
             FROM kept GROUP BY doc_id
         )
         SELECT t.doc_id,
-               COALESCE(r.text_dedup, '') AS text_dedup,
+               CASE WHEN COALESCE(r.kept_n, 0) = len(t.t)
+                    THEN i.text
+                    ELSE COALESCE(r.text_dedup, '') END AS text_dedup,
                CAST(len(t.t) - COALESCE(r.kept_n, 0) AS INTEGER) AS n_removed
-        FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        FROM toks t
+        JOIN input i USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
     """
 
 
@@ -1693,9 +1697,13 @@ def q_substring_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM kept GROUP BY doc_id
         )
         SELECT n.doc_id,
-               COALESCE(r.text_dedup, '') AS text_dedup,
+               CASE WHEN COALESCE(r.kept_n, 0) = len(n.t)
+                    THEN b.text
+                    ELSE COALESCE(r.text_dedup, '') END AS text_dedup,
                CAST(len(n.t) - COALESCE(r.kept_n, 0) AS INTEGER) AS n_removed
-        FROM ntoks n LEFT JOIN rebuilt r USING (doc_id)
+        FROM ntoks n
+        JOIN newb b USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
     """,
     tags=("DEDUP", "SUBSTRING", "INCREMENTAL"),
 )
