@@ -754,6 +754,17 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
     ).select("p_partkey")
+    # Q20-style semi prune (r12): the cap is consumed ONLY for parts
+    # that survive the brand/size filter, and the caps agg is
+    # partition-wise over l_partkey, so restricting lineitem to the
+    # qualifying part keys BEFORE the agg is result-identical — the
+    # same "early restriction" argument written under Q20/Q2. Without
+    # it the caps agg shuffles the ENTIRE lineitem by l_partkey to
+    # compute caps that the part join then throws away (~99% of keys
+    # at any SF) — at sf1.0 the full-fact shuffle was the single
+    # biggest Spark time in the record (VERDICT r11 #2).
+    li = li.join(_bc(part, sf_dir), li.l_partkey == part.p_partkey,
+                 "left_semi")
     # the cap derives from an EXACT decimal SUM: double summation is
     # order-dependent even over a bounded group, and the cap VALUE
     # feeds the filter — an ulp flip at a quantity boundary would
