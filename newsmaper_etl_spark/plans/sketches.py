@@ -32,7 +32,7 @@ from newsmaper_etl_spark.registry import query
 from pyspark.sql import functions as F
 
 
-@query("q_minhash_candidates", oracle=None, tags=("DEDUP", "LSH"))
+@query("q_minhash_candidates", oracle=None, statistical=True, tags=("DEDUP", "LSH"))
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (rows-only: xxhash64 signatures are not
     portable to the oracle engine; accuracy is property-tested against
@@ -41,7 +41,7 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, "doc_id", "text")
 
 
-@query("q_minhash_dedup", oracle=None, tags=("DEDUP", "LSH"))
+@query("q_minhash_dedup", oracle=None, statistical=True, tags=("DEDUP", "LSH"))
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus after MinHash near-dup removal (rows-only; see above)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
@@ -50,7 +50,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash_pairs", oracle=None, tags=("DEDUP", "SIMHASH"))
+@query("q_simhash_pairs", oracle=None, statistical=True, tags=("DEDUP", "SIMHASH"))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs, hamming ≤ 3 via 16-bit chunk buckets
     (rows-only: xxhash64-based signature; property-tested)."""
@@ -58,7 +58,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-@query("q_ann_lsh", oracle=None, tags=("ANN", "LSH"))
+@query("q_ann_lsh", oracle=None, statistical=True, tags=("ANN", "LSH"))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate kNN (rows-only: recall-vs-exact is
     property-tested; the oracle can't reproduce bucket membership without
@@ -77,7 +77,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_curate_corpus", oracle=None, tags=("DEDUP", "TEXT", "PIPELINE"))
+@query("q_curate_corpus", oracle=None, statistical=True, tags=("DEDUP", "TEXT", "PIPELINE"))
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-corpus recipe (quality gate → exact dedup →
     MinHash near-dup removal → annotation) as one lazy plan — rows-only
@@ -563,7 +563,7 @@ def q_minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_plan(spark, "q_minhash_dedup_planted", sf_dir, _build)
 
 
-@query("q_winnow_fingerprint", oracle=None, tags=("DEDUP", "TEXT"))
+@query("q_winnow_fingerprint", oracle=None, statistical=True, tags=("DEDUP", "TEXT"))
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint surface over the corpus — the
     sub-document overlap-detection index (rows-only: selection is
@@ -809,7 +809,7 @@ def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_semantic_dedup", oracle=None, tags=("DEDUP", "SEMANTIC", "ANN"))
+@query("q_semantic_dedup", oracle=None, statistical=True, tags=("DEDUP", "SEMANTIC", "ANN"))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus after SemDeDup semantic-duplicate removal at the
     production threshold (rows-only: cell membership depends on the
@@ -1364,7 +1364,7 @@ def q_curate_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf", oracle=None, tags=("ANN", "IVF"))
+@query("q_ann_ivf", oracle=None, statistical=True, tags=("ANN", "IVF"))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN (rows-only: cell membership depends on the
     sampled k-means centroids; recall-vs-exact is property-tested)."""

