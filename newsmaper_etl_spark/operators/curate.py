@@ -34,6 +34,7 @@ def curate_corpus(
     salt: int | None = None,
     near_dup: bool = True,
     span_dedup_k: int | None = None,
+    html_extract: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -53,6 +54,17 @@ def curate_corpus(
     (cheapest corpus: whole-doc drops already happened) and the
     annotations are computed over the EDITED text — token counts, BPE
     budget, and fingerprints must describe what a loader will read."""
+    if html_extract:
+        # extraction runs FIRST — every downstream signal (quality,
+        # dedup keys, shingles, token stats) must see the visible text,
+        # not markup; a tag-laden page would otherwise dodge exact
+        # dedup against its clean twin and drag quality down on markup
+        # punctuation
+        docs = (
+            TX.html_extract(docs, text_col, out="__clean")
+            .drop(text_col)
+            .withColumnRenamed("__clean", text_col)
+        )
     gated = TX.quality_score(docs, text_col).filter(
         f"quality >= {float(min_quality)}"
     )
@@ -106,6 +118,7 @@ def curate_corpus_incremental(
     checkpoint: bool = True,
     span_dedup_k: int | None = None,
     seen_grams: DataFrame | None = None,
+    html_extract: bool = False,
 ) -> DataFrame:
     """The NIGHTLY-pipeline shape of :func:`curate_corpus`: curate
     tonight's batch against the already-ingested corpus instead of
@@ -152,7 +165,18 @@ def curate_corpus_incremental(
     persisted ``_grams`` side table / :func:`~newsmaper_etl_spark.
     operators.dedup.corpus_gram_index` frame) to keep the stage
     index-sized; without it the corpus is re-grammed from
-    ``seen_docs``. Annotations describe the EDITED text."""
+    ``seen_docs``. Annotations describe the EDITED text.
+
+    ``html_extract`` (r12) runs extraction over the BATCH before the
+    gate, mirroring the full recipe — the corpus side is assumed
+    already extracted (it was curated by this same recipe when IT was
+    ingested), so only tonight's batch pays the pass."""
+    if html_extract:
+        new_docs = (
+            TX.html_extract(new_docs, text_col, out="__clean")
+            .drop(text_col)
+            .withColumnRenamed("__clean", text_col)
+        )
     gated = TX.quality_score(new_docs, text_col).filter(
         f"quality >= {float(min_quality)}"
     )

@@ -513,6 +513,75 @@ def script_profile(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn("dominant_script", dominant)
 
 
+#: html_extract's structural passes, IN ORDER — each a (regex,
+#: replacement) valid in BOTH Java regex (Spark) and RE2 (DuckDB; note:
+#: no backreferences, hence separate script/style patterns instead of a
+#: <(script|style)>…</\1> capture). script/style/comment blocks drop
+#: with their CONTENT (visible text never includes JS/CSS); every other
+#: tag is replaced by a space so "a<br>b" keeps its word boundary. An
+#: UNCLOSED script/style block falls through to the generic tag strip
+#: (the opener dies, its content survives as text) — both engines'
+#: non-greedy match fails identically, so the oracle agrees.
+_HTML_TAG_RES = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+
+#: named/numeric entity decodes, applied AFTER tag stripping (a decoded
+#: &lt; is literal text, never a tag) with &amp; STRICTLY LAST so
+#: double-escaped input ("&amp;lt;") decodes one level per pass, as a
+#: browser does. Literal replaces — no regex pass needed. The long tail
+#: of numeric/exotic entities passes through verbatim (documented
+#: subset; the curation gates downstream treat them as rare tokens).
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_extract(
+    df: DataFrame, col: str = "text", out: str = "text_clean"
+) -> DataFrame:
+    """HTML/boilerplate extraction — the pass every web-crawl corpus
+    runs BEFORE any dedup or quality gate (the reference ingests RSS
+    ``description`` fields that are routinely raw HTML fragments:
+    /root/reference/dags/Extract.py:21-23 stores them untouched).
+    Drops script/style/comment blocks with their content, strips every
+    remaining tag to a space, decodes the common named entities
+    (:data:`_HTML_ENTITIES`), collapses whitespace, trims. Pure JVM
+    regexp projection — no shuffle, fuses into the scan, linear at any
+    scale (the :func:`pii_redact` shape).
+
+    Clean-majority fast path: the tag passes are gated behind a literal
+    ``contains('<')`` probe and the entity decodes behind
+    ``contains('&')`` on the stripped intermediate — a memchr-style
+    scan ~10-100x cheaper than the regex passes it skips, and most rows
+    of a mixed corpus are plain text. NULL text stays NULL (probe
+    coalesces pick the identity branch; regexp/replace never run)."""
+    c = F.col(col)
+    has_tag = F.coalesce(c.contains("<"), F.lit(False))
+    chain = c
+    for pat, rep in _HTML_TAG_RES:
+        chain = F.regexp_replace(chain, pat, rep)
+    stripped = F.when(has_tag, chain).otherwise(c)
+    has_ent = F.coalesce(stripped.contains("&"), F.lit(False))
+    dchain = stripped
+    for ent, rep in _HTML_ENTITIES:
+        dchain = F.replace(dchain, F.lit(ent), F.lit(rep))
+    decoded = F.when(has_ent, dchain).otherwise(stripped)
+    return df.withColumn(
+        out, F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

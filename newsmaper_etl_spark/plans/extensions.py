@@ -173,6 +173,87 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: planted HTML edge-case rows for q_html_extract — the corpus text is
+#: plain, so every extraction branch (script/style content drop,
+#: comments, attribute-bearing/multiline/nested tags, entity decode
+#: incl. double-escaping, unclosed blocks, case-insensitivity, empty
+#: and NULL text) is PLANTED identically in the Spark fixture and the
+#: SQL oracle. None plants a NULL-text row.
+_HTML_ROWS: tuple[tuple[int, str | None], ...] = (
+    (9_100_001, "<html><head><title>T</title><style>p {color: red}"
+                "</style></head><body><p>Hello <b>world</b></p>"
+                "</body></html>"),
+    (9_100_002, 'before<script type="text/javascript">var x = '
+                "'<p>not text</p>';</script>after"),
+    (9_100_003, "keep <!-- drop this --> text"),
+    (9_100_004, "a &amp;&nbsp;b &lt;tag&gt; &quot;q&quot; "
+                "&#39;s&#39; &amp;lt;"),
+    (9_100_005, '<div class="x"\n   data-y="1">multi\nline</div>'),
+    (9_100_006, "no html at all"),
+    (9_100_007, ""),
+    (9_100_008, "<p>nested <span>deep <i>text</i></span></p>"),
+    (9_100_009, "unclosed <script>alert(1) still text"),
+    (9_100_010, "STYLE <STYLE>b{}</STYLE> case <SCRIPT>x</SCRIPT> ok"),
+    (9_100_011, None),
+)
+
+
+def _sql_str(s: str | None) -> str:
+    return "CAST(NULL AS VARCHAR)" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _html_extract_sql(input_cte: str) -> str:
+    """DuckDB mirror of operators.text.html_extract, generated from the
+    SAME pass tables (_HTML_TAG_RES/_HTML_ENTITIES — one source of
+    truth; an inline copy would drift, the _SCRIPT_RANGES rule). RE2
+    accepts the inline (?is)/(?s) flags; 'g' makes each pass global to
+    match Spark's always-global regexp_replace."""
+    expr = "text"
+    for pat, rep in TX._HTML_TAG_RES:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, '{rep}', 'g')"
+    for ent, rep in TX._HTML_ENTITIES:
+        expr = f"replace({expr}, {_sql_str(ent)}, {_sql_str(rep)})"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH input AS ({input_cte})
+        SELECT doc_id, {expr} AS text_clean FROM input
+    """
+
+
+@query(
+    "q_html_extract",
+    oracle=_html_extract_sql(
+        "SELECT doc_id, '<p id=\"d' || CAST(doc_id AS VARCHAR) || '\">' "
+        "|| text || ' &amp; tail</p>' AS text FROM documents\n"
+        "UNION ALL\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT), {_sql_str(t)}"
+            for i, t in _HTML_ROWS
+        )
+    ),
+    tags=("TEXT", "CURATION"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate extraction (operators.text.html_extract) over
+    the corpus wrapped in attribute-bearing tags + an entity tail (so
+    every real doc exercises the strip/decode path) plus the planted
+    edge-case rows. The whole cleaned text is driver-hashed — a tag
+    left behind, an entity mis-ordered, or a whitespace-collapse drift
+    flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="d'), F.col("doc_id").cast("string"),
+            F.lit('">'), F.col("text"), F.lit(" &amp; tail</p>"),
+        ).alias("text"),
+    )
+    extra = spark.createDataFrame(list(_HTML_ROWS),
+                                  "doc_id long, text string")
+    return TX.html_extract(docs.unionAll(extra)).select(
+        "doc_id", "text_clean"
+    )
+
+
 @query(
     "q_doc_fingerprint",
     oracle="""

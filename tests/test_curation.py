@@ -515,3 +515,64 @@ def test_curate_incremental_span_stage(spark):
     texts = dict((r[0], (r[1], r[2])) for r in ra)
     assert texts[10] == ("brand new ending words", 4)  # span cut, count edited
     assert texts[11][0].startswith("totally fresh")
+
+
+def test_html_extract_hand_examples(spark):
+    """Every structural branch of html_extract pinned by hand: block
+    drops (script/style WITH content, incl. uppercase), comments,
+    attribute/multiline tags, word-boundary space, entity decode order
+    (&amp; last ⇒ one level per pass), unclosed-block fallthrough,
+    NULL/empty passthrough, plain text untouched."""
+    rows = [
+        (1, "<p>Hello <b>world</b></p>", "Hello world"),
+        (2, "a<br>b", "a b"),
+        (3, "x<script>var y = 1;</script>z", "x z"),
+        (4, "x<STYLE>p{}</STYLE>z", "x z"),
+        (5, "keep <!-- drop --> text", "keep text"),
+        (6, '<div class="c"\n data-x="1">m\nl</div>', "m l"),
+        (7, "a &amp;&nbsp;b &lt;t&gt; &quot;q&quot; &#39;s&#39;",
+            'a & b <t> "q" \'s\''),
+        (8, "&amp;lt;", "&lt;"),  # double-escaped decodes ONE level
+        (9, "unclosed <script>alert(1) still here",
+            "unclosed alert(1) still here"),
+        (10, "no html at all", "no html at all"),
+        (11, "", ""),
+        (12, None, None),
+        (13, "  spaced\t\nout  ", "spaced out"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in TX.html_extract(df).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_extract_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+    plan = TX.html_extract(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curate_corpus_html_extract_wiring(spark):
+    """html_extract=True must clean BEFORE the gate and dedup keys: a
+    markup-wrapped twin of a clean doc exact-dedups away, and surviving
+    annotations describe the extracted text."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    body = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, body),
+        (2, f"<html><body><p>{body.strip()} </p></body></html>"),
+        (3, "<script>spam()</script>" + body + "extra tail words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        df, near_dup=False, min_quality=0.0, html_extract=True
+    ).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 3]  # 2 is an exact dup of 1 after extraction
+    assert out[1]["text"].startswith("the quick")  # script content gone
