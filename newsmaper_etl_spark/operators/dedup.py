@@ -1541,7 +1541,8 @@ def _covered_positions(
 
 
 def _excise_positions(
-    df: DataFrame, covered: DataFrame, id_col: str, text_col: str
+    df: DataFrame, covered: DataFrame, id_col: str, text_col: str,
+    split_pat: str = " ", join_sep: str = " ",
 ) -> DataFrame:
     """Cut the (id, pos) ``covered`` tokens out of ``df`` and reassemble:
     (id, text_dedup, n_removed) — the shared output stage of both
@@ -1574,12 +1575,17 @@ def _excise_positions(
     the corpus and re-shuffling the hit docs' position lists.
     Untouched docs never reach the rebuild arm and pass through
     VERBATIM (n_removed=0) by construction, as do NULL-text rows
-    (no grams ⇒ never in ``covered`` ⇒ text_dedup stays NULL)."""
+    (no grams ⇒ never in ``covered`` ⇒ text_dedup stays NULL).
+
+    ``split_pat``/``join_sep`` pick the excision UNIT: the span family
+    cuts space-separated tokens (default); :func:`paragraph_dedup`
+    reuses the identical doc-gated machinery at paragraph granularity
+    (split regex and join literal must denote the same separator)."""
     cov_agg = covered.groupBy(id_col).agg(
         F.array_sort(F.array_distinct(F.collect_list("pos"))).alias("__ps")
     )
     joined = df.join(cov_agg, on=id_col, how="left")
-    toks = F.split(F.col(text_col), " ", -1)
+    toks = F.split(F.col(text_col), split_pat, -1)
     ps = F.col("__ps")
     n_cut = F.size(ps)
     # complement gaps of the sorted cut positions, [s, e) half-open
@@ -1609,7 +1615,7 @@ def _excise_positions(
         F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .when(ps.isNull(), F.col(text_col))
-        .otherwise(F.array_join(kept, " "))
+        .otherwise(F.array_join(kept, join_sep))
         .alias("text_dedup"),
         F.when(ps.isNull(), F.lit(0))
         .otherwise(n_cut)
@@ -1855,6 +1861,62 @@ def redact_contaminated_spans(
         ).select(id_col, "gpos")
     covered = _covered_positions(hits, id_col, n, distinct=False)
     return _excise_positions(corpus, covered, id_col, text_col)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide EXACT paragraph dedup, first occurrence kept — the
+    C4/FineWeb pass between doc-level dedup (whole pages) and span
+    dedup (arbitrary ≥k-token repeats): a paragraph that already
+    appeared earlier in the corpus (by (id, position) order) is removed
+    from every later document, killing repeated boilerplate blocks
+    (footers, license headers, nav text) without touching the page they
+    first appeared on. Returns (id, text_dedup, n_removed) where
+    n_removed counts paragraphs cut; a doc whose every paragraph is
+    covered comes back as '' (edited, never dropped — the span-family
+    contract), NULL text passes through NULL, untouched docs verbatim.
+
+    Exact strings ⇒ fully deterministic and SQL-oracle-able end to end
+    (q_paragraph_dedup hash-checks text_dedup itself), unlike the
+    sketch-based near-dup family.
+
+    Plan shape at scale: one generator projection to (id, pos,
+    xxhash64(para)) — paragraph STRINGS never shuffle, only 8-byte
+    hashes (2^-64 collision tolerance, the hashed-contamination rule) —
+    ONE groupBy(hash) with map-side partial min of the encoded
+    (id·10^6+pos) first-occurrence key, one join-back on the hash, then
+    the shared doc-gated projection rebuild (:func:`_excise_positions`
+    at paragraph granularity: only docs that actually lose a paragraph
+    are rebuilt). Linear, never all-pairs. Contract: < 10^6 paragraphs
+    per document (the key encoding; any real page is orders below).
+
+    ``sep`` must be regex-and-literal-identical (it is used as a split
+    pattern and a join literal; the default blank-line separator
+    contains no metacharacters)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+            "pos", "__para"
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.col("__para")).alias("__ph"),
+    )
+    okey = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    firsts = paras.groupBy("__ph").agg(F.min(okey).alias("__first"))
+    removed = (
+        paras.join(firsts, on="__ph")
+        .filter(okey != F.col("__first"))
+        .select(id_col, "pos")
+    )
+    return _excise_positions(
+        df, removed, id_col, text_col, split_pat=sep, join_sep=sep
+    )
 
 
 def contamination_check(

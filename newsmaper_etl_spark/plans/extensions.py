@@ -1672,6 +1672,118 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_duplicate_spans(docs, "doc_id", "text", k=8)
 
 
+#: planted paragraph-structure rows for q_paragraph_dedup (corpus text
+#: is single-paragraph): cross-doc shared paragraph, within-doc repeat,
+#: fully-covered doc, empty paragraphs (consecutive/trailing
+#: separators), empty and NULL text. Planted ids sort AFTER every
+#: corpus composite id, so corpus paragraphs always own their firsts.
+_PARA_ROWS: tuple[tuple[int, str | None], ...] = (
+    (9_200_001, "alpha beta\n\nshared paragraph one\n\ngamma"),
+    (9_200_002, "shared paragraph one\n\ndelta\n\nshared paragraph one"),
+    (9_200_003, "shared paragraph one"),
+    (9_200_004, "unique only here"),
+    (9_200_005, "a\n\n\n\nb"),
+    (9_200_006, ""),
+    (9_200_007, None),
+    (9_200_008, "tail\n\n"),
+)
+
+_PARA_SEP_SQL = "chr(10) || chr(10)"
+
+#: composite fixture: adjacent doc pairs concatenated as two paragraphs
+#: (doc 2k = t2k‖t2k+1, doc 2k+1 = t2k+1‖t2k) — every corpus paragraph
+#: appears exactly twice so the operator does real cross-doc work at
+#: every SF, and the partner expression is engine-portable integer CASE
+#: arithmetic (no XOR: DuckDB's ^ is exponentiation).
+_PARA_INPUT_SQL = f"""
+    SELECT a.doc_id, a.text || {_PARA_SEP_SQL} || b.text AS text
+    FROM documents a
+    JOIN documents b
+      ON b.doc_id = CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id + 1
+                         ELSE a.doc_id - 1 END
+    UNION ALL
+""" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT), {_sql_str(t)}" for i, t in _PARA_ROWS
+)
+
+
+@query(
+    "q_paragraph_dedup",
+    oracle=f"""
+        WITH input AS ({_PARA_INPUT_SQL}),
+        paras AS (
+            SELECT doc_id,
+                   unnest(string_split(text, {_PARA_SEP_SQL})) AS para,
+                   unnest(range(0, len(string_split(text, {_PARA_SEP_SQL}))))
+                       AS pos
+            FROM input
+        ),
+        firsts AS (
+            SELECT para, MIN(doc_id * 1000000 + pos) AS fkey
+            FROM paras GROUP BY para
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.para
+            FROM paras p JOIN firsts f ON p.para = f.para
+            WHERE p.doc_id * 1000000 + p.pos = f.fkey
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(para, {_PARA_SEP_SQL} ORDER BY pos) AS txt,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(string_split(text, {_PARA_SEP_SQL}))
+                   END AS n_paras
+            FROM input
+        )
+        SELECT b.doc_id,
+               CASE WHEN b.text IS NULL THEN NULL
+                    ELSE COALESCE(a.txt, '') END AS text_dedup,
+               CAST(CASE WHEN b.text IS NULL THEN 0
+                    ELSE b.n_paras - COALESCE(a.n_kept, 0)
+               END AS INTEGER) AS n_removed
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("DEDUP", "PARAGRAPH"),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (operators.dedup.paragraph_dedup
+    — the C4/FineWeb keep-first boilerplate pass at paragraph
+    granularity) over two-paragraph composites of adjacent corpus docs
+    plus planted edge rows. Exact strings ⇒ the reassembled text itself
+    is driver-hashed; the engine groups on xxhash64(paragraph) so only
+    8-byte keys shuffle, while the oracle groups the exact strings —
+    identical output (2^-64 collision tolerance, the hashed-
+    contamination precedent)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = (
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") + 1)
+        .otherwise(F.col("doc_id") - 1)
+    )
+    b = docs.select(
+        F.col("doc_id").alias("__bid"), F.col("text").alias("__btext")
+    )
+    comp = (
+        docs.withColumn("__bid", partner)
+        .join(b, on="__bid")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("\n\n"), F.col("__btext")
+            ).alias("text"),
+        )
+    )
+    extra = spark.createDataFrame(list(_PARA_ROWS),
+                                  "doc_id long, text string")
+    return D.paragraph_dedup(comp.unionAll(extra)).select(
+        "doc_id", "text_dedup", "n_removed"
+    )
+
+
 @query(
     "q_substring_dedup_planted",
     oracle=_substring_dedup_oracle("""

@@ -3495,3 +3495,32 @@ def test_span_dedup_null_text_and_k_stamp_guard(spark):
         seen_grams=stamped,
     )
     assert ok.count() == 2
+
+
+def test_paragraph_dedup_hand_examples(spark):
+    """Keep-first at paragraph granularity: cross-doc shared paragraph
+    removed from the later doc, within-doc repeat cut, fully-covered
+    doc edits to '' (never dropped), empty-paragraph and trailing-sep
+    positions dedup like any string, NULL passes through, untouched
+    docs verbatim."""
+    from newsmaper_etl_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "A\n\nB\n\nC"),
+        (2, "B\n\nD\n\nB"),     # cross-doc dup + within-doc repeat
+        (3, "A"),               # fully covered
+        (4, "unique"),          # untouched → verbatim
+        (5, "x\n\n\n\ny"),      # empty middle paragraph (first '')
+        (6, "z\n\n"),           # trailing sep → ['z',''] — '' is a dup
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+           for r in paragraph_dedup(df).collect()}
+    assert got[1] == ("A\n\nB\n\nC", 0)
+    assert got[2] == ("D", 2)
+    assert got[3] == ("", 1)
+    assert got[4] == ("unique", 0)
+    assert got[5] == ("x\n\n\n\ny", 0)
+    assert got[6] == ("z", 1)
+    assert got[7] == (None, 0)
