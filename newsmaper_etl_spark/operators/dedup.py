@@ -1919,6 +1919,72 @@ def paragraph_dedup(
     )
 
 
+def corpus_paragraph_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """The persistable index of :func:`incremental_paragraph_dedup`:
+    the corpus's DISTINCT paragraph hashes, one 8-byte ``ph`` column —
+    a few longs per DOC (paragraph counts are small), far lighter than
+    the per-token gram index the span family carries."""
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), sep, -1)).alias("__para")
+        )
+        .select(F.xxhash64(F.col("__para")).alias("ph"))
+        .distinct()
+    )
+
+
+def incremental_paragraph_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    seen_paras: DataFrame | None = None,
+) -> DataFrame:
+    """The nightly-batch form of :func:`paragraph_dedup`: a batch
+    paragraph is removed when the CORPUS already holds it (the corpus's
+    retained occurrence is by definition first) or when an earlier
+    batch position does (within-batch keep-first) — batch×index cost,
+    never a corpus-wide re-group. Same induction as every incremental_*
+    here: the corpus's own repeats were resolved when IT was ingested.
+
+    ``seen_paras`` accepts the persisted :func:`corpus_paragraph_index`
+    frame; the batch side then pays one projection to (id, pos, hash),
+    one left-semi against the index, one within-batch group, and the
+    doc-gated rebuild — per-batch cost scales with the batch and the
+    index, not the corpus text."""
+    if seen_paras is None:
+        if seen_df is None:
+            raise ValueError("pass seen_df or seen_paras")
+        seen_paras = corpus_paragraph_index(seen_df, id_col, text_col, sep)
+    paras = new_df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+            "pos", "__para"
+        ),
+    ).select(
+        F.col(id_col), F.col("pos"),
+        F.xxhash64(F.col("__para")).alias("ph"),
+    )
+    cov_corpus = paras.join(
+        seen_paras.select("ph"), on="ph", how="left_semi"
+    ).select(id_col, "pos")
+    okey = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    firsts = paras.groupBy("ph").agg(F.min(okey).alias("__first"))
+    cov_batch = (
+        paras.join(firsts, on="ph")
+        .filter(okey != F.col("__first"))
+        .select(id_col, "pos")
+    )
+    removed = cov_corpus.unionAll(cov_batch)
+    return _excise_positions(
+        new_df, removed, id_col, text_col, split_pat=sep, join_sep=sep
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -1785,6 +1785,90 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_paragraph_incremental",
+    oracle=f"""
+        WITH batch AS (
+            SELECT doc_id + 5000000 AS doc_id,
+                   text || {_PARA_SEP_SQL} || 'fresh paragraph ' ||
+                       CAST(doc_id % 5 AS VARCHAR) AS text
+            FROM documents WHERE doc_id < 100
+        ),
+        paras AS (
+            SELECT doc_id,
+                   unnest(string_split(text, {_PARA_SEP_SQL})) AS para,
+                   unnest(range(0, len(string_split(text, {_PARA_SEP_SQL}))))
+                       AS pos
+            FROM batch
+        ),
+        seen AS (
+            SELECT DISTINCT unnest(string_split(text, {_PARA_SEP_SQL}))
+                       AS para
+            FROM documents
+        ),
+        firsts AS (
+            SELECT para, MIN(doc_id * 1000000 + pos) AS fkey
+            FROM paras GROUP BY para
+        ),
+        removed AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT p.doc_id, p.pos
+                FROM paras p JOIN seen s ON p.para = s.para
+                UNION ALL
+                SELECT p.doc_id, p.pos
+                FROM paras p JOIN firsts f ON p.para = f.para
+                WHERE p.doc_id * 1000000 + p.pos <> f.fkey
+            )
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.para
+            FROM paras p
+            LEFT JOIN removed r ON p.doc_id = r.doc_id AND p.pos = r.pos
+            WHERE r.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(para, {_PARA_SEP_SQL} ORDER BY pos) AS txt,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   len(string_split(text, {_PARA_SEP_SQL})) AS n_paras
+            FROM batch
+        )
+        SELECT b.doc_id,
+               COALESCE(a.txt, '') AS text_dedup,
+               CAST(b.n_paras - COALESCE(a.n_kept, 0) AS INTEGER)
+                   AS n_removed
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("DEDUP", "PARAGRAPH", "INCREMENTAL"),
+)
+def q_paragraph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup against the persisted paragraph-hash
+    index (operators.dedup.incremental_paragraph_dedup +
+    corpus_paragraph_index): the batch is 100 two-paragraph docs whose
+    FIRST paragraph the corpus already holds (always excised) and whose
+    second is one of 5 fresh paragraphs shared across the batch
+    (within-batch keep-first: the lowest batch id per fresh paragraph
+    keeps it, every later one loses it). Exact strings ⇒ the oracle
+    replays both rules verbatim and the reassembled batch text is
+    driver-hashed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit("\n\n"), F.lit("fresh paragraph "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    idx = D.corpus_paragraph_index(docs)
+    return D.incremental_paragraph_dedup(
+        batch, None, seen_paras=idx
+    ).select("doc_id", "text_dedup", "n_removed")
+
+
+@query(
     "q_substring_dedup_planted",
     oracle=_substring_dedup_oracle("""
         SELECT doc_id, text FROM documents WHERE doc_id < 200

@@ -3524,3 +3524,37 @@ def test_paragraph_dedup_hand_examples(spark):
     assert got[5] == ("x\n\n\n\ny", 0)
     assert got[6] == ("z", 1)
     assert got[7] == (None, 0)
+
+
+def test_incremental_paragraph_dedup_hand_examples(spark):
+    """Corpus-held paragraphs excise everywhere in the batch; fresh
+    paragraphs keep-first WITHIN the batch; per-batch cost is
+    index-sized (seen_paras path ≡ seen_df path)."""
+    from newsmaper_etl_spark.operators.dedup import (
+        corpus_paragraph_index,
+        incremental_paragraph_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "old one\n\nold two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old one\n\nnew A"),
+            (11, "new A\n\nnew B"),      # 'new A' first kept at (10,1)
+            (12, "old two"),             # fully corpus-covered → ''
+            (13, "new C"),
+        ],
+        "doc_id long, text string",
+    )
+    for kwargs in (
+        {"seen_df": corpus},
+        {"seen_df": None,
+         "seen_paras": corpus_paragraph_index(corpus)},
+    ):
+        got = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+               for r in incremental_paragraph_dedup(batch, **kwargs).collect()}
+        assert got[10] == ("new A", 1)
+        assert got[11] == ("new B", 1)
+        assert got[12] == ("", 1)
+        assert got[13] == ("new C", 0)
