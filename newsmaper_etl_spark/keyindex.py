@@ -1256,6 +1256,194 @@ def compact_grams_index(
 
 
 # --------------------------------------------------------------------------
+# Paragraph-hash index (incremental/streaming paragraph dedup, r12)
+# --------------------------------------------------------------------------
+
+_PARAS_SUB = "_paras"
+_PSTAMP = ("__psep",)
+
+
+def paras_index_path(table: str) -> str:
+    return os.path.join(table, _PARAS_SUB)
+
+
+def _sep_fingerprint(sep: str) -> int:
+    """Deterministic int fingerprint of the separator for the stamp
+    column (string parquet footer stats are bytes-typed and not
+    JSON-safe across engines; an int stamp rides the same manifest
+    machinery as __gk)."""
+    import zlib
+
+    return zlib.crc32(sep.encode("utf-8"))
+
+
+def _pstamped(df: DataFrame, sep: str) -> DataFrame:
+    """Separator fingerprint as a constant stamp column: paragraph
+    hashes split under one separator never compare against another's
+    (the __gk rule at paragraph granularity)."""
+    return df.withColumn("__psep", F.lit(_sep_fingerprint(sep)))
+
+
+def check_paras_stamp(table: str, sep: str) -> None:
+    """Raise when the persisted paragraph index was built under a
+    different separator than this batch's split."""
+    st = _read_stamp(paras_index_path(table), _PSTAMP)
+    if st is not None and st.get("__psep") != _sep_fingerprint(sep):
+        raise ValueError(
+            f"paragraph index at {table} was built under a different "
+            f"separator (stamp {st.get('__psep')} vs "
+            f"{_sep_fingerprint(sep)}); hashes from different splits "
+            "never match — rebuild one side"
+        )
+
+
+def read_paras_index(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame | None:
+    """The persisted distinct-paragraph-hash frame (one 8-byte ``ph``
+    column — a few rows per DOC, the lightest index in this module), or
+    None when absent."""
+    ptable = paras_index_path(table)
+    if M.current_version(ptable) == 0:
+        return None
+    return M.read_table(spark, ptable, version=version).drop(*_PSTAMP)
+
+
+def ensure_paras_bootstrap(
+    spark: SparkSession, table: str, id_col: str, text_col: str,
+    sep: str, app: str, version: int | None = None,
+) -> bool:
+    """One-time paragraph registration for a table that predates the
+    index (``version`` pins the snapshot on crash replay — the
+    :func:`ensure_grams_bootstrap` rule: signing the current snapshot
+    would enroll the replayed batch's own rows and every batch
+    paragraph would self-cover)."""
+    from newsmaper_etl_spark.operators.dedup import corpus_paragraph_index
+
+    ptable = paras_index_path(table)
+    v = M.current_version(table) if version is None else version
+    if M.current_version(ptable) > 0 or v == 0:
+        return False
+    boot_app = app + _BOOT_APP_SUFFIX
+    paras = _pstamped(
+        corpus_paragraph_index(
+            M.read_table(spark, table, version=v).select(id_col, text_col),
+            id_col, text_col, sep,
+        ),
+        sep,
+    )
+
+    def _append() -> int:
+        return M.append(
+            paras, ptable, txn=(boot_app, 0), stat_cols=_PSTAMP,
+            meta={"op_detail": "parasindex-bootstrap", "covers_version": v},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(ptable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def paragraph_dedup_batch(
+    batch_df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    index_version: int | None = None,
+) -> DataFrame:
+    """EDIT the batch against the persisted paragraph index: every
+    paragraph the corpus already holds (and every within-batch
+    non-first repeat) is excised from ``text_col``; all other columns
+    ride through, rows are never dropped (the
+    :func:`operators.dedup.incremental_paragraph_dedup` composition on
+    the streaming seam — a rewrite gate, not a filter). With no index
+    yet (born-streaming first batch), only the within-batch rule
+    applies. Eagerly materialized: it feeds two commits (data, then
+    paras) that must see identical rows. ``index_version`` pins the
+    index read on crash replay with a pending LATER commit (the
+    simhash_dedup_batch rule): if this batch's own paras already
+    committed, reading the current index would self-match every
+    redelivered row and empty the batch."""
+    from newsmaper_etl_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+    )
+
+    spark = batch_df.sparkSession
+    check_paras_stamp(table, sep)
+    idx = read_paras_index(spark, table, version=index_version)
+    if idx is None:
+        idx = spark.range(0).select(F.col("id").alias("ph"))
+    edited = incremental_paragraph_dedup(
+        batch_df, None, id_col, text_col, sep, seen_paras=idx
+    ).dropDuplicates([id_col])
+    cols = [
+        F.col("__e.text_dedup").alias(text_col) if c == text_col
+        else F.col(f"__b.{c}")
+        for c in batch_df.columns
+    ]
+    out = (
+        batch_df.alias("__b")
+        .join(edited.alias("__e"), on=id_col)
+        .select(*cols)
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def append_batch_paras(
+    batch_df: DataFrame, table: str, id_col: str, text_col: str,
+    sep: str, app: str, batch_id: int,
+) -> bool:
+    """Commit the batch's NEW paragraph hashes (anti-joined against the
+    index so the stored frame stays a set) under the writer's txn
+    mark — replay-skipped, orphan-self-healing. ``batch_df`` must be
+    the AS-COMMITTED (already paragraph-edited) rows: the induction
+    every future batch relies on is that the index covers exactly the
+    paragraphs the corpus text still contains."""
+    from newsmaper_etl_spark.operators.dedup import corpus_paragraph_index
+
+    ptable = paras_index_path(table)
+    if batch_id <= M.last_txn_version(ptable, app):
+        return False
+    spark = batch_df.sparkSession
+    paras = corpus_paragraph_index(
+        batch_df.select(id_col, text_col), id_col, text_col, sep
+    )
+    idx = read_paras_index(spark, table)
+    if idx is not None:
+        paras = paras.join(idx, on="ph", how="left_anti")
+
+    def _append() -> int:
+        return M.append(_pstamped(paras, sep), ptable,
+                        txn=(app, int(batch_id)), stat_cols=_PSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(ptable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_paras_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    ptable = paras_index_path(table)
+    if M.current_version(ptable) == 0:
+        return 0
+    return M.compact(
+        spark, ptable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+
+
+# --------------------------------------------------------------------------
 # Semantic-index drift telemetry + offline rebuild (VERDICT r10 #8)
 # --------------------------------------------------------------------------
 

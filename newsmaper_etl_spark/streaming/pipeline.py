@@ -371,6 +371,7 @@ def write_stream_manifest(
     dedup_order_col: str | None = None,
     near_dedup: dict | None = None,
     span_dedup: dict | None = None,
+    para_dedup: dict | None = None,
     telemetry: bool = False,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
@@ -460,6 +461,17 @@ def write_stream_manifest(
     and the grams committed to the index are the grams of the text AS
     COMMITTED, which is the induction every future batch's cut relies
     on.
+
+    ``para_dedup`` adds PARAGRAPH-level excision on ingest (the
+    incremental_paragraph_dedup composition — the C4/FineWeb keep-first
+    boilerplate pass: paragraphs the corpus already holds are CUT FROM
+    the batch's text, rows edited, never dropped): a dict with
+    ``id_col`` (required) and optional ``text_col`` ("text"), ``sep``
+    ("\\n\\n"). Maintains the persisted distinct-paragraph-hash index at
+    ``<table>/_paras`` (a few 8-byte rows per DOC — the lightest side
+    table). Runs after the row-level gates and BEFORE ``span_dedup``:
+    whole repeated paragraphs are cheap per-doc hash cuts, so the span
+    stage's per-token gram pass only sees what survives them.
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -575,9 +587,17 @@ def write_stream_manifest(
         sd.setdefault("text_col", "text")
         sd.setdefault("k", 8)
 
+    pdd = dict(para_dedup) if para_dedup else None
+    if pdd is not None:
+        if "id_col" not in pdd:
+            raise ValueError("para_dedup requires an 'id_col' entry")
+        pdd.setdefault("text_col", "text")
+        pdd.setdefault("sep", "\n\n")
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         main_done = batch_id <= M.last_txn_version(table, app)
-        if main_done and not dedup_keys and nd is None and sd is None:
+        if (main_done and not dedup_keys and nd is None and sd is None
+                and pdd is None):
             return  # replay of an already-committed batch: exactly-once
         gates: dict | None = {} if telemetry else None
         if gates is not None:
@@ -585,7 +605,7 @@ def write_stream_manifest(
         persisted = False
         eff_stat_cols = tuple(stat_cols)
         data_version = None
-        if dedup_keys or nd is not None or sd is not None:
+        if dedup_keys or nd is not None or sd is not None or pdd is not None:
             from newsmaper_etl_spark import keyindex as K
 
             spark = batch_df.sparkSession
@@ -606,6 +626,10 @@ def write_stream_manifest(
             if sd is not None:
                 done = done and batch_id <= M.last_txn_version(
                     K.grams_index_path(table), app
+                )
+            if pdd is not None:
+                done = done and batch_id <= M.last_txn_version(
+                    K.paras_index_path(table), app
                 )
             if done:
                 return  # data and every index committed: pure replay
@@ -713,6 +737,33 @@ def write_stream_manifest(
                 # vectors from the pinned data snapshot
             if gates is not None:
                 gates["after_near"] = batch_df.count()
+        if pdd is not None:
+            # coarse text-edit gate BEFORE span excision: whole repeated
+            # paragraphs cut first (cheap — per-doc hash counts), so the
+            # span stage's per-token gram pass only sees what survives.
+            # Replay with a pending LATER commit (paras committed, grams
+            # pending): pin the paras read to its pre-commit version or
+            # every redelivered paragraph self-matches (the simhash cver
+            # rule).
+            pver = None
+            if main_done and batch_id <= M.last_txn_version(
+                K.paras_index_path(table), app
+            ):
+                pv = M.txn_commit_version(
+                    K.paras_index_path(table), app, int(batch_id)
+                )
+                if pv is not None:
+                    pver = pv - 1
+            K.ensure_paras_bootstrap(
+                spark, table, pdd["id_col"], pdd["text_col"],
+                pdd["sep"], app, version=data_version,
+            )
+            batch_df = K.paragraph_dedup_batch(
+                batch_df, table, pdd["id_col"], pdd["text_col"],
+                pdd["sep"], index_version=pver,
+            )  # eagerly-materialized: feeds the data AND paras commits
+            if gates is not None:
+                gates["after_para"] = batch_df.count()
         if sd is not None:
             # LAST content gate: edit surviving rows' text against the
             # persisted gram index (+ within-batch rule). On replay with
@@ -726,7 +777,7 @@ def write_stream_manifest(
             batch_df = K.span_dedup_batch(
                 batch_df, table, sd["id_col"], sd["text_col"], sd["k"]
             )  # eagerly-materialized: feeds the data AND grams commits
-        if (nd is None and sd is None) and dedup_keys:
+        if (nd is None and sd is None and pdd is None) and dedup_keys:
             # the deduped batch feeds TWO commits (data, then keys):
             # persist so the dedup plan runs once, and so the
             # arbitrary-survivor dropDuplicates path can't pick
@@ -782,6 +833,12 @@ def write_stream_manifest(
                         nd["n_tables"], nd["sample_n"], nd["seed"],
                         app, int(batch_id),
                     )
+            if pdd is not None:
+                # paragraphs of the text AS COMMITTED
+                K.append_batch_paras(
+                    batch_df, table, pdd["id_col"], pdd["text_col"],
+                    pdd["sep"], app, int(batch_id),
+                )
             if sd is not None:
                 # grams of the text AS COMMITTED (batch_df is the edited,
                 # materialized frame both commits read)
@@ -802,6 +859,8 @@ def write_stream_manifest(
                 if nd is not None else []
             ) + (
                 [K.compact_grams_index] if sd is not None else []
+            ) + (
+                [K.compact_paras_index] if pdd is not None else []
             ):
                 try:
                     _maint(batch_df.sparkSession, table)

@@ -1681,3 +1681,84 @@ def test_simhash_plus_span_crash_replay_pins_chunk_index(spark, tmp_path):
     assert rows[2] == fresh
     g_after = M.read_table(spark, K.grams_index_path(table)).count()
     assert g_after > g_before  # the batch's grams landed on replay
+
+
+def test_stream_manifest_para_dedup_on_ingest(spark, tmp_path):
+    """para_dedup: ingested text is EDITED against the persisted
+    paragraph-hash index — a batch doc repeating a paragraph the corpus
+    already holds commits with that paragraph cut (rows edited, never
+    dropped), the _paras side table tracks exactly the as-committed
+    text's paragraphs under the txn discipline, and a crash between the
+    data commit and the paras commit heals on replay with the same
+    edit."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "parain"
+    src.mkdir()
+    table = str(tmp_path / "paratable")
+
+    def run(ck):
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id=f"paraq:{ck}",
+            para_dedup={"id_col": "id"},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "text": "boiler plate\n\nunique alpha"}) + "\n"
+        + _json.dumps({"id": 2, "text": "unique beta"})
+    )
+    run(str(tmp_path / "parack0"))
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[1] == "boiler plate\n\nunique alpha"
+    pidx = M.read_table(spark, K.paras_index_path(table))
+    assert pidx.count() == 3  # three distinct paragraphs registered
+
+    # second batch: corpus-held paragraph cut, fresh doc untouched,
+    # within-batch copy keep-first
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "text": "boiler plate\n\nnew gamma"}) + "\n"
+        + _json.dumps({"id": 11, "text": "shared delta"}) + "\n"
+        + _json.dumps({"id": 12, "text": "shared delta\n\nnew eps"})
+    )
+    run(str(tmp_path / "parack1"))
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[10] == "new gamma"      # corpus paragraph cut, row kept
+    assert rows[11] == "shared delta"   # first occurrence kept
+    assert rows[12] == "new eps"        # within-batch repeat cut
+    assert set(rows) == {1, 2, 10, 11, 12}
+
+    # crash between data commit and paras commit heals on replay
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 20, "text": "shared delta\n\nfinal zeta"})
+    )
+    ck2 = str(tmp_path / "parack2")
+    real = K.append_batch_paras
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before paras commit")
+
+    K.append_batch_paras = _crash
+    try:
+        with _pytest.raises(Exception):
+            run(ck2)
+    finally:
+        K.append_batch_paras = real
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[20] == "final zeta"
+    pv_before = M.current_version(K.paras_index_path(table))
+    run(ck2)  # replay: data append skips, paras commit proceeds
+    assert M.current_version(K.paras_index_path(table)) > pv_before
+    rows = {r["id"]: r["text"] for r in M.read_table(spark, table).collect()}
+    assert rows[20] == "final zeta"
+
+    # separator drift refused
+    with _pytest.raises(ValueError, match="separator"):
+        K.check_paras_stamp(table, sep="\n")
