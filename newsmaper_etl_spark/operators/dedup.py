@@ -1908,9 +1908,14 @@ def paragraph_dedup(
         F.xxhash64(F.col("__para")).alias("__ph"),
     )
     okey = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
-    firsts = paras.groupBy("__ph").agg(F.min(okey).alias("__first"))
+    # every occurrence needs its group's min, not an aggregate row —
+    # a partition-only window min is ONE exchange where groupBy +
+    # join-back is two (in-process A/B at sf0.1: 1.18 → 0.77 s)
     removed = (
-        paras.join(firsts, on="__ph")
+        paras.withColumn(
+            "__first",
+            F.min(okey).over(Window.partitionBy("__ph")),
+        )
         .filter(okey != F.col("__first"))
         .select(id_col, "pos")
     )
@@ -1973,9 +1978,11 @@ def incremental_paragraph_dedup(
         seen_paras.select("ph"), on="ph", how="left_semi"
     ).select(id_col, "pos")
     okey = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
-    firsts = paras.groupBy("ph").agg(F.min(okey).alias("__first"))
+    # window min over the batch: one exchange (the paragraph_dedup rule)
     cov_batch = (
-        paras.join(firsts, on="ph")
+        paras.withColumn(
+            "__first", F.min(okey).over(Window.partitionBy("ph"))
+        )
         .filter(okey != F.col("__first"))
         .select(id_col, "pos")
     )

@@ -233,6 +233,7 @@ def _html_extract_sql(input_cte: str) -> str:
     ),
     tags=("TEXT", "CURATION"),
 )
+@plan_cached
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML/boilerplate extraction (operators.text.html_extract) over
     the corpus wrapped in attribute-bearing tags + an entity tail (so
@@ -1750,6 +1751,7 @@ _PARA_INPUT_SQL = f"""
     """,
     tags=("DEDUP", "PARAGRAPH"),
 )
+@plan_cached
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact paragraph dedup (operators.dedup.paragraph_dedup
     — the C4/FineWeb keep-first boilerplate pass at paragraph
@@ -1844,6 +1846,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("DEDUP", "PARAGRAPH", "INCREMENTAL"),
 )
+@plan_cached
 def q_paragraph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental paragraph dedup against the persisted paragraph-hash
     index (operators.dedup.incremental_paragraph_dedup +
