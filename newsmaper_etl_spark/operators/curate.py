@@ -35,6 +35,7 @@ def curate_corpus(
     near_dup: bool = True,
     span_dedup_k: int | None = None,
     html_extract: bool = False,
+    paragraph_dedup_sep: str | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -45,6 +46,12 @@ def curate_corpus(
     deterministic sub-pipeline (gate → exact dedup → annotate) — the
     hash-checkable slice of the recipe (q_curate_exact); the sketch
     stage stays rows-only by nature.
+
+    ``paragraph_dedup_sep`` (r12) adds the PARAGRAPH stage between
+    near-dedup and the span stage — coarse→fine: whole repeated
+    paragraphs (:func:`~newsmaper_etl_spark.operators.dedup.
+    paragraph_dedup`) are cheap per-doc hash cuts that shrink what the
+    per-token span pass must gram.
 
     ``span_dedup_k`` (r11) adds the SUBSTRING-span stage between
     near-dedup and annotation — repeated ≥k-token spans excised with
@@ -79,6 +86,22 @@ def curate_corpus(
         )
     else:
         near = exact
+    if paragraph_dedup_sep:
+        # paragraph stage BEFORE span excision (coarse→fine: doc-level
+        # drops happened, whole repeated paragraphs are cheap per-doc
+        # hash cuts, the span stage's per-token gram pass then only
+        # sees what survives). Checkpoint for the same multi-reference
+        # reason as the span stage below.
+        near = near.localCheckpoint(eager=False)
+        paras = D.paragraph_dedup(
+            near, id_col, text_col, sep=paragraph_dedup_sep
+        )
+        near = near.drop(text_col).join(
+            paras.select(
+                F.col(id_col), F.col("text_dedup").alias(text_col)
+            ).dropDuplicates([id_col]),
+            on=id_col,
+        )
     if span_dedup_k:
         # materialize before the span stage: remove_duplicate_spans
         # references its input four times (grams twice, toks, base) and
@@ -119,6 +142,8 @@ def curate_corpus_incremental(
     span_dedup_k: int | None = None,
     seen_grams: DataFrame | None = None,
     html_extract: bool = False,
+    paragraph_dedup_sep: str | None = None,
+    seen_paras: DataFrame | None = None,
 ) -> DataFrame:
     """The NIGHTLY-pipeline shape of :func:`curate_corpus`: curate
     tonight's batch against the already-ingested corpus instead of
@@ -167,6 +192,12 @@ def curate_corpus_incremental(
     index-sized; without it the corpus is re-grammed from
     ``seen_docs``. Annotations describe the EDITED text.
 
+    ``paragraph_dedup_sep`` (r12) adds the incremental PARAGRAPH stage
+    between near-dedup and span excision (coarse→fine) — pass
+    ``seen_paras`` (the persisted
+    :func:`~newsmaper_etl_spark.operators.dedup.corpus_paragraph_index`
+    frame, the ``_paras`` side table) to keep it index-sized.
+
     ``html_extract`` (r12) runs extraction over the BATCH before the
     gate, mirroring the full recipe — the corpus side is assumed
     already extracted (it was curated by this same recipe when IT was
@@ -207,6 +238,23 @@ def curate_corpus_incremental(
         )
     else:
         near = exact
+    if paragraph_dedup_sep:
+        if checkpoint:
+            near = near.localCheckpoint(eager=False)
+        paras = D.incremental_paragraph_dedup(
+            near,
+            None if seen_paras is not None else seen_docs.select(
+                id_col, text_col
+            ),
+            id_col, text_col, sep=paragraph_dedup_sep,
+            seen_paras=seen_paras,
+        )
+        near = near.drop(text_col).join(
+            paras.select(
+                F.col(id_col), F.col("text_dedup").alias(text_col)
+            ).dropDuplicates([id_col]),
+            on=id_col,
+        )
     if span_dedup_k:
         if checkpoint:
             # same five-reference multiplier as curate_corpus's span

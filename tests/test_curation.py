@@ -576,3 +576,44 @@ def test_curate_corpus_html_extract_wiring(spark):
     ids = [r["doc_id"] for r in out]
     assert ids == [1, 3]  # 2 is an exact dup of 1 after extraction
     assert out[1]["text"].startswith("the quick")  # script content gone
+
+
+def test_curate_recipes_paragraph_stage(spark):
+    """paragraph_dedup_sep wiring in both recipes: a repeated paragraph
+    is cut corpus-wide keep-first (full recipe) and batch-vs-index
+    (incremental recipe), and annotations describe the edited text."""
+    from newsmaper_etl_spark.operators.curate import (
+        curate_corpus,
+        curate_corpus_incremental,
+    )
+    from newsmaper_etl_spark.operators.dedup import corpus_paragraph_index
+
+    boiler = "all rights reserved by the example corporation"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first page body text here\n\n{boiler}"),
+            (2, f"second page different body\n\n{boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in curate_corpus(
+        docs, near_dup=False, min_quality=0.0,
+        paragraph_dedup_sep="\n\n",
+    ).collect()}
+    assert out[1].endswith(boiler)        # first occurrence kept
+    assert out[2] == "second page different body"
+
+    batch = spark.createDataFrame(
+        [(10, f"fresh batch page\n\n{boiler}")],
+        "doc_id long, text string",
+    )
+    for kwargs in (
+        {"seen_docs": docs},
+        {"seen_docs": docs, "seen_paras": corpus_paragraph_index(docs)},
+    ):
+        got = curate_corpus_incremental(
+            batch, near_dup=False, min_quality=0.0,
+            paragraph_dedup_sep="\n\n", **kwargs,
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["text"] == "fresh batch page"
