@@ -224,6 +224,51 @@ def sample_per_group(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    *,
+    tokens_col: str,
+    budget: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-BUDGET corpus selection — the data-mixing primitive "fill
+    each source's slice of the training mix up to N tokens": rank rows
+    inside each group by their id-derived mix bucket (id tie-break, the
+    :func:`sample_per_group` order — a deterministic, engine-portable
+    shuffle of the docs), take the running token total in that order,
+    and keep every row whose cumulative total (INCLUDING itself) fits
+    the budget. First-fit over a deterministic order: reproducible
+    across runs and engines, and every group fills to the budget
+    boundary (the last kept doc may leave slack smaller than the next
+    doc — no partial documents, a corpus selection never splits a doc;
+    chunking afterwards is :func:`chunk_documents`' job).
+
+    ``group_col=None`` fills ONE global budget. Plan shape: one window
+    (= one shuffle on the group key; the global form is a single-
+    partition window — use groups at scale, that is what the budget is
+    FOR in a mixture), no collect, no join. NULL token counts are
+    treated as 0 (metadata-less rows spend no budget but still occupy
+    their slot in the order)."""
+    _require_numeric_id(df, id_col, "budget_select")
+    if budget < 0:
+        raise ValueError(f"budget={budget} (must be >= 0)")
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(mix_bucket(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    ).over(w)
+    return (
+        df.withColumn("__cum", running)
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     *,

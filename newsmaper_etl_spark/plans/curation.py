@@ -16,7 +16,7 @@ checks first (see plans/__init__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newsmaper_etl_spark.io import fan_out, load_table
@@ -493,6 +493,51 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.sample_per_group(docs, group_col="source", k=5).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "q_budget_select",
+    oracle=f"""
+        WITH cum AS (
+            SELECT doc_id, source, n_chars,
+                   SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY {SP.mix_bucket_sql('doc_id')}, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_chars
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(cum_chars AS BIGINT) AS cum_chars
+        FROM cum WHERE cum_chars <= 5000
+    """,
+    tags=("CURATION", "SAMPLING"),
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators.sampling.budget_select —
+    "fill each source's slice of the mix to 5000 chars"): first-fit
+    over the deterministic mix-bucket order, running total inclusive of
+    the candidate, no partial docs. The kept set AND each row's running
+    total are driver-hashed, so an off-by-one at the budget boundary
+    (< vs <=), an order drift, or a NULL-handling change flips the
+    hash. ``n_chars`` stands in for the token count — the operator is
+    metric-agnostic (any non-negative numeric column spends budget)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = SP.budget_select(
+        docs, tokens_col="n_chars", budget=5000, group_col="source"
+    )
+    # re-derive the running total for the output surface (the operator
+    # drops its scratch column; the contract wants it visible)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(SP.mix_bucket("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return kept.withColumn(
+        "cum_chars",
+        F.sum(F.coalesce(F.col("n_chars").cast("long"), F.lit(0))).over(w),
+    ).select("doc_id", "source", "cum_chars")
 
 
 # NFC parity needs non-ASCII input; the corpus is ASCII, so both sides

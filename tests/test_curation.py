@@ -617,3 +617,43 @@ def test_curate_recipes_paragraph_stage(spark):
         ).collect()
         assert len(got) == 1
         assert got[0]["text"] == "fresh batch page"
+
+
+def test_budget_select_first_fit_and_boundary(spark):
+    """First-fit in the deterministic mix order, inclusive running
+    total, no partial docs, NULL spends 0, per-group budgets
+    independent, kept set is a prefix of the order."""
+    from newsmaper_etl_spark.operators.sampling import (
+        budget_select,
+        mix_bucket,
+    )
+
+    rows = [(i, "a" if i < 6 else "b", n) for i, n in
+            [(0, 40), (1, 40), (2, 40), (3, 40), (4, 40), (5, None),
+             (6, 100), (7, 100), (8, 100)]]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kept = budget_select(
+        df, tokens_col="n", budget=100, group_col="source"
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # group a: 40+40+(0)+40... order is mix-bucket-derived; verify by
+    # recomputing the prefix independently
+    order = {
+        s: [r["doc_id"] for r in df.filter(f"source = '{s}'")
+            .orderBy(mix_bucket("doc_id"), "doc_id").collect()]
+        for s in ("a", "b")
+    }
+    n_of = {r[0]: (r[2] or 0) for r in rows}
+    for s in ("a", "b"):
+        cum, want = 0, []
+        for d in order[s]:
+            cum += n_of[d]
+            if cum > 100:
+                break
+            want.append(d)
+        assert sorted(by_src.get(s, [])) == sorted(want), (s, by_src, want)
+    # budget 0 keeps only zero-cost prefix rows; never negative
+    assert budget_select(df, tokens_col="n", budget=0,
+                         group_col="source").count() in (0, 1)
