@@ -460,3 +460,55 @@ def test_substring_incremental_reference_parity(spark, seen, batch, k):
         ).collect()
     }
     assert got == expect
+
+
+_para_texts = st.lists(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=4).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=4,
+    ).map("\n\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_para_texts)
+def test_paragraph_dedup_invariants_and_idempotence(spark, texts):
+    """Three paragraph-dedup invariants over random paragraph corpora:
+    (a) the kept paragraph MULTISET per doc is a subsequence of the
+    original with exactly n_removed cut; (b) the surviving corpus has
+    no duplicate paragraph anywhere (the operator's postcondition);
+    (c) idempotence — a second pass removes nothing (paragraphs are
+    independent units, so excision can never create a new duplicate)."""
+    from newsmaper_etl_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = paragraph_dedup(df).collect()
+    orig = {i: t for i, t in enumerate(texts)}
+    seen: list[str] = []
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        before = orig[r["doc_id"]].split("\n\n")
+        after = r["text_dedup"].split("\n\n") if r["text_dedup"] else []
+        assert len(before) - len(after) == r["n_removed"]
+        # (a) kept is a subsequence of the original paragraph list
+        it = iter(before)
+        assert all(p in it for p in after)
+        seen.extend(after)
+    # (b) corpus-wide uniqueness of survivors (a fully-cut doc's ''
+    # text contributes no paragraphs; a KEPT empty paragraph counts)
+    assert len(set(seen)) == len(seen)
+    # (c) idempotence
+    again = spark.createDataFrame(
+        [(r["doc_id"], r["text_dedup"]) for r in out],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+            for r in paragraph_dedup(again).collect()}
+    for r in out:
+        assert out2[r["doc_id"]] == (r["text_dedup"], 0)
