@@ -269,6 +269,59 @@ def budget_select(
     )
 
 
+def shuffle_rank(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    out: str = "rank",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic GLOBAL pseudo-random total order — the final
+    pre-shard shuffle every training pipeline runs so a loader reading
+    shards sequentially still sees a mixed stream. rank is 1-based,
+    dense, and equal to ``ROW_NUMBER() OVER (ORDER BY mix_bucket(id),
+    id)`` — but computed WITHOUT the single-partition global window
+    that literal expression compiles to (the one shape that cannot
+    scale: every row through one task). Two-level instead:
+
+    1. one bounded aggregate — rows per mix bucket (``buckets`` is
+       bounded by construction, default 10⁴) — COLLECTED and turned
+       into driver-side exclusive prefix offsets;
+    2. rank = offset(bucket) + row_number within bucket, via a window
+       partitioned BY BUCKET (10⁴ independent partitions, each
+       ~N/10⁴ rows) and a broadcast join of the 10⁴-row offset frame.
+
+    Work per row is one hash + one bounded window; no global sort, no
+    single-partition stage, reproducible across runs and engines (the
+    mix_bucket LCG). The id tie-break inside a bucket makes the order a
+    pure function of the id set."""
+    _require_numeric_id(df, id_col, "shuffle_rank")
+    spark = df.sparkSession
+    b = mix_bucket(id_col, buckets)
+    counts = {
+        int(r[0]): int(r[1])
+        for r in df.select(b.alias("__mb")).groupBy("__mb").count().collect()
+    }
+    offsets, acc = [], 0
+    for bk in sorted(counts):
+        offsets.append((bk, acc))
+        acc += counts[bk]
+    if not offsets:
+        return df.withColumn(out, F.lit(None).cast("long")).filter(
+            F.lit(False)
+        )
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__mb int, __off long")
+    )
+    w = Window.partitionBy("__mb").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__mb", b)
+        .join(off, on="__mb")
+        .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))
+        .drop("__mb", "__off")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     *,

@@ -540,6 +540,29 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "cum_chars")
 
 
+@query(
+    "q_shuffle_rank",
+    oracle=f"""
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY {SP.mix_bucket_sql('doc_id')}, doc_id
+               ) AS BIGINT) AS rank
+        FROM documents
+    """,
+    tags=("CURATION", "SAMPLING"),
+)
+def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order (operators.sampling.
+    shuffle_rank — the final pre-shard training shuffle): the oracle
+    states the semantics as ONE global ROW_NUMBER; the engine computes
+    the identical rank scalably (bucket-count prefix offsets + per-
+    bucket windows — never a single-partition global window). Every
+    (doc, rank) pair is driver-hashed, so an offset error, a bucket
+    boundary slip, or an LCG drift flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SP.shuffle_rank(docs).select("doc_id", "source", "rank")
+
+
 # NFC parity needs non-ASCII input; the corpus is ASCII, so both sides
 # inject a decomposed 'a' + COMBINING ACUTE (U+0301) on every 13th doc —
 # NFC must re-compose it to 'á' identically in pandas and DuckDB.

@@ -657,3 +657,28 @@ def test_budget_select_first_fit_and_boundary(spark):
     # budget 0 keeps only zero-cost prefix rows; never negative
     assert budget_select(df, tokens_col="n", budget=0,
                          group_col="source").count() in (0, 1)
+
+
+def test_shuffle_rank_is_a_permutation_without_global_window(spark):
+    """rank is a dense 1..N permutation equal to the global-ROW_NUMBER
+    semantics, and the physical plan contains NO single-partition
+    exchange (the scalability claim: never a global window)."""
+    from newsmaper_etl_spark.operators.sampling import (
+        mix_bucket,
+        shuffle_rank,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = shuffle_rank(df)
+    rows = out.collect()
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, 501))
+    # semantics: equal to ORDER BY (bucket, id)
+    want = [
+        r["doc_id"]
+        for r in df.orderBy(mix_bucket("doc_id"), "doc_id").collect()
+    ]
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
