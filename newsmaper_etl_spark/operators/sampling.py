@@ -275,6 +275,7 @@ def shuffle_rank(
     id_col: str = "doc_id",
     out: str = "rank",
     buckets: int = 10_000,
+    two_level: bool = True,
 ) -> DataFrame:
     """Deterministic GLOBAL pseudo-random total order — the final
     pre-shard shuffle every training pipeline runs so a loader reading
@@ -294,8 +295,22 @@ def shuffle_rank(
     Work per row is one hash + one bounded window; no global sort, no
     single-partition stage, reproducible across runs and engines (the
     mix_bucket LCG). The id tie-break inside a bucket makes the order a
-    pure function of the id set."""
+    pure function of the id set.
+
+    ``two_level=False`` takes the literal one-window form (a single-
+    partition global window, one job, no counts collect) — the
+    SCALE.md toy-switch rule: below ~10⁵ rows the two-level machinery
+    is pure fixed cost (counts job + broadcast join ≈ 0.5 s) against a
+    millisecond global sort, and the output is IDENTICAL (both paths
+    are ROW_NUMBER over (bucket, id)); callers pick by scale like the
+    similarity unroll cutover. The two-level form is the documented
+    100 TB path."""
     _require_numeric_id(df, id_col, "shuffle_rank")
+    if not two_level:
+        w1 = Window.orderBy(mix_bucket(id_col, buckets), F.col(id_col))
+        return df.withColumn(
+            out, F.row_number().over(w1).cast("long")
+        )
     spark = df.sparkSession
     b = mix_bucket(id_col, buckets)
     counts = {

@@ -559,8 +559,14 @@ def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket windows — never a single-partition global window). Every
     (doc, rank) pair is driver-hashed, so an offset error, a bucket
     boundary slip, or an LCG drift flips the hash."""
+    from newsmaper_etl_spark.io import is_toy
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return SP.shuffle_rank(docs).select("doc_id", "source", "rank")
+    # toy cutover (SCALE.md toy-switch rule): identical output, the
+    # two-level machinery only amortizes past ~10^5 rows
+    return SP.shuffle_rank(docs, two_level=not is_toy(sf_dir)).select(
+        "doc_id", "source", "rank"
+    )
 
 
 # NFC parity needs non-ASCII input; the corpus is ASCII, so both sides
