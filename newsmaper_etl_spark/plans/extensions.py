@@ -223,8 +223,10 @@ def _html_extract_sql(input_cte: str) -> str:
 @query(
     "q_html_extract",
     oracle=_html_extract_sql(
-        "SELECT doc_id, '<p id=\"d' || CAST(doc_id AS VARCHAR) || '\">' "
-        "|| text || ' &amp; tail</p>' AS text FROM documents\n"
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "'<p id=\"d' || CAST(doc_id AS VARCHAR) || '\">' "
+        "|| text || ' &amp; tail</p>' ELSE text END AS text "
+        "FROM documents\n"
         "UNION ALL\n"
         + "\nUNION ALL\n".join(
             f"SELECT CAST({i} AS BIGINT), {_sql_str(t)}"
@@ -241,12 +243,19 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-case rows. The whole cleaned text is driver-hashed — a tag
     left behind, an entity mis-ordered, or a whitespace-collapse drift
     flips the hash."""
+    # every 3rd doc is wrapped in markup; the other two thirds stay
+    # plain and MUST ride the probe-gated fast path untouched — the
+    # clean-majority contract the operator's gates exist for, now
+    # exercised on corpus rows, not just one planted line
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(
-            F.lit('<p id="d'), F.col("doc_id").cast("string"),
-            F.lit('">'), F.col("text"), F.lit(" &amp; tail</p>"),
-        ).alias("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<p id="d'), F.col("doc_id").cast("string"),
+                F.lit('">'), F.col("text"), F.lit(" &amp; tail</p>"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
     )
     extra = spark.createDataFrame(list(_HTML_ROWS),
                                   "doc_id long, text string")
@@ -1702,6 +1711,7 @@ _PARA_INPUT_SQL = f"""
     JOIN documents b
       ON b.doc_id = CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id + 1
                          ELSE a.doc_id - 1 END
+    WHERE a.doc_id < 2000
     UNION ALL
 """ + "\nUNION ALL\n".join(
     f"SELECT CAST({i} AS BIGINT), {_sql_str(t)}" for i, t in _PARA_ROWS
@@ -1761,6 +1771,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte keys shuffle, while the oracle groups the exact strings —
     identical output (2^-64 collision tolerance, the hashed-
     contamination precedent)."""
+    # 2000-doc slice at bench SF (covers all of sf0.01, the
+    # q_substring_dedup_planted precedent): the composite IS the
+    # planted fixture — paragraph structure doesn't exist in the raw
+    # corpus — so its size is a contract choice, and the operator's
+    # scale curve is pinned by the sf1.0/sf3 records, not this row
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     partner = (
         F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") + 1)
@@ -1770,7 +1785,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("__bid"), F.col("text").alias("__btext")
     )
     comp = (
-        docs.withColumn("__bid", partner)
+        docs.filter(F.col("doc_id") < 2000)
+        .withColumn("__bid", partner)
         .join(b, on="__bid")
         .select(
             "doc_id",
