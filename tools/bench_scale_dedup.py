@@ -157,6 +157,17 @@ def main() -> None:
             lambda: D.duplicate_span_positions(docs, "doc_id", "text", k=8),
             n_docs,
         )
+        # paragraph dedup (r12): same no-pair-join risk profile — one
+        # window on the paragraph hash + the doc-gated rebuild;
+        # decorrelated replicas share no full paragraph, so the
+        # edited-doc count stays ~0 and wall time is the curve.
+        timed(
+            "paragraph_edited",
+            lambda: D.paragraph_dedup(docs, "doc_id", "text").filter(
+                F.col("n_removed") > 0
+            ),
+            n_docs,
+        )
         out["sfs"][sf] = rec
         print(f"sf{sf}: {json.dumps(rec)}")
 
