@@ -178,6 +178,8 @@ def _pipelines() -> dict:
         for param, vkey in (
             ("seen_banded", "seen_banded_view"),
             ("seen_keys", "seen_keys_view"),
+            ("seen_grams", "seen_grams_view"),
+            ("seen_paras", "seen_paras_view"),
         ):
             v = kw.pop(vkey, None)
             if v is not None:
@@ -211,6 +213,40 @@ def _pipelines() -> dict:
     def _temperature(spark: SparkSession, view: str, **kw) -> DataFrame:
         return temperature_sample(spark.table(view), **kw)
 
+    def _paragraph(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.dedup import paragraph_dedup
+
+        return paragraph_dedup(spark.table(view), **kw)
+
+    def _inc_paragraph(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.dedup import (
+            incremental_paragraph_dedup,
+        )
+
+        seen = kw.pop("seen_view", None)
+        paras = kw.pop("seen_paras_view", None)
+        if paras is not None:
+            kw["seen_paras"] = spark.table(paras)
+        return incremental_paragraph_dedup(
+            spark.table(view),
+            spark.table(seen) if seen is not None else None, **kw
+        )
+
+    def _html(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.text import html_extract
+
+        return html_extract(spark.table(view), **kw)
+
+    def _budget(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.sampling import budget_select
+
+        return budget_select(spark.table(view), **kw)
+
+    def _shuffle(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.sampling import shuffle_rank
+
+        return shuffle_rank(spark.table(view), **kw)
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -226,6 +262,11 @@ def _pipelines() -> dict:
         "redact_contaminated_spans": _redact,
         "minhash_dup_clusters": _clusters,
         "temperature_sample": _temperature,
+        "paragraph_dedup": _paragraph,
+        "paragraph_dedup_incremental": _inc_paragraph,
+        "html_extract": _html,
+        "budget_select": _budget,
+        "shuffle_rank": _shuffle,
     }
 
 

@@ -237,3 +237,51 @@ def test_run_sql_pipeline_r11_surfaces(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in SP.temperature_sample(
             langs, "lang", alpha=0.5, budget_frac=0.5).collect())
+
+
+def test_r12_pipelines_over_views(spark):
+    """The r12 operators through the SQL-registration surface:
+    paragraph dedup (batch + incremental with a persisted-index view),
+    html extraction, budget selection, shuffle rank — all resolve views
+    and pass params like their DataFrame forms."""
+    from newsmaper_etl_spark.operators.dedup import corpus_paragraph_index
+
+    docs = spark.createDataFrame(
+        [(1, "shared para\n\nalpha", "s1", 3),
+         (2, "shared para\n\nbeta", "s1", 3),
+         (3, "<p>hi &amp; bye</p>", "s2", 4)],
+        "doc_id long, text string, source string, n long",
+    )
+    docs.createOrReplaceTempView("r12_docs")
+    out = run_sql_pipeline(spark, "paragraph_dedup", "r12_docs", "r12_pd")
+    got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    assert got[2] == "beta"
+
+    corpus_paragraph_index(
+        docs.filter("doc_id = 1")
+    ).createOrReplaceTempView("r12_paras")
+    batch = spark.createDataFrame(
+        [(10, "shared para\n\nnew one")], "doc_id long, text string"
+    )
+    batch.createOrReplaceTempView("r12_batch")
+    inc = run_sql_pipeline(
+        spark, "paragraph_dedup_incremental", "r12_batch", "r12_pi",
+        seen_paras_view="r12_paras",
+    )
+    assert inc.collect()[0]["text_dedup"] == "new one"
+
+    html = run_sql_pipeline(spark, "html_extract", "r12_docs", "r12_he")
+    got = {r["doc_id"]: r["text_clean"] for r in html.collect()}
+    assert got[3] == "hi & bye"
+
+    sel = run_sql_pipeline(
+        spark, "budget_select", "r12_docs", "r12_bs",
+        tokens_col="n", budget=6, group_col="source",
+    )
+    assert 1 <= sel.count() <= 3
+
+    rk = run_sql_pipeline(spark, "shuffle_rank", "r12_docs", "r12_sr")
+    assert sorted(r["rank"] for r in rk.collect()) == [1, 2, 3]
+    # composed view-space SQL over a published pipeline view
+    n = spark.sql("SELECT COUNT(*) AS c FROM r12_sr").collect()[0]["c"]
+    assert n == 3
