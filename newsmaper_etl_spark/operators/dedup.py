@@ -1507,6 +1507,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    broadcast_cov: bool = False,
 ) -> DataFrame:
     """Corpus with every duplicated ≥k-token span excised, first
     occurrence kept (:func:`duplicate_span_positions` gives the cut
@@ -1522,7 +1523,8 @@ def remove_duplicate_spans(
     # shuffle was an in-process-A/B win (see duplicate_span_positions)
     covered = duplicate_span_positions(df, id_col, text_col, k,
                                        distinct=False)
-    return _excise_positions(df, covered, id_col, text_col)
+    return _excise_positions(df, covered, id_col, text_col,
+                             broadcast_cov=broadcast_cov)
 
 
 def _covered_positions(
@@ -1543,6 +1545,7 @@ def _covered_positions(
 def _excise_positions(
     df: DataFrame, covered: DataFrame, id_col: str, text_col: str,
     split_pat: str = " ", join_sep: str = " ",
+    broadcast_cov: bool = False,
 ) -> DataFrame:
     """Cut the (id, pos) ``covered`` tokens out of ``df`` and reassemble:
     (id, text_dedup, n_removed) — the shared output stage of both
@@ -1584,6 +1587,14 @@ def _excise_positions(
     cov_agg = covered.groupBy(id_col).agg(
         F.array_sort(F.array_distinct(F.collect_list("pos"))).alias("__ps")
     )
+    if broadcast_cov:
+        # toy-SF hint only (SCALE.md toy-switch rule): the bench
+        # session runs AQE off, so the small cov_agg side otherwise
+        # lands in a 32-partition SortMergeJoin that shuffles the whole
+        # corpus by id. At real SF the hint must stay OFF — cov_agg is
+        # hit-rate-sized (unbounded) and AQE (on at scale) makes the
+        # runtime call instead.
+        cov_agg = F.broadcast(cov_agg)
     joined = df.join(cov_agg, on=id_col, how="left")
     toks = F.split(F.col(text_col), split_pat, -1)
     ps = F.col("__ps")
@@ -1741,6 +1752,7 @@ def incremental_remove_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     seen_grams: DataFrame | None = None,
+    broadcast_cov: bool = False,
 ) -> DataFrame:
     """The batch with every span the corpus (or an earlier batch
     position) already holds excised — (id, text_dedup, n_removed), the
@@ -1750,7 +1762,8 @@ def incremental_remove_duplicate_spans(
         new_df, seen_df, id_col, text_col, k, seen_grams=seen_grams,
         distinct=False,
     )
-    return _excise_positions(new_df, covered, id_col, text_col)
+    return _excise_positions(new_df, covered, id_col, text_col,
+                             broadcast_cov=broadcast_cov)
 
 
 # --------------------------------------------------------------------------
@@ -1820,6 +1833,7 @@ def redact_contaminated_spans(
     text_col: str = "text",
     n: int = 8,
     exclude_same_id: bool = True,
+    broadcast_cov: bool = False,
 ) -> DataFrame:
     """SPAN-LEVEL decontamination: every corpus token position covered
     by an n-gram that also appears in the benchmark/eval set is EXCISED
@@ -1860,7 +1874,8 @@ def redact_contaminated_spans(
             how="left_semi",
         ).select(id_col, "gpos")
     covered = _covered_positions(hits, id_col, n, distinct=False)
-    return _excise_positions(corpus, covered, id_col, text_col)
+    return _excise_positions(corpus, covered, id_col, text_col,
+                             broadcast_cov=broadcast_cov)
 
 
 def paragraph_dedup(
@@ -1868,6 +1883,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    broadcast_cov: bool = False,
 ) -> DataFrame:
     """Corpus-wide EXACT paragraph dedup, first occurrence kept — the
     C4/FineWeb pass between doc-level dedup (whole pages) and span
@@ -1920,7 +1936,8 @@ def paragraph_dedup(
         .select(id_col, "pos")
     )
     return _excise_positions(
-        df, removed, id_col, text_col, split_pat=sep, join_sep=sep
+        df, removed, id_col, text_col, split_pat=sep, join_sep=sep,
+        broadcast_cov=broadcast_cov,
     )
 
 
@@ -1948,6 +1965,7 @@ def incremental_paragraph_dedup(
     text_col: str = "text",
     sep: str = "\n\n",
     seen_paras: DataFrame | None = None,
+    broadcast_cov: bool = False,
 ) -> DataFrame:
     """The nightly-batch form of :func:`paragraph_dedup`: a batch
     paragraph is removed when the CORPUS already holds it (the corpus's
@@ -1988,7 +2006,8 @@ def incremental_paragraph_dedup(
     )
     removed = cov_corpus.unionAll(cov_batch)
     return _excise_positions(
-        new_df, removed, id_col, text_col, split_pat=sep, join_sep=sep
+        new_df, removed, id_col, text_col, split_pat=sep, join_sep=sep,
+        broadcast_cov=broadcast_cov,
     )
 
 

@@ -371,7 +371,10 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
     )
-    return D.redact_contaminated_spans(docs, eval_df, n=8)
+    from newsmaper_etl_spark.io import is_toy
+
+    return D.redact_contaminated_spans(docs, eval_df, n=8,
+                                       broadcast_cov=is_toy(sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -1797,9 +1797,9 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     extra = spark.createDataFrame(list(_PARA_ROWS),
                                   "doc_id long, text string")
-    return D.paragraph_dedup(comp.unionAll(extra)).select(
-        "doc_id", "text_dedup", "n_removed"
-    )
+    return D.paragraph_dedup(
+        comp.unionAll(extra), broadcast_cov=is_toy(sf_dir)
+    ).select("doc_id", "text_dedup", "n_removed")
 
 
 @query(
@@ -1883,7 +1883,7 @@ def q_paragraph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = D.corpus_paragraph_index(docs)
     return D.incremental_paragraph_dedup(
-        batch, None, seen_paras=idx
+        batch, None, seen_paras=idx, broadcast_cov=is_toy(sf_dir)
     ).select("doc_id", "text_dedup", "n_removed")
 
 
@@ -1923,7 +1923,8 @@ def q_substring_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         return docs.unionAll(plants).coalesce(1)
 
     planted = cached_fixture(spark, "substring_planted", sf_dir, _fixture)
-    return D.remove_duplicate_spans(planted, "doc_id", "text", k=8)
+    return D.remove_duplicate_spans(planted, "doc_id", "text", k=8,
+                                    broadcast_cov=is_toy(sf_dir))
 
 
 @query(
@@ -2062,7 +2063,8 @@ def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: D.corpus_gram_index(seen, "doc_id", "text", k=8),
     )
     return D.incremental_remove_duplicate_spans(
-        batch, None, "doc_id", "text", k=8, seen_grams=grams
+        batch, None, "doc_id", "text", k=8, seen_grams=grams,
+        broadcast_cov=is_toy(sf_dir),
     )
 
 
