@@ -22,7 +22,7 @@ shuffles); ngram_jaccard is for in-bucket verification, not corpus-wide.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1878,12 +1878,97 @@ def redact_contaminated_spans(
                              broadcast_cov=broadcast_cov)
 
 
+#: highest doc id the paragraph first-occurrence key can encode:
+#: okey = id·10^6 + pos with pos < 10^6 must stay inside int64, so
+#: id ≤ (2^63 − 1 − 999_999) / 10^6. Ids above (hash-derived 64-bit
+#: ids) or negative ids (pos would INVERT the order) raise instead of
+#: silently mis-ranking — the sampling module's _require_numeric_id
+#: guard idiom, enforced per-row here because the bound is on VALUES.
+_PARA_MAX_ID = (2**63 - 1 - 999_999) // 1_000_000
+
+
+def _regex_quote(s: str) -> str:
+    r"""Quote a literal string for use as a Java regex (the
+    ``\Q...\E`` form, with embedded ``\E`` escaped the way
+    ``java.util.regex.Pattern.quote`` does) — paragraph separators are
+    LITERALS in the contract (split pattern, rejoin literal and the
+    DuckDB oracle's literal string_split must all denote the same
+    separator), so a metacharacter-bearing sep ('.', '|', '++') must
+    not silently become a per-character split (code review r12)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _para_okey(id_col: str) -> Column:
+    """The encoded (id·10^6 + pos) first-occurrence key, guarded: any
+    row whose id falls outside [0, _PARA_MAX_ID] or whose paragraph
+    count reaches 10^6 raises at execution (two long compares in the
+    projection's own codegen — no extra pass, no action)."""
+    ok = (
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) <= F.lit(_PARA_MAX_ID))
+        & (F.col("pos") < F.lit(1_000_000))
+    )
+    return F.when(
+        ok, F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "paragraph_dedup: id=%s pos=%s outside the encodable "
+                "domain (0 <= id <= "
+                f"{_PARA_MAX_ID}, pos < 1000000)",
+                F.col(id_col).cast("string"), F.col("pos").cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def _para_first_removed(
+    paras: DataFrame, id_col: str, ph_col: str, salt: int | None
+) -> DataFrame:
+    """Shared first-occurrence-loser stage of both paragraph-dedup
+    forms: the (id, pos) rows whose encoded key is NOT their
+    paragraph-hash group's minimum.
+
+    ``salt=None`` (default) is the window form — one exchange, the
+    measured latency winner at every rig-reachable scale (SCALE.md
+    round-6 skew A/B: salting is a memory/straggler bound, not a
+    latency win). But window partitioning has NO map-side partial
+    aggregation: every occurrence of one hash lands in ONE task's
+    sort, and hot paragraphs are this operator's TARGET (a cookie
+    banner in >1 % of a web corpus is ~10^8 rows of one key at 10^10
+    docs — the hot task IS the stage). ``salt=N`` (any N ≥ 1) switches
+    to the skew-hardened groupBy + join-back form: min is
+    decomposable, so the groupBy's map-side partial min fans the hot
+    key across every map task (one surviving row per task — the
+    explicit salt buckets :func:`dedup_keep_first` needs for
+    row_number are redundant for min, which is why N's value is not
+    used) and the join-back is a JOIN, which AQE's skew handling can
+    split at runtime — unlike a skewed WINDOW partition, which nothing
+    splits. Output identical for any salt; plan-asserted in tests."""
+    okey = _para_okey(id_col)
+    if salt:
+        firsts = paras.groupBy(ph_col).agg(F.min(okey).alias("__first"))
+        return (
+            paras.join(firsts, on=ph_col)
+            .filter(okey != F.col("__first"))
+            .select(id_col, "pos")
+        )
+    return (
+        paras.withColumn(
+            "__first", F.min(okey).over(Window.partitionBy(ph_col))
+        )
+        .filter(okey != F.col("__first"))
+        .select(id_col, "pos")
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
     broadcast_cov: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """Corpus-wide EXACT paragraph dedup, first occurrence kept — the
     C4/FineWeb pass between doc-level dedup (whole pages) and span
@@ -1900,44 +1985,50 @@ def paragraph_dedup(
     (q_paragraph_dedup hash-checks text_dedup itself), unlike the
     sketch-based near-dup family.
 
+    EMPTY paragraphs are INERT: a zero-length paragraph (consecutive or
+    trailing separators, or an empty/fully-excised document) is a
+    separator artifact, not content — it never enrolls in the dedup
+    group, is never excised, and never enters the paragraph index.
+    This is also what makes the operator idempotent on fully-cut docs:
+    a doc reduced to '' re-splits to one empty paragraph on a second
+    pass and passes through verbatim instead of duplicating some other
+    fully-cut doc's '' (advisor r12, the invariant-(c) latent flake).
+
     Plan shape at scale: one generator projection to (id, pos,
     xxhash64(para)) — paragraph STRINGS never shuffle, only 8-byte
     hashes (2^-64 collision tolerance, the hashed-contamination rule) —
-    ONE groupBy(hash) with map-side partial min of the encoded
-    (id·10^6+pos) first-occurrence key, one join-back on the hash, then
-    the shared doc-gated projection rebuild (:func:`_excise_positions`
-    at paragraph granularity: only docs that actually lose a paragraph
-    are rebuilt). Linear, never all-pairs. Contract: < 10^6 paragraphs
-    per document (the key encoding; any real page is orders below).
+    the first-occurrence stage (:func:`_para_first_removed`: window min
+    by default, ``salt=`` for the skew-hardened groupBy + join-back
+    form when ultra-hot boilerplate paragraphs are expected — see its
+    docstring), then the shared doc-gated projection rebuild
+    (:func:`_excise_positions` at paragraph granularity: only docs that
+    actually lose a paragraph are rebuilt). Linear, never all-pairs.
+    Contracts, GUARDED per-row by :func:`_para_okey` (raise, never
+    mis-rank): < 10^6 paragraphs per document and
+    0 ≤ id ≤ ~9.22·10^12 (the int64 key encoding — hash-derived 64-bit
+    ids need remapping first).
 
-    ``sep`` must be regex-and-literal-identical (it is used as a split
-    pattern and a join literal; the default blank-line separator
-    contains no metacharacters)."""
-    paras = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
-            "pos", "__para"
-        ),
-    ).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(F.col("__para")).alias("__ph"),
-    )
-    okey = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
-    # every occurrence needs its group's min, not an aggregate row —
-    # a partition-only window min is ONE exchange where groupBy +
-    # join-back is two (in-process A/B at sf0.1: 1.18 → 0.77 s)
-    removed = (
-        paras.withColumn(
-            "__first",
-            F.min(okey).over(Window.partitionBy("__ph")),
+    ``sep`` is a LITERAL: it is regex-quoted before the split
+    (:func:`_regex_quote`) and used verbatim in the rejoin, so
+    metacharacter-bearing separators work."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), _regex_quote(sep), -1)
+            ).alias("pos", "__para"),
         )
-        .filter(okey != F.col("__first"))
-        .select(id_col, "pos")
+        .filter(F.col("__para") != "")
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.xxhash64(F.col("__para")).alias("__ph"),
+        )
     )
+    removed = _para_first_removed(paras, id_col, "__ph", salt)
     return _excise_positions(
-        df, removed, id_col, text_col, split_pat=sep, join_sep=sep,
-        broadcast_cov=broadcast_cov,
+        df, removed, id_col, text_col, split_pat=_regex_quote(sep),
+        join_sep=sep, broadcast_cov=broadcast_cov,
     )
 
 
@@ -1948,11 +2039,17 @@ def corpus_paragraph_index(
     """The persistable index of :func:`incremental_paragraph_dedup`:
     the corpus's DISTINCT paragraph hashes, one 8-byte ``ph`` column —
     a few longs per DOC (paragraph counts are small), far lighter than
-    the per-token gram index the span family carries."""
+    the per-token gram index the span family carries. Empty paragraphs
+    never enroll (the :func:`paragraph_dedup` inertness rule — an
+    enrolled xxhash64('') would silently excise every future empty
+    paragraph, advisor r12)."""
     return (
         df.select(
-            F.explode(F.split(F.col(text_col), sep, -1)).alias("__para")
+            F.explode(
+                F.split(F.col(text_col), _regex_quote(sep), -1)
+            ).alias("__para")
         )
+        .filter(F.col("__para") != "")
         .select(F.xxhash64(F.col("__para")).alias("ph"))
         .distinct()
     )
@@ -1966,6 +2063,7 @@ def incremental_paragraph_dedup(
     sep: str = "\n\n",
     seen_paras: DataFrame | None = None,
     broadcast_cov: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """The nightly-batch form of :func:`paragraph_dedup`: a batch
     paragraph is removed when the CORPUS already holds it (the corpus's
@@ -1978,36 +2076,35 @@ def incremental_paragraph_dedup(
     frame; the batch side then pays one projection to (id, pos, hash),
     one left-semi against the index, one within-batch group, and the
     doc-gated rebuild — per-batch cost scales with the batch and the
-    index, not the corpus text."""
+    index, not the corpus text. Empty paragraphs are inert and
+    ``salt=`` picks the skew-hardened within-batch first-occurrence
+    form (the :func:`paragraph_dedup` contracts; id-domain guard
+    applies)."""
     if seen_paras is None:
         if seen_df is None:
             raise ValueError("pass seen_df or seen_paras")
         seen_paras = corpus_paragraph_index(seen_df, id_col, text_col, sep)
-    paras = new_df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
-            "pos", "__para"
-        ),
-    ).select(
-        F.col(id_col), F.col("pos"),
-        F.xxhash64(F.col("__para")).alias("ph"),
+    paras = (
+        new_df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), _regex_quote(sep), -1)
+            ).alias("pos", "__para"),
+        )
+        .filter(F.col("__para") != "")
+        .select(
+            F.col(id_col), F.col("pos"),
+            F.xxhash64(F.col("__para")).alias("ph"),
+        )
     )
     cov_corpus = paras.join(
         seen_paras.select("ph"), on="ph", how="left_semi"
     ).select(id_col, "pos")
-    okey = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
-    # window min over the batch: one exchange (the paragraph_dedup rule)
-    cov_batch = (
-        paras.withColumn(
-            "__first", F.min(okey).over(Window.partitionBy("ph"))
-        )
-        .filter(okey != F.col("__first"))
-        .select(id_col, "pos")
-    )
+    cov_batch = _para_first_removed(paras, id_col, "ph", salt)
     removed = cov_corpus.unionAll(cov_batch)
     return _excise_positions(
-        new_df, removed, id_col, text_col, split_pat=sep, join_sep=sep,
-        broadcast_cov=broadcast_cov,
+        new_df, removed, id_col, text_col, split_pat=_regex_quote(sep),
+        join_sep=sep, broadcast_cov=broadcast_cov,
     )
 
 

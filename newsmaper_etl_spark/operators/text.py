@@ -403,11 +403,14 @@ def normalize_text(df: DataFrame, col: str = "text", out: str = "norm") -> DataF
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
+        # explicit class, not \s — Python's \s is the full Unicode
+        # whitespace set, the DuckDB oracle's RE2 \s is ASCII-only
+        # (the WS_COLLAPSE_RE rule)
         return (
             s.str.normalize("NFC")
             .str.lower()
-            .str.replace(r"\s+", " ", regex=True)
-            .str.strip()
+            .str.replace(WS_COLLAPSE_RE, " ", regex=True)
+            .str.strip(" ")
         )
 
     c = F.col(col) if isinstance(col, str) else col
@@ -535,6 +538,15 @@ _HTML_TAG_RES = (
 #: browser does. Literal replaces — no regex pass needed. The long tail
 #: of numeric/exotic entities passes through verbatim (documented
 #: subset; the curation gates downstream treat them as rare tokens).
+#: the whitespace-collapse class shared by html_extract /
+#: normalize_text and their DuckDB oracles. NOT ``\s``: Java's \s
+#: includes \x0B (vertical tab) while RE2's does not, and Python's is
+#: the full Unicode set (NBSP, \x1c-\x1f, ...) — input containing any
+#: of those would diverge between engine and oracle and flip a driver
+#: hash (advisor r12). The explicit ASCII class means the same five
+#: characters in Java regex, RE2 and Python re.
+WS_COLLAPSE_RE = r"[ \t\n\r\f]+"
+
 _HTML_ENTITIES = (
     ("&nbsp;", " "),
     ("&lt;", "<"),
@@ -578,7 +590,7 @@ def html_extract(
         dchain = F.replace(dchain, F.lit(ent), F.lit(rep))
     decoded = F.when(has_ent, dchain).otherwise(stripped)
     return df.withColumn(
-        out, F.trim(F.regexp_replace(decoded, r"\s+", " "))
+        out, F.trim(F.regexp_replace(decoded, WS_COLLAPSE_RE, " "))
     )
 
 

@@ -584,7 +584,7 @@ def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CASE WHEN doc_id % 13 = 0
                             THEN replace(text, 'a', 'a' || chr(769))
                             ELSE text END)),
-                   '\\s+', ' ', 'g')) AS norm
+                   '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm
         FROM documents
     """,
     tags=("TEXT", "CURATION"),

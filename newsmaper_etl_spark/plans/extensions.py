@@ -195,6 +195,10 @@ _HTML_ROWS: tuple[tuple[int, str | None], ...] = (
     (9_100_009, "unclosed <script>alert(1) still text"),
     (9_100_010, "STYLE <STYLE>b{}</STYLE> case <SCRIPT>x</SCRIPT> ok"),
     (9_100_011, None),
+    # \x0B (vertical tab): in Java's \s but NOT RE2's — the collapse
+    # class is explicit precisely so both engines PRESERVE it
+    # identically (advisor r12); this row pins that in the hash
+    (9_100_012, "vt\x0bstays <b>tag goes</b>  spaces collapse"),
 )
 
 
@@ -213,7 +217,11 @@ def _html_extract_sql(input_cte: str) -> str:
         expr = f"regexp_replace({expr}, {_sql_str(pat)}, '{rep}', 'g')"
     for ent, rep in TX._HTML_ENTITIES:
         expr = f"replace({expr}, {_sql_str(ent)}, {_sql_str(rep)})"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    # TX.WS_COLLAPSE_RE verbatim (the raw-string backslash escapes are
+    # what RE2 wants inside a SQL literal) — NOT \s, whose membership
+    # differs between Java and RE2 (advisor r12); the two dialects
+    # agree on the explicit class
+    expr = f"trim(regexp_replace({expr}, '{TX.WS_COLLAPSE_RE}', ' ', 'g'))"
     return f"""
         WITH input AS ({input_cte})
         SELECT doc_id, {expr} AS text_clean FROM input
@@ -1685,8 +1693,11 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: planted paragraph-structure rows for q_paragraph_dedup (corpus text
 #: is single-paragraph): cross-doc shared paragraph, within-doc repeat,
 #: fully-covered doc, empty paragraphs (consecutive/trailing
-#: separators), empty and NULL text. Planted ids sort AFTER every
-#: corpus composite id, so corpus paragraphs always own their firsts.
+#: separators — INERT by contract since r13: never deduped, never
+#: excised, so 9_200_005/6/8 pass through verbatim and pin the
+#: inertness rule in the hash), empty and NULL text. Planted ids sort
+#: AFTER every corpus composite id, so corpus paragraphs always own
+#: their firsts.
 _PARA_ROWS: tuple[tuple[int, str | None], ...] = (
     (9_200_001, "alpha beta\n\nshared paragraph one\n\ngamma"),
     (9_200_002, "shared paragraph one\n\ndelta\n\nshared paragraph one"),
@@ -1731,12 +1742,12 @@ _PARA_INPUT_SQL = f"""
         ),
         firsts AS (
             SELECT para, MIN(doc_id * 1000000 + pos) AS fkey
-            FROM paras GROUP BY para
+            FROM paras WHERE para <> '' GROUP BY para
         ),
         kept AS (
             SELECT p.doc_id, p.pos, p.para
-            FROM paras p JOIN firsts f ON p.para = f.para
-            WHERE p.doc_id * 1000000 + p.pos = f.fkey
+            FROM paras p LEFT JOIN firsts f ON p.para = f.para
+            WHERE p.para = '' OR p.doc_id * 1000000 + p.pos = f.fkey
         ),
         agg AS (
             SELECT doc_id,
@@ -1819,13 +1830,14 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM batch
         ),
         seen AS (
-            SELECT DISTINCT unnest(string_split(text, {_PARA_SEP_SQL}))
-                       AS para
-            FROM documents
+            SELECT DISTINCT para FROM (
+                SELECT unnest(string_split(text, {_PARA_SEP_SQL})) AS para
+                FROM documents
+            ) WHERE para <> ''
         ),
         firsts AS (
             SELECT para, MIN(doc_id * 1000000 + pos) AS fkey
-            FROM paras GROUP BY para
+            FROM paras WHERE para <> '' GROUP BY para
         ),
         removed AS (
             SELECT DISTINCT doc_id, pos FROM (

@@ -3500,9 +3500,11 @@ def test_span_dedup_null_text_and_k_stamp_guard(spark):
 def test_paragraph_dedup_hand_examples(spark):
     """Keep-first at paragraph granularity: cross-doc shared paragraph
     removed from the later doc, within-doc repeat cut, fully-covered
-    doc edits to '' (never dropped), empty-paragraph and trailing-sep
-    positions dedup like any string, NULL passes through, untouched
-    docs verbatim."""
+    doc edits to '' (never dropped), EMPTY paragraphs
+    (consecutive/trailing separators) are INERT — never deduped, never
+    excised (advisor r12: otherwise a fully-cut doc's '' re-splits and
+    duplicates another fully-cut doc's on a second pass), NULL passes
+    through, untouched docs verbatim."""
     from newsmaper_etl_spark.operators.dedup import paragraph_dedup
 
     rows = [
@@ -3510,8 +3512,8 @@ def test_paragraph_dedup_hand_examples(spark):
         (2, "B\n\nD\n\nB"),     # cross-doc dup + within-doc repeat
         (3, "A"),               # fully covered
         (4, "unique"),          # untouched → verbatim
-        (5, "x\n\n\n\ny"),      # empty middle paragraph (first '')
-        (6, "z\n\n"),           # trailing sep → ['z',''] — '' is a dup
+        (5, "x\n\n\n\ny"),      # empty middle paragraph — inert
+        (6, "z\n\n"),           # trailing sep → ['z',''] — '' inert
         (7, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -3522,8 +3524,110 @@ def test_paragraph_dedup_hand_examples(spark):
     assert got[3] == ("", 1)
     assert got[4] == ("unique", 0)
     assert got[5] == ("x\n\n\n\ny", 0)
-    assert got[6] == ("z", 1)
+    assert got[6] == ("z\n\n", 0)
     assert got[7] == (None, 0)
+
+
+def test_paragraph_dedup_fully_cut_docs_idempotent(spark):
+    """The advisor-r12 repro: three identical one-paragraph docs — two
+    edit to '' — and a SECOND pass over the output removes nothing
+    (the '' results re-split to one empty paragraph each, which the
+    inertness rule keeps out of the dedup group)."""
+    from newsmaper_etl_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x")], "doc_id long, text string"
+    )
+    out = sorted(map(tuple, paragraph_dedup(df).collect()))
+    assert out == [(0, "x", 0), (1, "", 1), (2, "", 1)]
+    again = spark.createDataFrame(
+        [(d, t) for d, t, _ in out], "doc_id long, text string"
+    )
+    out2 = sorted(map(tuple, paragraph_dedup(again).collect()))
+    assert out2 == [(0, "x", 0), (1, "", 0), (2, "", 0)]
+
+
+def test_paragraph_dedup_salt_parity_and_plan(spark):
+    """salt= switches the first-occurrence stage from the window min to
+    the skew-hardened groupBy + join-back form: output identical, and
+    the salted plan carries NO window exchange on the paragraph hash
+    (min's map-side partial agg is the phase-1 fan-out; the join-back
+    is AQE-skew-splittable where a window partition is not)."""
+    from newsmaper_etl_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, f"p{i % 3}\n\nq{i % 2}\n\nu{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, paragraph_dedup(df).collect()))
+    for salt in (1, 8):
+        assert sorted(
+            map(tuple, paragraph_dedup(df, salt=salt).collect())
+        ) == base
+    salted_plan = paragraph_dedup(df, salt=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in salted_plan
+    assert "partial_min" in salted_plan.lower() or "HashAggregate" in \
+        salted_plan
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is a LITERAL: regex metacharacters ('|', '.', '++') must not
+    silently become per-character splits (advisor r12 — the
+    sql_functions surface exposes sep unguarded)."""
+    from newsmaper_etl_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abc|abc|xyz"), (1, "abc|q")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+           for r in paragraph_dedup(df, sep="|").collect()}
+    assert got == {0: ("abc|xyz", 1), 1: ("q", 1)}
+    corpus = spark.createDataFrame([(0, "k++v")], "doc_id long, text string")
+    batch = spark.createDataFrame([(5, "v++new")], "doc_id long, text string")
+    got2 = {r["doc_id"]: (r["text_dedup"], r["n_removed"])
+            for r in incremental_paragraph_dedup(
+                batch, corpus, sep="++").collect()}
+    assert got2 == {5: ("new", 1)}
+
+
+def test_paragraph_dedup_id_domain_guard(spark):
+    """Ids outside [0, (2^63-1-999999)/10^6] would silently mis-order
+    (negative: pos inverts the key) or overflow (hash-derived 64-bit
+    ids) the encoded first-occurrence key — they raise instead."""
+    import pytest
+    from newsmaper_etl_spark.operators.dedup import paragraph_dedup
+
+    for bad in (-5, 9_223_372_036_854):
+        df = spark.createDataFrame(
+            [(bad, "x\n\ny"), (1, "x")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="encodable domain"):
+            paragraph_dedup(df).collect()
+
+
+def test_corpus_paragraph_index_excludes_empty(spark):
+    """xxhash64('') never enrolls in the persisted index — an enrolled
+    empty hash would silently excise every future empty paragraph
+    (trailing/consecutive separators) from every batch (advisor r12)."""
+    from newsmaper_etl_spark.operators.dedup import (
+        corpus_paragraph_index,
+        incremental_paragraph_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "a\n\n\n\nb")], "doc_id long, text string"
+    )
+    idx = corpus_paragraph_index(corpus)
+    assert idx.count() == 2  # 'a' and 'b' only
+    batch = spark.createDataFrame(
+        [(9, "c\n\n\n\nd")], "doc_id long, text string"
+    )
+    got = incremental_paragraph_dedup(
+        batch, None, seen_paras=idx
+    ).collect()[0]
+    assert (got["text_dedup"], got["n_removed"]) == ("c\n\n\n\nd", 0)
 
 
 def test_incremental_paragraph_dedup_hand_examples(spark):
