@@ -17,6 +17,8 @@ stage for free.
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,9 @@ def curate_corpus(
     span_dedup_k: int | None = None,
     html_extract: bool = False,
     paragraph_dedup_sep: str | None = None,
+    url_col: str | None = None,
+    url_blocklist: DataFrame | Iterable[str] | None = None,
+    domain_cap: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -60,7 +65,25 @@ def curate_corpus(
     boilerplate doc-level dedup can't. It runs LAST of the dedup stages
     (cheapest corpus: whole-doc drops already happened) and the
     annotations are computed over the EDITED text — token counts, BPE
-    budget, and fingerprints must describe what a loader will read."""
+    budget, and fingerprints must describe what a loader will read.
+
+    ``url_col`` + ``url_blocklist`` / ``domain_cap`` (r13) add the
+    URL/domain stage FIRST — before even extraction — because it is
+    the cheapest gate in the recipe (one projection + one broadcast
+    anti-join + at most one window) and every row it drops skips every
+    regex, hash and shuffle downstream; C4/RefinedWeb/FineWeb all
+    order it this way."""
+    if url_col is not None and (url_blocklist is not None or domain_cap):
+        from newsmaper_etl_spark.operators import web as W
+
+        if url_blocklist is not None:
+            docs = W.domain_blocklist_filter(
+                docs, url_blocklist, url_col=url_col
+            )
+        if domain_cap:
+            docs = W.cap_per_domain(
+                docs, int(domain_cap), url_col=url_col, id_col=id_col
+            )
     if html_extract:
         # extraction runs FIRST — every downstream signal (quality,
         # dedup keys, shingles, token stats) must see the visible text,
@@ -144,6 +167,8 @@ def curate_corpus_incremental(
     html_extract: bool = False,
     paragraph_dedup_sep: str | None = None,
     seen_paras: DataFrame | None = None,
+    url_col: str | None = None,
+    url_blocklist: DataFrame | Iterable[str] | None = None,
 ) -> DataFrame:
     """The NIGHTLY-pipeline shape of :func:`curate_corpus`: curate
     tonight's batch against the already-ingested corpus instead of
@@ -201,7 +226,19 @@ def curate_corpus_incremental(
     ``html_extract`` (r12) runs extraction over the BATCH before the
     gate, mirroring the full recipe — the corpus side is assumed
     already extracted (it was curated by this same recipe when IT was
-    ingested), so only tonight's batch pays the pass."""
+    ingested), so only tonight's batch pays the pass.
+
+    ``url_col`` + ``url_blocklist`` (r13) run the URL/domain blocklist
+    over the batch FIRST, mirroring the full recipe (cheapest gate;
+    no per-domain cap here — a cap is a CORPUS-level invariant that an
+    independent batch can't enforce, use the maintenance-path full
+    recipe for re-capping)."""
+    if url_col is not None and url_blocklist is not None:
+        from newsmaper_etl_spark.operators import web as W
+
+        new_docs = W.domain_blocklist_filter(
+            new_docs, url_blocklist, url_col=url_col
+        )
     if html_extract:
         new_docs = (
             TX.html_extract(new_docs, text_col, out="__clean")

@@ -1,0 +1,222 @@
+"""URL / domain analysis operators — the stage every web-corpus
+curation recipe runs FIRST (C4, RefinedWeb, FineWeb all filter by
+domain before any text signal is computed: a blocklisted or
+over-represented domain is cheaper to drop before tokenization, dedup
+or quality scoring ever see it).
+
+The reference carries a ``link`` column end to end
+(/root/reference/dags/Extract.py:19, dags/sql/news.sql:9) but never
+analyzes it; this module closes that gap for the LLM-pipeline surface:
+
+- :func:`url_parts`         host + registered-domain extraction, pure
+                            JVM regexp/array projection — no shuffle,
+                            fuses into the scan (the html_extract rule)
+- :func:`domain_blocklist_filter`  broadcast anti-join against a
+                            blocklist (tiny by construction: even the
+                            full UT1 adult list is ~4M rows ≈ 100 MB —
+                            broadcastable; corpus never shuffles)
+- :func:`cap_per_domain`    k-docs-per-domain cap — the deterministic
+                            :func:`~newsmaper_etl_spark.operators.
+                            sampling.sample_per_group` on the derived
+                            domain (one window shuffle on the domain)
+
+Everything is in the Java-regex ∩ RE2 subset (no backreferences, no
+lookaround) so the DuckDB oracles run the SAME expressions — the
+:data:`~newsmaper_etl_spark.operators.text.WS_COLLAPSE_RE` /
+_HTML_TAG_RES one-source-of-truth rule: the SQL mirrors are generated
+from the constants below, never hand-copied.
+
+Documented parsing subset (hash-pinned by q_url_filter's planted edge
+rows): hierarchical URLs — ``scheme://``, protocol-relative ``//``,
+and bare ``host/path`` forms; userinfo and ports are stripped; the
+host is lowercased with trailing dots removed; punycode (``xn--``)
+labels pass through verbatim (no IDN decode); bracketed IPv6 hosts and
+empty hosts yield NULL; non-hierarchical schemes (``mailto:``) are out
+of scope. Registered-domain extraction uses the embedded multi-label
+public-suffix SUBSET below — the ~50 two-label suffixes that dominate
+crawl traffic — falling back to last-two-labels; a full
+public-suffix-list deployment swaps the literal array for a broadcast
+join against the PSL table (same plan shape, the blocklist join's
+twin) without touching callers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.operators.sampling import sample_per_group
+
+#: authority detector + host extractors, valid in BOTH Java regex
+#: (Spark) and RE2 (DuckDB). The scheme is only consumed when an
+#: authority (``//``) follows — otherwise ``example.com:8080/x`` would
+#: parse "example.com" as a scheme and return "8080" as the host.
+_AUTHORITY_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//"
+_HOST_AUTH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:@]+)"
+_HOST_BARE_RE = r"^([^/?#:@]+)"
+
+#: the multi-label public-suffix SUBSET (see module docstring): when a
+#: host's last TWO labels are one of these, the registered domain is
+#: the last THREE labels (bbc.co.uk, not co.uk).
+MULTI_SUFFIXES = (
+    "ac.il", "ac.in", "ac.jp", "ac.uk", "com.ar", "com.au", "com.br",
+    "com.cn", "com.co", "com.eg", "com.hk", "com.mx", "com.my",
+    "com.pe", "com.ph", "com.sa", "com.sg", "com.tr", "com.tw",
+    "com.ve", "com.vn", "co.il", "co.in", "co.jp", "co.kr", "co.nz",
+    "co.za", "co.uk", "edu.au", "go.jp", "gov.au", "gov.br", "gov.cn",
+    "gov.in", "gov.uk", "me.uk", "ne.jp", "net.au", "net.br", "net.cn",
+    "net.in", "net.nz", "net.uk", "or.jp", "or.kr", "org.au", "org.br",
+    "org.cn", "org.il", "org.in", "org.nz", "org.uk",
+)
+
+_IPV4_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+
+
+def host_col(url: str | Column) -> Column:
+    """The normalized host of a URL column: authority-aware extraction
+    (userinfo and port stripped), lowercased, trailing dots removed;
+    NULL for empty/bracketed-IPv6/unparseable input. Pure JVM regexp
+    projection."""
+    u = F.col(url) if isinstance(url, str) else url
+    raw = F.when(
+        u.rlike(_AUTHORITY_RE), F.regexp_extract(u, _HOST_AUTH_RE, 1)
+    ).otherwise(F.regexp_extract(u, _HOST_BARE_RE, 1))
+    host = F.regexp_replace(F.lower(raw), r"[.]+$", "")
+    return (
+        F.when(host == "", F.lit(None).cast("string"))
+        .when(host.startswith("["), F.lit(None).cast("string"))
+        .otherwise(host)
+    )
+
+
+def domain_col(host: str | Column) -> Column:
+    """The registered domain (eTLD+1 under :data:`MULTI_SUFFIXES`,
+    last-two-labels otherwise) of a normalized host column; IPv4
+    literals and single-label hosts (``localhost``) pass through
+    verbatim. JVM array ops over one split — no shuffle. ``F.get``
+    (0-based, NULL out of bounds) keeps the branches total under ANSI
+    mode."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.get(labels, n - 2), F.get(labels, n - 1)
+    )
+    last3 = F.concat_ws(".", F.get(labels, n - 3), last2)
+    suffixes = F.array(*[F.lit(s) for s in MULTI_SUFFIXES])
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(h.rlike(_IPV4_RE), h)
+        .when((n >= 3) & F.array_contains(suffixes, last2), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
+def url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+    host_out: str = "host",
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Annotate with normalized host + registered domain — two chained
+    projections, shuffle-free, linear at any scale."""
+    out = df.withColumn(host_out, host_col(url_col))
+    return out.withColumn(domain_out, domain_col(host_out))
+
+
+def host_sql(url_expr: str) -> str:
+    """DuckDB mirror of :func:`host_col`, generated from the SAME regex
+    constants (one source of truth — an inline copy would drift)."""
+    auth = f"regexp_extract({url_expr}, '{_HOST_AUTH_RE}', 1)"
+    bare = f"regexp_extract({url_expr}, '{_HOST_BARE_RE}', 1)"
+    raw = (
+        f"CASE WHEN regexp_matches({url_expr}, '{_AUTHORITY_RE}') "
+        f"THEN {auth} ELSE {bare} END"
+    )
+    host = f"regexp_replace(lower({raw}), '[.]+$', '')"
+    return (
+        f"CASE WHEN {host} = '' THEN NULL "
+        f"WHEN {host} LIKE '[%' THEN NULL ELSE {host} END"
+    )
+
+
+def domain_sql(host_expr: str) -> str:
+    """DuckDB mirror of :func:`domain_col` (list ops; DuckDB lists are
+    1-based and NULL out of bounds, matching ``F.get``)."""
+    labels = f"string_split({host_expr}, '.')"
+    suffixes = "[" + ", ".join(f"'{s}'" for s in MULTI_SUFFIXES) + "]"
+    last2 = f"({labels}[-2] || '.' || {labels}[-1])"
+    last3 = f"({labels}[-3] || '.' || {last2})"
+    return f"""
+        CASE WHEN {host_expr} IS NULL THEN NULL
+             WHEN regexp_matches({host_expr}, '{_IPV4_RE}') THEN {host_expr}
+             WHEN len({labels}) >= 3
+                  AND list_contains({suffixes}, {last2}) THEN {last3}
+             WHEN len({labels}) >= 2 THEN {last2}
+             ELSE {host_expr} END
+    """.strip()
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame | Iterable[str],
+    *,
+    url_col: str | None = None,
+    domain_col_name: str = "domain",
+    drop_unparseable: bool = False,
+) -> DataFrame:
+    """Drop every row whose registered domain is blocklisted — ONE
+    broadcast anti-join; the corpus side never shuffles. ``blocklist``
+    is a one-string-column DataFrame (the production path: read the
+    list as a table) or an iterable of domain strings (toy/tests).
+    With ``url_col`` the domain is derived on the fly (and dropped
+    again); otherwise ``domain_col_name`` must already exist. Rows
+    whose domain is NULL (unparseable URL) are KEPT by default — an
+    anti-join can't match NULL — because silently dropping them would
+    hide ingest bugs; ``drop_unparseable=True`` inverts that for
+    recipes that require a valid domain."""
+    derived = url_col is not None
+    if derived:
+        df = df.withColumn("__dom", domain_col(host_col(url_col)))
+        key = "__dom"
+    else:
+        key = domain_col_name
+    if not isinstance(blocklist, DataFrame):
+        spark = df.sparkSession
+        rows = [(d,) for d in blocklist]
+        bl = spark.createDataFrame(rows, f"{key} string")
+    else:
+        bl = blocklist.toDF(key)
+    out = df.join(F.broadcast(bl.select(key).distinct()), on=key,
+                  how="left_anti")
+    if drop_unparseable:
+        out = out.filter(F.col(key).isNotNull())
+    return out.drop("__dom") if derived else out
+
+
+def cap_per_domain(
+    df: DataFrame,
+    k: int,
+    *,
+    url_col: str | None = None,
+    domain_col_name: str = "domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``k`` documents per registered domain — the
+    over-representation cap every web recipe applies after
+    blocklisting. Deterministic (id-derived mix-bucket rank, the
+    :func:`~newsmaper_etl_spark.operators.sampling.sample_per_group`
+    order): one window shuffle on the domain. NULL-domain rows form
+    one group like any other (cap them or drop them upstream via
+    ``drop_unparseable``)."""
+    derived = url_col is not None
+    if derived:
+        df = df.withColumn("__dom", domain_col(host_col(url_col)))
+        key = "__dom"
+    else:
+        key = domain_col_name
+    out = sample_per_group(df, group_col=key, k=k, id_col=id_col)
+    return out.drop("__dom") if derived else out

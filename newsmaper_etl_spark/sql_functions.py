@@ -247,6 +247,26 @@ def _pipelines() -> dict:
 
         return shuffle_rank(spark.table(view), **kw)
 
+    def _url_parts(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.web import url_parts
+
+        return url_parts(spark.table(view), **kw)
+
+    def _domain_filter(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.web import (
+            domain_blocklist_filter,
+        )
+
+        bl_view = kw.pop("blocklist_view", None)
+        bl = spark.table(bl_view) if bl_view is not None \
+            else kw.pop("blocklist")
+        return domain_blocklist_filter(spark.table(view), bl, **kw)
+
+    def _domain_cap(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.web import cap_per_domain
+
+        return cap_per_domain(spark.table(view), kw.pop("k"), **kw)
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -267,6 +287,9 @@ def _pipelines() -> dict:
         "html_extract": _html,
         "budget_select": _budget,
         "shuffle_rank": _shuffle,
+        "url_parts": _url_parts,
+        "domain_blocklist_filter": _domain_filter,
+        "cap_per_domain": _domain_cap,
     }
 
 

@@ -619,6 +619,50 @@ def test_curate_recipes_paragraph_stage(spark):
         assert got[0]["text"] == "fresh batch page"
 
 
+def test_curate_recipes_url_stage(spark):
+    """url_col/url_blocklist wiring in both recipes: blocklisted
+    domains drop BEFORE any other stage (full recipe also supports the
+    per-domain cap); kept rows flow through the rest of the pipeline
+    unchanged."""
+    from newsmaper_etl_spark.operators.curate import (
+        curate_corpus,
+        curate_corpus_incremental,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog and then some"
+    docs = spark.createDataFrame(
+        [
+            (1, body + " one", "https://keep.example.com/1"),
+            (2, body + " two", "https://sub.spamsite.org/2"),
+            (3, body + " three", "https://keep.example.com/3"),
+            (4, body + " four", "https://keep.example.com/4"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    out = curate_corpus(
+        docs, near_dup=False, min_quality=0.0,
+        url_col="url", url_blocklist=["spamsite.org"],
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+    capped = curate_corpus(
+        docs, near_dup=False, min_quality=0.0,
+        url_col="url", url_blocklist=["spamsite.org"], domain_cap=2,
+    )
+    assert capped.count() == 2
+
+    batch = spark.createDataFrame(
+        [(10, body + " ten", "https://keep.example.com/10"),
+         (11, body + " eleven", "https://spamsite.org/11")],
+        "doc_id long, text string, url string",
+    )
+    got = curate_corpus_incremental(
+        batch, seen_docs=docs.filter("doc_id = 1"),
+        near_dup=False, min_quality=0.0,
+        url_col="url", url_blocklist=["spamsite.org"],
+    ).collect()
+    assert [r["doc_id"] for r in got] == [10]
+
+
 def test_budget_select_first_fit_and_boundary(spark):
     """First-fit in the deterministic mix order, inclusive running
     total, no partial docs, NULL spends 0, per-group budgets

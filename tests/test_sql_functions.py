@@ -285,3 +285,43 @@ def test_r12_pipelines_over_views(spark):
     # composed view-space SQL over a published pipeline view
     n = spark.sql("SELECT COUNT(*) AS c FROM r12_sr").collect()[0]["c"]
     assert n == 3
+
+
+def test_r13_web_pipelines_over_views(spark):
+    """The r13 URL/domain operators through the SQL-registration
+    surface: url_parts annotation, blocklist filter (inline list AND
+    blocklist view), per-domain cap."""
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/x"),
+         (2, "https://b.blocked.net/y"),
+         (3, "https://c.example.com/z"),
+         (4, "https://d.example.com/w"),
+         (5, "not a url at all://")],
+        "doc_id long, url string",
+    )
+    docs.createOrReplaceTempView("r13_urls")
+    parts = run_sql_pipeline(spark, "url_parts", "r13_urls", "r13_up")
+    got = {r["doc_id"]: r["domain"] for r in parts.collect()}
+    assert got[1] == "example.com" and got[2] == "blocked.net"
+
+    filt = run_sql_pipeline(
+        spark, "domain_blocklist_filter", "r13_urls", "r13_bl",
+        url_col="url", blocklist=["blocked.net"],
+    )
+    assert sorted(r["doc_id"] for r in filt.collect()) == [1, 3, 4, 5]
+
+    spark.createDataFrame(
+        [("blocked.net",)], "domain string"
+    ).createOrReplaceTempView("r13_blview")
+    filt2 = run_sql_pipeline(
+        spark, "domain_blocklist_filter", "r13_up", "r13_bl2",
+        blocklist_view="r13_blview",
+    )
+    assert sorted(r["doc_id"] for r in filt2.collect()) == [1, 3, 4, 5]
+
+    cap = run_sql_pipeline(
+        spark, "cap_per_domain", "r13_urls", "r13_cap",
+        k=2, url_col="url",
+    )
+    kept = [r["doc_id"] for r in cap.collect()]
+    assert len([d for d in kept if d in (1, 3, 4)]) == 2 and 2 in kept
