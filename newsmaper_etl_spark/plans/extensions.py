@@ -2539,3 +2539,86 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.cap_per_domain(parts, 3, domain_col_name="domain").select(
         "doc_id", "domain"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact greedy-BPE tokenization (operators/text.py, VERDICT r12 missing #2)
+# --------------------------------------------------------------------------
+
+#: planted vocab for q_bpe_tokenize: full corpus words AND their
+#: overlapping prefixes/suffixes, so segmentation is non-trivial —
+#: 'table' must win over 'tab'+'le' (longest match), words like
+#: 'merge'/'hash' are absent and fall to char-fallback, and subwords
+#: ('ing', 'ue', 'qu') recombine differently per word. Deterministic
+#: (sorted in bpe_vocab_pattern), shared verbatim with the oracle.
+_BPE_VOCAB = (
+    "a", "agg", "an", "at", "ba", "batch", "col", "customer", "e",
+    "er", "fa", "fast", "filt", "ing", "in", "jo", "key", "le", "li",
+    "line", "o", "or", "order", "part", "qu", "query", "row", "sc",
+    "scan", "slow", "so", "sort", "sp", "spark", "st", "stream", "t",
+    "tab", "table", "the", "ue", "um", "val", "value", "win", "window",
+)
+
+#: planted edge rows: overlapping-prefix chains, pure OOV, the empty
+#: string, NULL, and a no-spaces run (segmentation must not need
+#: separators).
+_BPE_ROWS: tuple[tuple[int, str | None], ...] = (
+    (9_400_001, "tables scanning queryy"),
+    (9_400_002, "zz qq xx"),
+    (9_400_003, ""),
+    (9_400_004, None),
+    (9_400_005, "tablestreamvalueing"),
+    (9_400_006, "the thequery therow atab"),
+)
+
+
+@query(
+    "q_bpe_tokenize",
+    oracle=f"""
+        WITH input AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            {' UNION ALL '.join(
+                f"SELECT CAST({i} AS BIGINT), {_sql_str(t)}"
+                for i, t in _BPE_ROWS)}
+        ),
+        seg AS (
+            SELECT doc_id,
+                   regexp_extract_all(
+                       text, {_sql_str(TX.bpe_vocab_pattern(_BPE_VOCAB))}, 1
+                   ) AS toks
+            FROM input
+        )
+        SELECT doc_id,
+               CASE WHEN toks IS NULL THEN NULL
+                    ELSE CAST(len(toks) AS BIGINT) END AS n_tok,
+               CASE WHEN toks IS NULL THEN NULL
+                    -- DuckDB array_to_string([]) is NULL where Spark
+                    -- array_join([]) is '' — pin the Spark semantics
+                    ELSE COALESCE(array_to_string(toks, ' '), '') END
+                   AS tok_seq
+        FROM seg
+    """,
+    tags=("TEXT", "CURATION"),
+)
+@plan_cached
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT greedy longest-match tokenization
+    (operators.text.bpe_tokenize, the honest token unit behind
+    budget_select/pack_sequences/chunk_documents): the whole corpus
+    plus planted edge rows segmented against the overlapping planted
+    vocab, with the FULL token sequence driver-hashed — a mis-ordered
+    alternation, a quoting slip, or an engine-semantics drift
+    (leftmost-first vs longest) flips the hash on the first document.
+    The oracle replays the IDENTICAL generated pattern (one source of
+    truth, the html_extract pass-table rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(list(_BPE_ROWS),
+                                  "doc_id long, text string")
+    out = TX.bpe_tokenize(docs.unionAll(extra), _BPE_VOCAB,
+                          tokens_out="__toks")
+    return out.select(
+        "doc_id", "n_tok",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.col("__toks"), " ")).alias("tok_seq"),
+    )

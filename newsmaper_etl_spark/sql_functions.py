@@ -247,6 +247,11 @@ def _pipelines() -> dict:
 
         return shuffle_rank(spark.table(view), **kw)
 
+    def _bpe(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.text import bpe_tokenize
+
+        return bpe_tokenize(spark.table(view), kw.pop("vocab"), **kw)
+
     def _url_parts(spark: SparkSession, view: str, **kw) -> DataFrame:
         from newsmaper_etl_spark.operators.web import url_parts
 
@@ -290,6 +295,7 @@ def _pipelines() -> dict:
         "url_parts": _url_parts,
         "domain_blocklist_filter": _domain_filter,
         "cap_per_domain": _domain_cap,
+        "bpe_tokenize": _bpe,
     }
 
 

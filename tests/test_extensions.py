@@ -3759,3 +3759,80 @@ def test_cap_per_domain(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+# --------------------------------------------------------------------------
+# Exact greedy-BPE tokenization (operators/text.py, r13)
+# --------------------------------------------------------------------------
+
+def test_bpe_tokenize_greedy_semantics(spark):
+    """Longest match wins at every position ('table', never
+    'tab'+'le'); OOV chars count one each; spaces are free; empty text
+    is zero tokens; NULL stays NULL; no-separator runs segment."""
+    from newsmaper_etl_spark.operators.text import bpe_tokenize
+
+    vocab = ["table", "tab", "le", "scan", "sc", "an", "the", "row",
+             "ing", "in", "t", "a", "e"]
+    rows = [(1, "table scan"), (2, "tables"), (3, "zz"), (4, ""),
+            (5, None), (6, "therow"), (7, "inging")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["toks"])
+           for r in bpe_tokenize(df, vocab, tokens_out="toks").collect()}
+    assert got[1] == (2, ["table", "scan"])
+    assert got[2] == (2, ["table", "s"])          # OOV 's' falls back
+    assert got[3] == (2, ["z", "z"])
+    assert got[4] == (0, [])
+    assert got[5] == (None, None)
+    assert got[6] == (2, ["the", "row"])
+    assert got[7] == (2, ["ing", "ing"])
+
+
+def test_bpe_tokenize_engine_parity(spark):
+    """The JVM regex path and the Arrow path (the production-size-vocab
+    escape hatch) segment identically — token lists included."""
+    from newsmaper_etl_spark.operators.text import bpe_tokenize
+
+    vocab = ["value", "val", "ue", "qu", "query", "a", "e", "t",
+             "stream", "st", "sort", "so"]
+    rows = [(i, t) for i, t in enumerate(
+        ["value query", "sorted streams", "valueue quq", "", None,
+         "stso  tt", "a" * 50]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rx = sorted(map(tuple,
+                    bpe_tokenize(df, vocab, tokens_out="tk").collect()))
+    ar = sorted(map(tuple, bpe_tokenize(
+        df, vocab, tokens_out="tk", engine="arrow").collect()))
+    assert rx == ar
+
+
+def test_bpe_tokenize_validation(spark):
+    """Empty vocab, whitespace-bearing tokens, and oversized regex-path
+    vocabs all raise with actionable messages."""
+    import pytest
+    from newsmaper_etl_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty vocab"):
+        TX.bpe_tokenize(df, [])
+    with pytest.raises(ValueError, match="whitespace"):
+        TX.bpe_tokenize(df, ["ok", "not ok"])
+    big = [f"tok{i}" for i in range(TX._BPE_REGEX_MAX_VOCAB + 1)]
+    with pytest.raises(ValueError, match="engine='arrow'"):
+        TX.bpe_tokenize(df, big)
+    # the arrow engine accepts the same oversized vocab
+    assert TX.bpe_tokenize(df, big, engine="arrow").count() == 1
+
+
+def test_bpe_tokenize_plan_is_shuffle_free(spark):
+    """The regex path is one generator-free projection — no Exchange,
+    no Python (BatchEvalPython/ArrowEvalPython) in the plan."""
+    from newsmaper_etl_spark.operators.text import bpe_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "table scan")], "doc_id long, text string"
+    )
+    plan = bpe_tokenize(df, ["table", "scan"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

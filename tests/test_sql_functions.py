@@ -325,3 +325,16 @@ def test_r13_web_pipelines_over_views(spark):
     )
     kept = [r["doc_id"] for r in cap.collect()]
     assert len([d for d in kept if d in (1, 3, 4)]) == 2 and 2 in kept
+
+
+def test_r13_bpe_pipeline_over_views(spark):
+    """bpe_tokenize through the SQL-registration surface."""
+    spark.createDataFrame(
+        [(1, "table scan"), (2, "zz")], "doc_id long, text string"
+    ).createOrReplaceTempView("r13_bpe_docs")
+    out = run_sql_pipeline(
+        spark, "bpe_tokenize", "r13_bpe_docs", "r13_bpe",
+        vocab=["table", "scan"],
+    )
+    got = {r["doc_id"]: r["n_tok"] for r in out.collect()}
+    assert got == {1: 2, 2: 2}
