@@ -787,21 +787,36 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     an oversight: partial (map-side) aggregation compacts the shuffle to
     one row per distinct (doc, term) per partition — a doc's rows live
     in one partition, so the network sees the HISTOGRAM, never the token
-    stream — and its exchange is reused by the dfreq aggregate. The
-    within-row-histogram variant (operators.text.term_counts) emits the
-    same rows but pays interpreted HOF sort+filter where Tungsten's
-    codegen hash-agg is faster, and has no exchange to reuse (measured
-    4.5 vs 3.5 s at sf1.0; r07 notes). Within-row only wins when
-    partial agg CANNOT compact — per-doc-distinct keys like
+    stream. The within-row-histogram variant
+    (operators.text.term_counts) emits the same rows but pays
+    interpreted HOF sort+filter where Tungsten's codegen hash-agg is
+    faster (measured 4.5 vs 3.5 s at sf1.0; r07 notes). Within-row only
+    wins when partial agg CANNOT compact — per-doc-distinct keys like
     repetition_stats' bigrams. test_tfidf_plan_partial_agg pins the
-    map-side partial aggregate this argument rests on."""
+    map-side partial aggregate this argument rests on.
+
+    tf is lazily localCheckpoint-ed (r13): it feeds TWO consumers (the
+    join's left side and the dfreq aggregate), and under AQE the two
+    canonically-identical exchanges do NOT get a ReusedExchange — each
+    consumer becomes its own query stage before reuse can apply, so the
+    scan + explode + TF aggregate ran TWICE (profiled: exchange
+    hashpartitioning(doc_id, w) appears twice in the executed plan;
+    the r10 ledger's "exchange is reused" claim was stale). One
+    materialization halves the query: 3.07 → 0.79 s at sf1.0 on the
+    same box (DuckDB 0.77 — ratio ~1.0×, from 3.3×). The persisted
+    frame is the per-doc term HISTOGRAM (the same multi-reference
+    contract as curate.py's span-stage checkpoint; corpus-scaled, so it
+    spills MEMORY_AND_DISK at real SF — the price of single
+    evaluation, cheaper than a second corpus scan at any scale)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
     )
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
