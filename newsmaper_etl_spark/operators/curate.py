@@ -41,6 +41,7 @@ def curate_corpus(
     url_col: str | None = None,
     url_blocklist: DataFrame | Iterable[str] | None = None,
     domain_cap: int | None = None,
+    url_dedup: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -72,13 +73,23 @@ def curate_corpus(
     the cheapest gate in the recipe (one projection + one broadcast
     anti-join + at most one window) and every row it drops skips every
     regex, hash and shuffle downstream; C4/RefinedWeb/FineWeb all
-    order it this way."""
-    if url_col is not None and (url_blocklist is not None or domain_cap):
+    order it this way. ``url_dedup=True`` (r13) additionally collapses
+    canonical-URL duplicates (keep-first; NULL-key rows all kept)
+    BEFORE content hashing — two fetches of one page with different
+    tracking params/scheme/param order never reach the exact-dedup
+    stage's text hash."""
+    if url_col is not None and (
+        url_blocklist is not None or domain_cap or url_dedup
+    ):
         from newsmaper_etl_spark.operators import web as W
 
         if url_blocklist is not None:
             docs = W.domain_blocklist_filter(
                 docs, url_blocklist, url_col=url_col
+            )
+        if url_dedup:
+            docs = W.url_dedup(docs, url_col, id_col=id_col).drop(
+                "url_canon"
             )
         if domain_cap:
             docs = W.cap_per_domain(

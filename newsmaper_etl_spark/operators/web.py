@@ -160,6 +160,120 @@ def domain_sql(host_expr: str) -> str:
     """.strip()
 
 
+#: path/query extractors for canonicalize_url (Java∩RE2): the path is
+#: what follows the authority (or the bare host) up to '?'/'#'; the
+#:  query sits between '?' and '#'/end.
+_PATH_RE = (
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^?#]*)"
+)
+_PATH_BARE_RE = r"^[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+#: tracking parameters stripped by canonicalize_url — the
+#: click/campaign identifiers that make byte-distinct URLs of the SAME
+#: page (the w3lib/url-normalize convention); utm_* is matched by
+#: prefix, the rest exactly.
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "igshid", "mc_cid", "mc_eid", "msclkid",
+    "ref", "ref_src", "yclid",
+)
+
+
+def canonical_url_col(url: str | Column) -> Column:
+    """The canonical DEDUP KEY of a URL column:
+    ``host[/path][?sorted-filtered-query]`` — scheme and userinfo and
+    port dropped (http/https/user@/:443 duplicates of one page collapse),
+    host lowercased with a leading ``www.`` and trailing dots removed,
+    trailing path slashes stripped (root → no path segment), fragment
+    dropped, query parameters with tracking keys removed
+    (:data:`TRACKING_PARAMS`; ``utm_*`` by prefix) and the survivors
+    SORTED so parameter order never splits a page. NULL for
+    unparseable/NULL input (the :func:`host_col` contract). This is a
+    dedup key, not a fetchable URL — the FIRST dedup pass of a crawl
+    pipeline (cheaper than any content hash: two pages are duplicates
+    before their bytes are ever compared). Pure JVM projection; the
+    DuckDB oracle replays the same regex/list pipeline via
+    :func:`canonical_url_sql`."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_replace(host_col(u), r"^www\.", "")
+    raw_path = F.when(
+        u.rlike(_AUTHORITY_RE), F.regexp_extract(u, _PATH_RE, 1)
+    ).otherwise(F.regexp_extract(u, _PATH_BARE_RE, 1))
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    q = F.regexp_extract(u, _QUERY_RE, 1)
+    parts = F.filter(
+        F.split(q, "&", -1),
+        lambda p: (p != "")
+        & ~F.element_at(F.split(p, "=", 2), 1).startswith("utm_")
+        & ~F.element_at(F.split(p, "=", 2), 1).isin(*TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(parts), "&")
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            host,
+            path,
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        )
+    )
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB mirror of :func:`canonical_url_col`, generated from the
+    SAME constants (one source of truth)."""
+    host = f"regexp_replace(({host_sql(url_expr)}), '^www\\.', '')"
+    raw_path = (
+        f"CASE WHEN regexp_matches({url_expr}, '{_AUTHORITY_RE}') "
+        f"THEN regexp_extract({url_expr}, '{_PATH_RE}', 1) "
+        f"ELSE regexp_extract({url_expr}, '{_PATH_BARE_RE}', 1) END"
+    )
+    path = f"regexp_replace({raw_path}, '/+$', '')"
+    tracked = "[" + ", ".join(f"'{t}'" for t in TRACKING_PARAMS) + "]"
+    parts = (
+        f"list_filter(string_split(regexp_extract({url_expr}, "
+        f"'{_QUERY_RE}', 1), '&'), p -> p <> '' "
+        f"AND NOT starts_with(string_split(p, '=')[1], 'utm_') "
+        f"AND NOT list_contains({tracked}, string_split(p, '=')[1]))"
+    )
+    qs = f"coalesce(array_to_string(list_sort({parts}), '&'), '')"
+    return f"""
+        CASE WHEN ({host}) IS NULL OR ({host}) = '' THEN NULL
+             ELSE ({host}) || ({path}) ||
+                  (CASE WHEN ({qs}) = '' THEN ''
+                        ELSE '?' || ({qs}) END)
+        END
+    """.strip()
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canon_out: str = "url_canon",
+    salt: int | None = None,
+) -> DataFrame:
+    """Keep-first dedup by CANONICAL URL — the crawl pipeline's first
+    dedup pass, before any content hash is computed (two fetches of one
+    page with different tracking params / scheme / param order collapse
+    here for the cost of a projection + one keep-first window). Rows
+    whose URL is unparseable (NULL canonical key) are ALL KEPT — a NULL
+    key must not collapse every bad URL into one survivor. Returns the
+    surviving rows with the canonical key appended; ``salt=`` is the
+    skew-hardened two-phase ranking (hot canonical keys — a crawler
+    stuck on one URL — serialize a window partition otherwise; the
+    :func:`~newsmaper_etl_spark.operators.newsmaper.dedup_keep_first`
+    contract)."""
+    from newsmaper_etl_spark.operators.newsmaper import dedup_keep_first
+
+    with_key = df.withColumn(canon_out, canonical_url_col(url_col))
+    dup_side = dedup_keep_first(
+        with_key.filter(F.col(canon_out).isNotNull()),
+        (canon_out,), order_col=id_col, salt=salt,
+    )
+    return dup_side.unionByName(
+        with_key.filter(F.col(canon_out).isNull())
+    )
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame | Iterable[str],

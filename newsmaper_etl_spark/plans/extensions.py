@@ -2622,3 +2622,94 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("text").isNull(), F.lit(None).cast("string"))
         .otherwise(F.array_join(F.col("__toks"), " ")).alias("tok_seq"),
     )
+
+
+#: planted URL-canonicalization rows: tracking params (exact + utm_*
+#: prefix), parameter ORDER, fragments, scheme/userinfo/port variants
+#: of one page, www prefix, trailing slashes, schemeless, bare
+#: tracking key without '=', empty and NULL. Rows 9_500_001-4 are four
+#: spellings of ONE page (same canonical key) so q_url_dedup does real
+#: collapsing work at every SF.
+_CANON_ROWS: tuple[tuple[int, str | None], ...] = (
+    (9_500_001, "https://www.example.com/a/b/?utm_source=x&id=2&b=1#frag"),
+    (9_500_002, "http://example.com/a/b?b=1&id=2&fbclid=zzz"),
+    (9_500_003, "https://user:pw@example.com:443/a/b/?id=2&b=1"),
+    (9_500_004, "example.com/a/b?b=1&id=2&utm_campaign=y&ref=tw"),
+    (9_500_005, "https://example.com/a/b/c"),
+    (9_500_006, "https://other.net/?q=1"),
+    (9_500_007, "https://other.net/"),
+    (9_500_008, "https://other.net"),
+    (9_500_009, "https://t.co/x?fbclid"),
+    (9_500_010, ""),
+    (9_500_011, None),
+)
+
+
+@query(
+    "q_url_canonical",
+    oracle=f"""
+        WITH input AS ({_url_input_sql()}
+            UNION ALL
+            {' UNION ALL '.join(
+                f"SELECT CAST({i} AS BIGINT), {_sql_str(u)}"
+                for i, u in _CANON_ROWS)}
+        )
+        SELECT doc_id, {W.canonical_url_sql('url')} AS url_canon
+        FROM input
+    """,
+    tags=("WEB", "CURATION"),
+)
+@plan_cached
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators.web.canonical_url_col — the
+    crawl pipeline's pre-content dedup key): scheme/userinfo/port
+    dropped, www and trailing dots/slashes normalized, fragment cut,
+    tracking params removed, surviving query params SORTED. Every
+    canonical string over the synthesized corpus URLs plus the planted
+    variant rows is driver-hashed — a param-order leak, an unstripped
+    tracker, or a scheme remnant flips the hash. The oracle replays
+    the same regex/list pipeline generated from the same constants."""
+    urls = _url_synth_df(spark, sf_dir).unionAll(
+        spark.createDataFrame(list(_CANON_ROWS), "doc_id long, url string")
+    )
+    return urls.select(
+        "doc_id", W.canonical_url_col("url").alias("url_canon")
+    )
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+        WITH input AS ({_url_input_sql()}
+            UNION ALL
+            {' UNION ALL '.join(
+                f"SELECT CAST({i} AS BIGINT), {_sql_str(u)}"
+                for i, u in _CANON_ROWS)}
+        ),
+        keyed AS (
+            SELECT doc_id, {W.canonical_url_sql('url')} AS url_canon
+            FROM input
+        ),
+        ranked AS (
+            SELECT doc_id, url_canon,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY url_canon ORDER BY doc_id
+                   ) AS rn
+            FROM keyed WHERE url_canon IS NOT NULL
+        )
+        SELECT doc_id, url_canon FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, url_canon FROM keyed WHERE url_canon IS NULL
+    """,
+    tags=("WEB", "CURATION", "DEDUP"),
+)
+@plan_cached
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup by canonical URL (operators.web.url_dedup): the
+    four planted spellings of one page collapse to the lowest id;
+    NULL-key (unparseable) rows are ALL kept by contract. Survivor set
+    + canonical keys driver-hashed."""
+    urls = _url_synth_df(spark, sf_dir).unionAll(
+        spark.createDataFrame(list(_CANON_ROWS), "doc_id long, url string")
+    )
+    return W.url_dedup(urls, "url").select("doc_id", "url_canon")

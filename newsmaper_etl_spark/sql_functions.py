@@ -272,6 +272,11 @@ def _pipelines() -> dict:
 
         return cap_per_domain(spark.table(view), kw.pop("k"), **kw)
 
+    def _url_dedup(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.web import url_dedup
+
+        return url_dedup(spark.table(view), **kw)
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -295,6 +300,7 @@ def _pipelines() -> dict:
         "url_parts": _url_parts,
         "domain_blocklist_filter": _domain_filter,
         "cap_per_domain": _domain_cap,
+        "url_dedup": _url_dedup,
         "bpe_tokenize": _bpe,
     }
 

@@ -649,6 +649,20 @@ def test_curate_recipes_url_stage(spark):
         url_col="url", url_blocklist=["spamsite.org"], domain_cap=2,
     )
     assert capped.count() == 2
+    # url_dedup: docs 3 and 4 get the same canonical key as doc 1
+    spelled = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") == 3,
+               F.lit("http://www.keep.example.com/1?utm_source=x"))
+        .when(F.col("doc_id") == 4,
+              F.lit("https://keep.example.com/1/"))
+        .otherwise(F.col("url")),
+    )
+    uniq = curate_corpus(
+        spelled, near_dup=False, min_quality=0.0,
+        url_col="url", url_dedup=True,
+    )
+    assert sorted(r["doc_id"] for r in uniq.collect()) == [1, 2]
 
     batch = spark.createDataFrame(
         [(10, body + " ten", "https://keep.example.com/10"),

@@ -3836,3 +3836,50 @@ def test_bpe_tokenize_plan_is_shuffle_free(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_canonical_url_semantics(spark):
+    """One page, four spellings → one key: scheme/userinfo/port
+    dropped, www + trailing dots/slashes normalized, fragment cut,
+    tracking params (exact + utm_* prefix) removed, survivors sorted;
+    root with/without slash agrees; unparseable/empty/NULL → NULL."""
+    from newsmaper_etl_spark.operators.web import canonical_url_col
+
+    rows = [
+        (1, "https://www.example.com/a/b/?utm_source=x&id=2&b=1#f"),
+        (2, "http://example.com/a/b?b=1&id=2&fbclid=z"),
+        (3, "https://u:p@example.com:443/a/b/?id=2&b=1"),
+        (4, "example.com/a/b?b=1&id=2&ref=tw"),
+        (5, "https://other.net/"),
+        (6, "https://other.net"),
+        (7, "https://t.co/x?fbclid"),
+        (8, ""),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url_col("url").alias("c")).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == "example.com/a/b?b=1&id=2"
+    assert got[5] == got[6] == "other.net"
+    assert got[7] == "t.co/x"
+    assert got[8] is None and got[9] is None
+
+
+def test_url_dedup_keepfirst_nulls_and_salt(spark):
+    """Keep-first by canonical key (lowest id survives), NULL-key rows
+    ALL kept (never collapsed into one survivor), salt= parity."""
+    from newsmaper_etl_spark.operators.web import url_dedup
+
+    rows = [
+        (3, "https://www.page.io/x?utm_source=a"),
+        (1, "http://page.io/x/"),
+        (2, "https://page.io/x#frag"),
+        (10, ""),
+        (11, None),
+        (12, "https://unique.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert got == [1, 10, 11, 12]
+    salted = sorted(r["doc_id"] for r in url_dedup(df, salt=4).collect())
+    assert salted == got

@@ -338,3 +338,15 @@ def test_r13_bpe_pipeline_over_views(spark):
     )
     got = {r["doc_id"]: r["n_tok"] for r in out.collect()}
     assert got == {1: 2, 2: 2}
+
+
+def test_r13_url_dedup_pipeline_over_views(spark):
+    """url_dedup through the SQL-registration surface."""
+    spark.createDataFrame(
+        [(1, "https://www.p.io/x?utm_source=a"),
+         (2, "http://p.io/x/"),
+         (3, "https://q.io/y")],
+        "doc_id long, url string",
+    ).createOrReplaceTempView("r13_ud")
+    out = run_sql_pipeline(spark, "url_dedup", "r13_ud", "r13_ud_out")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
