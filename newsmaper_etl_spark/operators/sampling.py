@@ -380,3 +380,63 @@ def chunk_documents(
     return out.withColumn(
         "n_chunk_tokens", F.size(F.split("chunk_text", " ", -1)).cast("int")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    group_col: str,
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    epoch_out: str = "epoch",
+) -> DataFrame:
+    """Multi-EPOCH mixture materialization — the training-mix primitive
+    "see source g ``w_g`` times per pass" (the Llama-recipe upsampling
+    of high-quality sources; the complement of
+    :func:`temperature_sample`, which only subsamples): each row is
+    emitted ``floor(w)`` times plus one more for the deterministic
+    ``frac(w)`` share of rows (the id-derived :func:`mix_bucket`
+    membership — the stratified_sample rule), with an ``epoch`` index
+    0..k-1 on each copy so downstream shuffling/packing can
+    disambiguate copies. w < 1 degrades to pure subsampling; w = 0
+    drops the group; fractional thresholds are INTEGER bucket cutoffs
+    (round-then-floor, the temperature_sample rule) so both engines
+    derive identical copy counts.
+
+    Plan: a generator projection (per-row sequence explode) — NO
+    shuffle, no collect, linear in OUTPUT size; the weights table is a
+    literal CASE (bounded-cardinality groups, the keyword-map
+    contract). A row's copy count depends only on its own (id, group) —
+    re-shardable and incremental-safe like every sampler here."""
+    import math
+
+    _require_numeric_id(df, id_col, "epoch_upsample")
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"epoch_upsample: weight {w} for {g!r} < 0")
+    if default_weight < 0:
+        raise ValueError("epoch_upsample: default_weight < 0")
+
+    def parts(w: float) -> tuple[int, int]:
+        base = math.floor(w)
+        return base, min(10_000, math.floor(round((w - base) * 10_000, 4)))
+
+    base_expr: Column = F.lit(parts(default_weight)[0])
+    thr_expr: Column = F.lit(parts(default_weight)[1])
+    for g, w in sorted(weights.items()):
+        b, t = parts(w)
+        base_expr = F.when(F.col(group_col) == g, F.lit(b)).otherwise(
+            base_expr
+        )
+        thr_expr = F.when(F.col(group_col) == g, F.lit(t)).otherwise(
+            thr_expr
+        )
+    copies = base_expr + F.when(
+        mix_bucket(id_col) < thr_expr, F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    # zero-copy case to an empty array (explode drops the row)
+    seq = F.when(copies >= 1, F.sequence(F.lit(0), copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_out, F.explode(seq))

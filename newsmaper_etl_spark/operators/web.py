@@ -334,3 +334,82 @@ def cap_per_domain(
         key = domain_col_name
     out = sample_per_group(df, group_col=key, k=k, id_col=id_col)
     return out.drop("__dom") if derived else out
+
+
+def domain_stats(
+    df: DataFrame,
+    *,
+    url_col: str | None = None,
+    domain_col_name: str = "domain",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain aggregate statistics — the signal table
+    behind DOMAIN-level filtering (FineWeb/RefinedWeb gate whole
+    domains on aggregate behavior before any per-document signal:
+    a domain that is 99% boilerplate poisons every doc it hosts).
+    Returns (domain, n_docs[, sum_tokens]); NULL domains aggregate as
+    their own row (callers see how much of the corpus is unparseable).
+    ONE groupBy(domain) with map-side partial aggregation — the
+    domain-cardinality output frame is as small as the web itself is
+    concentrated (~10^7-10^8 registered domains at crawl scale, far
+    below doc count)."""
+    derived = url_col is not None
+    if derived:
+        df = df.withColumn("__dom", domain_col(host_col(url_col)))
+        key = "__dom"
+    else:
+        key = domain_col_name
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if tokens_col is not None:
+        aggs.append(
+            F.sum(F.col(tokens_col)).cast("long").alias("sum_tokens")
+        )
+    return df.groupBy(F.col(key).alias("domain")).agg(*aggs)
+
+
+def domain_gate(
+    df: DataFrame,
+    *,
+    url_col: str | None = None,
+    domain_col_name: str = "domain",
+    tokens_col: str | None = None,
+    min_docs: int | None = None,
+    max_docs: int | None = None,
+    min_sum_tokens: int | None = None,
+) -> DataFrame:
+    """Keep only documents whose DOMAIN passes aggregate thresholds —
+    the domain-level gate composed from :func:`domain_stats`:
+    ``min_docs`` drops one-off domains (typo-squats, dead mirrors),
+    ``max_docs`` drops mega-domains that would dominate the mix (the
+    blunt form of :func:`cap_per_domain` — cap keeps k, this drops the
+    domain entirely), ``min_sum_tokens`` drops domains with no real
+    content. Rows with a NULL domain are KEPT (the blocklist-filter
+    contract: unparseable URLs surface, they don't vanish). Plan: one
+    groupBy(domain) + one semi join back on the domain — both sides
+    keyed by the domain, AQE broadcasts the qualifying-domain frame
+    when small."""
+    if min_docs is None and max_docs is None and min_sum_tokens is None:
+        raise ValueError("domain_gate: pass at least one threshold")
+    if min_sum_tokens is not None and tokens_col is None:
+        raise ValueError("domain_gate: min_sum_tokens needs tokens_col")
+    derived = url_col is not None
+    if derived:
+        df = df.withColumn("__dom", domain_col(host_col(url_col)))
+        key = "__dom"
+    else:
+        key = domain_col_name
+    stats = domain_stats(
+        df, domain_col_name=key, tokens_col=tokens_col
+    ).filter(F.col("domain").isNotNull())
+    cond = F.lit(True)
+    if min_docs is not None:
+        cond = cond & (F.col("n_docs") >= min_docs)
+    if max_docs is not None:
+        cond = cond & (F.col("n_docs") <= max_docs)
+    if min_sum_tokens is not None:
+        cond = cond & (F.col("sum_tokens") >= min_sum_tokens)
+    good = stats.filter(cond).select(F.col("domain").alias(key))
+    out = df.join(good, on=key, how="left_semi").unionByName(
+        df.filter(F.col(key).isNull())
+    )
+    return out.drop("__dom") if derived else out

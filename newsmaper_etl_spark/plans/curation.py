@@ -835,3 +835,63 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+#: q_epoch_upsample's planted mix: src0 upsampled 2.5x (2 copies + a
+#: deterministic half), src1 halved, src2 dropped, everything else 1x.
+_EPOCH_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+
+
+def _epoch_parts_sql() -> tuple[str, str]:
+    """Render the (floor, fractional-bucket-cutoff) CASE pair from the
+    SAME round-then-floor arithmetic the operator uses (one source of
+    truth — the temperature_sample integer-cutoff rule)."""
+    import math
+
+    def parts(w: float) -> tuple[int, int]:
+        base = math.floor(w)
+        return base, min(10_000, math.floor(round((w - base) * 10_000, 4)))
+
+    db, dt = parts(1.0)
+    base = "CASE source " + " ".join(
+        f"WHEN '{g}' THEN {parts(w)[0]}"
+        for g, w in sorted(_EPOCH_WEIGHTS.items())
+    ) + f" ELSE {db} END"
+    thr = "CASE source " + " ".join(
+        f"WHEN '{g}' THEN {parts(w)[1]}"
+        for g, w in sorted(_EPOCH_WEIGHTS.items())
+    ) + f" ELSE {dt} END"
+    return base, thr
+
+
+_EPOCH_BASE_SQL, _EPOCH_THR_SQL = _epoch_parts_sql()
+
+
+@query(
+    "q_epoch_upsample",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   ({_EPOCH_BASE_SQL})
+                   + (CASE WHEN {SP.mix_bucket_sql('doc_id')}
+                           < ({_EPOCH_THR_SQL}) THEN 1 ELSE 0 END) AS n
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+        FROM w WHERE n >= 1
+    """,
+    tags=("CURATION",),
+)
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture materialization (operators.sampling.
+    epoch_upsample — the Llama-recipe 'see source g w_g times'
+    upsampling): src0 at 2.5x (two full copies + a deterministic
+    id-bucket half), src1 halved, src2 dropped, the rest 1x. Every
+    emitted (doc, epoch) copy is driver-hashed, so a copy-count drift,
+    a cutoff rounding slip, or a descending-sequence leak on the
+    zero-copy branch flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SP.epoch_upsample(docs, _EPOCH_WEIGHTS, "source").select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )

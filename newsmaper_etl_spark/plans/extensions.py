@@ -2713,3 +2713,91 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(list(_CANON_ROWS), "doc_id long, url string")
     )
     return W.url_dedup(urls, "url").select("doc_id", "url_canon")
+
+
+_DOMAIN_TOK_INPUT_SQL = f"""
+    WITH urls AS ({_URL_SYNTH_SQL}),
+    joined AS (
+        SELECT d.doc_id, u.url,
+               len(string_split(d.text, ' ')) AS n_tok
+        FROM documents d JOIN urls u USING (doc_id)
+        UNION ALL
+        SELECT CAST(9999999 AS BIGINT), '', 7
+    ),
+    doms AS (
+        SELECT doc_id, n_tok,
+               {{domain_expr}} AS domain
+        FROM joined
+    )
+""".replace("{domain_expr}", W.domain_sql(f"({W.host_sql('url')})"))
+
+
+def _domain_tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, n_tok, domain): the shared fixture of the
+    domain-stats/gate queries — synthesized corpus URLs joined with the
+    documents' token counts, plus one unparseable-URL row (NULL domain
+    coverage)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tok")
+    )
+    urls = _url_synth_df(spark, sf_dir).filter(
+        F.col("doc_id") < 9_000_000
+    )
+    base = urls.join(docs, on="doc_id").unionAll(
+        spark.createDataFrame(
+            [(9_999_999, "", 7)], "doc_id long, url string, n_tok int"
+        )
+    )
+    return base.withColumn(
+        "domain", W.domain_col(W.host_col("url"))
+    )
+
+
+@query(
+    "q_domain_stats",
+    oracle=f"""
+        {_DOMAIN_TOK_INPUT_SQL}
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        FROM doms GROUP BY domain
+    """,
+    tags=("WEB", "CURATION"),
+)
+@plan_cached
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain aggregate statistics (operators.web.
+    domain_stats — the signal table behind FineWeb-style DOMAIN-level
+    filtering): doc count + token sum per domain over the synthesized
+    ~100-domain corpus, NULL-domain row included as its own group.
+    Every (domain, n_docs, sum_tokens) row is driver-hashed."""
+    base = _domain_tok_df(spark, sf_dir)
+    return W.domain_stats(base, tokens_col="n_tok").select(
+        "domain", "n_docs", "sum_tokens"
+    )
+
+
+@query(
+    "q_domain_gate",
+    oracle=f"""
+        {_DOMAIN_TOK_INPUT_SQL},
+        stats AS (
+            SELECT domain, COUNT(*) AS n_docs
+            FROM doms WHERE domain IS NOT NULL GROUP BY domain
+        ),
+        good AS (SELECT domain FROM stats WHERE n_docs >= 5)
+        SELECT d.doc_id, d.domain
+        FROM doms d
+        WHERE d.domain IS NULL
+           OR d.domain IN (SELECT domain FROM good)
+    """,
+    tags=("WEB", "CURATION"),
+)
+@plan_cached
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level gate (operators.web.domain_gate): documents whose
+    registered domain hosts ≥ 5 docs survive; long-tail domains drop
+    wholesale; the NULL-domain row is kept by contract. One
+    groupBy(domain) + one semi join back; survivors driver-hashed."""
+    base = _domain_tok_df(spark, sf_dir)
+    return W.domain_gate(base, min_docs=5).select("doc_id", "domain")

@@ -277,6 +277,23 @@ def _pipelines() -> dict:
 
         return url_dedup(spark.table(view), **kw)
 
+    def _domain_stats(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.web import domain_stats
+
+        return domain_stats(spark.table(view), **kw)
+
+    def _domain_gate(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.web import domain_gate
+
+        return domain_gate(spark.table(view), **kw)
+
+    def _epoch(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.sampling import epoch_upsample
+
+        return epoch_upsample(
+            spark.table(view), kw.pop("weights"), kw.pop("group_col"), **kw
+        )
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -301,6 +318,9 @@ def _pipelines() -> dict:
         "domain_blocklist_filter": _domain_filter,
         "cap_per_domain": _domain_cap,
         "url_dedup": _url_dedup,
+        "domain_stats": _domain_stats,
+        "domain_gate": _domain_gate,
+        "epoch_upsample": _epoch,
         "bpe_tokenize": _bpe,
     }
 

@@ -740,3 +740,50 @@ def test_shuffle_rank_is_a_permutation_without_global_window(spark):
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_epoch_upsample_semantics(spark):
+    """floor(w) copies per row + deterministic frac(w) extra via the id
+    bucket; epoch indexes 0..k-1; w=0 drops the group; w<1 is pure
+    subsampling; unknown groups take default_weight; reproducible."""
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "zz"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = SP.epoch_upsample(
+        df, {"a": 2.5, "b": 0.0}, "source", default_weight=0.5
+    )
+    got = [(r["doc_id"], r["source"], r["epoch"]) for r in out.collect()]
+    assert got == [(r["doc_id"], r["source"], r["epoch"])
+                   for r in out.collect()]  # deterministic
+    by_src = {}
+    for d, s, e in got:
+        by_src.setdefault(s, []).append((d, e))
+    assert "b" not in by_src                      # w=0 drops
+    n_a_docs = sum(1 for i in range(3000) if i % 3 == 0)
+    n_a = len(by_src["a"])
+    # 2.5x: every a-doc twice, ~half a third time
+    assert 2 * n_a_docs < n_a < 3 * n_a_docs
+    assert abs(n_a / n_a_docs - 2.5) < 0.15
+    per_doc = {}
+    for d, e in by_src["a"]:
+        per_doc.setdefault(d, []).append(e)
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert all(len(v) in (2, 3) for v in per_doc.values())
+    # default_weight 0.5 subsamples the zz group, epochs all 0
+    n_z_docs = sum(1 for i in range(3000) if i % 3 == 2)
+    zz = by_src["zz"]
+    assert 0 < len(zz) < n_z_docs
+    assert all(e == 0 for _, e in zz)
+
+
+def test_epoch_upsample_plan_and_validation(spark):
+    """Generator projection — no Exchange, no collect-driven stages;
+    negative weights raise."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    out = SP.epoch_upsample(df, {"a": 2.0}, "source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="< 0"):
+        SP.epoch_upsample(df, {"a": -1.0}, "source")

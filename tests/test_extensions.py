@@ -3883,3 +3883,35 @@ def test_url_dedup_keepfirst_nulls_and_salt(spark):
     assert got == [1, 10, 11, 12]
     salted = sorted(r["doc_id"] for r in url_dedup(df, salt=4).collect())
     assert salted == got
+
+
+def test_domain_stats_and_gate(spark):
+    """Per-domain aggregates (NULL domain its own row) and the
+    aggregate gate: min_docs drops long-tail domains wholesale,
+    max_docs drops mega-domains, NULL-domain rows always survive,
+    thresholds validate."""
+    import pytest
+    from newsmaper_etl_spark.operators.web import domain_gate, domain_stats
+
+    rows = (
+        [(i, f"https://big.com/{i}", 10) for i in range(6)]
+        + [(10, "https://tiny.org/x", 5)]
+        + [(11, "", 7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_tok int")
+    stats = {r["domain"]: (r["n_docs"], r["sum_tokens"])
+             for r in domain_stats(df, url_col="url",
+                                   tokens_col="n_tok").collect()}
+    assert stats["big.com"] == (6, 60)
+    assert stats["tiny.org"] == (1, 5)
+    assert stats[None] == (1, 7)
+    kept = sorted(r["doc_id"] for r in domain_gate(
+        df, url_col="url", min_docs=2).collect())
+    assert kept == [0, 1, 2, 3, 4, 5, 11]        # tiny.org drops, NULL kept
+    kept2 = sorted(r["doc_id"] for r in domain_gate(
+        df, url_col="url", max_docs=5).collect())
+    assert kept2 == [10, 11]                     # big.com drops wholesale
+    with pytest.raises(ValueError, match="at least one threshold"):
+        domain_gate(df, url_col="url")
+    with pytest.raises(ValueError, match="needs tokens_col"):
+        domain_gate(df, url_col="url", min_sum_tokens=1)

@@ -350,3 +350,27 @@ def test_r13_url_dedup_pipeline_over_views(spark):
     ).createOrReplaceTempView("r13_ud")
     out = run_sql_pipeline(spark, "url_dedup", "r13_ud", "r13_ud_out")
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_r13_domain_and_epoch_pipelines_over_views(spark):
+    """domain_stats / domain_gate / epoch_upsample through the SQL
+    surface."""
+    spark.createDataFrame(
+        [(i, "https://big.com/" + str(i)) for i in range(3)]
+        + [(9, "https://tiny.org/x")],
+        "doc_id long, url string",
+    ).createOrReplaceTempView("r13_dom")
+    st = run_sql_pipeline(spark, "domain_stats", "r13_dom", "r13_ds",
+                          url_col="url")
+    assert {r["domain"]: r["n_docs"] for r in st.collect()} == {
+        "big.com": 3, "tiny.org": 1}
+    gt = run_sql_pipeline(spark, "domain_gate", "r13_dom", "r13_dg",
+                          url_col="url", min_docs=2)
+    assert sorted(r["doc_id"] for r in gt.collect()) == [0, 1, 2]
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    ).createOrReplaceTempView("r13_ep")
+    ep = run_sql_pipeline(spark, "epoch_upsample", "r13_ep", "r13_ep_out",
+                          weights={"a": 2.0, "b": 0.0}, group_col="source")
+    assert sorted((r["doc_id"], r["epoch"]) for r in ep.collect()) == [
+        (1, 0), (1, 1)]
