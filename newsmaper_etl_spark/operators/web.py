@@ -261,7 +261,16 @@ def url_dedup(
     skew-hardened two-phase ranking (hot canonical keys — a crawler
     stuck on one URL — serialize a window partition otherwise; the
     :func:`~newsmaper_etl_spark.operators.newsmaper.dedup_keep_first`
-    contract)."""
+    contract).
+
+    Streaming/incremental form: a COMPOSITION, not new machinery —
+    derive the canonical key before the sink and pass it as
+    ``write_stream_manifest(dedup_keys=("url_canon",))``; the persisted
+    ``_keys`` index then makes each canonical URL at-most-once across
+    the table's whole history. Salt NULL keys with the row id
+    (``coalesce(canon, '__unparseable__' || id)``) so unparseable URLs
+    keep the all-kept contract
+    (test_stream_manifest_canonical_url_dedup_composition)."""
     from newsmaper_etl_spark.operators.newsmaper import dedup_keep_first
 
     with_key = df.withColumn(canon_out, canonical_url_col(url_col))

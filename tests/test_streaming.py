@@ -1762,3 +1762,58 @@ def test_stream_manifest_para_dedup_on_ingest(spark, tmp_path):
     # separator drift refused
     with _pytest.raises(ValueError, match="separator"):
         K.check_paras_stamp(table, sep="\n")
+
+
+def test_stream_manifest_canonical_url_dedup_composition(spark, tmp_path):
+    """Streaming canonical-URL dedup is a COMPOSITION, not new
+    machinery: derive the canonical key before the sink and pass it as
+    dedup_keys — the persisted _keys index then makes the canonical
+    URL at-most-once across the table's whole history. NULL canonical
+    keys (unparseable URLs) are salted with the row id so they never
+    collapse into one survivor (the url_dedup NULL contract, applied
+    caller-side)."""
+    from pyspark.sql import functions as F
+
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.operators.web import canonical_url_col
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    src = tmp_path / "ustream_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(
+            '{"id": 1, "url": "https://www.page.io/x?utm_source=a"}\n'
+            '{"id": 2, "url": "http://page.io/x/"}\n'   # same page: drops
+            '{"id": 3, "url": ""}\n'                    # unparseable: kept
+            '{"id": 4, "url": ""}\n'                    # ... both of them
+        )
+    table = str(tmp_path / "utable")
+
+    def run(ck):
+        stream = spark.readStream.schema("id INT, url STRING").json(str(src))
+        keyed = stream.withColumn(
+            "url_canon",
+            F.coalesce(
+                canonical_url_col("url"),
+                F.concat(F.lit("__unparseable__"), F.col("id").cast("string")),
+            ),
+        )
+        write_stream_manifest(
+            keyed, table, ck, app_id=f"uq:{ck}",
+            dedup_keys=("url_canon",), dedup_order_col="id",
+        ).awaitTermination()
+
+    run(str(tmp_path / "uckpt"))
+    rows = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert rows == {1, 3, 4}
+
+    # a later re-crawl of the SAME page under yet another spelling and a
+    # fresh id never re-enters; a genuinely new page lands
+    with open(src / "b.json", "w") as f:
+        f.write(
+            '{"id": 10, "url": "https://page.io/x#frag"}\n'
+            '{"id": 11, "url": "https://new.org/y"}\n'
+        )
+    run(str(tmp_path / "uckpt2"))
+    rows = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert rows == {1, 3, 4, 11}
