@@ -274,13 +274,24 @@ def url_dedup(
     from newsmaper_etl_spark.operators.newsmaper import dedup_keep_first
 
     with_key = df.withColumn(canon_out, canonical_url_col(url_col))
-    dup_side = dedup_keep_first(
-        with_key.filter(F.col(canon_out).isNotNull()),
-        (canon_out,), order_col=id_col, salt=salt,
+    # ONE pass, ONE window: NULL keys are id-salted into singleton
+    # groups instead of filtered into a separate union branch — the
+    # two-branch shape consumes the input twice and under AQE each
+    # consumer re-evaluates the upstream plan (the q_tfidf_topterms
+    # ReusedExchange rule; measured 1.33 -> 0.98 s on the r13 bench
+    # fixture). '\x00' cannot appear in a canonical key (host/path
+    # characters), so the salted groups can never collide with a real
+    # key.
+    keyed = with_key.withColumn(
+        "__uk",
+        F.coalesce(
+            F.col(canon_out),
+            F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+        ),
     )
-    return dup_side.unionByName(
-        with_key.filter(F.col(canon_out).isNull())
-    )
+    return dedup_keep_first(
+        keyed, ("__uk",), order_col=id_col, salt=salt
+    ).drop("__uk")
 
 
 def domain_blocklist_filter(
@@ -393,10 +404,18 @@ def domain_gate(
     blunt form of :func:`cap_per_domain` — cap keeps k, this drops the
     domain entirely), ``min_sum_tokens`` drops domains with no real
     content. Rows with a NULL domain are KEPT (the blocklist-filter
-    contract: unparseable URLs surface, they don't vanish). Plan: one
-    groupBy(domain) + one semi join back on the domain — both sides
-    keyed by the domain, AQE broadcasts the qualifying-domain frame
-    when small."""
+    contract: unparseable URLs surface, they don't vanish). Plan: the
+    input is consumed exactly TWICE — once by the stats aggregate, once
+    as the probe side of ONE left join against the qualifying-domain
+    frame (domain-cardinality, AQE broadcasts it when small) whose
+    marker column carries both the keep decision and the NULL-keep
+    branch. NOT a semi join + a NULL-filter union: that shape consumes
+    the input three times, and under AQE each consumer re-evaluates the
+    whole upstream plan (the q_tfidf_topterms ReusedExchange lesson —
+    measured on the r13 bench fixture, whose input is a join). Callers
+    whose input is itself expensive should still materialize it (lazy
+    localCheckpoint) before gating — two evaluations are inherent to
+    aggregate-then-filter."""
     if min_docs is None and max_docs is None and min_sum_tokens is None:
         raise ValueError("domain_gate: pass at least one threshold")
     if min_sum_tokens is not None and tokens_col is None:
@@ -417,8 +436,12 @@ def domain_gate(
         cond = cond & (F.col("n_docs") <= max_docs)
     if min_sum_tokens is not None:
         cond = cond & (F.col("sum_tokens") >= min_sum_tokens)
-    good = stats.filter(cond).select(F.col("domain").alias(key))
-    out = df.join(good, on=key, how="left_semi").unionByName(
-        df.filter(F.col(key).isNull())
+    good = stats.filter(cond).select(
+        F.col("domain").alias(key), F.lit(1).alias("__keep")
+    )
+    out = (
+        df.join(good, on=key, how="left")
+        .filter(F.col(key).isNull() | F.col("__keep").isNotNull())
+        .drop("__keep")
     )
     return out.drop("__dom") if derived else out

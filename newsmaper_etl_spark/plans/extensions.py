@@ -2748,9 +2748,14 @@ def _domain_tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(9_999_999, "", 7)], "doc_id long, url string, n_tok int"
         )
     )
+    # lazy checkpoint: domain_gate consumes its input twice (stats +
+    # probe side), and under AQE each consumer re-evaluates this
+    # urls×documents join (the q_tfidf_topterms ReusedExchange rule);
+    # the frame is 4 narrow columns — compact, the persist-side of the
+    # persist-vs-recompute trade
     return base.withColumn(
         "domain", W.domain_col(W.host_col("url"))
-    )
+    ).localCheckpoint(eager=False)
 
 
 @query(
