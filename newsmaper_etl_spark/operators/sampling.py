@@ -440,3 +440,51 @@ def epoch_upsample(
         F.array().cast("array<int>")
     )
     return df.withColumn(epoch_out, F.explode(seq))
+
+
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float = 0.5,
+    lower_is_better: bool = False,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of each group BY SCORE QUANTILE —
+    the adaptive-threshold quality gate (CCNet buckets documents by
+    reference-LM perplexity PER LANGUAGE precisely because one global
+    cutoff over-prunes low-resource groups; same for per-source quality
+    gates): a row survives when its percent_rank within the group
+    reaches 1 − keep_frac. By default HIGHER scores are better; pass
+    ``lower_is_better=True`` for loss-like scores (perplexity).
+
+    Cross-engine determinism: the boundary test is pure INTEGER
+    arithmetic — with r = rank() (ties share a rank; a boundary tie
+    group survives or falls TOGETHER) and n the group size, keep ⟺
+    (r − 1) · 10⁴ ≥ thr · (n − 1) where thr = the integer
+    ten-thousandths of (1 − keep_frac) (round-then-floor, the
+    temperature_sample rule) — no float division ever happens, so the
+    oracle's RANK()/COUNT() comparison is identical bit-for-bit.
+    Singleton groups (n = 1) always survive (percent_rank 0 ≥ thr·0).
+
+    One window shuffle on the group key (the sample_per_group profile;
+    group skew → the dedup_keep_first salt discussion). A GLOBAL gate
+    (group_col spanning the corpus) is the single-partition-window
+    trap — use a constant group only at toy scale, or rank globally
+    via :func:`shuffle_rank`'s two-level machinery."""
+    import math
+
+    if not 0 < keep_frac <= 1:
+        raise ValueError(f"quantile_gate: keep_frac={keep_frac}")
+    thr = math.floor(round((1 - keep_frac) * 10_000, 4))
+    order = (F.desc(score_col) if lower_is_better
+             else F.asc(score_col))
+    w = Window.partitionBy(group_col).orderBy(order)
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__r", F.rank().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(
+            (F.col("__r") - 1) * 10_000 >= F.lit(thr) * (F.col("__n") - 1)
+        )
+        .drop("__r", "__n")
+    )

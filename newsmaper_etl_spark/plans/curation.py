@@ -895,3 +895,43 @@ def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.epoch_upsample(docs, _EPOCH_WEIGHTS, "source").select(
         "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
     )
+
+
+@query(
+    "q_quantile_gate",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_tok,
+                   RANK() OVER (PARTITION BY source ORDER BY n_tok ASC)
+                       AS r,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM scored
+        )
+        SELECT doc_id, source, n_tok
+        FROM ranked
+        WHERE (r - 1) * 10000 >= 7000 * (n - 1)
+    """,
+    tags=("CURATION",),
+)
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile quality gate (operators.sampling.
+    quantile_gate — the CCNet adaptive-threshold rule: keep the top
+    30% BY SCORE WITHIN each source, so low-resource groups are never
+    over-pruned by a global cutoff): token count as the score, ties
+    abundant by construction (integer token counts over a small range)
+    so the rank()-tie boundary semantics are exercised at every SF.
+    The boundary test is pure integer arithmetic in BOTH engines —
+    (rank−1)·10⁴ ≥ 7000·(n−1) — and every surviving (doc, source,
+    score) row is driver-hashed."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tok"),
+    )
+    return SP.quantile_gate(docs, "n_tok", "source", keep_frac=0.3).select(
+        "doc_id", "source", "n_tok"
+    )

@@ -287,6 +287,14 @@ def _pipelines() -> dict:
 
         return domain_gate(spark.table(view), **kw)
 
+    def _qgate(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.sampling import quantile_gate
+
+        return quantile_gate(
+            spark.table(view), kw.pop("score_col"), kw.pop("group_col"),
+            **kw,
+        )
+
     def _epoch(spark: SparkSession, view: str, **kw) -> DataFrame:
         from newsmaper_etl_spark.operators.sampling import epoch_upsample
 
@@ -321,6 +329,7 @@ def _pipelines() -> dict:
         "domain_stats": _domain_stats,
         "domain_gate": _domain_gate,
         "epoch_upsample": _epoch,
+        "quantile_gate": _qgate,
         "bpe_tokenize": _bpe,
     }
 

@@ -787,3 +787,32 @@ def test_epoch_upsample_plan_and_validation(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="< 0"):
         SP.epoch_upsample(df, {"a": -1.0}, "source")
+
+
+def test_quantile_gate_semantics(spark):
+    """Top keep_frac by in-group quantile: boundary tie groups survive
+    or fall together; singleton groups always survive;
+    lower_is_better flips the direction; keep_frac validates."""
+    import pytest
+
+    rows = (
+        [(i, "a", s) for i, s in enumerate([1, 2, 2, 3, 4, 5, 5, 5, 9, 10])]
+        + [(100, "solo", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, s long")
+    # keep_frac=0.3, n=10: keep (r-1)*1e4 >= 7000*9 = 63000 -> r >= 7.3
+    # ascending ranks: [1,2,2,4,5,6,6,6,9,10] -> keep r in {9,10}
+    kept = sorted(r["doc_id"] for r in SP.quantile_gate(
+        df, "s", "g", keep_frac=0.3).collect())
+    assert kept == [8, 9, 100]          # scores 9,10 + the singleton
+    # tie group at the boundary falls together: keep_frac=0.5 ->
+    # thr 5000*9=45000 -> r>=5.5 -> ranks 6,6,6,9,10 (the 5s survive)
+    kept2 = sorted(r["doc_id"] for r in SP.quantile_gate(
+        df, "s", "g", keep_frac=0.5).collect())
+    assert kept2 == [5, 6, 7, 8, 9, 100]
+    # lower_is_better: perplexity-like -> keeps the LOWEST scores
+    kept3 = sorted(r["doc_id"] for r in SP.quantile_gate(
+        df, "s", "g", keep_frac=0.3, lower_is_better=True).collect())
+    assert kept3 == [0, 1, 2, 100]      # scores 1,2,2 (tie survives)
+    with pytest.raises(ValueError, match="keep_frac"):
+        SP.quantile_gate(df, "s", "g", keep_frac=0.0)

@@ -374,3 +374,12 @@ def test_r13_domain_and_epoch_pipelines_over_views(spark):
                           weights={"a": 2.0, "b": 0.0}, group_col="source")
     assert sorted((r["doc_id"], r["epoch"]) for r in ep.collect()) == [
         (1, 0), (1, 1)]
+
+
+def test_r13_quantile_gate_pipeline_over_views(spark):
+    spark.createDataFrame(
+        [(i, "g", i) for i in range(10)], "doc_id long, src string, s long"
+    ).createOrReplaceTempView("r13_qg")
+    out = run_sql_pipeline(spark, "quantile_gate", "r13_qg", "r13_qg_out",
+                           score_col="s", group_col="src", keep_frac=0.2)
+    assert sorted(r["doc_id"] for r in out.collect()) == [8, 9]
