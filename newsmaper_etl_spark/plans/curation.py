@@ -811,12 +811,18 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
+    from newsmaper_etl_spark.io import is_toy
+
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
     )
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    if not is_toy(sf_dir):
+        # toy-switch (SCALE.md rule): the checkpoint's fixed
+        # materialization cost (~0.2 s) exceeds the double evaluation
+        # it prevents on a 5k-doc cached-table corpus; at sf1.0 it
+        # saved 2.3 s — flip at the toy boundary, identical output
+        tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
