@@ -168,6 +168,31 @@ def main() -> None:
             ),
             n_docs,
         )
+
+        # canonical-URL dedup (r13): one projection + one keep-first
+        # window — no pair join, so the curve's job is wall time plus
+        # the survivor count staying exactly half (every synthetic page
+        # is spelled twice: with and without www/tracking params —
+        # deterministic dedup work at every SF, count/doc flat 0.5).
+        def _url_dedup():
+            from newsmaper_etl_spark.operators import web as W
+
+            d = F.col("doc_id")
+            page = (d / 2).cast("long")
+            urls = docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://"),
+                    F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+                    F.lit("s"), F.pmod(page, F.lit(977)).cast("string"),
+                    F.lit(".example.com/p/"), page.cast("string"),
+                    F.when(d % 2 == 0, F.lit("?utm_source=curve"))
+                    .otherwise(F.lit("")),
+                ).alias("url"),
+            )
+            return W.url_dedup(urls, "url")
+
+        timed("url_dedup_survivors", _url_dedup, n_docs)
         out["sfs"][sf] = rec
         print(f"sf{sf}: {json.dumps(rec)}")
 
@@ -183,6 +208,7 @@ def main() -> None:
         "embedding_candidates",
         "embedding_near_dups",
         "substring_covered",
+        "url_dedup_survivors",
     )
     for op in ops:
         series = {k: out["sfs"][k][op]["per_item"] for k in keys}
