@@ -1739,6 +1739,9 @@ def incremental_duplicate_span_positions(
             & (F.col("gpos") == F.col("__f.p"))
         )
     )
+    # the gram frame feeds both branches and is deliberately RECOMPUTED
+    # (thin generator output — the q_rare_tokens recompute-vs-persist
+    # rule; see incremental_paragraph_dedup's twin comment)
     starts = cov_corpus.select(id_col, "gpos").unionAll(
         cov_batch.select(id_col, "gpos")
     )
@@ -2101,6 +2104,13 @@ def incremental_paragraph_dedup(
         seen_paras.select("ph"), on="ph", how="left_semi"
     ).select(id_col, "pos")
     cov_batch = _para_first_removed(paras, id_col, "ph", salt)
+    # paras feeds both branches and is deliberately RECOMPUTED, not
+    # checkpointed: under AQE the two consumers re-run the batch's
+    # split/explode/hash projection — a thin generator whose recompute
+    # is cheaper than materializing its output (the measured
+    # q_rare_tokens rule: persist compact DERIVED frames like tfidf's
+    # histogram, recompute cheap wide-fanout generators; SCALE.md
+    # weak-query ledger r13)
     removed = cov_corpus.unionAll(cov_batch)
     return _excise_positions(
         new_df, removed, id_col, text_col, split_pat=_regex_quote(sep),
