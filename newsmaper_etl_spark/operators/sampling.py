@@ -382,6 +382,19 @@ def chunk_documents(
     )
 
 
+def epoch_weight_parts(w: float) -> tuple[int, int]:
+    """Split an epoch weight into (whole copies, fractional-share bucket
+    cutoff in ten-thousandths) via round-then-floor — the
+    temperature_sample integer-cutoff rule. THE one source of truth for
+    :func:`epoch_upsample` AND its SQL oracle renderer
+    (plans/curation.py:_epoch_parts_sql): a rounding tweak made in only
+    one copy would silently desync engine and oracle."""
+    import math
+
+    base = math.floor(w)
+    return base, min(10_000, math.floor(round((w - base) * 10_000, 4)))
+
+
 def epoch_upsample(
     df: DataFrame,
     weights: Mapping[str, float],
@@ -408,8 +421,6 @@ def epoch_upsample(
     literal CASE (bounded-cardinality groups, the keyword-map
     contract). A row's copy count depends only on its own (id, group) —
     re-shardable and incremental-safe like every sampler here."""
-    import math
-
     _require_numeric_id(df, id_col, "epoch_upsample")
     for g, w in weights.items():
         if w < 0:
@@ -417,14 +428,10 @@ def epoch_upsample(
     if default_weight < 0:
         raise ValueError("epoch_upsample: default_weight < 0")
 
-    def parts(w: float) -> tuple[int, int]:
-        base = math.floor(w)
-        return base, min(10_000, math.floor(round((w - base) * 10_000, 4)))
-
-    base_expr: Column = F.lit(parts(default_weight)[0])
-    thr_expr: Column = F.lit(parts(default_weight)[1])
+    base_expr: Column = F.lit(epoch_weight_parts(default_weight)[0])
+    thr_expr: Column = F.lit(epoch_weight_parts(default_weight)[1])
     for g, w in sorted(weights.items()):
-        b, t = parts(w)
+        b, t = epoch_weight_parts(w)
         base_expr = F.when(F.col(group_col) == g, F.lit(b)).otherwise(
             base_expr
         )

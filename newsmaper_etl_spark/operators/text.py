@@ -160,6 +160,12 @@ def token_count_bpe(df: DataFrame, col: str = "text", out: str = "n_bpe") -> Dat
 #: wins; the cap forces the caller to choose explicitly.
 _BPE_REGEX_MAX_VOCAB = 2048
 
+#: the separator set shared by the vocab validation, the regex OOV
+#: fallback class, and the Arrow scanners — ONE definition so the
+#: "what is whitespace" question can never drift between them
+#: (ADVICE r13).
+_BPE_SEPARATORS = " \t\n\r\f"
+
 
 def bpe_vocab_pattern(vocab: Iterable[str]) -> str:
     """The greedy longest-match tokenizer as ONE regex: vocab entries
@@ -171,21 +177,26 @@ def bpe_vocab_pattern(vocab: Iterable[str]) -> str:
     ``regexp_extract_all``, no loop, no UDF, and the DuckDB oracle
     runs the IDENTICAL pattern (one source of truth, the
     :data:`WS_COLLAPSE_RE` rule). Tokens must be non-empty and contain
-    no whitespace (tokens never cross word boundaries; a space is a
-    zero-cost separator — the scanner skips it because the fallback
-    class excludes it)."""
+    no whitespace (tokens never cross word boundaries); the WHOLE
+    validated whitespace set — space, tab, LF, CR, FF — is a zero-cost
+    separator: the OOV fallback class excludes exactly the characters
+    the vocab validation forbids, so a tab or newline never counts as
+    a token (ADVICE r13: ``[^ ]`` silently billed non-space whitespace
+    into n_tok, inflating budget_select/pack_sequences)."""
     from newsmaper_etl_spark.operators.dedup import _regex_quote
 
     toks = sorted(set(vocab), key=lambda t: (-len(t), t))
     if not toks:
         raise ValueError("bpe_tokenize: empty vocab")
     for t in toks:
-        if not t or any(c in t for c in " \t\n\r\f"):
+        if not t or any(c in t for c in _BPE_SEPARATORS):
             raise ValueError(
                 f"bpe_tokenize: vocab token {t!r} is empty or contains "
                 "whitespace (tokens must stay inside word boundaries)"
             )
-    return "(" + "|".join(_regex_quote(t) for t in toks) + "|[^ ])"
+    return (
+        "(" + "|".join(_regex_quote(t) for t in toks) + r"|[^ \t\n\r\f])"
+    )
 
 
 def bpe_tokenize(
@@ -203,8 +214,9 @@ def bpe_tokenize(
     :func:`token_count_bpe` only ESTIMATES (ceil(len/4), ±25% on real
     text — a budget filled with that error is a real mis-mix at
     training time; VERDICT r12 missing #2). Out-of-vocab characters
-    count one token each (the byte-fallback convention); spaces are
-    free separators; NULL text stays NULL.
+    count one token each (the byte-fallback convention); the whole
+    validated whitespace set (:data:`_BPE_SEPARATORS` — space, tab, LF,
+    CR, FF) is a free separator in BOTH engines; NULL text stays NULL.
 
     ``engine='regex'`` (default): the segmentation runs as ONE JVM
     ``regexp_extract_all`` over the :func:`bpe_vocab_pattern`
@@ -246,7 +258,7 @@ def bpe_tokenize(
                 res: list[str] = []
                 i, n = 0, len(text)
                 while i < n:
-                    if text[i] == " ":
+                    if text[i] in _BPE_SEPARATORS:
                         i += 1
                         continue
                     for k in range(min(maxlen, n - i), 0, -1):

@@ -73,12 +73,21 @@ MULTI_SUFFIXES = (
 
 _IPV4_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
 
+#: control characters (C0 + DEL) are never legal in a hostname; a host
+#: containing one is treated as UNPARSEABLE (NULL), which also makes
+#: the '\x00' NULL-key row-id salts downstream (url_dedup,
+#: cap_per_domain's keep branch) collision-proof BY CONSTRUCTION — no
+#: real host/domain/canonical key can ever start with '\x00'
+#: (ADVICE r13: the negated extraction classes alone don't exclude
+#: control bytes).
+_CTRL_RE = r"[\x00-\x1f\x7f]"
+
 
 def host_col(url: str | Column) -> Column:
     """The normalized host of a URL column: authority-aware extraction
     (userinfo and port stripped), lowercased, trailing dots removed;
-    NULL for empty/bracketed-IPv6/unparseable input. Pure JVM regexp
-    projection."""
+    NULL for empty/bracketed-IPv6/control-character/unparseable input.
+    Pure JVM regexp projection."""
     u = F.col(url) if isinstance(url, str) else url
     raw = F.when(
         u.rlike(_AUTHORITY_RE), F.regexp_extract(u, _HOST_AUTH_RE, 1)
@@ -87,6 +96,7 @@ def host_col(url: str | Column) -> Column:
     return (
         F.when(host == "", F.lit(None).cast("string"))
         .when(host.startswith("["), F.lit(None).cast("string"))
+        .when(host.rlike(_CTRL_RE), F.lit(None).cast("string"))
         .otherwise(host)
     )
 
@@ -139,7 +149,9 @@ def host_sql(url_expr: str) -> str:
     host = f"regexp_replace(lower({raw}), '[.]+$', '')"
     return (
         f"CASE WHEN {host} = '' THEN NULL "
-        f"WHEN {host} LIKE '[%' THEN NULL ELSE {host} END"
+        f"WHEN {host} LIKE '[%' THEN NULL "
+        f"WHEN regexp_matches({host}, '{_CTRL_RE}') THEN NULL "
+        f"ELSE {host} END"
     )
 
 
@@ -279,9 +291,10 @@ def url_dedup(
     # two-branch shape consumes the input twice and under AQE each
     # consumer re-evaluates the upstream plan (the q_tfidf_topterms
     # ReusedExchange rule; measured 1.33 -> 0.98 s on the r13 bench
-    # fixture). '\x00' cannot appear in a canonical key (host/path
-    # characters), so the salted groups can never collide with a real
-    # key.
+    # fixture). '\x00' cannot appear in a canonical key: host_col NULLs
+    # out any host containing a control character (_CTRL_RE), so a
+    # non-NULL key always starts with a control-char-free host and the
+    # salted groups can never collide with a real key (ADVICE r13).
     keyed = with_key.withColumn(
         "__uk",
         F.coalesce(
@@ -311,7 +324,13 @@ def domain_blocklist_filter(
     whose domain is NULL (unparseable URL) are KEPT by default — an
     anti-join can't match NULL — because silently dropping them would
     hide ingest bugs; ``drop_unparseable=True`` inverts that for
-    recipes that require a valid domain."""
+    recipes that require a valid domain.
+
+    The broadcast HINT is forced only for the iterable (toy) path,
+    whose size is known at plan time; a DataFrame blocklist is left to
+    AQE/autoBroadcastJoinThreshold — a forced hint on, say, the full
+    ~4M-row UT1 list would bypass the size gate and can OOM a
+    constrained driver (ADVICE r13)."""
     derived = url_col is not None
     if derived:
         df = df.withColumn("__dom", domain_col(host_col(url_col)))
@@ -321,11 +340,12 @@ def domain_blocklist_filter(
     if not isinstance(blocklist, DataFrame):
         spark = df.sparkSession
         rows = [(d,) for d in blocklist]
-        bl = spark.createDataFrame(rows, f"{key} string")
+        bl = F.broadcast(
+            spark.createDataFrame(rows, f"{key} string").distinct()
+        )
     else:
-        bl = blocklist.toDF(key)
-    out = df.join(F.broadcast(bl.select(key).distinct()), on=key,
-                  how="left_anti")
+        bl = blocklist.toDF(key).select(key).distinct()
+    out = df.join(bl, on=key, how="left_anti")
     if drop_unparseable:
         out = out.filter(F.col(key).isNotNull())
     return out.drop("__dom") if derived else out
@@ -338,21 +358,46 @@ def cap_per_domain(
     url_col: str | None = None,
     domain_col_name: str = "domain",
     id_col: str = "doc_id",
+    null_domains: str = "cap",
 ) -> DataFrame:
     """At most ``k`` documents per registered domain — the
     over-representation cap every web recipe applies after
     blocklisting. Deterministic (id-derived mix-bucket rank, the
     :func:`~newsmaper_etl_spark.operators.sampling.sample_per_group`
-    order): one window shuffle on the domain. NULL-domain rows form
-    one group like any other (cap them or drop them upstream via
-    ``drop_unparseable``)."""
+    order): one window shuffle on the domain.
+
+    ``null_domains`` pins what happens to rows whose domain is NULL
+    (unparseable URL): ``'cap'`` (default) treats them as ONE group
+    capped at k like any other; ``'keep'`` id-salts each NULL row into
+    its own singleton group so ALL survive — the sibling contracts'
+    semantics (blocklist and url_dedup both keep every unparseable
+    row), and a skew defense for free (corpus-wide unparseables would
+    otherwise serialize one window partition). Single pass either way —
+    no filter/cap/union branch that would consume the input twice under
+    AQE. The ``'\\x00' || id`` salt cannot collide with a real domain:
+    :func:`host_col` NULLs any host containing a control character
+    (ADVICE r13)."""
+    if null_domains not in ("cap", "keep"):
+        raise ValueError(f"cap_per_domain: null_domains={null_domains!r}")
     derived = url_col is not None
     if derived:
         df = df.withColumn("__dom", domain_col(host_col(url_col)))
         key = "__dom"
     else:
         key = domain_col_name
-    out = sample_per_group(df, group_col=key, k=k, id_col=id_col)
+    if null_domains == "keep":
+        df = df.withColumn(
+            "__capkey",
+            F.coalesce(
+                F.col(key),
+                F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+            ),
+        )
+        out = sample_per_group(
+            df, group_col="__capkey", k=k, id_col=id_col
+        ).drop("__capkey")
+    else:
+        out = sample_per_group(df, group_col=key, k=k, id_col=id_col)
     return out.drop("__dom") if derived else out
 
 

@@ -850,13 +850,9 @@ _EPOCH_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
 
 def _epoch_parts_sql() -> tuple[str, str]:
     """Render the (floor, fractional-bucket-cutoff) CASE pair from the
-    SAME round-then-floor arithmetic the operator uses (one source of
-    truth — the temperature_sample integer-cutoff rule)."""
-    import math
-
-    def parts(w: float) -> tuple[int, int]:
-        base = math.floor(w)
-        return base, min(10_000, math.floor(round((w - base) * 10_000, 4)))
+    operator's OWN arithmetic (imported, not re-implemented: a rounding
+    tweak in one copy would silently desync engine and oracle)."""
+    from newsmaper_etl_spark.operators.sampling import epoch_weight_parts as parts
 
     db, dt = parts(1.0)
     base = "CASE source " + " ".join(

@@ -2413,6 +2413,11 @@ _URL_ROWS: tuple[tuple[int, str | None], ...] = (
     (9_300_012, None),
     (9_300_013, "https://ads.blocked.example/tracker.js"),
     (9_300_014, "localhost:3000/dev"),
+    # control character inside the host → unparseable (NULL host/domain,
+    # row KEPT by the blocklist contract): pins the host_col _CTRL_RE
+    # branch that makes the downstream '\x00' NULL-key salts
+    # collision-proof (ADVICE r13)
+    (9_300_015, "https://evil\x01host.example/x"),
 )
 
 #: the q_url_filter / q_domain_cap blocklist: two synthesized corpus
@@ -2569,6 +2574,10 @@ _BPE_ROWS: tuple[tuple[int, str | None], ...] = (
     (9_400_004, None),
     (9_400_005, "tablestreamvalueing"),
     (9_400_006, "the thequery therow atab"),
+    # tab / newline / CR between words: the WHOLE validated whitespace
+    # set is a free separator — none of these may count as an OOV token
+    # (ADVICE r13: the old [^ ] fallback billed them into n_tok)
+    (9_400_007, "table\tscan\nquery\r\nrow"),
 )
 
 

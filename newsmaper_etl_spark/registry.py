@@ -40,6 +40,36 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: plan/semantics CHANGED-SINCE-RECORD ledger: query → the round whose
+#: build changed the query's plan, fixture, or semantics AFTER its
+#: latest driver record. A query whose latest record predates its entry
+#: here sorts with the never-recorded block (the driver has never
+#: hashed the shipped form — VERDICT r13 'what's wrong' #3: five r13
+#: plan changes missed the r13 window because their stale-but-existing
+#: records kept them mid-queue). Entries are self-expiring: once the
+#: driver records the query in round >= the listed round, the normal
+#: stalest-first order resumes; drop entries older than the rotation
+#: bound when touching this table.
+REPLANNED: dict[str, int] = {
+    # r13 plan/oracle changes that missed the r13 window (VERDICT #3)
+    "q_tpch_q21": 13,
+    "q_paragraph_dedup": 13,
+    "q_paragraph_incremental": 13,
+    "q_html_extract": 13,
+    "q_normalize_text": 13,
+    "q_tfidf_topterms": 13,
+    # r14: PSL registered-domain swap (domain_col semantics), the
+    # control-char host rule, the BPE whitespace-separator fix, and the
+    # new planted edge rows change these fixtures/plans on both sides
+    "q_url_filter": 14,
+    "q_domain_cap": 14,
+    "q_url_canonical": 14,
+    "q_url_dedup": 14,
+    "q_domain_stats": 14,
+    "q_domain_gate": 14,
+    "q_bpe_tokenize": 14,
+}
+
 
 def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
     """Driver-facing iteration order. The driver's per-round run is
@@ -69,7 +99,10 @@ def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
     def key(n: str, idx: int) -> tuple:
         s = specs[n]
         rec = hist.get(n)
-        if rec is None:
+        if rec is None or rec["round"] < REPLANNED.get(n, 0):
+            # never recorded, or the shipped plan changed after the
+            # latest record (REPLANNED) — the record doesn't cover what
+            # ships, so treat it as unrecorded
             return (0 if s.oracle is not None else 1, 0, idx)
         return (2, rec["round"], idx)
 

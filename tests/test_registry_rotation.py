@@ -15,6 +15,7 @@ import math
 from newsmaper_etl_spark.records import latest_round, record_history
 from newsmaper_etl_spark.registry import (
     QUERIES,
+    REPLANNED,
     _ensure_loaded,
     _record_order,
     driver_specs,
@@ -37,20 +38,51 @@ def test_history_parses_and_covers_registry():
 
 
 def test_order_puts_new_queries_then_stalest_records_first():
+    """A query is EFFECTIVELY unrecorded when it has no record at all
+    OR its plan changed after its latest record (REPLANNED) — both
+    sort ahead of the clean recorded block, which stays stalest-first."""
     _ensure_loaded()
     hist = record_history()
     visible = driver_specs()
     order = _record_order(visible)
     assert sorted(order) == sorted(visible)
-    recorded_rounds = [hist[n]["round"] for n in order if n in hist]
+
+    def clean(n):
+        rec = hist.get(n)
+        return rec is not None and rec["round"] >= REPLANNED.get(n, 0)
+
+    recorded_rounds = [hist[n]["round"] for n in order if clean(n)]
     assert recorded_rounds == sorted(recorded_rounds)
-    # unrecorded block strictly precedes the recorded block
+    # effectively-unrecorded block strictly precedes the clean block
     seen_recorded = False
     for n in order:
-        if n in hist:
+        if clean(n):
             seen_recorded = True
         else:
             assert not seen_recorded, f"unrecorded {n} after recorded block"
+
+
+def test_replanned_entries_are_live_and_self_expiring():
+    """Every REPLANNED entry names a real driver-visible query, targets
+    a round the driver hasn't recorded it at yet (else it's expired and
+    must be dropped), and the whole dirty set fits in one driver window
+    alongside genuinely new queries — a dirty set that big would starve
+    the stalest-first rotation."""
+    _ensure_loaded()
+    hist = record_history()
+    visible = driver_specs()
+    for name, rnd in REPLANNED.items():
+        assert name in visible, f"REPLANNED entry {name} not in registry"
+        rec = hist.get(name)
+        assert rec is None or rec["round"] < rnd, (
+            f"REPLANNED entry {name} expired (recorded r{rec['round']} "
+            f">= {rnd}) — drop it"
+        )
+        assert rnd <= latest_round() + 1, name
+    new = [n for n in visible if n not in hist]
+    assert len(REPLANNED) + len(new) <= CAP // 2, (
+        "dirty+new set too large; it would starve the rotation"
+    )
 
 
 def test_simulated_rotation_bounds_record_age():
