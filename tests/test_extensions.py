@@ -3761,6 +3761,145 @@ def test_cap_per_domain(spark):
     )
 
 
+def test_cap_per_domain_null_keep(spark):
+    """null_domains='keep' id-salts unparseable rows into singleton
+    groups: ALL NULL-domain rows survive any k while real domains still
+    cap (ADVICE r13: the default capped every unparseable row
+    corpus-wide into one k-sized group)."""
+    from newsmaper_etl_spark.operators.web import cap_per_domain
+
+    rows = [(i, "https://same.example.com/x") for i in range(5)]
+    rows += [(10 + i, "http://[2001:db8::1]/v6") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = cap_per_domain(df, 2, url_col="url")
+    assert capped.count() == 4  # 2 capped + 2 NULLs in ONE group of 4
+    kept = cap_per_domain(df, 2, url_col="url", null_domains="keep")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids[-4:] == [10, 11, 12, 13]  # every unparseable row kept
+    assert len(ids) == 6
+    assert kept.columns == ["doc_id", "url"]
+
+
+# --------------------------------------------------------------------------
+# Public-suffix-list registered domains (operators/web.py, r14)
+# --------------------------------------------------------------------------
+
+PSL_HOSTS = [
+    "bbc.co.uk", "sub.deep.bbc.co.uk", "example.com", "a.b.c.d.co.jp",
+    "localhost", "192.168.0.1", "xn--bcher-kva.example",
+    "a.github.io", "b.github.io", "github.io", "x.blogspot.com",
+    "bucket.s3.amazonaws.com", "s3.amazonaws.com", "amazonaws.com",
+    "vm.eu-west-1.compute.amazonaws.com", "compute.amazonaws.com",
+    "www.ck", "b.www.ck", "foo.ck", "a.foo.ck", "ck",
+    "deep.x.blogspot.co.uk", "blogspot.co.uk", "my.pages.dev", None,
+]
+
+
+def test_psl_rule_algebra(spark):
+    """The embedded snapshot implements real PSL semantics: private
+    hosting suffixes make each site its own registered domain, the
+    *.ck wildcard makes every child of ck a suffix, and the !www.ck
+    exception carves www.ck back out (spec precedence: exception >
+    longest match > implicit '*')."""
+    from newsmaper_etl_spark.operators.web import domain_col
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(PSL_HOSTS)], "i int, host string"
+    )
+    got = {r["i"]: r["d"]
+           for r in df.select("i", domain_col("host").alias("d")).collect()}
+    exp = {
+        0: "bbc.co.uk", 1: "bbc.co.uk", 2: "example.com", 3: "d.co.jp",
+        4: "localhost", 5: "192.168.0.1", 6: "xn--bcher-kva.example",
+        7: "a.github.io", 8: "b.github.io", 9: "github.io",
+        10: "x.blogspot.com", 11: "bucket.s3.amazonaws.com",
+        12: "s3.amazonaws.com", 13: "amazonaws.com",
+        14: "vm.eu-west-1.compute.amazonaws.com", 15: "amazonaws.com",
+        16: "www.ck", 17: "www.ck", 18: "foo.ck", 19: "a.foo.ck",
+        20: "ck", 21: "x.blogspot.co.uk", 22: "blogspot.co.uk",
+        23: "my.pages.dev", 24: None,
+    }
+    assert got == exp
+
+
+def test_psl_projection_join_and_sql_parity(spark):
+    """The three implementations of the rule algebra — Column
+    projection (domain_col), broadcast-join scale path
+    (with_registered_domain), DuckDB SQL mirror (domain_sql) — agree
+    host-for-host on the full edge battery."""
+    import duckdb
+    from newsmaper_etl_spark.operators.web import (
+        domain_col,
+        domain_sql,
+        psl_table,
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(PSL_HOSTS)], "i int, host string"
+    )
+    proj = {r["i"]: r["d"]
+            for r in df.select("i", domain_col("host").alias("d")).collect()}
+    join = {r["i"]: r["domain"]
+            for r in with_registered_domain(df, psl_table(spark))
+            .select("i", "domain").collect()}
+    con = duckdb.connect()
+    vals = ",".join(
+        f"({i}, " + ("NULL" if h is None else f"'{h}'") + ")"
+        for i, h in enumerate(PSL_HOSTS)
+    )
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(i, host)")
+    sql = dict(con.execute(
+        f"SELECT i, {domain_sql('host')} FROM t").fetchall())
+    assert proj == join == sql
+
+
+def test_with_registered_domain_plan_is_broadcast_only(spark):
+    """The full-PSL scale path must never shuffle the CORPUS side:
+    every join is a BroadcastHashJoin, and any non-broadcast Exchange
+    hashes on the PSL rule table's `suffix` key (its one small flag
+    aggregation) — never on a corpus column."""
+    import re
+    from newsmaper_etl_spark.operators.web import (
+        psl_table,
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a.github.io")], "i int, host string"
+    )
+    out = with_registered_domain(df, psl_table(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    corpus_side = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+        and "suffix" not in ln
+    ]
+    assert not corpus_side, corpus_side
+    # exactly ONE shuffle of the rule table (the hoisted flag
+    # aggregation), not one per label count
+    psl_side = {
+        re.sub(r"#\d+", "", ln.strip()) for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "suffix" in ln
+    }
+    assert len(psl_side) <= 1, psl_side
+
+
+def test_parse_psl_rules_validation():
+    import pytest
+    from newsmaper_etl_spark.operators.web import parse_psl_rules
+
+    groups = parse_psl_rules(["co.uk", "*.ck", "!www.ck", " GitHub.IO "])
+    assert groups[("exact", 2)] == ("co.uk", "github.io")
+    assert groups[("wild", 1)] == ("ck",)
+    assert groups[("exc", 2)] == ("www.ck",)
+    for bad in ["*.", "!", "a.*.b", ".leading", "!tld"]:
+        with pytest.raises(ValueError):
+            parse_psl_rules([bad])
+
+
 # --------------------------------------------------------------------------
 # Exact greedy-BPE tokenization (operators/text.py, r13)
 # --------------------------------------------------------------------------
