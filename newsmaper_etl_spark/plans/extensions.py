@@ -2861,3 +2861,139 @@ def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         hosts, W.psl_table(spark), host_col_name="host"
     )
     return out.select("doc_id", "host", "domain")
+
+
+# --------------------------------------------------------------------------
+# Merge-rank BPE (operators/text.py bpe_merge_tokenize, r14)
+# --------------------------------------------------------------------------
+
+#: planted merges table in rank order, well-formed (every multi-char
+#: part is an earlier product), covering the corpus vocabulary AND the
+#: greedy-vs-merge-rank divergence case: (h,e) outranks (t,h), so
+#: merge-rank segments "the" as [t, he] where greedy longest-match
+#: against the equivalent vocab takes [th, e] — the exact reason real
+#: model budgets need merge order, pinned by the driver hash on the
+#: corpus's most frequent word.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("h", "e"), ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
+    ("s", "c"), ("a", "n"), ("sc", "an"), ("j", "o"), ("i", "n"),
+    ("jo", "in"), ("s", "t"), ("r", "e"), ("st", "re"), ("a", "m"),
+    ("stre", "am"), ("o", "r"), ("e", "r"), ("d", "er"), ("or", "der"),
+    ("q", "u"), ("er", "y"), ("qu", "ery"), ("k", "e"), ("ke", "y"),
+    ("r", "o"), ("ro", "w"), ("d", "a"), ("da", "ta"), ("t", "h"),
+)
+
+#: planted edge rows: the divergence word, a no-separator run, multiple
+#: merges of one pair in a word, out-of-table chars, multi-whitespace
+#: separators, empty, NULL.
+_BPE_MERGE_ROWS: tuple[tuple[int, str | None], ...] = (
+    (9_450_001, "the theory"),
+    (9_450_002, "thethe"),
+    (9_450_003, "zzz qq"),
+    (9_450_004, ""),
+    (9_450_005, None),
+    (9_450_006, "data\t stream\n\nquery"),
+    (9_450_007, "aaan"),
+)
+
+_BPE_RANK_SENTINEL = 999_999
+
+
+def _bpe_merge_rank_sql() -> str:
+    """DuckDB mirror of bpe_merge_tokenize as a RECURSIVE CTE, rendered
+    from the SAME planted merges table (one source of truth): each
+    recursion step merges the LEFTMOST occurrence of the LOWEST-RANK
+    adjacent pair; a word exits when no pair is in the table; the final
+    state per word is the max-step row. One-step-at-a-time equals the
+    operator's loop because the table is validated well-formed
+    (operators.text.bpe_merge_ranks). The pair key joins the two sides
+    with chr(1), which the planted parts cannot contain."""
+    case = "CASE toks[i] || chr(1) || toks[i+1] " + " ".join(
+        f"WHEN {_sql_str(left + chr(1) + right)} THEN {rank}"
+        for rank, (left, right) in enumerate(_BPE_MERGES)
+    ) + f" ELSE {_BPE_RANK_SENTINEL} END"
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT), {_sql_str(t)}"
+        for i, t in _BPE_MERGE_ROWS
+    )
+    return f"""
+        WITH RECURSIVE input AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            {rows}
+        ),
+        words AS (
+            SELECT doc_id,
+                   unnest(range(1, len(ws) + 1)) AS w_idx,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id,
+                         string_split_regex(text, '[ \t\n\r\f]+') AS ws
+                  FROM input WHERE text IS NOT NULL)
+        ),
+        rec(doc_id, w_idx, step, toks) AS (
+            SELECT doc_id, w_idx, 0, string_split(word, '')
+            FROM words WHERE word <> ''
+            UNION ALL
+            SELECT doc_id, w_idx, step + 1,
+                   toks[1:pos - 1]
+                   || [toks[pos] || toks[pos + 1]]
+                   || toks[pos + 2:]
+            FROM (
+                SELECT doc_id, w_idx, step, toks,
+                       list_min(ranks) AS minr,
+                       list_position(ranks, list_min(ranks)) AS pos
+                FROM (
+                    SELECT doc_id, w_idx, step, toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> {case}) AS ranks
+                    FROM rec
+                )
+            ) WHERE minr < {_BPE_RANK_SENTINEL}
+        ),
+        final AS (
+            SELECT doc_id, w_idx, max_by(toks, step) AS toks
+            FROM rec GROUP BY doc_id, w_idx
+        ),
+        assembled AS (
+            SELECT doc_id, flatten(list(toks ORDER BY w_idx)) AS all_toks
+            FROM final GROUP BY doc_id
+        )
+        SELECT i.doc_id,
+               CASE WHEN i.text IS NULL THEN NULL
+                    ELSE CAST(coalesce(len(a.all_toks), 0) AS BIGINT)
+                    END AS n_tok,
+               CASE WHEN i.text IS NULL THEN NULL
+                    ELSE coalesce(array_to_string(a.all_toks, ' '), '')
+                    END AS tok_seq
+        FROM input i LEFT JOIN assembled a USING (doc_id)
+    """
+
+
+@query(
+    "q_bpe_merge_rank",
+    oracle=_bpe_merge_rank_sql(),
+    tags=("TEXT", "CURATION"),
+)
+@plan_cached
+def q_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE merge-rank BPE (operators.text.bpe_merge_tokenize — GPT-2/
+    Llama encode order, VERDICT r13 missing #2): the whole corpus plus
+    planted edge rows segmented under the planted 30-merge table, FULL
+    token sequence driver-hashed. The oracle replays the semantics as
+    an independent recursive CTE (leftmost lowest-rank pair per step),
+    so a rank-order slip, a tie-break drift, or a word-boundary leak
+    flips the hash on the first document — and the divergence case
+    ("the" → [t, he], not greedy's [th, e]) is pinned on the corpus's
+    most frequent word."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        list(_BPE_MERGE_ROWS), "doc_id long, text string"
+    )
+    out = TX.bpe_merge_tokenize(
+        docs.unionAll(extra), _BPE_MERGES, tokens_out="__toks"
+    )
+    return out.select(
+        "doc_id", "n_tok",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.col("__toks"), " ")).alias("tok_seq"),
+    )

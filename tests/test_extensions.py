@@ -3945,6 +3945,66 @@ def test_bpe_tokenize_engine_parity(spark):
     assert rx == ar
 
 
+def test_bpe_merge_tokenize_semantics(spark):
+    """Merge-rank encode: lowest rank first, leftmost occurrence on
+    ties, words never merge across any whitespace, OOV chars survive,
+    NULL stays NULL — and the segmentation DIVERGES from greedy
+    longest-match where rank order demands it ('the' → [t, he] because
+    (h,e) outranks (t,h), while greedy over the equivalent vocab takes
+    [th, e])."""
+    from newsmaper_etl_spark.operators.text import (
+        bpe_merge_tokenize,
+        bpe_tokenize,
+    )
+
+    merges = [("h", "e"), ("t", "h"), ("a", "n"), ("an", "d")]
+    rows = [(1, "the"), (2, "and then"), (3, "zz"), (4, ""), (5, None),
+            (6, "hand\tthe\nhe"), (7, "aan")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["tk"]) for r in bpe_merge_tokenize(
+        df, merges, tokens_out="tk").collect()}
+    assert got[1] == (2, ["t", "he"])          # (h,e) rank 0 beats (t,h)
+    assert got[2] == (4, ["and", "t", "he", "n"])
+    assert got[3] == (2, ["z", "z"])
+    assert got[4] == (0, [])
+    assert got[5] == (None, None)
+    assert got[6] == (5, ["h", "and", "t", "he", "he"])
+    assert got[7] == (2, ["a", "an"])          # leftmost min: a|an
+    # the divergence itself, same inputs, equivalent greedy vocab
+    vocab = ["he", "th", "an", "and", "t", "h", "e", "a", "n", "d", "z"]
+    greedy = {r["doc_id"]: r["tk"] for r in bpe_tokenize(
+        df, vocab, tokens_out="tk").collect()}
+    assert greedy[1] == ["th", "e"]
+    assert got[1][1] != greedy[1]
+
+
+def test_bpe_merge_ranks_validation():
+    import pytest
+    from newsmaper_etl_spark.operators.text import bpe_merge_ranks
+
+    ok = bpe_merge_ranks([("a", "b"), ("ab", "c")])
+    assert ok == {("a", "b"): 0, ("ab", "c"): 1}
+    with pytest.raises(ValueError, match="well-formed"):
+        bpe_merge_ranks([("ab", "c")])          # 'ab' never produced
+    with pytest.raises(ValueError, match="whitespace"):
+        bpe_merge_ranks([("a", " ")])
+    with pytest.raises(ValueError, match="empty"):
+        bpe_merge_ranks([])
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_merge_ranks([("a", "b"), ("a", "b")])
+
+
+def test_bpe_merge_tokenize_plan_is_projection(spark):
+    """One Arrow projection — no shuffle, no collect."""
+    from newsmaper_etl_spark.operators.text import bpe_merge_tokenize
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    out = bpe_merge_tokenize(df, [("h", "e")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_bpe_tokenize_validation(spark):
     """Empty vocab, whitespace-bearing tokens, and oversized regex-path
     vocabs all raise with actionable messages."""
