@@ -42,6 +42,9 @@ def curate_corpus(
     url_blocklist: DataFrame | Iterable[str] | None = None,
     domain_cap: int | None = None,
     url_dedup: bool = False,
+    domain_gate_kwargs: dict | None = None,
+    quantile_keep_frac: float | None = None,
+    quantile_group_col: str = "source",
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -77,9 +80,31 @@ def curate_corpus(
     canonical-URL duplicates (keep-first; NULL-key rows all kept)
     BEFORE content hashing — two fetches of one page with different
     tracking params/scheme/param order never reach the exact-dedup
-    stage's text hash."""
+    stage's text hash.
+
+    ``domain_gate_kwargs`` (r14) adds the DOMAIN-LEVEL aggregate gate
+    (:func:`~newsmaper_etl_spark.operators.web.domain_gate` —
+    min_docs/max_docs/min_sum_tokens thresholds) as the LAST step of
+    the URL stage: it needs the whole stage's survivor set to compute
+    honest per-domain stats, and it still runs before extraction so a
+    dropped domain skips every regex downstream. ``quantile_keep_frac``
+    (r14) adds the per-group ADAPTIVE quality gate
+    (:func:`~newsmaper_etl_spark.operators.sampling.quantile_gate`,
+    CCNet-style: keep the best fraction of each ``quantile_group_col``
+    BY the just-computed quality score) right after the absolute
+    ``min_quality`` floor — the floor kills junk, the quantile evens
+    the mix across groups. NULL-handling matches the sibling
+    contracts throughout: blocklist keeps unparseable rows, url_dedup
+    keeps NULL-key rows, domain_cap runs ``null_domains='keep'``
+    (ADVICE r13: the operator default would cap every unparseable row
+    corpus-wide into one k-group), domain_gate keeps NULL domains.
+    ``salt=`` now reaches every skew-prone keep-first window: exact
+    dedup, url_dedup, AND the paragraph stage (VERDICT r13 wiring
+    gap — the hardened forms existed but the recipe couldn't request
+    them)."""
     if url_col is not None and (
         url_blocklist is not None or domain_cap or url_dedup
+        or domain_gate_kwargs
     ):
         from newsmaper_etl_spark.operators import web as W
 
@@ -88,12 +113,17 @@ def curate_corpus(
                 docs, url_blocklist, url_col=url_col
             )
         if url_dedup:
-            docs = W.url_dedup(docs, url_col, id_col=id_col).drop(
-                "url_canon"
-            )
+            docs = W.url_dedup(
+                docs, url_col, id_col=id_col, salt=salt
+            ).drop("url_canon")
         if domain_cap:
             docs = W.cap_per_domain(
-                docs, int(domain_cap), url_col=url_col, id_col=id_col
+                docs, int(domain_cap), url_col=url_col, id_col=id_col,
+                null_domains="keep",
+            )
+        if domain_gate_kwargs:
+            docs = W.domain_gate(
+                docs, url_col=url_col, **domain_gate_kwargs
             )
     if html_extract:
         # extraction runs FIRST — every downstream signal (quality,
@@ -109,6 +139,13 @@ def curate_corpus(
     gated = TX.quality_score(docs, text_col).filter(
         f"quality >= {float(min_quality)}"
     )
+    if quantile_keep_frac is not None:
+        from newsmaper_etl_spark.operators.sampling import quantile_gate
+
+        gated = quantile_gate(
+            gated, "quality", quantile_group_col,
+            keep_frac=float(quantile_keep_frac),
+        )
     exact = D.exact_dedup(gated, [text_col], id_col=id_col, salt=salt)
     if near_dup:
         near = D.minhash_dedup(
@@ -128,7 +165,7 @@ def curate_corpus(
         # reason as the span stage below.
         near = near.localCheckpoint(eager=False)
         paras = D.paragraph_dedup(
-            near, id_col, text_col, sep=paragraph_dedup_sep
+            near, id_col, text_col, sep=paragraph_dedup_sep, salt=salt
         )
         near = near.drop(text_col).join(
             paras.select(

@@ -196,10 +196,10 @@ def domain_col(
         ps = F.when(
             (n >= k) & in_group("exc", k, lastk(k)), F.lit(k - 1)
         ).otherwise(ps)
-    max_reg = max(eff_lengths, default=1) + 1
-    reg = F.lit(None).cast("string")
-    for e in range(max_reg, 1, -1):
-        reg = F.when(ps == e - 1, lastk(e)).otherwise(reg)
+    # registered domain = the last ps+1 labels, as ONE slice (a per-ps
+    # CASE would replicate the whole ps expression per level — the
+    # expression blow-up that OOM'd the first cut of the SQL mirror)
+    reg = F.array_join(F.slice(labels, n - ps, ps + 1), ".")
     return (
         F.when(h.isNull(), F.lit(None).cast("string"))
         .when(h.rlike(_IPV4_RE), h)
@@ -312,15 +312,19 @@ def domain_sql(
     for k in sorted(k for (kind, k) in groups if kind == "exc"):
         c = in_group("exc", k)
         ps = f"CASE WHEN {c} THEN {k - 1} ELSE {ps} END"
-    max_reg = max(eff_lengths, default=1) + 1
-    reg = "CAST(NULL AS VARCHAR)"
-    for e in range(max_reg, 1, -1):
-        reg = f"CASE WHEN ({ps}) = {e - 1} THEN {lastk(e)} ELSE {reg} END"
+    # bind ps ONCE via a single-element list_transform (the SQL-scalar
+    # analog of a let-binding): inlining ps per registered-domain CASE
+    # level quintupled an already-large expression and OOM'd DuckDB's
+    # planner when callers also inline host_sql — callers should still
+    # pass a CTE column, not a nested host expression
     return f"""
         CASE WHEN {host_expr} IS NULL THEN NULL
              WHEN regexp_matches({host_expr}, '{_IPV4_RE}') THEN {host_expr}
-             WHEN ({ps}) >= {nlab} THEN {host_expr}
-             ELSE {reg} END
+             ELSE list_transform([({ps})], __ps ->
+                      CASE WHEN __ps >= {nlab} THEN {host_expr}
+                           ELSE array_to_string(
+                               {labels}[{nlab} - __ps:], '.') END)[1]
+        END
     """.strip()
 
 
@@ -372,9 +376,11 @@ def with_registered_domain(
             ".", *[F.get(labels, n - j) for j in range(k, 0, -1)]
         )
 
-    # ONE flag aggregation over the whole rule table (vs one groupBy
-    # per label count — the PSL side is tiny, but there is no reason to
-    # shuffle it |ks| times), then per-k broadcast probes
+    # one flag-aggregation DEFINITION over the whole rule table, then
+    # per-k broadcast probes; each probe's broadcast build re-plans the
+    # aggregate (rule-table-sized — ≤5 re-evaluations of a ~10k-row
+    # groupBy, irrelevant next to one corpus scan; plan-pinned by
+    # test_with_registered_domain_plan_is_broadcast_only)
     flags = psl.groupBy("suffix", "n_labels").agg(
         F.max(F.when(F.col("kind") == "exact", 1).otherwise(0))
         .alias("__fex"),
@@ -414,10 +420,7 @@ def with_registered_domain(
         ps = F.when(cond, F.lit(e)).otherwise(ps)
     for k in sorted(k for (_, k) in flag_cols):
         ps = F.when((n >= k) & matched("exc", k), F.lit(k - 1)).otherwise(ps)
-    max_reg = max(eff, default=1) + 1
-    reg = F.lit(None).cast("string")
-    for e in range(max_reg, 1, -1):
-        reg = F.when(ps == e - 1, lastk(e)).otherwise(reg)
+    reg = F.array_join(F.slice(labels, n - ps, ps + 1), ".")
     dom = (
         F.when(h.isNull(), F.lit(None).cast("string"))
         .when(h.rlike(_IPV4_RE), h)

@@ -2496,7 +2496,7 @@ def _url_input_sql() -> str:
             SELECT doc_id, url, {W.host_sql('url')} AS host
             FROM input
         ),
-        doms AS (
+        doms AS MATERIALIZED (
             SELECT doc_id, url, host, {W.domain_sql('host')} AS domain
             FROM parts
         )
@@ -2527,10 +2527,12 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_domain_cap",
     oracle=f"""
         WITH input AS ({_url_input_sql()}),
-        doms AS (
-            SELECT doc_id,
-                   {W.domain_sql(f"({W.host_sql('url')})")} AS domain
-            FROM input
+        hosts AS (
+            SELECT doc_id, {W.host_sql('url')} AS h FROM input
+        ),
+        doms AS MATERIALIZED (
+            SELECT doc_id, {W.domain_sql('h')} AS domain
+            FROM hosts
         ),
         ranked AS (
             SELECT doc_id, domain,
@@ -2745,12 +2747,15 @@ _DOMAIN_TOK_INPUT_SQL = f"""
         UNION ALL
         SELECT CAST(9999999 AS BIGINT), '', 7
     ),
-    doms AS (
+    hosts AS (
+        SELECT doc_id, n_tok, {W.host_sql('url')} AS h FROM joined
+    ),
+    doms AS MATERIALIZED (
         SELECT doc_id, n_tok,
-               {{domain_expr}} AS domain
-        FROM joined
+               {W.domain_sql('h')} AS domain
+        FROM hosts
     )
-""".replace("{domain_expr}", W.domain_sql(f"({W.host_sql('url')})"))
+"""
 
 
 def _domain_tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2997,3 +3002,213 @@ def q_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("text").isNull(), F.lit(None).cast("string"))
         .otherwise(F.array_join(F.col("__toks"), " ")).alias("tok_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Web-recipe composition contract (operators/curate.py, r14 wiring)
+# --------------------------------------------------------------------------
+
+#: planted rows for q_curate_web_planted — one row per recipe branch:
+#: blocklist drop, canonical-URL keep-first pair (DIFFERENT bodies, so
+#: only URL dedup can collapse them), NULL-URL row that must ride
+#: through every URL stage into the output (singleton source group →
+#: quantile-safe), solo-domain row the domain gate must drop wholesale,
+#: junk the absolute quality floor kills, an exact-duplicate TEXT pair
+#: the keep-first stage collapses, and a low-quality filler the
+#: per-source quantile gate cuts. Quality values are engineered
+#: strictly filler < dup pair < all-stopword row so the rank()-based
+#: quantile boundary is deterministic in both engines.
+_CURATE_WEB_ROWS: tuple[tuple[int, str | None, str, str], ...] = (
+    (9_600_001, "https://ads.blocked.example/a", "srcP",
+     "the blocked domain row would have survived on quality alone"),
+    (9_600_002, "https://planted.example/page?utm_source=a", "srcP",
+     "the and of to in is it that was for on are with as this"),
+    (9_600_003, "http://www.planted.example/page/", "srcP",
+     "completely different body proving the collapse is by url"),
+    (9_600_004, None, "srcN",
+     "the unparseable url row must survive every url stage intact"),
+    (9_600_005, "https://solo-domain.example/x", "srcP",
+     "the solo domain row would survive every later gate on quality"),
+    (9_600_006, "https://planted.example/junk", "srcP", "!!!"),
+    (9_600_007, "https://planted.example/dup1", "srcP",
+     "table scan merge the window sort batch"),
+    (9_600_008, "https://planted.example/dup2", "srcP",
+     "table scan merge the window sort batch"),
+    (9_600_009, "https://planted.example/filler", "srcP",
+     "table scan merge window sort batch stream"),
+)
+
+_CURATE_WEB_CAP = 40
+_CURATE_WEB_MIN_DOCS = 3
+#: keep_frac 0.75 → integer threshold floor(round(0.25·10⁴)) — the
+#: quantile_gate round-then-floor rule, stated once here for the oracle
+_CURATE_WEB_QTHR = 2500
+
+
+def _curate_web_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, source, text): corpus docs with synthesized URLs
+    plus the planted branch rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    urls = _url_synth_df(spark, sf_dir).filter(F.col("doc_id") < 9_000_000)
+    base = urls.join(docs, on="doc_id").select(
+        "doc_id", "url", "source", "text"
+    )
+    extra = spark.createDataFrame(
+        list(_CURATE_WEB_ROWS),
+        "doc_id long, url string, source string, text string",
+    )
+    return base.unionAll(extra)
+
+
+def _curate_web_oracle() -> str:
+    """The whole wired recipe replayed as one SQL chain, each stage the
+    SAME fragment its standalone contract hash-matches (blocklist →
+    canonical-URL keep-first → per-domain cap with NULLs kept → domain
+    min-docs gate → quality floor → per-source quantile gate →
+    exact-text keep-first → token annotation)."""
+    planted = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, {_sql_str(u)} AS url, "
+        f"{_sql_str(s)} AS source, {_sql_str(t)} AS text"
+        for i, u, s, t in _CURATE_WEB_ROWS
+    )
+    blocked = ", ".join(repr(b) for b in _URL_BLOCKLIST)
+    return f"""
+        WITH urls AS ({_URL_SYNTH_SQL}),
+        input AS (
+            SELECT d.doc_id, u.url, d.source, d.text
+            FROM documents d JOIN urls u USING (doc_id)
+            UNION ALL
+            {planted}
+        ),
+        hosts AS (
+            -- host bound in its own CTE: domain_sql references its
+            -- input many times, so inlining host_sql here multiplies
+            -- an already-large generated expression (planner OOM)
+            SELECT doc_id, url, source, text,
+                   {W.host_sql('url')} AS h
+            FROM input
+        ),
+        doms AS MATERIALIZED (
+            -- MATERIALIZED: domain_sql carries a lambda let-binding;
+            -- DuckDB inlining it into downstream window partition keys
+            -- OOMs the planner (measured on this very oracle)
+            SELECT doc_id, url, source, text,
+                   {W.domain_sql('h')} AS dom
+            FROM hosts
+        ),
+        bl AS (
+            SELECT * FROM doms WHERE dom IS NULL OR dom NOT IN ({blocked})
+        ),
+        keyed AS (
+            SELECT *, {W.canonical_url_sql('url')} AS ck FROM bl
+        ),
+        ud AS (
+            SELECT doc_id, url, source, text, dom FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY ck ORDER BY doc_id) AS rn
+                FROM keyed WHERE ck IS NOT NULL
+            ) WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, url, source, text, dom
+            FROM keyed WHERE ck IS NULL
+        ),
+        capped AS (
+            SELECT doc_id, url, source, text, dom FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY dom
+                    ORDER BY {SP.mix_bucket_sql('doc_id')}, doc_id) AS rn
+                FROM ud WHERE dom IS NOT NULL
+            ) WHERE rn <= {_CURATE_WEB_CAP}
+            UNION ALL
+            SELECT doc_id, url, source, text, dom FROM ud WHERE dom IS NULL
+        ),
+        dstats AS (
+            SELECT dom, COUNT(*) AS nd FROM capped
+            WHERE dom IS NOT NULL GROUP BY dom
+        ),
+        dgated AS (
+            SELECT c.doc_id, c.source, c.text
+            FROM capped c LEFT JOIN dstats s ON c.dom = s.dom
+            WHERE c.dom IS NULL OR s.nd >= {_CURATE_WEB_MIN_DOCS}
+        ),
+        base AS (
+            SELECT doc_id, source, text,
+                   len(text) AS tl,
+                   len(text) - len(translate(text, '.,;:!?''"', ''))
+                       AS n_punct,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                       w -> list_contains({{STOP}}, w))) AS n_stop
+            FROM dgated
+        ),
+        scored AS (
+            SELECT doc_id, source, text, n_tok,
+                   FLOOR(10000 * (
+                       (CASE WHEN tl >= 20 AND tl <= 10000
+                             THEN 1.0 ELSE 0.3 END) * 0.4
+                       + (CASE WHEN (CASE WHEN tl > 0 THEN n_punct / tl
+                                     ELSE 0.0 END) <= 0.2
+                          THEN 1.0 ELSE 0.5 END) * 0.3
+                       + LEAST((CASE WHEN n_tok > 0 THEN n_stop / n_tok
+                                ELSE 0.0 END) * 3, 1.0) * 0.3
+                   )) / 10000 AS quality
+            FROM base
+        ),
+        qfloor AS (SELECT * FROM scored WHERE quality >= 0.5),
+        qtile AS (
+            SELECT doc_id, source, text, n_tok, quality FROM (
+                SELECT *,
+                       RANK() OVER (PARTITION BY source
+                                    ORDER BY quality ASC) AS r,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM qfloor
+            ) WHERE (r - 1) * 10000 >= {_CURATE_WEB_QTHR} * (n - 1)
+        ),
+        surv AS (
+            SELECT doc_id, source, n_tok, quality FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep
+                FROM qtile
+            ) WHERE doc_id = keep
+        )
+        SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens, quality
+        FROM surv
+    """.replace("{STOP}", _STOP_SQL)
+
+
+@query(
+    "q_curate_web_planted",
+    oracle=_curate_web_oracle(),
+    tags=("WEB", "CURATION", "DEDUP", "PIPELINE"),
+)
+@plan_cached
+def q_curate_web_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIRED web-curation recipe end to end (operators.curate.
+    curate_corpus with every r13/r14 URL-stage kwarg exercised —
+    VERDICT r13 'what's wrong' #4: the operators existed but the
+    recipe couldn't reach them): blocklist → canonical-URL dedup
+    (salted) → per-domain cap (NULL domains kept) → domain min-docs
+    gate → quality floor → per-source quantile gate → exact dedup
+    (salted) → annotation, over corpus docs with synthesized URLs plus
+    one planted row per branch. Survivor set + per-doc quality and
+    token counts driver-hashed, so a stage-ORDER slip, a NULL-handling
+    drift, or a gate leak in the COMPOSITION flips the hash even
+    though each stage alone is separately green. salt=4 pins that the
+    skew-hardened two-phase windows are output-identical inside the
+    recipe."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    docs = _curate_web_df(spark, sf_dir)
+    out = curate_corpus(
+        docs,
+        near_dup=False,
+        salt=4,
+        url_col="url",
+        url_blocklist=_URL_BLOCKLIST,
+        url_dedup=True,
+        domain_cap=_CURATE_WEB_CAP,
+        domain_gate_kwargs={"min_docs": _CURATE_WEB_MIN_DOCS},
+        quantile_keep_frac=0.75,
+    )
+    return out.select("doc_id", "source", "n_tokens", "quality")
