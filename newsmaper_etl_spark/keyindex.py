@@ -1444,6 +1444,193 @@ def compact_paras_index(
 
 
 # --------------------------------------------------------------------------
+# Per-domain statistics index (incremental/streaming domain gate, r14)
+# --------------------------------------------------------------------------
+
+_DOMAINS_SUB = "_domains"
+_DSTAMP = ("__dpsl",)
+
+
+def domains_index_path(table: str) -> str:
+    return os.path.join(table, _DOMAINS_SUB)
+
+
+def _domains_fingerprint(tokens: bool) -> int:
+    """Stamp fingerprint: the PSL rule snapshot the domains were derived
+    under (a different rule set groups hosts differently — stats would
+    silently mis-merge) plus whether token sums are carried (an index
+    without sums cannot later gate on min_sum_tokens)."""
+    import zlib
+
+    from newsmaper_etl_spark.operators.web import DEFAULT_PSL_RULES
+
+    basis = "\n".join(sorted(DEFAULT_PSL_RULES)) + f"\n#tokens={tokens}"
+    return zlib.crc32(basis.encode("utf-8"))
+
+
+def _dstamped(df: DataFrame, tokens: bool) -> DataFrame:
+    return df.withColumn("__dpsl", F.lit(_domains_fingerprint(tokens)))
+
+
+def check_domains_stamp(table: str, tokens: bool) -> None:
+    st = _read_stamp(domains_index_path(table), _DSTAMP)
+    if st is not None and st.get("__dpsl") != _domains_fingerprint(tokens):
+        raise ValueError(
+            f"domains index at {table} was built under a different PSL "
+            f"snapshot or token basis (stamp {st.get('__dpsl')} vs "
+            f"{_domains_fingerprint(tokens)}); per-domain stats from "
+            "different groupings never merge — rebuild the index"
+        )
+
+
+def _batch_domain_stats(
+    batch_df: DataFrame, url_col: str, tokens_col: str | None
+) -> DataFrame:
+    from newsmaper_etl_spark.operators.web import domain_stats
+
+    return domain_stats(batch_df, url_col=url_col, tokens_col=tokens_col)
+
+
+def read_domains_index(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame | None:
+    """The ACCUMULATED per-domain statistics ``(domain, n_docs
+    [, sum_tokens])`` or None when absent. Stored rows are per-batch
+    PARTIALS (append-only — counts and sums are decomposable, so a
+    batch commit is one tiny delta frame, never a rewrite); the merge
+    is one groupBy over a domain-cardinality frame, paid here on read.
+    ``version`` pins the crash-replay read (the read_paras_index
+    rule)."""
+    dtable = domains_index_path(table)
+    v = M.current_version(dtable) if version is None else version
+    if v == 0:
+        return None
+    raw = M.read_table(spark, dtable, version=v).drop(*_DSTAMP)
+    aggs = [F.sum("n_docs").cast("long").alias("n_docs")]
+    if "sum_tokens" in raw.columns:
+        aggs.append(F.sum("sum_tokens").cast("long").alias("sum_tokens"))
+    return raw.groupBy("domain").agg(*aggs)
+
+
+def ensure_domains_bootstrap(
+    spark: SparkSession, table: str, url_col: str,
+    tokens_col: str | None, app: str, version: int | None = None,
+) -> bool:
+    """One-time stats build for a table that predates the index — the
+    single deliberate O(corpus) aggregation, paid once (``version``
+    pins the pre-batch snapshot on crash replay, the
+    ensure_paras_bootstrap rule)."""
+    dtable = domains_index_path(table)
+    v = M.current_version(table) if version is None else version
+    if M.current_version(dtable) > 0 or v == 0:
+        return False
+    boot_app = app + _BOOT_APP_SUFFIX
+    stats = _dstamped(
+        _batch_domain_stats(
+            M.read_table(spark, table, version=v), url_col, tokens_col
+        ),
+        tokens_col is not None,
+    )
+
+    def _append() -> int:
+        return M.append(
+            stats, dtable, txn=(boot_app, 0), stat_cols=_DSTAMP,
+            meta={"op_detail": "domainsindex-bootstrap",
+                  "covers_version": v},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(dtable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def domain_gate_batch(
+    batch_df: DataFrame,
+    table: str,
+    url_col: str,
+    tokens_col: str | None = None,
+    min_docs: int | None = None,
+    max_docs: int | None = None,
+    min_sum_tokens: int | None = None,
+    index_version: int | None = None,
+) -> DataFrame:
+    """GATE the batch against the accumulated per-domain statistics
+    (:func:`operators.web.domain_gate_incremental` on the streaming
+    seam): rows whose domain's combined (index + this batch) stats
+    fail the thresholds are dropped; NULL-domain rows pass. With no
+    index yet (born-streaming first batch), the batch's own stats
+    gate it. Eagerly materialized: it feeds two commits (data, then
+    domain deltas) that must see identical rows. ``index_version``
+    pins the index read on crash replay with a pending LATER commit
+    (the paragraph_dedup_batch rule): if this batch's own deltas
+    already committed, reading the current index would double-count
+    the batch and the gate decisions would not reproduce."""
+    from newsmaper_etl_spark.operators.web import domain_gate_incremental
+
+    spark = batch_df.sparkSession
+    check_domains_stamp(table, tokens_col is not None)
+    idx = read_domains_index(spark, table, version=index_version)
+    if idx is None:
+        cols = [F.lit("").alias("domain"),
+                F.lit(0).cast("long").alias("n_docs")]
+        if tokens_col is not None:
+            cols.append(F.lit(0).cast("long").alias("sum_tokens"))
+        idx = spark.range(0).select(*cols)
+    out = domain_gate_incremental(
+        batch_df, idx, url_col=url_col, tokens_col=tokens_col,
+        min_docs=min_docs, max_docs=max_docs,
+        min_sum_tokens=min_sum_tokens,
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def append_batch_domains(
+    batch_df: DataFrame, table: str, url_col: str,
+    tokens_col: str | None, app: str, batch_id: int,
+) -> bool:
+    """Commit the batch's per-domain stat DELTAS under the writer's txn
+    mark — replay-skipped, orphan-self-healing. ``batch_df`` must be
+    the AS-COMMITTED rows (post every gate), so the accumulated stats
+    describe exactly what the corpus holds."""
+    dtable = domains_index_path(table)
+    if batch_id <= M.last_txn_version(dtable, app):
+        return False
+    deltas = _dstamped(
+        _batch_domain_stats(batch_df, url_col, tokens_col),
+        tokens_col is not None,
+    )
+
+    def _append() -> int:
+        return M.append(deltas, dtable, txn=(app, int(batch_id)),
+                        stat_cols=_DSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(dtable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_domains_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    dtable = domains_index_path(table)
+    if M.current_version(dtable) == 0:
+        return 0
+    return M.compact(
+        spark, dtable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+
+
+# --------------------------------------------------------------------------
 # Semantic-index drift telemetry + offline rebuild (VERDICT r10 #8)
 # --------------------------------------------------------------------------
 

@@ -695,6 +695,47 @@ def domain_stats(
     return df.groupBy(F.col(key).alias("domain")).agg(*aggs)
 
 
+def _domain_gate_cond(
+    min_docs: int | None,
+    max_docs: int | None,
+    min_sum_tokens: int | None,
+    tokens_col: str | None,
+) -> Column:
+    """The shared threshold predicate of :func:`domain_gate` and
+    :func:`domain_gate_incremental` (one source of truth — a drifted
+    copy would silently diverge batch gating from full-corpus
+    gating)."""
+    if min_docs is None and max_docs is None and min_sum_tokens is None:
+        raise ValueError("domain_gate: pass at least one threshold")
+    if min_sum_tokens is not None and tokens_col is None:
+        raise ValueError("domain_gate: min_sum_tokens needs tokens_col")
+    cond = F.lit(True)
+    if min_docs is not None:
+        cond = cond & (F.col("n_docs") >= min_docs)
+    if max_docs is not None:
+        cond = cond & (F.col("n_docs") <= max_docs)
+    if min_sum_tokens is not None:
+        cond = cond & (F.col("sum_tokens") >= min_sum_tokens)
+    return cond
+
+
+def _gate_by_stats(
+    df: DataFrame, key: str, stats: DataFrame, cond: Column
+) -> DataFrame:
+    """Keep df rows whose ``key`` is NULL or passes ``cond`` in
+    ``stats`` — ONE left join against the qualifying-domain frame
+    (domain-cardinality; AQE broadcasts it when small), the
+    :func:`domain_gate` plan shape."""
+    good = stats.filter(F.col("domain").isNotNull()).filter(cond).select(
+        F.col("domain").alias(key), F.lit(1).alias("__keep")
+    )
+    return (
+        df.join(good, on=key, how="left")
+        .filter(F.col(key).isNull() | F.col("__keep").isNotNull())
+        .drop("__keep")
+    )
+
+
 def domain_gate(
     df: DataFrame,
     *,
@@ -724,32 +765,77 @@ def domain_gate(
     whose input is itself expensive should still materialize it (lazy
     localCheckpoint) before gating — two evaluations are inherent to
     aggregate-then-filter."""
-    if min_docs is None and max_docs is None and min_sum_tokens is None:
-        raise ValueError("domain_gate: pass at least one threshold")
-    if min_sum_tokens is not None and tokens_col is None:
-        raise ValueError("domain_gate: min_sum_tokens needs tokens_col")
+    cond = _domain_gate_cond(min_docs, max_docs, min_sum_tokens, tokens_col)
     derived = url_col is not None
     if derived:
         df = df.withColumn("__dom", domain_col(host_col(url_col)))
         key = "__dom"
     else:
         key = domain_col_name
-    stats = domain_stats(
-        df, domain_col_name=key, tokens_col=tokens_col
-    ).filter(F.col("domain").isNotNull())
-    cond = F.lit(True)
-    if min_docs is not None:
-        cond = cond & (F.col("n_docs") >= min_docs)
-    if max_docs is not None:
-        cond = cond & (F.col("n_docs") <= max_docs)
-    if min_sum_tokens is not None:
-        cond = cond & (F.col("sum_tokens") >= min_sum_tokens)
-    good = stats.filter(cond).select(
-        F.col("domain").alias(key), F.lit(1).alias("__keep")
+    stats = domain_stats(df, domain_col_name=key, tokens_col=tokens_col)
+    out = _gate_by_stats(df, key, stats, cond)
+    return out.drop("__dom") if derived else out
+
+
+def domain_gate_incremental(
+    new_docs: DataFrame,
+    seen_stats: DataFrame,
+    *,
+    url_col: str | None = None,
+    domain_col_name: str = "domain",
+    tokens_col: str | None = None,
+    min_docs: int | None = None,
+    max_docs: int | None = None,
+    min_sum_tokens: int | None = None,
+) -> DataFrame:
+    """The NIGHTLY-pipeline form of :func:`domain_gate`: gate tonight's
+    batch against the ACCUMULATED per-domain statistics instead of
+    re-aggregating 100 TB — ``seen_stats`` is the persisted
+    ``(domain, n_docs[, sum_tokens])`` frame (the ``_domains`` side
+    table, :func:`newsmaper_etl_spark.keyindex.read_domains_index`).
+    Counts and token sums are DECOMPOSABLE, so combined stats are one
+    groupBy-sum over (index ∪ batch partials) and the gate satisfies
+    the exact equivalence every incremental operator here contracts:
+
+        domain_gate_incremental(batch, stats(corpus))
+            == domain_gate(corpus ∪ batch) restricted to batch rows
+
+    (driver-hashed by q_domain_incremental). Per-batch cost is
+    index-sized — the stats frame is domain-cardinality, never corpus
+    rows. NULL-domain batch rows are KEPT (the domain_gate contract).
+    A ``max_docs`` gate is order-dependent across nights BY DESIGN:
+    rows admitted while the domain was small stay admitted (the index
+    is an ever-seen ledger, not a retroactive cap — use the
+    maintenance-path full recipe to re-gate history)."""
+    cond = _domain_gate_cond(min_docs, max_docs, min_sum_tokens, tokens_col)
+    if tokens_col is not None and "sum_tokens" not in seen_stats.columns:
+        raise ValueError(
+            "domain_gate_incremental: tokens_col given but seen_stats "
+            "has no sum_tokens column — an index built without token "
+            "sums cannot gate on them (silently treating missing sums "
+            "as zero would under-count every seen domain)"
+        )
+    derived = url_col is not None
+    if derived:
+        new_docs = new_docs.withColumn(
+            "__dom", domain_col(host_col(url_col))
+        )
+        key = "__dom"
+    else:
+        key = domain_col_name
+    batch_stats = domain_stats(
+        new_docs, domain_col_name=key, tokens_col=tokens_col
     )
-    out = (
-        df.join(good, on=key, how="left")
-        .filter(F.col(key).isNull() | F.col("__keep").isNotNull())
-        .drop("__keep")
+    combined = (
+        seen_stats.unionByName(batch_stats, allowMissingColumns=True)
+        .groupBy("domain")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            *(
+                [F.sum("sum_tokens").cast("long").alias("sum_tokens")]
+                if tokens_col is not None else []
+            ),
+        )
     )
+    out = _gate_by_stats(new_docs, key, combined, cond)
     return out.drop("__dom") if derived else out

@@ -2834,6 +2834,90 @@ def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.domain_gate(base, min_docs=5).select("doc_id", "domain")
 
 
+#: planted rows for q_domain_incremental — even doc_ids land in the
+#: SEEN (index) half, odd in the BATCH half. idx-only.example has 4
+#: seen docs + 1 batch doc: its batch row passes min_docs=5 ONLY when
+#: the accumulated index is consulted (batch-local stats say 1).
+#: batch-only.example (2 batch docs) must drop; the unparseable batch
+#: row must ride through (NULL-domain keep contract).
+_DOMAIN_INC_ROWS: tuple[tuple[int, str, int], ...] = (
+    (9_700_002, "https://idx-only.example/a", 9),
+    (9_700_004, "https://idx-only.example/b", 9),
+    (9_700_006, "https://idx-only.example/c", 9),
+    (9_700_008, "https://idx-only.example/d", 9),
+    (9_700_011, "https://idx-only.example/e", 9),
+    (9_700_013, "https://batch-only.example/a", 9),
+    (9_700_015, "https://batch-only.example/b", 9),
+    (9_700_017, "", 7),
+)
+
+
+@query(
+    "q_domain_incremental",
+    oracle=f"""
+        WITH urls AS ({_URL_SYNTH_SQL}),
+        joined AS (
+            SELECT d.doc_id, u.url,
+                   len(string_split(d.text, ' ')) AS n_tok
+            FROM documents d JOIN urls u USING (doc_id)
+            UNION ALL
+            SELECT CAST(9999999 AS BIGINT), '', 7
+            UNION ALL
+            {' UNION ALL '.join(
+                f"SELECT CAST({i} AS BIGINT), {_sql_str(u)}, {t}"
+                for i, u, t in _DOMAIN_INC_ROWS)}
+        ),
+        hosts AS (
+            SELECT doc_id, n_tok, {W.host_sql('url')} AS h FROM joined
+        ),
+        doms AS MATERIALIZED (
+            SELECT doc_id, n_tok, {W.domain_sql('h')} AS domain
+            FROM hosts
+        ),
+        stats AS (
+            SELECT domain, COUNT(*) AS nd, SUM(n_tok) AS st
+            FROM doms WHERE domain IS NOT NULL GROUP BY domain
+        )
+        SELECT doc_id, domain, CAST(n_tok AS BIGINT) AS n_tok
+        FROM doms d
+        WHERE d.doc_id % 2 = 1
+          AND (d.domain IS NULL OR d.domain IN
+               (SELECT domain FROM stats WHERE nd >= 5 AND st >= 20))
+    """,
+    tags=("WEB", "CURATION", "INCREMENTAL"),
+)
+@plan_cached
+def q_domain_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental domain gate (operators.web.domain_gate_incremental —
+    the _domains side-table composition, VERDICT r13 'do this' #5):
+    the corpus is split into a SEEN half (even ids → reduced to the
+    persisted-index shape via domain_stats) and a BATCH half (odd ids),
+    and the batch is gated against (index + batch) combined statistics.
+    The oracle states the EQUIVALENCE CONTRACT directly — the
+    full-corpus gate restricted to batch rows — so the decomposable-sum
+    merge, the index consultation (idx-only.example passes min_docs
+    only via accumulated counts), the batch-local drop
+    (batch-only.example), and the NULL-domain keep are all under one
+    driver hash."""
+    base = _domain_tok_df(spark, sf_dir)
+    extra = spark.createDataFrame(
+        list(_DOMAIN_INC_ROWS), "doc_id long, url string, n_tok int"
+    ).withColumn("domain", W.domain_col(W.host_col("url")))
+    allr = base.unionByName(extra.select(*base.columns))
+    seen = allr.filter(F.col("doc_id") % 2 == 0)
+    batch = allr.filter(F.col("doc_id") % 2 == 1)
+    seen_stats = W.domain_stats(
+        seen, domain_col_name="domain", tokens_col="n_tok"
+    )
+    out = W.domain_gate_incremental(
+        batch, seen_stats, domain_col_name="domain", tokens_col="n_tok",
+        min_docs=5, min_sum_tokens=20,
+    )
+    return out.select(
+        "doc_id", "domain", F.col("n_tok").cast("long").alias("n_tok")
+    )
+
+
 @query(
     "q_psl_domain",
     oracle=f"""

@@ -372,6 +372,7 @@ def write_stream_manifest(
     near_dedup: dict | None = None,
     span_dedup: dict | None = None,
     para_dedup: dict | None = None,
+    domain_gate: dict | None = None,
     telemetry: bool = False,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
@@ -472,6 +473,22 @@ def write_stream_manifest(
     table). Runs after the row-level gates and BEFORE ``span_dedup``:
     whole repeated paragraphs are cheap per-doc hash cuts, so the span
     stage's per-token gram pass only sees what survives them.
+
+    ``domain_gate`` adds the DOMAIN-LEVEL aggregate gate on ingest (the
+    :func:`operators.web.domain_gate_incremental` composition — a
+    nightly batch gated against the ACCUMULATED per-domain statistics,
+    not a corpus re-aggregation): a dict with ``url_col`` (required)
+    and optional ``tokens_col`` (None) plus at least one of
+    ``min_docs`` / ``max_docs`` / ``min_sum_tokens``. Maintains the
+    persisted per-domain stat-delta index at ``<table>/_domains``
+    (domain-cardinality rows of (domain, n_docs[, sum_tokens]) partials
+    — counts are decomposable, so each commit is a tiny delta and reads
+    merge with one groupBy; PSL-snapshot + token-basis stamped, same
+    txn/bootstrap/compaction discipline). Runs FIRST of the content
+    gates — the recipe rule: the cheapest drop shields every hash and
+    shuffle downstream. ``max_docs`` across nights is an ever-seen
+    ledger, not a retroactive cap (rows admitted while a domain was
+    small stay admitted; re-gate history via the maintenance path).
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -594,10 +611,22 @@ def write_stream_manifest(
         pdd.setdefault("text_col", "text")
         pdd.setdefault("sep", "\n\n")
 
+    dg = dict(domain_gate) if domain_gate else None
+    if dg is not None:
+        if "url_col" not in dg:
+            raise ValueError("domain_gate requires a 'url_col' entry")
+        dg.setdefault("tokens_col", None)
+        dg.setdefault("min_docs", None)
+        dg.setdefault("max_docs", None)
+        dg.setdefault("min_sum_tokens", None)
+        if (dg["min_docs"] is None and dg["max_docs"] is None
+                and dg["min_sum_tokens"] is None):
+            raise ValueError("domain_gate: pass at least one threshold")
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         main_done = batch_id <= M.last_txn_version(table, app)
         if (main_done and not dedup_keys and nd is None and sd is None
-                and pdd is None):
+                and pdd is None and dg is None):
             return  # replay of an already-committed batch: exactly-once
         gates: dict | None = {} if telemetry else None
         if gates is not None:
@@ -605,7 +634,8 @@ def write_stream_manifest(
         persisted = False
         eff_stat_cols = tuple(stat_cols)
         data_version = None
-        if dedup_keys or nd is not None or sd is not None or pdd is not None:
+        if (dedup_keys or nd is not None or sd is not None
+                or pdd is not None or dg is not None):
             from newsmaper_etl_spark import keyindex as K
 
             spark = batch_df.sparkSession
@@ -631,6 +661,10 @@ def write_stream_manifest(
                 done = done and batch_id <= M.last_txn_version(
                     K.paras_index_path(table), app
                 )
+            if dg is not None:
+                done = done and batch_id <= M.last_txn_version(
+                    K.domains_index_path(table), app
+                )
             if done:
                 return  # data and every index committed: pure replay
             if main_done:
@@ -649,6 +683,33 @@ def write_stream_manifest(
                 dv = M.txn_commit_version(table, app, int(batch_id))
                 if dv is not None:
                     data_version = dv - 1
+        if dg is not None:
+            # FIRST content gate (the recipe order: a dropped domain
+            # skips every hash and shuffle downstream). Replay with a
+            # pending LATER commit: pin the domains read to its
+            # pre-commit version or the batch's own already-committed
+            # deltas double-count and the gate decisions don't
+            # reproduce (the paras pver rule).
+            dgver = None
+            if main_done and batch_id <= M.last_txn_version(
+                K.domains_index_path(table), app
+            ):
+                dgv = M.txn_commit_version(
+                    K.domains_index_path(table), app, int(batch_id)
+                )
+                if dgv is not None:
+                    dgver = dgv - 1
+            K.ensure_domains_bootstrap(
+                spark, table, dg["url_col"], dg["tokens_col"], app,
+                version=data_version,
+            )
+            batch_df = K.domain_gate_batch(
+                batch_df, table, dg["url_col"], dg["tokens_col"],
+                dg["min_docs"], dg["max_docs"], dg["min_sum_tokens"],
+                index_version=dgver,
+            )  # eagerly-materialized: feeds the data AND domains commits
+            if gates is not None:
+                gates["after_domain"] = batch_df.count()
         if dedup_keys:
             from newsmaper_etl_spark.operators.dedup import exact_dedup
 
@@ -846,6 +907,12 @@ def write_stream_manifest(
                     batch_df, table, sd["id_col"], sd["text_col"],
                     sd["k"], app, int(batch_id),
                 )
+            if dg is not None:
+                # stat deltas of the rows AS COMMITTED (post every gate)
+                K.append_batch_domains(
+                    batch_df, table, dg["url_col"], dg["tokens_col"],
+                    app, int(batch_id),
+                )
         finally:
             if persisted:
                 batch_df.unpersist()
@@ -861,6 +928,8 @@ def write_stream_manifest(
                 [K.compact_grams_index] if sd is not None else []
             ) + (
                 [K.compact_paras_index] if pdd is not None else []
+            ) + (
+                [K.compact_domains_index] if dg is not None else []
             ):
                 try:
                     _maint(batch_df.sparkSession, table)

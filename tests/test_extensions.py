@@ -3892,6 +3892,54 @@ def test_with_registered_domain_plan_is_broadcast_only(spark):
     assert all("hashpartitioning(suffix" in ln for ln in psl_side), psl_side
 
 
+def test_domain_gate_incremental_equivalence(spark):
+    """The incremental contract, property-style: gating the batch
+    against stats(seen) equals the full-corpus gate restricted to batch
+    rows — for every threshold combination, including token sums."""
+    import pytest
+    from newsmaper_etl_spark.operators.web import (
+        domain_gate,
+        domain_gate_incremental,
+        domain_stats,
+    )
+
+    rows = [
+        (i, f"https://host{i % 3}.dom{i % 7}.example/{i}", 10 + i % 5)
+        for i in range(60)
+    ] + [(100, None, 3), (101, "http://[::1]/x", 4)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_tok int")
+    from newsmaper_etl_spark.operators.web import domain_col, host_col
+
+    allr = df.withColumn("domain", domain_col(host_col("url")))
+    seen = allr.filter(F.col("doc_id") % 2 == 0)
+    batch = allr.filter(F.col("doc_id") % 2 == 1)
+    stats = domain_stats(seen, domain_col_name="domain", tokens_col="n_tok")
+    for kw in (
+        {"min_docs": 8},
+        {"max_docs": 9},
+        {"min_docs": 5, "min_sum_tokens": 100},
+    ):
+        tok = {"tokens_col": "n_tok"} if "min_sum_tokens" in kw else {}
+        inc = domain_gate_incremental(
+            batch, stats if tok else stats.drop("sum_tokens"),
+            domain_col_name="domain", **tok, **kw,
+        )
+        full = domain_gate(
+            allr, domain_col_name="domain",
+            **({"tokens_col": "n_tok"} if "min_sum_tokens" in kw else {}),
+            **kw,
+        ).filter(F.col("doc_id") % 2 == 1)
+        assert sorted(r["doc_id"] for r in inc.collect()) == sorted(
+            r["doc_id"] for r in full.collect()
+        ), kw
+    # an index without token sums refuses a token-sum gate
+    with pytest.raises(ValueError, match="sum_tokens"):
+        domain_gate_incremental(
+            batch, stats.drop("sum_tokens"), domain_col_name="domain",
+            tokens_col="n_tok", min_sum_tokens=1,
+        )
+
+
 def test_parse_psl_rules_validation():
     import pytest
     from newsmaper_etl_spark.operators.web import parse_psl_rules

@@ -1764,6 +1764,103 @@ def test_stream_manifest_para_dedup_on_ingest(spark, tmp_path):
         K.check_paras_stamp(table, sep="\n")
 
 
+def test_stream_manifest_domain_gate_on_ingest(spark, tmp_path):
+    """domain_gate: batches are gated against the ACCUMULATED per-domain
+    statistics in the _domains side table — a domain too small within
+    one batch is admitted once the accumulated count qualifies, a
+    dropped row never pollutes the stats (deltas are committed from the
+    AS-COMMITTED rows), unparseable URLs ride through, and a crash
+    between the data commit and the domains commit heals on replay with
+    the same gate decisions."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "domin"
+    src.mkdir()
+    table = str(tmp_path / "domtable")
+    # ONE checkpoint + app across every run: the gate's decisions depend
+    # on WHICH rows form a batch, so each file set must be processed
+    # exactly once (a fresh checkpoint would re-read earlier files into
+    # a new combined batch and legitimately re-decide rare.example)
+    ck = str(tmp_path / "domck")
+
+    def run():
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("id LONG, url STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id="domq",
+            domain_gate={"url_col": "url", "min_docs": 2},
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"id": 1, "url": "https://a.keep.example/1"}) + "\n"
+        + _json.dumps({"id": 2, "url": "https://b.keep.example/2"}) + "\n"
+        + _json.dumps({"id": 3, "url": "https://keep.example/3"}) + "\n"
+        + _json.dumps({"id": 4, "url": "https://rare.example/x"}) + "\n"
+        + _json.dumps({"id": 5, "url": ""})
+    )
+    run()
+    rows = {r["id"] for r in M.read_table(spark, table).collect()}
+    # born-streaming first batch: its own stats gate it — keep.example
+    # (3 docs, subdomains collapse to one registered domain) passes,
+    # rare.example (1) drops, the unparseable row is kept
+    assert rows == {1, 2, 3, 5}
+    idx = {r["domain"]: r["n_docs"]
+           for r in K.read_domains_index(spark, table).collect()}
+    # deltas describe the AS-COMMITTED rows: the dropped rare.example
+    # row is NOT in the stats
+    assert idx["keep.example"] == 3 and "rare.example" not in idx
+
+    # second batch: keep.example passes ONLY via the accumulated count
+    # (batch-local n=1 < 2); rare.example still starves (its b0 row
+    # never committed); a fresh domain qualifying within the batch lands
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 10, "url": "https://rare.example/y"}) + "\n"
+        + _json.dumps({"id": 11, "url": "https://keep.example/4"}) + "\n"
+        + _json.dumps({"id": 12, "url": "https://pair.example/1"}) + "\n"
+        + _json.dumps({"id": 13, "url": "https://pair.example/2"})
+    )
+    run()
+    rows = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert rows == {1, 2, 3, 5, 11, 12, 13}
+    idx = {r["domain"]: r["n_docs"]
+           for r in K.read_domains_index(spark, table).collect()}
+    assert idx["keep.example"] == 4 and idx["pair.example"] == 2
+
+    # crash between data commit and domains commit heals on replay
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 20, "url": "https://keep.example/5"})
+    )
+    real = K.append_batch_domains
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before domains commit")
+
+    K.append_batch_domains = _crash
+    try:
+        with _pytest.raises(Exception):
+            run()
+    finally:
+        K.append_batch_domains = real
+    rows = {r["id"] for r in M.read_table(spark, table).collect()}
+    assert 20 in rows  # data committed before the injected crash
+    dv_before = M.current_version(K.domains_index_path(table))
+    run()  # replay: data append skips, domains commit proceeds
+    assert M.current_version(K.domains_index_path(table)) > dv_before
+    idx = {r["domain"]: r["n_docs"]
+           for r in K.read_domains_index(spark, table).collect()}
+    assert idx["keep.example"] == 5
+
+    # basis drift refused: the index was built without token sums
+    with _pytest.raises(ValueError, match="token basis|PSL"):
+        K.check_domains_stamp(table, tokens=True)
+
+
 def test_stream_manifest_canonical_url_dedup_composition(spark, tmp_path):
     """Streaming canonical-URL dedup is a COMPOSITION, not new
     machinery: derive the canonical key before the sink and pass it as
