@@ -108,9 +108,16 @@ def curate_corpus(
     ):
         from newsmaper_etl_spark.operators import web as W
 
+        # derive the registered domain ONCE for the whole URL stage —
+        # letting each sub-stage re-derive it via url_col= would run
+        # the PSL projection 3x per row, and every downstream consumer
+        # would re-evaluate it again under AQE
+        docs = docs.withColumn(
+            "__rdom", W.domain_col(W.host_col(url_col))
+        )
         if url_blocklist is not None:
             docs = W.domain_blocklist_filter(
-                docs, url_blocklist, url_col=url_col
+                docs, url_blocklist, domain_col_name="__rdom"
             )
         if url_dedup:
             docs = W.url_dedup(
@@ -118,13 +125,18 @@ def curate_corpus(
             ).drop("url_canon")
         if domain_cap:
             docs = W.cap_per_domain(
-                docs, int(domain_cap), url_col=url_col, id_col=id_col,
-                null_domains="keep",
+                docs, int(domain_cap), domain_col_name="__rdom",
+                id_col=id_col, null_domains="keep",
             )
         if domain_gate_kwargs:
+            # the gate consumes its input twice (stats + probe);
+            # materialize the URL-stage survivors so the blocklist/
+            # dedup/cap work above runs once, not per consumer
+            docs = docs.localCheckpoint(eager=False)
             docs = W.domain_gate(
-                docs, url_col=url_col, **domain_gate_kwargs
+                docs, domain_col_name="__rdom", **domain_gate_kwargs
             )
+        docs = docs.drop("__rdom")
     if html_extract:
         # extraction runs FIRST — every downstream signal (quality,
         # dedup keys, shingles, token stats) must see the visible text,

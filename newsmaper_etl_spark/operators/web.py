@@ -162,49 +162,61 @@ def domain_col(
     :func:`with_registered_domain` (broadcast joins, O(1) hash probes)
     instead of here."""
     groups = parse_psl_rules(rules)
-    h = F.col(host) if isinstance(host, str) else host
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-
-    def lastk(k: int) -> Column:
-        return F.concat_ws(
-            ".", *[F.get(labels, n - j) for j in range(k, 0, -1)]
-        )
+    h0 = F.col(host) if isinstance(host, str) else host
 
     def in_group(kind: str, k: int, cand: Column) -> Column:
         suf = groups.get((kind, k))
         if not suf:
             return F.lit(False)
-        return F.array_contains(F.array(*[F.lit(s) for s in suf]), cand)
+        # isin: Catalyst converts a >10-literal In to a constant-folded
+        # InSet — one hash probe per row
+        return cand.isin(*suf)
 
-    _, eff_lengths, max_exc = _psl_effective_lengths(groups)
-    # ps_len: exceptions (longest first), then effective rule lengths
-    # (longest first: exact rules of length e and wildcards with tail
-    # e-1 both make the last e labels the public suffix), else the
-    # implicit '*' default rule (ps = 1)
-    ps = F.lit(1)
-    for e in sorted(eff_lengths):
-        cond = F.lit(False)
-        if ("exact", e) in groups:
-            cond = cond | ((n >= e) & in_group("exact", e, lastk(e)))
-        if ("wild", e - 1) in groups:
-            cond = cond | ((n >= e) & in_group("wild", e - 1, lastk(e - 1)))
-        ps = F.when(cond, F.lit(e)).otherwise(ps)
-    for k in sorted(
-        (k for (kind, k) in groups if kind == "exc"), reverse=False
-    ):
-        ps = F.when(
-            (n >= k) & in_group("exc", k, lastk(k)), F.lit(k - 1)
-        ).otherwise(ps)
-    # registered domain = the last ps+1 labels, as ONE slice (a per-ps
-    # CASE would replicate the whole ps expression per level — the
-    # expression blow-up that OOM'd the first cut of the SQL mirror)
-    reg = F.array_join(F.slice(labels, n - ps, ps + 1), ".")
-    return (
-        F.when(h.isNull(), F.lit(None).cast("string"))
+    _, eff_lengths, _ = _psl_effective_lengths(groups)
+
+    def with_labels(h: Column, labels: Column) -> Column:
+        n = F.size(labels)
+
+        def lastk(k: int) -> Column:
+            return F.concat_ws(
+                ".", *[F.get(labels, n - j) for j in range(k, 0, -1)]
+            )
+
+        # ps_len: exceptions (longest first), then effective rule
+        # lengths (longest first: exact rules of length e and wildcards
+        # with tail e-1 both make the last e labels the public suffix),
+        # else the implicit '*' default rule (ps = 1)
+        ps = F.lit(1)
+        for e in sorted(eff_lengths):
+            cond = F.lit(False)
+            if ("exact", e) in groups:
+                cond = cond | ((n >= e) & in_group("exact", e, lastk(e)))
+            if ("wild", e - 1) in groups:
+                cond = cond | (
+                    (n >= e) & in_group("wild", e - 1, lastk(e - 1))
+                )
+            ps = F.when(cond, F.lit(e)).otherwise(ps)
+        for k in sorted(k for (kind, k) in groups if kind == "exc"):
+            ps = F.when(
+                (n >= k) & in_group("exc", k, lastk(k)), F.lit(k - 1)
+            ).otherwise(ps)
+        # registered domain = the last ps+1 labels as ONE slice, with ps
+        # let-bound (the SQL mirror's list_transform rule: inlining ps
+        # per reference is the expression blow-up that OOM'd DuckDB)
+        return _let(
+            ps,
+            lambda p: F.when(p >= n, h).otherwise(
+                F.array_join(F.slice(labels, n - p, p + 1), ".")
+            ),
+        )
+
+    return _let(
+        h0,
+        lambda h: F.when(h.isNull(), F.lit(None).cast("string"))
         .when(h.rlike(_IPV4_RE), h)
-        .when(ps >= n, h)
-        .otherwise(reg)
+        .otherwise(
+            _let(F.split(h, r"\."), lambda labels: with_labels(h, labels))
+        ),
     )
 
 #: control characters (C0 + DEL) are never legal in a hostname; a host
@@ -217,21 +229,35 @@ def domain_col(
 _CTRL_RE = r"[\x00-\x1f\x7f]"
 
 
+def _let(value: Column, body) -> Column:
+    """Single-use LET-BINDING for Column expressions: evaluate ``value``
+    once per row and hand it to ``body`` as a bound lambda variable
+    (``transform`` over a one-element array — the Column-API analog of
+    the SQL mirror's ``list_transform([x], ...)`` trick). Without it,
+    Catalyst's ProjectCollapse inlines a subexpression into EVERY
+    reference site: the PSL projection referenced the host regex chain
+    ~100x per row, a 646 KB physical plan that ran ~1 ms/row
+    (measured); bound once it is one evaluation per row per subtree."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def host_col(url: str | Column) -> Column:
     """The normalized host of a URL column: authority-aware extraction
     (userinfo and port stripped), lowercased, trailing dots removed;
     NULL for empty/bracketed-IPv6/control-character/unparseable input.
-    Pure JVM regexp projection."""
+    Pure JVM regexp projection (regex chain let-bound — evaluated once
+    per row however many times callers reference the result)."""
     u = F.col(url) if isinstance(url, str) else url
     raw = F.when(
         u.rlike(_AUTHORITY_RE), F.regexp_extract(u, _HOST_AUTH_RE, 1)
     ).otherwise(F.regexp_extract(u, _HOST_BARE_RE, 1))
     host = F.regexp_replace(F.lower(raw), r"[.]+$", "")
-    return (
-        F.when(host == "", F.lit(None).cast("string"))
-        .when(host.startswith("["), F.lit(None).cast("string"))
-        .when(host.rlike(_CTRL_RE), F.lit(None).cast("string"))
-        .otherwise(host)
+    return _let(
+        host,
+        lambda h: F.when(h == "", F.lit(None).cast("string"))
+        .when(h.startswith("["), F.lit(None).cast("string"))
+        .when(h.rlike(_CTRL_RE), F.lit(None).cast("string"))
+        .otherwise(h),
     )
 
 
@@ -470,7 +496,6 @@ def canonical_url_col(url: str | Column) -> Column:
     DuckDB oracle replays the same regex/list pipeline via
     :func:`canonical_url_sql`."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.regexp_replace(host_col(u), r"^www\.", "")
     raw_path = F.when(
         u.rlike(_AUTHORITY_RE), F.regexp_extract(u, _PATH_RE, 1)
     ).otherwise(F.regexp_extract(u, _PATH_BARE_RE, 1))
@@ -483,12 +508,19 @@ def canonical_url_col(url: str | Column) -> Column:
         & ~F.element_at(F.split(p, "=", 2), 1).isin(*TRACKING_PARAMS),
     )
     qs = F.array_join(F.array_sort(parts), "&")
-    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(
-            host,
-            path,
-            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
-        )
+    return _let(
+        F.regexp_replace(host_col(u), r"^www\.", ""),
+        lambda host: F.when(
+            host.isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(
+                host,
+                path,
+                F.when(qs == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), qs)
+                ),
+            )
+        ),
     )
 
 

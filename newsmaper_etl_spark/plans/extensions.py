@@ -3143,7 +3143,10 @@ def _curate_web_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_CURATE_WEB_ROWS),
         "doc_id long, url string, source string, text string",
     )
-    return base.unionAll(extra)
+    # lazy checkpoint: the recipe's URL stage consumes this frame from
+    # several operators — unmaterialized, each consumer re-runs the
+    # urls×documents join (the _domain_tok_df rule)
+    return base.unionAll(extra).localCheckpoint(eager=False)
 
 
 def _curate_web_oracle() -> str:
