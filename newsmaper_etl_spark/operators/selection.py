@@ -1,0 +1,318 @@
+"""Model-informed data selection: DSIR importance resampling and a
+linear (fastText-style) quality-classifier gate.
+
+The two selection methods a production curation run applies AFTER the
+rule-based gates (quality_score, repetition, quantile_gate) and BEFORE
+mixture assembly:
+
+- **DSIR** (Data Selection via Importance Resampling, Xie et al.,
+  NeurIPS 2023): score every raw document with the bag-of-features
+  log-likelihood ratio between a target distribution (e.g. Wikipedia +
+  books) and the raw-pool distribution, then resample without
+  replacement with probability ∝ exp(logw) — the Gumbel top-k trick
+  makes that one deterministic per-row key (logw + Gumbel(id, seed))
+  and ONE top-k, no sequential draws.
+- **Classifier gate**: the CCNet / GPT-3-style "does this look like the
+  target corpus" shallow linear classifier — mean token weight + bias
+  in logit space, keep if ≥ logit(threshold). fastText inference with
+  an explicit (or hashed) vocabulary is exactly this shape once the
+  embedding layer is folded into per-token scalar weights.
+
+Scale posture (100 TB):
+
+- Small weight tables (≲2k entries) inline as a map literal into ONE
+  JVM projection — zero shuffle, fuses into the scan, whole-stage
+  codegen. This mirrors the bpe_tokenize regex cutover rule.
+- Large weight tables take the explode → broadcast-join → re-aggregate
+  path: one shuffle on the doc id, weight table broadcast (a 5M-token
+  table of (hash, weight) is ~80 MB — broadcastable; beyond that,
+  leave the hint off and let AQE pick, per domain_blocklist_filter's
+  r13 rule).
+- The hashed variant keys the join on xxhash64(token) so the broadcast
+  ships 16 bytes/entry instead of the token strings; parity with the
+  string path is pinned by tests (the contamination_hashed argument:
+  a false merge needs an xxhash64 collision inside ONE document's
+  vocabulary slice).
+- ``dsir_select`` is orderBy+limit → TakeOrderedAndProject: per-
+  partition top-k then a k-row merge on the driver; no global sort at
+  any scale.
+
+Determinism is engine-portable (the sampling.py discipline): the
+Gumbel noise is derived from the row id through the shared LCG mixer —
+no rand(), no xxhash64 in anything an oracle checks — so the selected
+set is reproducible bit-for-bit across runs AND engines, which is what
+makes selection ablations auditable. Weight values chosen as exact
+binary fractions (0.25, -0.5, …) make the per-doc sums EXACT in
+IEEE-754 regardless of summation order; the contract fixtures do this
+on purpose so the driver hash cannot ride on float associativity.
+
+Reference scope: BryanHuet/newsmaper-etl has no model-informed
+selection (dags/newsmaper_dag.py:1-120 is ingest + relational
+hygiene); this module is part of the mandated beyond-the-reference
+LLM-pipeline surface (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.operators.sampling import (
+    _FOLD,
+    _LCG_A,
+    _LCG_C,
+    _MOD,
+    _require_numeric_id,
+)
+
+#: Map-literal cutover: a CASE/map over more entries than this parses,
+#: analyzes, and codegen-compiles a multi-KB expression per invocation
+#: (the bpe_tokenize 2048-entry rule, same root cause) — larger tables
+#: must come in as a DataFrame and take the broadcast-join path.
+MAX_INLINE_WEIGHTS = 2048
+
+
+# --------------------------------------------------------------------------
+# Token log-weight scoring (shared core of DSIR and the classifier)
+# --------------------------------------------------------------------------
+
+def token_logweight_col(
+    text_col: str | Column,
+    weights: Mapping[str, float],
+    *,
+    missing: float = 0.0,
+) -> Column:
+    """Per-row sum of per-token weights as ONE JVM projection.
+
+    ``aggregate(transform(split(text), t -> coalesce(map[t], missing)))``
+    — a sequential left fold over the token array, no shuffle, no
+    Python. Unknown tokens contribute ``missing`` (DSIR smoothing /
+    the classifier's OOV weight). Empty text splits to one empty-string
+    token in BOTH engines (Spark ``split`` and DuckDB ``string_split``
+    agree), so ``''`` is scoreable like any token — keep it out of the
+    weight table unless that is intended.
+    """
+    if len(weights) > MAX_INLINE_WEIGHTS:
+        raise ValueError(
+            f"token_logweight_col: {len(weights)} weights exceed the "
+            f"{MAX_INLINE_WEIGHTS}-entry map-literal cutover; pass the "
+            "table as a DataFrame (dsir_log_weights weights_df path)"
+        )
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ", -1)
+    pairs: list[Column] = []
+    for tok, w in sorted(weights.items()):
+        pairs.append(F.lit(tok))
+        pairs.append(F.lit(float(w)))
+    m = F.create_map(*pairs)
+    miss = F.lit(float(missing))
+    return F.aggregate(
+        F.transform(toks, lambda t: F.coalesce(m[t], miss)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def token_logweight_sql(
+    text_expr: str,
+    weights: Mapping[str, float],
+    *,
+    missing: float = 0.0,
+) -> str:
+    """The oracle-side rendering of :func:`token_logweight_col` (same
+    fold, same literals — ``repr(float)`` round-trips to the identical
+    double in both parsers)."""
+    cases = " ".join(
+        f"WHEN '{tok}' THEN {float(w)!r}" for tok, w in sorted(weights.items())
+    )
+    return (
+        f"list_sum(list_transform(string_split({text_expr}, ' '), "
+        f"t -> CASE t {cases} ELSE {float(missing)!r} END))"
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights + Gumbel top-k resampling
+# --------------------------------------------------------------------------
+
+def dsir_log_weights(
+    df: DataFrame,
+    weights: Mapping[str, float] | DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    missing: float = 0.0,
+    out_col: str = "logw",
+    hashed: bool = False,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Attach the DSIR log importance weight: for unigram features,
+    ``logw(doc) = Σ_tokens (log p_target(t) − log p_raw(t))`` — the
+    caller supplies that per-token log-ratio (with smoothing folded in)
+    either as a mapping (inlined, zero shuffle) or as a ``(token,
+    logw)`` DataFrame (explode → join → one groupBy on the id).
+
+    ``hashed=True`` (DataFrame path only) joins on ``xxhash64(token)``
+    instead of the string — the 100 TB form (fixed-width join keys, the
+    broadcast ships no strings). Not oracle-portable, so contracts pin
+    it via string-vs-hashed parity, not a DuckDB twin (the
+    contamination_hashed precedent).
+    """
+    if isinstance(weights, Mapping):
+        if hashed:
+            raise ValueError("hashed=True requires a weight DataFrame")
+        return df.withColumn(
+            out_col, token_logweight_col(text_col, weights, missing=missing)
+        )
+
+    wt = weights
+    if set(wt.columns) < {"token", "logw"}:
+        raise ValueError(
+            f"dsir_log_weights: weight DataFrame needs (token, logw) "
+            f"columns, got {wt.columns}"
+        )
+    _require_numeric_id(df, id_col, "dsir_log_weights")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("__tok"),
+    )
+    if hashed:
+        toks = toks.withColumn("__tk", F.xxhash64("__tok")).drop("__tok")
+        wt = wt.select(F.xxhash64("token").alias("__tk"), "logw")
+        on = "__tk"
+    else:
+        wt = wt.select(F.col("token").alias("__tok"), "logw")
+        on = "__tok"
+    if broadcast_weights:
+        wt = F.broadcast(wt)
+    scores = (
+        toks.join(wt, on, "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("logw"), F.lit(float(missing)))).alias(out_col)
+        )
+    )
+    return df.join(scores, id_col, "left")
+
+
+def gumbel_col(id_col: str | Column, seed: int = 0) -> Column:
+    """Deterministic engine-portable Gumbel(0,1) noise from a row id:
+    two LCG scrambles (one would leave consecutive ids on a visible
+    lattice) → uniform ``u = (m + 0.5) / MOD`` in (0,1) → ``−ln(−ln u)``.
+
+    ``ln`` is the one transcendental in the selection surface; both
+    engines evaluate libm-quality doubles (≤1 ulp apart), so selection
+    contracts keep key gaps orders of magnitude above that (see
+    dsir_select's docstring).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    folded = ((c.cast("long") + F.lit(int(seed))) % _FOLD + _FOLD) % _FOLD
+    m1 = (folded * _LCG_A + _LCG_C) % _MOD
+    m2 = ((m1 % _FOLD) * _LCG_A + _LCG_C) % _MOD
+    u = (m2.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    return -F.log(-F.log(u))
+
+
+def gumbel_sql(id_expr: str, seed: int = 0) -> str:
+    """Oracle-side rendering of :func:`gumbel_col` (same arithmetic)."""
+    folded = f"((CAST({id_expr} AS BIGINT) + {int(seed)}) % {_FOLD} + {_FOLD}) % {_FOLD}"
+    m1 = f"(({folded}) * {_LCG_A} + {_LCG_C}) % {_MOD}"
+    m2 = f"((({m1}) % {_FOLD}) * {_LCG_A} + {_LCG_C}) % {_MOD}"
+    u = f"(CAST({m2} AS DOUBLE) + 0.5) / {float(_MOD)!r}"
+    return f"(-LN(-LN({u})))"
+
+
+def dsir_select(
+    df: DataFrame,
+    k: int,
+    *,
+    logw_col: str = "logw",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Importance-resample ``k`` documents without replacement:
+    ``P(doc) ∝ exp(logw)`` via the Gumbel top-k identity — the key
+    ``logw + Gumbel(id, seed)`` turns sequential weighted draws into
+    ONE deterministic top-k, which Spark plans as TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge — no global sort, no
+    shuffle of the losers at any corpus size).
+
+    Ties cannot occur (the id tie-break is total), and the boundary gap
+    between kept and dropped keys on any real corpus is ~range/n ≫ the
+    ≤1 ulp cross-engine ``ln`` wobble, so the selected SET is
+    engine-stable; the key itself is intentionally not emitted.
+    """
+    _require_numeric_id(df, id_col, "dsir_select")
+    key = F.col(logw_col) + gumbel_col(id_col, seed)
+    return (
+        df.withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__gk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear classifier gate
+# --------------------------------------------------------------------------
+
+def classifier_gate(
+    df: DataFrame,
+    weights: Mapping[str, float] | DataFrame,
+    *,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    missing: float = 0.0,
+    score_col: str | None = "score",
+    hashed: bool = False,
+) -> DataFrame:
+    """Keep documents a linear bag-of-tokens classifier accepts:
+    ``score = bias + mean(token weights)``, keep iff
+    ``score ≥ logit(threshold)`` — fastText-style shallow-classifier
+    inference with the embedding layer folded into per-token scalars,
+    evaluated entirely in logit space (no sigmoid per row; the
+    threshold is logit-transformed ONCE on the driver, so the per-row
+    work is a fold, a divide, and a compare inside codegen).
+
+    ``threshold=0.5`` → cutoff exactly 0.0 (no transcendental in the
+    comparison at all). The mean (not sum) makes the score
+    length-invariant, matching how such classifiers are trained.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"classifier_gate: threshold {threshold} not in (0,1)")
+    cutoff = math.log(threshold / (1.0 - threshold))
+    scored = dsir_log_weights(
+        df,
+        weights,
+        text_col=text_col,
+        id_col=id_col,
+        missing=missing,
+        out_col="__wsum",
+        hashed=hashed,
+    )
+    n = F.size(F.split(F.col(text_col), " ", -1))
+    score = F.lit(float(bias)) + F.col("__wsum") / n.cast("double")
+    out = scored.withColumn("__score", score).filter(
+        F.col("__score") >= F.lit(cutoff)
+    )
+    if score_col is None:
+        return out.drop("__score", "__wsum")
+    return out.withColumnRenamed("__score", score_col).drop("__wsum")
+
+
+def classifier_score_sql(
+    text_expr: str,
+    weights: Mapping[str, float],
+    *,
+    bias: float = 0.0,
+    missing: float = 0.0,
+) -> str:
+    """Oracle-side score expression (same fold, same mean)."""
+    s = token_logweight_sql(text_expr, weights, missing=missing)
+    n = f"len(string_split({text_expr}, ' '))"
+    return f"({float(bias)!r} + ({s}) / CAST({n} AS DOUBLE))"

@@ -937,3 +937,121 @@ def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.quantile_gate(docs, "n_tok", "source", keep_frac=0.3).select(
         "doc_id", "source", "n_tok"
     )
+
+
+# --------------------------------------------------------------------------
+# Model-informed selection: DSIR importance resampling, classifier gate
+# --------------------------------------------------------------------------
+
+from newsmaper_etl_spark.operators import selection as SEL  # noqa: E402
+
+#: Planted unigram log-ratio table for the DSIR/classifier contracts.
+#: Every value is an EXACT binary fraction (2^-k multiples), so the
+#: per-doc fold is exact in IEEE-754 under ANY summation order — the
+#: driver hash cannot ride on float associativity (see
+#: operators/selection.py module notes).
+_DSIR_W = {
+    "spark": 0.5,
+    "query": 0.25,
+    "data": 0.25,
+    "vector": 0.125,
+    "the": 0.125,
+    "slow": -0.5,
+    "batch": -0.25,
+    "hash": -0.125,
+}
+_DSIR_MISS = -0.03125
+
+_DSIR_LOGW_SQL = SEL.token_logweight_sql("text", _DSIR_W, missing=_DSIR_MISS)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+        SELECT doc_id, source,
+               FLOOR(10000 * ({_DSIR_LOGW_SQL})) / 10000 AS logw
+        FROM documents
+    """,
+    tags=("CURATION", "SELECTION"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR unigram importance weights (operators.selection.
+    dsir_log_weights, map-literal path — Xie et al. 2023's
+    target-vs-raw bag-of-tokens log-likelihood ratio): one JVM
+    projection, zero shuffle, every doc's weight driver-hashed. The
+    planted log-ratio table is exact-binary-fraction valued, so the
+    fold is bit-exact in both engines and a single mis-weighted or
+    mis-defaulted token flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return SEL.dsir_log_weights(docs, _DSIR_W, missing=_DSIR_MISS).select(
+        "doc_id",
+        "source",
+        (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),
+    )
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, ({_DSIR_LOGW_SQL}) AS lw
+            FROM documents
+        )
+        SELECT doc_id, source, FLOOR(10000 * lw) / 10000 AS logw
+        FROM w
+        ORDER BY (lw + {SEL.gumbel_sql('doc_id', 7)}) DESC, doc_id
+        LIMIT 100
+    """,
+    tags=("CURATION", "SELECTION"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling (operators.selection.dsir_select):
+    100 docs drawn without replacement with P ∝ exp(logw), as ONE
+    deterministic top-k over logw + Gumbel(id, seed) — planned as
+    TakeOrderedAndProject (per-partition top-k, no global sort). The
+    selected SET is the contract: a drift in the LCG mixer, the Gumbel
+    transform, or the tie-break changes which docs survive and flips
+    the driver hash. Key gaps on this corpus are ~1e-3; the only
+    cross-engine float wobble (libm ln, ≤1 ulp) is 12 orders of
+    magnitude below them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = SEL.dsir_log_weights(docs, _DSIR_W, missing=_DSIR_MISS)
+    return SEL.dsir_select(scored, 100, seed=7).select(
+        "doc_id",
+        "source",
+        (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),
+    )
+
+
+_CLF_SCORE_SQL = SEL.classifier_score_sql(
+    "text", _DSIR_W, bias=0.03125, missing=_DSIR_MISS
+)
+
+
+@query(
+    "q_classifier_gate",
+    oracle=f"""
+        SELECT doc_id, source,
+               FLOOR(10000 * ({_CLF_SCORE_SQL})) / 10000 AS score
+        FROM documents
+        WHERE ({_CLF_SCORE_SQL}) >= 0.0
+    """,
+    tags=("CURATION", "SELECTION"),
+)
+def q_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier gate (operators.selection.
+    classifier_gate — fastText-style shallow classifier in logit
+    space): keep docs whose mean token weight + bias clears
+    logit(0.5) = 0 exactly, so the comparison has NO transcendental.
+    The sum is exact-binary, the mean is one IEEE division of
+    identical operands, and survivors' quantized scores are
+    driver-hashed — a weight, OOV-default, bias, or boundary slip
+    flips it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return SEL.classifier_gate(
+        docs, _DSIR_W, bias=0.03125, missing=_DSIR_MISS, threshold=0.5
+    ).select(
+        "doc_id",
+        "source",
+        (F.floor(F.lit(10000) * F.col("score")) / 10000).alias("score"),
+    )

@@ -1378,3 +1378,131 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, k=3, n_centroids=8, nprobe=2, sample_n=512, dim=64,
         cache_key=sf_dir + ":embeddings", unroll=sf is None or sf >= 10,
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means + cluster-balanced sampling (operators/clustering.py)
+# --------------------------------------------------------------------------
+
+from newsmaper_etl_spark.operators import clustering as CL  # noqa: E402
+from newsmaper_etl_spark.operators.sampling import mix_bucket_sql  # noqa: E402
+
+#: Planted-separation fixture: add +8.0 to dimension (vec_id % 3) of
+#: every embedding. Three clusters with inter-center gaps ~128 in
+#: squared L2 against within-cluster spread ~2, so the true assignment
+#: is vec_id % 3 BY CONSTRUCTION — the oracle states that truth
+#: literally while the engine runs the full distance/argmin/Lloyd's
+#: machinery live (the q_semantic_dedup_planted argument).
+_KM_K = 3
+_KM_SHIFT = 8.0
+_KM_CENTERS = [
+    [_KM_SHIFT if i == j else 0.0 for i in range(64)] for j in range(_KM_K)
+]
+
+
+def _shifted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(
+                i == (F.col("vec_id") % _KM_K).cast("int"), F.lit(_KM_SHIFT)
+            ).otherwise(F.lit(0.0)),
+        ).alias("vecd"),
+    )
+
+
+@query(
+    "q_kmeans_assign",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(vec_id % 3 AS INT) AS cluster
+        FROM embeddings
+    """,
+    tags=("CLUSTERING",),
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-center assignment (operators.clustering.kmeans_assign,
+    literal-centers projection path — shuffle-free): every row's
+    argmin over the three planted centers must equal the planted truth
+    vec_id % 3. A distance, cast-width, argmin, or tie-break bug
+    surfaces as assignment flips under margins (~128 vs ~2 in squared
+    L2) that no float wobble can explain."""
+    sh = _shifted_embeddings(spark, sf_dir)
+    return CL.kmeans_assign(sh, _KM_CENTERS, vec_col="vecd").select(
+        "vec_id", "cluster"
+    )
+
+
+@query(
+    "q_kmeans_fit",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS pos,
+                   unnest(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE))) AS x0
+            FROM embeddings
+        )
+        SELECT CAST(vec_id % 3 AS INT) AS cluster,
+               CAST(pos AS INT) AS pos,
+               ROUND(AVG(x0 + CASE WHEN pos = vec_id % 3
+                                   THEN 8.0 ELSE 0.0 END), 4) AS val
+        FROM v GROUP BY 1, 2
+    """,
+    tags=("CLUSTERING",),
+)
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus Lloyd's k-means (operators.clustering.kmeans_fit,
+    k=3, two iterations, init = rows 0/1/2 — one per planted cluster):
+    with planted separation the assignment is vec_id % 3 from the
+    FIRST iteration on, so the converged centers are exactly the
+    per-cluster per-dim means the oracle computes — every quantized
+    centroid component is driver-hashed (192 values). An assignment,
+    partial-agg, empty-cluster, or init-ordering bug moves centroids
+    by cluster-scale amounts."""
+    sh = _shifted_embeddings(spark, sf_dir)
+    centers = CL.kmeans_fit(
+        sh, _KM_K, vec_col="vecd", iters=2, init_ids=[0, 1, 2]
+    )
+    rows = [
+        (j, p, float(v))
+        for j, c in enumerate(centers)
+        for p, v in enumerate(c)
+    ]
+    out = spark.createDataFrame(rows, "cluster int, pos int, val double")
+    return out.select("cluster", "pos", F.round("val", 4).alias("val"))
+
+
+@query(
+    "q_cluster_balanced",
+    oracle=f"""
+        WITH a AS (
+            SELECT vec_id, CAST(vec_id % 3 AS INT) AS cluster
+            FROM embeddings
+        ),
+        r AS (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster
+                       ORDER BY {mix_bucket_sql('vec_id')}, vec_id
+                   ) AS rn
+            FROM a
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster
+        FROM r WHERE rn <= 20
+    """,
+    tags=("CLUSTERING", "SAMPLING"),
+)
+def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (operators.clustering.
+    cluster_balanced_sample): live assignment + the deterministic
+    per-group sampler, capped at 20 rows per semantic cell. The oracle
+    replays the planted assignment + the shared mix-bucket rank, so
+    the kept SET pins both the argmin and the sampler's order."""
+    sh = _shifted_embeddings(spark, sf_dir)
+    return CL.cluster_balanced_sample(
+        sh, _KM_CENTERS, 20, vec_col="vecd"
+    ).select("vec_id", "cluster")

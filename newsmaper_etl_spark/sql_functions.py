@@ -302,6 +302,25 @@ def _pipelines() -> dict:
             spark.table(view), kw.pop("weights"), kw.pop("group_col"), **kw
         )
 
+    def _dsir_weights(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.selection import dsir_log_weights
+
+        w_view = kw.pop("weights_view", None)
+        w = spark.table(w_view) if w_view is not None else kw.pop("weights")
+        return dsir_log_weights(spark.table(view), w, **kw)
+
+    def _dsir_select(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.selection import dsir_select
+
+        return dsir_select(spark.table(view), kw.pop("k"), **kw)
+
+    def _classifier(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.selection import classifier_gate
+
+        w_view = kw.pop("weights_view", None)
+        w = spark.table(w_view) if w_view is not None else kw.pop("weights")
+        return classifier_gate(spark.table(view), w, **kw)
+
     return {
         "minhash_dedup": _minhash,
         "exact_dedup": _exact,
@@ -331,6 +350,9 @@ def _pipelines() -> dict:
         "epoch_upsample": _epoch,
         "quantile_gate": _qgate,
         "bpe_tokenize": _bpe,
+        "dsir_log_weights": _dsir_weights,
+        "dsir_select": _dsir_select,
+        "classifier_gate": _classifier,
     }
 
 

@@ -1,0 +1,121 @@
+"""Unit tests for operators/clustering.py: Lloyd's k-means, nearest-
+center assignment (both paths), and cluster-balanced sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.operators import clustering as CL
+
+
+def _planted(spark, n=60, dim=4, k=3, shift=10.0):
+    """n rows in k well-separated clusters: +shift on dim (id % k)."""
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            i == (F.col("vec_id") % k).cast("int"), F.lit(shift)
+        ).otherwise(F.lit(0.0))
+        + (F.col("vec_id").cast("double") % 7) / 100.0,
+    )
+    return base.withColumn("embedding", vec)
+
+
+CENTERS = [
+    [10.0, 0.0, 0.0, 0.0],
+    [0.0, 10.0, 0.0, 0.0],
+    [0.0, 0.0, 10.0, 0.0],
+]
+
+
+def test_assign_literal_matches_planted_truth(spark):
+    df = _planted(spark)
+    out = CL.kmeans_assign(df, CENTERS)
+    assert all(r.cluster == r.vec_id % 3 for r in out.collect())
+
+
+def test_assign_literal_is_shuffle_free(spark):
+    plan = (
+        CL.kmeans_assign(_planted(spark), CENTERS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_assign_dataframe_path_matches_literal(spark):
+    df = _planted(spark)
+    lit = {r.vec_id: r.cluster for r in CL.kmeans_assign(df, CENTERS).collect()}
+    cdf = CL.kmeans_centers_df(spark, CENTERS)
+    join = {r.vec_id: r.cluster for r in CL.kmeans_assign(df, cdf).collect()}
+    assert lit == join
+
+
+def test_assign_tie_breaks_to_lowest_cluster(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    two_equal = [[1.0, 0.0], [0.0, 1.0]]  # equidistant from origin
+    out = CL.kmeans_assign(df, two_equal).collect()
+    assert out[0].cluster == 0
+
+
+def test_assign_inline_cutover_raises(spark):
+    big = [[float(j), 0.0] for j in range(CL.MAX_INLINE_CENTERS + 1)]
+    with pytest.raises(ValueError, match="inline cutover"):
+        CL.kmeans_assign(_planted(spark), big)
+
+
+def test_fit_recovers_planted_centers(spark):
+    df = _planted(spark)
+    centers = CL.kmeans_fit(df, 3, iters=3, init_ids=[0, 1, 2])
+    assert len(centers) == 3 and all(len(c) == 4 for c in centers)
+    for j, c in enumerate(centers):
+        # shifted dim dominates; the jitter term is < 0.07
+        assert abs(c[j] - 10.0) < 0.1, (j, c)
+        for p in range(4):
+            if p != j:
+                assert abs(c[p]) < 0.1, (j, c)
+
+
+def test_fit_default_init_is_smallest_ids(spark):
+    df = _planted(spark)
+    a = CL.kmeans_fit(df, 3, iters=2)
+    b = CL.kmeans_fit(df, 3, iters=2, init_ids=[0, 1, 2])
+    assert a == b
+
+
+def test_fit_empty_cluster_keeps_previous_center(spark):
+    # Two far rows, k=2 init on them, but one center is planted so far
+    # away nothing assigns to it after the first recompute: the orphan
+    # center must persist, not crash or NaN.
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centers = CL.kmeans_fit(df, 2, iters=2, init_ids=[0, 1])
+    assert len(centers) == 2
+    assert all(all(x == x for x in c) for c in centers)  # no NaN
+
+
+def test_fit_validates_args(spark):
+    df = _planted(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        CL.kmeans_fit(df, 0)
+    with pytest.raises(ValueError, match="init_ids"):
+        CL.kmeans_fit(df, 3, init_ids=[1, 2])
+    with pytest.raises(ValueError, match="init rows"):
+        CL.kmeans_fit(df, 3, init_ids=[0, 1, 10_000])
+
+
+def test_cluster_balanced_sample_caps_each_cell(spark):
+    df = _planted(spark, n=90)
+    out = CL.cluster_balanced_sample(df, CENTERS, 7)
+    counts = {r.cluster: r["n"] for r in
+              out.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 7, 1: 7, 2: 7}
+    # deterministic: same call, same rows
+    again = CL.cluster_balanced_sample(df, CENTERS, 7)
+    assert sorted(r.vec_id for r in out.collect()) == sorted(
+        r.vec_id for r in again.collect()
+    )

@@ -1,0 +1,141 @@
+"""Unit tests for operators/selection.py: DSIR importance weights,
+Gumbel top-k resampling, and the linear classifier gate.
+
+Path parity is the load-bearing property: the map-literal projection,
+the string-keyed broadcast-join path, and the hashed-join path must
+score every document identically (the hashed path's only failure mode
+is an xxhash64 collision inside one doc's vocabulary slice)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.operators import selection as SEL
+
+W = {"spark": 0.5, "query": 0.25, "slow": -0.5, "the": 0.125}
+MISS = -0.03125
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark query fast"),
+        (2, "slow slow batch"),
+        (3, "the spark the"),
+        (4, ""),  # empty text → one empty-string token → 1×missing
+        (5, "unseen tokens only here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _expected(text: str) -> float:
+    return sum(W.get(t, MISS) for t in text.split(" "))
+
+
+def test_map_path_scores(spark):
+    out = SEL.dsir_log_weights(_docs(spark), W, missing=MISS)
+    got = {r.doc_id: r.logw for r in out.collect()}
+    rows = [(1, "spark query fast"), (2, "slow slow batch"),
+            (3, "the spark the"), (4, ""), (5, "unseen tokens only here")]
+    for i, t in rows:
+        assert got[i] == _expected(t), (i, t)
+
+
+def test_join_and_hashed_paths_match_map_path(spark):
+    docs = _docs(spark)
+    base = {r.doc_id: r.logw
+            for r in SEL.dsir_log_weights(docs, W, missing=MISS).collect()}
+    wdf = spark.createDataFrame(list(W.items()), ["token", "logw"])
+    for hashed in (False, True):
+        got = {r.doc_id: r.logw
+               for r in SEL.dsir_log_weights(
+                   docs, wdf, missing=MISS, hashed=hashed).collect()}
+        assert got == base, f"hashed={hashed}"
+
+
+def test_join_path_keeps_all_columns_and_rows(spark):
+    docs = _docs(spark).withColumn("extra", F.lit("x"))
+    wdf = spark.createDataFrame(list(W.items()), ["token", "logw"])
+    out = SEL.dsir_log_weights(docs, wdf, missing=MISS)
+    assert out.count() == 5
+    assert set(out.columns) == {"doc_id", "text", "extra", "logw"}
+
+
+def test_map_path_is_shuffle_free(spark):
+    plan = SEL.dsir_log_weights(
+        _docs(spark), W, missing=MISS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_inline_cutover_raises(spark):
+    big = {f"t{i}": 0.5 for i in range(SEL.MAX_INLINE_WEIGHTS + 1)}
+    with pytest.raises(ValueError, match="map-literal cutover"):
+        SEL.token_logweight_col("text", big)
+
+
+def test_hashed_requires_dataframe(spark):
+    with pytest.raises(ValueError, match="hashed"):
+        SEL.dsir_log_weights(_docs(spark), W, hashed=True)
+
+
+def test_gumbel_deterministic_and_seed_sensitive(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = [r.g for r in df.select(SEL.gumbel_col("doc_id", 1).alias("g"))
+         .orderBy("doc_id").collect()]
+    b = [r.g for r in df.select(SEL.gumbel_col("doc_id", 1).alias("g"))
+         .orderBy("doc_id").collect()]
+    c = [r.g for r in df.select(SEL.gumbel_col("doc_id", 2).alias("g"))
+         .orderBy("doc_id").collect()]
+    assert a == b
+    assert a != c
+    assert all(math.isfinite(x) for x in a)
+
+
+def test_dsir_select_prefers_heavy_docs(spark):
+    # 50 heavy docs (logw=+6) vs 50 light (logw=-6): exp-12 odds make
+    # any light doc's selection probability ~6e-6 per draw; the top-25
+    # must be all-heavy for every seed we try.
+    rows = [(i, 6.0 if i < 50 else -6.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "logw"])
+    for seed in (0, 1, 42):
+        sel = SEL.dsir_select(df, 25, seed=seed).collect()
+        assert len(sel) == 25
+        assert all(r.doc_id < 50 for r in sel), seed
+
+    # ... while still being a SAMPLE: different seeds pick different
+    # heavy subsets (resampling, not deterministic top-k by weight).
+    s0 = {r.doc_id for r in SEL.dsir_select(df, 25, seed=0).collect()}
+    s1 = {r.doc_id for r in SEL.dsir_select(df, 25, seed=1).collect()}
+    assert s0 != s1
+
+
+def test_dsir_select_plans_take_ordered(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("logw")
+    )
+    plan = SEL.dsir_select(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_classifier_gate_threshold_and_score(spark):
+    docs = _docs(spark)
+    out = SEL.classifier_gate(docs, W, missing=MISS, threshold=0.5)
+    got = {r.doc_id: r.score for r in out.collect()}
+    for i, t in [(1, "spark query fast"), (3, "the spark the")]:
+        exp = _expected(t) / len(t.split(" "))
+        assert got[i] == exp
+    # all-negative docs fall
+    assert 2 not in got and 5 not in got
+
+
+def test_classifier_gate_invalid_threshold(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        SEL.classifier_gate(_docs(spark), W, threshold=1.0)
+
+
+def test_classifier_gate_score_col_none_drops_internals(spark):
+    out = SEL.classifier_gate(_docs(spark), W, missing=MISS, score_col=None)
+    assert set(out.columns) == {"doc_id", "text"}
