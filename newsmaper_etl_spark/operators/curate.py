@@ -45,6 +45,12 @@ def curate_corpus(
     domain_gate_kwargs: dict | None = None,
     quantile_keep_frac: float | None = None,
     quantile_group_col: str = "source",
+    classifier_weights=None,
+    classifier_kwargs: dict | None = None,
+    dsir_weights=None,
+    dsir_k: int | None = None,
+    dsir_seed: int = 0,
+    dsir_missing: float = 0.0,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -101,7 +107,19 @@ def curate_corpus(
     ``salt=`` now reaches every skew-prone keep-first window: exact
     dedup, url_dedup, AND the paragraph stage (VERDICT r13 wiring
     gap — the hardened forms existed but the recipe couldn't request
-    them)."""
+    them).
+
+    ``classifier_weights`` (r14) adds the MODEL-quality gate
+    (:func:`~newsmaper_etl_spark.operators.selection.classifier_gate`,
+    the FineWeb-Edu/GPT-3-style "looks like the target corpus"
+    filter) right after the rule-based quality stages — rules kill
+    junk cheaply, the classifier arbitrates what rules can't see;
+    ``classifier_kwargs`` forwards bias/threshold/missing/hashed.
+    ``dsir_weights`` + ``dsir_k`` (r14) add DSIR importance
+    RESAMPLING (:func:`~newsmaper_etl_spark.operators.selection.
+    dsir_select`) as the LAST corpus edit, after every dedup stage
+    (resampling first would let duplicates compete for the budget) and
+    before annotation (annotate only what ships)."""
     if url_col is not None and (
         url_blocklist is not None or domain_cap or url_dedup
         or domain_gate_kwargs
@@ -158,6 +176,13 @@ def curate_corpus(
             gated, "quality", quantile_group_col,
             keep_frac=float(quantile_keep_frac),
         )
+    if classifier_weights is not None:
+        from newsmaper_etl_spark.operators.selection import classifier_gate
+
+        gated = classifier_gate(
+            gated, classifier_weights, text_col=text_col, id_col=id_col,
+            score_col=None, **(classifier_kwargs or {}),
+        )
     exact = D.exact_dedup(gated, [text_col], id_col=id_col, salt=salt)
     if near_dup:
         near = D.minhash_dedup(
@@ -202,6 +227,20 @@ def curate_corpus(
             ).dropDuplicates([id_col]),
             on=id_col,
         )
+    if dsir_weights is not None and dsir_k is not None:
+        from newsmaper_etl_spark.operators.selection import (
+            dsir_log_weights,
+            dsir_select,
+        )
+
+        scored = dsir_log_weights(
+            near, dsir_weights, text_col=text_col, id_col=id_col,
+            missing=dsir_missing, out_col="__logw",
+        )
+        near = dsir_select(
+            scored, int(dsir_k), logw_col="__logw", id_col=id_col,
+            seed=dsir_seed,
+        ).drop("__logw")
     annotated = TX.token_stats(
         TX.fingerprint(TX.token_count_bpe(TX.language_id(near, text_col), text_col), text_col),
         text_col,

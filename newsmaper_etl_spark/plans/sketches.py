@@ -91,29 +91,20 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curate_exact_oracle() -> str:
-    """Composed oracle for the DETERMINISTIC slice of the curation
-    recipe: the per-stage formulas are the same fragments the individual
-    stage oracles hash-match (quality → keep-first dedup → language /
-    token / BPE / fingerprint annotation), chained over CTEs."""
-    from newsmaper_etl_spark.plans.extensions import _STOP_SQL, _lang_case_sql
+def _quality_scored_ctes(src: str) -> str:
+    """The base/scored0 CTE pair computing the recipe's quality score
+    over ``src`` — ONE source of truth for every composed recipe oracle
+    (the per-stage formula q_quality_score hash-matches)."""
+    from newsmaper_etl_spark.plans.extensions import _STOP_SQL
 
-    return f"""
-        WITH input AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL  -- planted exact duplicates: keep-first must drop
-            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
-            UNION ALL  -- planted junk: quality gate must drop (len<20, all punct)
-            SELECT doc_id + 2000000, '!!!' FROM documents WHERE doc_id % 10 = 0
-        ),
-        base AS (
+    return f"""base AS (
             SELECT doc_id, text,
                    len(text) AS tl,
                    len(text) - len(translate(text, '.,;:!?''"', '')) AS n_punct,
                    len(string_split(text, ' ')) AS n_tok,
                    len(list_filter(string_split(text, ' '),
                        w -> list_contains({_STOP_SQL}, w))) AS n_stop
-            FROM input
+            FROM {src}
         ),
         scored0 AS (
             SELECT doc_id, text, n_tok,
@@ -125,7 +116,25 @@ def _curate_exact_oracle() -> str:
                                1.0) * 0.3
                    )) / 10000 AS quality
             FROM base
+        )"""
+
+
+def _curate_exact_oracle() -> str:
+    """Composed oracle for the DETERMINISTIC slice of the curation
+    recipe: the per-stage formulas are the same fragments the individual
+    stage oracles hash-match (quality → keep-first dedup → language /
+    token / BPE / fingerprint annotation), chained over CTEs."""
+    from newsmaper_etl_spark.plans.extensions import _lang_case_sql
+
+    return f"""
+        WITH input AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL  -- planted exact duplicates: keep-first must drop
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL  -- planted junk: quality gate must drop (len<20, all punct)
+            SELECT doc_id + 2000000, '!!!' FROM documents WHERE doc_id % 10 = 0
         ),
+        {_quality_scored_ctes("input")},
         survivors AS (
             SELECT doc_id, text, n_tok, quality FROM (
                 SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep
@@ -1506,3 +1515,90 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.cluster_balanced_sample(
         sh, _KM_CENTERS, 20, vec_col="vecd"
     ).select("vec_id", "cluster")
+
+
+def _curate_selected_oracle() -> str:
+    """Composed oracle for the SELECTION-wired recipe slice: quality
+    floor → classifier gate → exact keep-first dedup → DSIR Gumbel
+    top-k. Every fragment is the one its standalone contract
+    hash-matches (quality: _quality_scored_ctes; classifier/logw/
+    gumbel: the operators' own SQL renderers)."""
+    from newsmaper_etl_spark.operators import selection as SEL
+    from newsmaper_etl_spark.plans.curation import _DSIR_MISS, _DSIR_W
+
+    clf = SEL.classifier_score_sql("text", _DSIR_W, bias=0.03125,
+                                   missing=_DSIR_MISS)
+    lw = SEL.token_logweight_sql("text", _DSIR_W, missing=_DSIR_MISS)
+    return f"""
+        WITH input AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, '!!!' FROM documents WHERE doc_id % 10 = 0
+        ),
+        {_quality_scored_ctes("input")},
+        clf AS (
+            SELECT doc_id, text, n_tok, quality
+            FROM scored0
+            WHERE quality >= 0.5 AND ({clf}) >= 0.0
+        ),
+        surv AS (
+            SELECT doc_id, text, n_tok, quality FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep
+                FROM clf
+            ) WHERE doc_id = keep
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, quality
+        FROM surv
+        ORDER BY (({lw}) + {SEL.gumbel_sql('doc_id', 3)}) DESC, doc_id
+        LIMIT 100
+    """
+
+
+@query(
+    "q_curate_selected_planted",
+    oracle=_curate_selected_oracle(),
+    tags=("PIPELINE", "SELECTION"),
+)
+@plan_cached
+def q_curate_selected_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection-wired recipe slice END TO END (quality floor →
+    classifier gate → exact keep-first dedup → DSIR top-k resampling →
+    annotation), over the same planted corpus as q_curate_exact — so
+    the r14 recipe kwargs (classifier_weights / dsir_weights+dsir_k)
+    are themselves under the driver hash, not just the standalone
+    operators. Stage ORDER is load-bearing and pinned: resampling runs
+    after dedup (a duplicate pair must not compete for the budget —
+    the planted dups' originals can be selected, the copies cannot),
+    and the classifier runs before dedup (both members of a planted
+    pair see the same verdict, so keep-first still collapses them)."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+    from newsmaper_etl_spark.plans.curation import _DSIR_MISS, _DSIR_W
+
+    def _build():
+        docs = fan_out(load_table(spark, sf_dir, "documents"), sf_dir)
+        base = docs.select("doc_id", "text")
+        tenth = base.filter(F.col("doc_id") % 10 == 0)
+        return base.unionByName(
+            tenth.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        ).unionByName(
+            tenth.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.lit("!!!").alias("text"),
+            )
+        )
+
+    planted = cached_fixture(spark, "curate_planted", sf_dir, _build)
+    out = curate_corpus(
+        planted,
+        near_dup=False,
+        classifier_weights=_DSIR_W,
+        classifier_kwargs={"bias": 0.03125, "missing": _DSIR_MISS,
+                           "threshold": 0.5},
+        dsir_weights=_DSIR_W,
+        dsir_k=100,
+        dsir_seed=3,
+        dsir_missing=_DSIR_MISS,
+    )
+    return out.select("doc_id", "n_tokens", "quality")
