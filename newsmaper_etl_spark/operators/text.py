@@ -408,6 +408,88 @@ def bpe_merge_tokenize(
     return df.withColumn(out, n)
 
 
+def bpe_train(
+    df: DataFrame,
+    col: str = "text",
+    n_merges: int = 100,
+    *,
+    min_pair_freq: int = 2,
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merges table FROM the corpus (Sennrich et al. 2016)
+    — the training half of the tokenization family (:func:`bpe_tokenize`
+    / :func:`bpe_merge_tokenize` consume what this produces; the output
+    is well-formed by construction and round-trips through
+    :func:`bpe_merge_ranks`).
+
+    Plan shape (the HF-tokenizers approach, which is what makes this
+    scale): tokenizer training never needs the corpus — it needs the
+    WORD-FREQUENCY table, which is one distributed explode → groupBy
+    (corpus-sized shuffle ONCE, output vocabulary-sized), capped at
+    ``max_words`` by frequency (Zipf: the tail it drops is hapax noise).
+    The merge loop then runs driver-side over that bounded table —
+    n_merges × |words| work on ≤``max_words`` rows, the sanctioned
+    bounded-cardinality collect. At 100 TB the shuffle is the only
+    corpus-scale stage and it is a plain partial-aggregated word count.
+
+    Determinism: pair selection is (count DESC, pair lexicographic ASC)
+    — pinned so two runs (and the planted oracle) produce the identical
+    table. Each merge rewrites words LEFT-TO-RIGHT, non-overlapping
+    (the classic loop). Training stops early when no pair reaches
+    ``min_pair_freq`` (merging hapax pairs memorizes the corpus).
+    Words are whitespace-separated (:data:`_BPE_SEPARATORS` — the same
+    boundary the encoders use; pairs never span words)."""
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    sep_class = "[" + "".join("\\x%02x" % ord(c) for c in _BPE_SEPARATORS) + "]+"
+    words = (
+        df.select(F.explode(F.split(F.col(col), sep_class, -1)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): int(r["freq"]) for r in words
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for parts, freq in vocab.items():
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < int(min_pair_freq):
+            break
+        left, right = best[0]
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for parts, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(parts):
+                if (
+                    i + 1 < len(parts)
+                    and parts[i] == left
+                    and parts[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+        merges.append((left, right))
+    return merges
+
+
 def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
     """Order-aware document fingerprint.
 

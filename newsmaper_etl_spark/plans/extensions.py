@@ -3299,3 +3299,63 @@ def q_curate_web_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_keep_frac=0.75,
     )
     return out.select("doc_id", "source", "n_tokens", "quality")
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING (operators/text.py::bpe_train, r14)
+# --------------------------------------------------------------------------
+
+#: Planted training corpus with a HAND-DERIVED merge sequence. Word
+#: frequencies: aaab×10, aab×6, ab×3, b×2, cc×5, dd×5. Pair counts per
+#: round (Sennrich stats — adjacent pairs weighted by word freq,
+#: overlapping occurrences counted):
+#:   round 1: (a,a)=2·10+6=26, (a,b)=10+6+3=19            → merge (a,a)
+#:   round 2: aaab=[aa,a,b], aab=[aa,b], ab=[a,b]:
+#:            (a,b)=10+3=13, (aa,a)=10, (aa,b)=6          → merge (a,b)
+#:   round 3: aaab=[aa,ab]: (aa,ab)=10, (aa,b)=6          → merge (aa,ab)
+#:   round 4: (aa,b)=6                                    → merge (aa,b)
+#:   round 5: (c,c)=5 vs (d,d)=5 — TIE, lexicographic asc → merge (c,c)
+#:   round 6: (d,d)=5                                     → merge (d,d)
+#:   round 7: every word is a single token → early stop (< n_merges).
+#: The fixture therefore pins the count weighting, the overlapping-pair
+#: rule, the (count DESC, pair ASC) tie-break, the left-to-right
+#: non-overlapping rewrite, and the early-stop rule in one table.
+_BPE_TRAIN_ROWS: tuple[tuple[int, str], ...] = (
+    (1, "aaab aaab aaab aaab aaab aab aab aab cc cc"),
+    (2, "aaab aaab aaab aaab aaab aab aab aab cc cc cc"),
+    (3, "ab ab ab b b dd dd dd dd dd"),
+)
+
+
+@query(
+    "q_bpe_train_planted",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, 'a', 'a'),
+            (1, 'a', 'b'),
+            (2, 'aa', 'ab'),
+            (3, 'aa', 'b'),
+            (4, 'c', 'c'),
+            (5, 'd', 'd')
+        ) t(rank, lhs, rhs)
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_bpe_train_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators.text.bpe_train — Sennrich et
+    al. 2016, the HF-tokenizers plan shape: ONE distributed word-count
+    shuffle, then the merge loop over the bounded word-frequency
+    table): the planted corpus's full merge sequence is derived BY HAND
+    in the fixture comment and stated literally by the oracle, so the
+    pair-count weighting, overlapping-pair rule, deterministic
+    tie-break, left-to-right rewrite, and early stop are all under the
+    driver hash. The engine runs the real distributed pipeline; the
+    learned table round-trips through bpe_merge_ranks (well-formedness)
+    by construction."""
+    docs = spark.createDataFrame(
+        list(_BPE_TRAIN_ROWS), "doc_id long, text string"
+    )
+    merges = TX.bpe_train(docs, n_merges=10, min_pair_freq=2)
+    TX.bpe_merge_ranks(merges)  # well-formedness invariant
+    rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, lhs string, rhs string")

@@ -302,6 +302,15 @@ def _pipelines() -> dict:
             spark.table(view), kw.pop("weights"), kw.pop("group_col"), **kw
         )
 
+    def _bpe_train(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.text import bpe_train
+
+        merges = bpe_train(spark.table(view), **kw)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, lhs string, rhs string",
+        )
+
     def _dsir_weights(spark: SparkSession, view: str, **kw) -> DataFrame:
         from newsmaper_etl_spark.operators.selection import dsir_log_weights
 
@@ -350,6 +359,7 @@ def _pipelines() -> dict:
         "epoch_upsample": _epoch,
         "quantile_gate": _qgate,
         "bpe_tokenize": _bpe,
+        "bpe_train": _bpe_train,
         "dsir_log_weights": _dsir_weights,
         "dsir_select": _dsir_select,
         "classifier_gate": _classifier,

@@ -4167,3 +4167,78 @@ def test_domain_stats_and_gate(spark):
         domain_gate(df, url_col="url")
     with pytest.raises(ValueError, match="needs tokens_col"):
         domain_gate(df, url_col="url", min_sum_tokens=1)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (operators/text.py::bpe_train, r14)
+# --------------------------------------------------------------------------
+
+def test_bpe_train_sennrich_example(spark):
+    """The classic Sennrich corpus: low×5, lower×2, newest×6, widest×3.
+    Round 1 stats: (e,s)=9, (s,t)=9, (t,</end>)… — we run WITHOUT a
+    word-end marker, so the expected sequence is derivable by hand:
+    (e,s)=9 ties (s,t)=9 → lexicographic picks (e,s); then (es,t)=9;
+    then (l,o)=7; then (lo,w)=7; …"""
+    from newsmaper_etl_spark.operators.text import bpe_merge_ranks, bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=4, min_pair_freq=2)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    bpe_merge_ranks(merges)  # well-formed
+
+
+def test_bpe_train_roundtrips_through_merge_tokenize(spark):
+    """A table learned from a corpus must re-segment that corpus's words
+    into the SAME parts training ended with (encode/train consistency —
+    the property that makes learned budgets honest)."""
+    from newsmaper_etl_spark.operators.text import bpe_merge_tokenize, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab ab"), (2, "aaab aaab cc cc")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=10, min_pair_freq=2)
+    out = {r.doc_id: r.toks for r in bpe_merge_tokenize(
+        df, merges, tokens_out="toks").collect()}
+    # training runs every word down to a single token ((a,b) reaches
+    # freq 6 through the standalone 'ab' plus the aaab suffixes), so
+    # re-encoding reproduces whole-word tokens
+    assert out[1] == ["aaab"] * 3 + ["aab"] * 2 + ["ab"]
+    assert out[2] == ["aaab", "aaab", "cc", "cc"]
+
+
+def test_bpe_train_early_stop_and_min_freq(spark):
+    from newsmaper_etl_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "xy xy xy qq")], "doc_id long, text string"
+    )
+    # (x,y)=3 merges; (q,q)=1 < min_pair_freq=2 → stop at ONE merge
+    assert bpe_train(df, n_merges=10, min_pair_freq=2) == [("x", "y")]
+    # single-char words only → no pairs at all → empty table
+    solo = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_train(solo, n_merges=5) == []
+
+
+def test_bpe_train_max_words_caps_table(spark):
+    from newsmaper_etl_spark.operators.text import bpe_train
+
+    # cap=1 keeps only the most frequent word (zz×4): the xy pair from
+    # the dropped word must not be learned
+    df = spark.createDataFrame(
+        [(1, "zz zz zz zz xy xy")], "doc_id long, text string"
+    )
+    assert bpe_train(df, n_merges=5, max_words=1) == [("z", "z")]
+
+
+def test_bpe_train_validates_args(spark):
+    import pytest as _pytest
+
+    from newsmaper_etl_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)
