@@ -302,6 +302,37 @@ def _pipelines() -> dict:
             spark.table(view), kw.pop("weights"), kw.pop("group_col"), **kw
         )
 
+    def _kmeans_assign(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.clustering import kmeans_assign
+
+        c_view = kw.pop("centers_view", None)
+        centers = (
+            spark.table(c_view) if c_view is not None else kw.pop("centers")
+        )
+        return kmeans_assign(spark.table(view), centers, **kw)
+
+    def _kmeans_fit(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.clustering import (
+            kmeans_centers_df,
+            kmeans_fit,
+        )
+
+        centers = kmeans_fit(spark.table(view), kw.pop("k"), **kw)
+        return kmeans_centers_df(spark, centers)
+
+    def _cluster_balanced(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        c_view = kw.pop("centers_view", None)
+        centers = (
+            spark.table(c_view) if c_view is not None else kw.pop("centers")
+        )
+        return cluster_balanced_sample(
+            spark.table(view), centers, kw.pop("per_cluster"), **kw
+        )
+
     def _bpe_train(spark: SparkSession, view: str, **kw) -> DataFrame:
         from newsmaper_etl_spark.operators.text import bpe_train
 
@@ -360,6 +391,9 @@ def _pipelines() -> dict:
         "quantile_gate": _qgate,
         "bpe_tokenize": _bpe,
         "bpe_train": _bpe_train,
+        "kmeans_assign": _kmeans_assign,
+        "kmeans_fit": _kmeans_fit,
+        "cluster_balanced_sample": _cluster_balanced,
         "dsir_log_weights": _dsir_weights,
         "dsir_select": _dsir_select,
         "classifier_gate": _classifier,

@@ -383,3 +383,71 @@ def test_r13_quantile_gate_pipeline_over_views(spark):
     out = run_sql_pipeline(spark, "quantile_gate", "r13_qg", "r13_qg_out",
                            score_col="s", group_col="src", keep_frac=0.2)
     assert sorted(r["doc_id"] for r in out.collect()) == [8, 9]
+
+
+def test_r14_selection_pipelines_over_views(spark):
+    """dsir_log_weights / dsir_select / classifier_gate through the
+    SQL-registration surface, weights both inline and as a view."""
+    spark.createDataFrame(
+        [(1, "spark query"), (2, "slow slow"), (3, "spark spark")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("r14_docs")
+    w = {"spark": 0.5, "query": 0.25, "slow": -0.5}
+    out = run_sql_pipeline(
+        spark, "dsir_log_weights", "r14_docs", "r14_w", weights=w,
+    )
+    got = {r["doc_id"]: r["logw"] for r in out.collect()}
+    assert got == {1: 0.75, 2: -1.0, 3: 1.0}
+    sel = run_sql_pipeline(
+        spark, "dsir_select", "r14_w", "r14_sel", k=2, seed=1,
+    )
+    assert sorted(r["doc_id"] for r in sel.collect()) == [1, 3]
+    spark.createDataFrame(
+        list(w.items()), "token string, logw double"
+    ).createOrReplaceTempView("r14_wt")
+    gate = run_sql_pipeline(
+        spark, "classifier_gate", "r14_docs", "r14_gate",
+        weights_view="r14_wt",
+    )
+    assert sorted(r["doc_id"] for r in gate.collect()) == [1, 3]
+
+
+def test_r14_clustering_pipelines_over_views(spark):
+    """kmeans_fit / kmeans_assign / cluster_balanced_sample through the
+    SQL-registration surface."""
+    rows = [(i, [10.0 if i % 2 == 0 else 0.0, 0.0 if i % 2 == 0 else 10.0])
+            for i in range(20)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("r14_vecs")
+    cents = run_sql_pipeline(
+        spark, "kmeans_fit", "r14_vecs", "r14_cents", k=2, iters=2,
+        init_ids=[0, 1],
+    )
+    assert sorted(r["cluster"] for r in cents.collect()) == [0, 1]
+    assigned = run_sql_pipeline(
+        spark, "kmeans_assign", "r14_vecs", "r14_asg",
+        centers_view="r14_cents",
+    )
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert all(c == (0 if i % 2 == 0 else 1) for i, c in got.items())
+    bal = run_sql_pipeline(
+        spark, "cluster_balanced_sample", "r14_vecs", "r14_bal",
+        centers=[[10.0, 0.0], [0.0, 10.0]], per_cluster=3,
+        id_col="vec_id",
+    )
+    from collections import Counter
+
+    assert Counter(r["cluster"] for r in bal.collect()) == {0: 3, 1: 3}
+
+
+def test_r14_bpe_train_pipeline_over_views(spark):
+    spark.createDataFrame(
+        [(1, "xy xy xy")], "doc_id long, text string"
+    ).createOrReplaceTempView("r14_tr")
+    out = run_sql_pipeline(
+        spark, "bpe_train", "r14_tr", "r14_merges", n_merges=3,
+    )
+    assert [(r["rank"], r["lhs"], r["rhs"]) for r in out.collect()] == [
+        (0, "x", "y")
+    ]
