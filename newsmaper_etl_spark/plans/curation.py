@@ -1055,3 +1055,31 @@ def q_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.floor(F.lit(10000) * F.col("score")) / 10000).alias("score"),
     )
+
+
+@query(
+    "q_dsir_weights_join",
+    oracle=f"""
+        SELECT doc_id, source,
+               FLOOR(10000 * ({_DSIR_LOGW_SQL})) / 10000 AS logw
+        FROM documents
+    """,
+    tags=("CURATION", "SELECTION"),
+)
+def q_dsir_weights_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR scoring's BROADCAST-JOIN path (the >2048-entry form:
+    explode → broadcast weight join → one groupBy on the id) driven
+    against the SAME oracle as the map-literal path — two independent
+    engine implementations cross-checked row by row under the driver
+    hash (the q_psl_domain pattern). A missing-token default slip, a
+    join-type error (inner instead of left drops OOV tokens), or a
+    groupBy that loses empty-text docs flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wdf = spark.createDataFrame(
+        sorted(_DSIR_W.items()), "token string, logw double"
+    )
+    return SEL.dsir_log_weights(docs, wdf, missing=_DSIR_MISS).select(
+        "doc_id",
+        "source",
+        (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),
+    )

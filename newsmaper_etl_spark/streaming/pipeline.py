@@ -373,6 +373,7 @@ def write_stream_manifest(
     span_dedup: dict | None = None,
     para_dedup: dict | None = None,
     domain_gate: dict | None = None,
+    classifier: dict | None = None,
     telemetry: bool = False,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
@@ -489,6 +490,18 @@ def write_stream_manifest(
     shuffle downstream. ``max_docs`` across nights is an ever-seen
     ledger, not a retroactive cap (rows admitted while a domain was
     small stay admitted; re-gate history via the maintenance path).
+
+    ``classifier`` (r14) adds the MODEL-quality gate on ingest
+    (:func:`operators.selection.classifier_gate` — fastText-style
+    linear scoring in logit space): a dict with ``weights`` (required;
+    mapping or a (token, logw) DataFrame) and optional ``bias`` (0.0),
+    ``threshold`` (0.5), ``missing`` (0.0), ``text_col`` ("text"),
+    ``id_col`` ("doc_id"). STATELESS by design — a pure projection +
+    filter, so it needs no side index, no replay pinning, and no txn
+    coupling: a replayed batch recomputes the identical verdicts. Runs
+    right after the domain gate and before every content-dedup gate
+    (one codegen filter shields all downstream hashing; same order as
+    the batch recipe).
 
     Spark's foreachBatch contract is at-least-once: after a crash
     between "user function ran" and "checkpoint advanced", the SAME
@@ -623,6 +636,16 @@ def write_stream_manifest(
                 and dg["min_sum_tokens"] is None):
             raise ValueError("domain_gate: pass at least one threshold")
 
+    clf = dict(classifier) if classifier else None
+    if clf is not None:
+        if "weights" not in clf:
+            raise ValueError("classifier requires a 'weights' entry")
+        clf.setdefault("bias", 0.0)
+        clf.setdefault("threshold", 0.5)
+        clf.setdefault("missing", 0.0)
+        clf.setdefault("text_col", "text")
+        clf.setdefault("id_col", "doc_id")
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         main_done = batch_id <= M.last_txn_version(table, app)
         if (main_done and not dedup_keys and nd is None and sd is None
@@ -710,6 +733,23 @@ def write_stream_manifest(
             )  # eagerly-materialized: feeds the data AND domains commits
             if gates is not None:
                 gates["after_domain"] = batch_df.count()
+        if clf is not None:
+            # stateless model-quality gate: pure projection + filter,
+            # deterministic on replay, no index — runs before every
+            # content-dedup gate so one codegen filter shields all
+            # downstream hashing (the batch recipe's stage order)
+            from newsmaper_etl_spark.operators.selection import (
+                classifier_gate,
+            )
+
+            batch_df = classifier_gate(
+                batch_df, clf["weights"], bias=clf["bias"],
+                threshold=clf["threshold"], text_col=clf["text_col"],
+                id_col=clf["id_col"], missing=clf["missing"],
+                score_col=None,
+            )
+            if gates is not None:
+                gates["after_classifier"] = batch_df.count()
         if dedup_keys:
             from newsmaper_etl_spark.operators.dedup import exact_dedup
 

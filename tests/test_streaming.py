@@ -1914,3 +1914,77 @@ def test_stream_manifest_canonical_url_dedup_composition(spark, tmp_path):
     run(str(tmp_path / "uckpt2"))
     rows = {r["id"] for r in M.read_table(spark, table).collect()}
     assert rows == {1, 3, 4, 11}
+
+
+def test_stream_manifest_classifier_gate_on_ingest(spark, tmp_path):
+    """classifier (r14): the stateless model-quality gate filters each
+    micro-batch before the content gates; replay after a crash-free
+    restart stays exactly-once; telemetry reports the gate's count; a
+    classifier-rejected duplicate never reaches the key index."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    src = tmp_path / "clfin"
+    src.mkdir()
+    table = str(tmp_path / "clftable")
+    ck = str(tmp_path / "clfck")
+    W = {"spark": 0.5, "query": 0.25, "slow": -0.5}
+
+    def run():
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema(
+            "doc_id LONG, text STRING"
+        ).json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id="clfq",
+            classifier={"weights": W, "missing": -0.03125},
+            dedup_keys=("text",), dedup_order_col="doc_id",
+            telemetry=True,
+        ).awaitTermination()
+
+    (src / "b0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "spark query fast"}) + "\n"
+        + _json.dumps({"doc_id": 2, "text": "slow slow slow"}) + "\n"
+        + _json.dumps({"doc_id": 3, "text": "spark query fast"})
+    )
+    run()
+    rows = {r["doc_id"] for r in M.read_table(spark, table).collect()}
+    # doc2 fails the classifier; doc3 is doc1's exact dup → keep-first
+    assert rows == {1}
+    from newsmaper_etl_spark.streaming.pipeline import ingest_history
+
+    hist = ingest_history(table)
+    assert len(hist) == 1
+    g = hist[0]
+    assert g["input"] == 3
+    assert g["after_classifier"] == 2
+    assert g["after_exact"] == 1
+
+    # second batch: a classifier-passing NEW doc lands; a re-delivered
+    # copy of doc1 is blocked by the key index, and a classifier-failing
+    # row never even reaches it
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 10, "text": "spark spark"}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": "spark query fast"}) + "\n"
+        + _json.dumps({"doc_id": 12, "text": "slow batch"})
+    )
+    run()
+    rows = {r["doc_id"] for r in M.read_table(spark, table).collect()}
+    assert rows == {1, 10}
+    # replay with no new files: exactly-once (no duplicate appends)
+    run()
+    assert {r["doc_id"] for r in M.read_table(spark, table).collect()} == {1, 10}
+
+    # validation: weights required
+    import pytest as _pytest
+
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    with _pytest.raises(ValueError, match="weights"):
+        write_stream_manifest(
+            stream, table, ck, app_id="clfq", classifier={"bias": 0.1},
+        )
