@@ -139,3 +139,11 @@ def test_classifier_gate_invalid_threshold(spark):
 def test_classifier_gate_score_col_none_drops_internals(spark):
     out = SEL.classifier_gate(_docs(spark), W, missing=MISS, score_col=None)
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_join_path_broadcasts_weight_table(spark):
+    wdf = spark.createDataFrame(list(W.items()), ["token", "logw"])
+    plan = SEL.dsir_log_weights(
+        _docs(spark), wdf, missing=MISS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
