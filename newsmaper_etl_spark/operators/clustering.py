@@ -106,7 +106,15 @@ def kmeans_assign(
         best = (
             scored.groupBy(*keep)
             .agg(F.min(F.struct(F.col("__d2"), F.col("__c"))).alias("__best"))
-            .withColumn(out_col, F.col("__best.__c"))
+            .withColumn(
+                out_col,
+                # NULL vector → NULL distance; struct-min would otherwise
+                # rank the NULL field smallest and silently claim cluster
+                # 0 — a NULL vector must stay unassigned (callers filter
+                # upstream; the fit loop's posexplode drops such rows)
+                F.when(F.col(vec_col).isNull(), F.lit(None).cast("int"))
+                .otherwise(F.col("__best.__c")),
+            )
             .drop("__best")
         )
         return best
@@ -124,7 +132,13 @@ def kmeans_assign(
         for j, c in enumerate(centers)
     ]
     arg = structs[0] if len(structs) == 1 else F.least(*structs)
-    return df.withColumn(out_col, arg["c"])
+    # NULL vector → NULL distances; least() over structs would rank the
+    # NULL field SMALLEST and silently claim cluster 0 — keep NULL
+    # unassigned instead (same guard as the DataFrame path)
+    cluster = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast("int")
+    ).otherwise(arg["c"])
+    return df.withColumn(out_col, cluster)
 
 
 def kmeans_fit(

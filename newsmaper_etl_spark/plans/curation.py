@@ -1083,3 +1083,31 @@ def q_dsir_weights_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),
     )
+
+
+@query(
+    "q_dsir_hashed_parity",
+    oracle="SELECT doc_id, CAST(1 AS BOOLEAN) AS same FROM documents",
+    tags=("CURATION", "SELECTION"),
+)
+def q_dsir_hashed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the HASHED scoring path (the
+    contamination_parity pattern): the xxhash64-keyed join and the
+    string-keyed join must score every document identically, and the
+    oracle asserts the literal TRUE — a hashed-path divergence (key
+    collision handling, missing-token default, join-type slip) shows
+    up as a row whose `same` is FALSE, flipping the driver hash. This
+    upgrades the hashed path from unit-tested to driver-gated."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wdf = spark.createDataFrame(
+        sorted(_DSIR_W.items()), "token string, logw double"
+    )
+    s = SEL.dsir_log_weights(
+        docs, wdf, missing=_DSIR_MISS, out_col="lw_s"
+    ).select("doc_id", "lw_s")
+    h = SEL.dsir_log_weights(
+        docs, wdf, missing=_DSIR_MISS, out_col="lw_h", hashed=True
+    ).select("doc_id", "lw_h")
+    return s.join(h, "doc_id").select(
+        "doc_id", (F.col("lw_s") == F.col("lw_h")).alias("same")
+    )

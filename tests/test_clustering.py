@@ -119,3 +119,26 @@ def test_cluster_balanced_sample_caps_each_cell(spark):
     assert sorted(r.vec_id for r in out.collect()) == sorted(
         r.vec_id for r in again.collect()
     )
+
+
+def test_assign_null_vector_propagates_null_cluster(spark):
+    """A NULL embedding must not crash or silently claim a cluster:
+    distances are NULL, the struct-least is NULL, the cluster is NULL —
+    pinned so a 'coalesce to cluster 0' regression is visible. Callers
+    filter NULL vectors upstream (the recipe's multimodal gate rule)."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [9.0, 9.0]]
+    got = {r.vec_id: r.cluster
+           for r in CL.kmeans_assign(df, cents).collect()}
+    assert got[0] == 0 and got[1] is None
+    # same contract on the broadcast-join path
+    got2 = {r.vec_id: r.cluster
+            for r in CL.kmeans_assign(
+                df, CL.kmeans_centers_df(spark, cents)).collect()}
+    assert got2 == got
+    # ... and the fit loop simply ignores the NULL row
+    centers = CL.kmeans_fit(df, 1, iters=2, init_ids=[0])
+    assert centers == [[0.0, 0.0]]

@@ -147,3 +147,18 @@ def test_join_path_broadcasts_weight_table(spark):
         _docs(spark), wdf, missing=MISS
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gumbel_and_select_handle_negative_and_huge_ids(spark):
+    """The LCG fold must keep negative and near-2^63 ids in-range (pmod)
+    and finite — a sign-preserving % would push u outside (0,1) and ln
+    would NaN/raise."""
+    ids = [-(2**62), -7, -1, 0, 1, 2**62]
+    df = spark.createDataFrame(
+        [(i, 0.0) for i in ids], ["doc_id", "logw"]
+    )
+    vals = [r.g for r in df.select(
+        SEL.gumbel_col("doc_id", 5).alias("g")).collect()]
+    assert all(math.isfinite(v) for v in vals)
+    sel = SEL.dsir_select(df, 3, seed=5)
+    assert sel.count() == 3
