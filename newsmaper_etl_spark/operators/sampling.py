@@ -495,3 +495,80 @@ def quantile_gate(
         )
         .drop("__r", "__n")
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    fracs: Mapping[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the ablation-split
+    primitive: every row gets a split label from its id-derived mix
+    bucket, so the SAME rows land in the SAME split across runs,
+    engines, re-shardings, and registry growth (what makes eval
+    numbers comparable between experiments, and what keeps a val doc
+    from silently migrating into train when the corpus is rebuilt).
+
+    ``fracs`` maps label → fraction (default 98/1/1 train/val/test);
+    fractions are converted ONCE to integer ten-thousandth boundaries
+    (round-then-floor, the temperature_sample rule) and the per-row
+    work is one LCG mix + a CASE over integer compares — pure
+    projection, zero shuffle, fuses into the scan. Labels are assigned
+    in SORTED label order so the mapping is reproducible from the dict
+    alone. Fractions must sum to 1 within 1e-9 (every row gets exactly
+    one label; no silent dropped remainder).
+
+    Split-by-ID means exact duplicates under DIFFERENT ids can straddle
+    splits — run the dedup stages first (the recipe order) or key the
+    split on a content fingerprint column cast to long via ``id_col``.
+    """
+    if fracs is None:
+        fracs = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fracs:
+        raise ValueError("holdout_split: fracs must be non-empty")
+    total = sum(float(v) for v in fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"holdout_split: fractions sum to {total!r}, not 1.0 — every "
+            "row must get exactly one label"
+        )
+    _require_numeric_id(df, id_col, "holdout_split")
+    bounds = holdout_bounds(fracs)
+    bucket = mix_bucket(id_col)
+    expr: Column | None = None
+    for label, hi in bounds:
+        cond = bucket < hi
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    # the last boundary is exactly 10000, so every bucket matches; the
+    # otherwise() is unreachable but keeps the Column total
+    assert expr is not None
+    return df.withColumn(out_col, expr.otherwise(bounds[-1][0]))
+
+
+def holdout_bounds(fracs: Mapping[str, float]) -> list[tuple[str, int]]:
+    """(label, exclusive upper bucket bound) in sorted-label order —
+    ONE source of truth shared by the Column builder and the SQL
+    oracle renderer. The final bound is pinned to exactly 10000 so
+    rounding can never orphan the last bucket."""
+    labels = sorted(fracs)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for i, label in enumerate(labels):
+        acc += float(fracs[label])
+        hi = 10_000 if i == len(labels) - 1 else int(round(acc * 10_000))
+        bounds.append((label, hi))
+    return bounds
+
+
+def holdout_split_sql(id_expr: str, fracs: Mapping[str, float]) -> str:
+    """Oracle-side rendering of :func:`holdout_split` (same bounds,
+    same mixer)."""
+    b = mix_bucket_sql(id_expr)
+    cases = " ".join(
+        f"WHEN {b} < {hi} THEN '{label}'"
+        for label, hi in holdout_bounds(fracs)
+    )
+    last = holdout_bounds(fracs)[-1][0]
+    return f"CASE {cases} ELSE '{last}' END"

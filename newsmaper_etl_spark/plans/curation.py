@@ -1111,3 +1111,27 @@ def q_dsir_hashed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(h, "doc_id").select(
         "doc_id", (F.col("lw_s") == F.col("lw_h")).alias("same")
     )
+
+
+_SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query(
+    "q_holdout_split",
+    oracle=f"""
+        SELECT doc_id, source,
+               {SP.holdout_split_sql('doc_id', _SPLIT_FRACS)} AS split
+        FROM documents
+    """,
+    tags=("CURATION", "SAMPLING"),
+)
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators.sampling.
+    holdout_split — 90/5/5 here so every label is populated at every
+    SF): one LCG mix + integer-boundary CASE per row, zero shuffle,
+    every (doc, split) pair driver-hashed. A mixer drift, a boundary
+    rounding slip, or a label-order change reassigns rows and flips
+    the hash — exactly the failure that silently migrates eval docs
+    into train between corpus rebuilds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SP.holdout_split(docs, _SPLIT_FRACS)

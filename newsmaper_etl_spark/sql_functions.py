@@ -333,6 +333,11 @@ def _pipelines() -> dict:
             spark.table(view), centers, kw.pop("per_cluster"), **kw
         )
 
+    def _holdout(spark: SparkSession, view: str, **kw) -> DataFrame:
+        from newsmaper_etl_spark.operators.sampling import holdout_split
+
+        return holdout_split(spark.table(view), kw.pop("fracs", None), **kw)
+
     def _bpe_train(spark: SparkSession, view: str, **kw) -> DataFrame:
         from newsmaper_etl_spark.operators.text import bpe_train
 
@@ -391,6 +396,7 @@ def _pipelines() -> dict:
         "quantile_gate": _qgate,
         "bpe_tokenize": _bpe,
         "bpe_train": _bpe_train,
+        "holdout_split": _holdout,
         "kmeans_assign": _kmeans_assign,
         "kmeans_fit": _kmeans_fit,
         "cluster_balanced_sample": _cluster_balanced,

@@ -816,3 +816,45 @@ def test_quantile_gate_semantics(spark):
     assert kept3 == [0, 1, 2, 100]      # scores 1,2,2 (tie survives)
     with pytest.raises(ValueError, match="keep_frac"):
         SP.quantile_gate(df, "s", "g", keep_frac=0.0)
+
+
+# --------------------------------------------------------------------------
+# holdout_split (r14)
+# --------------------------------------------------------------------------
+
+def test_holdout_split_deterministic_partition(spark):
+    import pytest as _pytest
+
+    from newsmaper_etl_spark.operators.sampling import holdout_split
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = holdout_split(df)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 1000  # exactly one label per row
+    # proportions near 98/1/1 (LCG uniformity on sequential ids)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert c["train"] > 950 and c["val"] >= 1 and c["test"] >= 1
+    # deterministic across calls
+    again = {r.doc_id: r.split for r in holdout_split(df).collect()}
+    assert again == rows
+    # pure projection: no shuffle
+    plan = holdout_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # validation
+    with _pytest.raises(ValueError, match="sum"):
+        holdout_split(df, {"train": 0.5, "val": 0.2})
+    with _pytest.raises(ValueError, match="non-empty"):
+        holdout_split(df, {})
+
+
+def test_holdout_split_last_bucket_never_orphaned(spark):
+    """Rounding the cumulative boundaries must pin the final bound to
+    exactly 10000 — fractions like 1/3 would otherwise leave buckets
+    9999+ unlabeled."""
+    from newsmaper_etl_spark.operators.sampling import holdout_bounds
+
+    b = holdout_bounds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert b[-1][1] == 10_000
+    assert [x[0] for x in b] == ["a", "b", "c"]
