@@ -51,23 +51,10 @@ QUERIES: dict[str, QuerySpec] = {}
 #: stalest-first order resumes; drop entries older than the rotation
 #: bound when touching this table.
 REPLANNED: dict[str, int] = {
-    # r13 plan/oracle changes that missed the r13 window (VERDICT #3)
-    "q_tpch_q21": 13,
-    "q_paragraph_dedup": 13,
-    "q_paragraph_incremental": 13,
-    "q_html_extract": 13,
-    "q_normalize_text": 13,
-    "q_tfidf_topterms": 13,
-    # r14: PSL registered-domain swap (domain_col semantics), the
-    # control-char host rule, the BPE whitespace-separator fix, and the
-    # new planted edge rows change these fixtures/plans on both sides
-    "q_url_filter": 14,
-    "q_domain_cap": 14,
-    "q_url_canonical": 14,
-    "q_url_dedup": 14,
-    "q_domain_stats": 14,
-    "q_domain_gate": 14,
-    "q_bpe_tokenize": 14,
+    # r15: all 13 r13/r14 entries expired — the r14 driver window
+    # recorded every one of them (CORRECTNESS_r14.json), so the normal
+    # stalest-first order resumes. Add entries here only when a shipped
+    # plan/fixture/oracle changes AFTER the query's latest record.
 }
 
 
