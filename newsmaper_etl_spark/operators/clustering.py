@@ -95,29 +95,40 @@ def kmeans_assign(
             F.col("center").alias("__cv"),
         )
         vecd = _as_double(vec_col)
-        pairs = df.withColumn("__vd", vecd).crossJoin(F.broadcast(cent))
+        pairs = (
+            df.select(F.col(id_col).alias("__id"), vecd.alias("__vd"))
+            .crossJoin(F.broadcast(cent))
+        )
         d2 = F.aggregate(
             F.zip_with(F.col("__vd"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scored = pairs.withColumn("__d2", d2)
-        keep = [c for c in df.columns]
+        # groupBy on the ROW ID, never the full row: the full-row form
+        # made the shuffle key carry the embedding (multi-KB keys at
+        # corpus scale) and collapsed duplicate rows (VERDICT r14
+        # what's-wrong #3). id_col must be a unique non-NULL row key —
+        # the same contract every incremental index in this repo pins.
         best = (
-            scored.groupBy(*keep)
+            pairs.withColumn("__d2", d2)
+            .groupBy("__id")
             .agg(F.min(F.struct(F.col("__d2"), F.col("__c"))).alias("__best"))
-            .withColumn(
-                out_col,
-                # NULL vector → NULL distance; struct-min would otherwise
-                # rank the NULL field smallest and silently claim cluster
-                # 0 — a NULL vector must stay unassigned (callers filter
-                # upstream; the fit loop's posexplode drops such rows)
-                F.when(F.col(vec_col).isNull(), F.lit(None).cast("int"))
-                .otherwise(F.col("__best.__c")),
+            .select(
+                F.col("__id"),
+                # guard on the COMPUTED distance, not the input column:
+                # a wholly-NULL vector, a NULL element, or a dim
+                # mismatch vs the centers all yield NULL __d2, and
+                # struct-min ranks the NULL field smallest — such rows
+                # must stay unassigned (ADVICE r14 #1)
+                F.when(F.col("__best.__d2").isNull(), F.lit(None).cast("int"))
+                .otherwise(F.col("__best.__c"))
+                .alias(out_col),
             )
-            .drop("__best")
         )
-        return best
+        out = df.drop(out_col).join(
+            best, F.col(id_col) == F.col("__id"), "left"
+        )
+        return out.drop("__id")
     if len(centers) > MAX_INLINE_CENTERS:
         raise ValueError(
             f"kmeans_assign: {len(centers)} literal centers exceed the "
@@ -132,12 +143,15 @@ def kmeans_assign(
         for j, c in enumerate(centers)
     ]
     arg = structs[0] if len(structs) == 1 else F.least(*structs)
-    # NULL vector → NULL distances; least() over structs would rank the
-    # NULL field SMALLEST and silently claim cluster 0 — keep NULL
-    # unassigned instead (same guard as the DataFrame path)
+    # Guard on the COMPUTED distance: a wholly-NULL vector, a NULL
+    # element, or a dim mismatch vs the centers all make __d2 NULL, and
+    # least() over structs ranks the NULL field SMALLEST — any such row
+    # would silently claim cluster 0. Keep it unassigned instead
+    # (ADVICE r14 #1; callers filter upstream, the fit loop's
+    # posexplode drops NULL elements).
     cluster = F.when(
-        F.col(vec_col).isNull(), F.lit(None).cast("int")
-    ).otherwise(arg["c"])
+        arg["d"].isNull(), F.lit(None).cast("int")
+    ).otherwise(arg["c"]).cast("int")
     return df.withColumn(out_col, cluster)
 
 
@@ -177,9 +191,18 @@ def kmeans_fit(
     centers = [list(r["__vd"]) for r in sorted(seeds, key=lambda r: r[0])]
     dim = len(centers[0])
     for _ in range(int(iters)):
-        assigned = kmeans_assign(
-            base, centers, vec_col="__vd", out_col="__c", id_col=id_col
-        )
+        # Past the inline cutover the literal projection would abort
+        # (ADVICE r14 #2): hand the iteration the broadcast-join form
+        # instead — same argmin/tie-break, one id-keyed shuffle.
+        if k > MAX_INLINE_CENTERS:
+            cdf = kmeans_centers_df(df.sparkSession, centers)
+            assigned = kmeans_assign(
+                base, cdf, vec_col="__vd", out_col="__c", id_col=id_col
+            )
+        else:
+            assigned = kmeans_assign(
+                base, centers, vec_col="__vd", out_col="__c", id_col=id_col
+            )
         # posexplode → groupBy(cluster, pos) avg: sums/counts combine
         # map-side, the shuffle carries ≤ k·dim groups.
         stats = (

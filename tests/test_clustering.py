@@ -142,3 +142,53 @@ def test_assign_null_vector_propagates_null_cluster(spark):
     # ... and the fit loop simply ignores the NULL row
     centers = CL.kmeans_fit(df, 1, iters=2, init_ids=[0])
     assert centers == [[0.0, 0.0]]
+
+
+def test_assign_null_element_and_dim_mismatch_stay_unassigned(spark):
+    """ADVICE r15: a vector with a NULL ELEMENT or the wrong dimension
+    yields a NULL distance to every center — both paths must emit a
+    NULL cluster, never silently claim cluster 0 (NULL ranks smallest
+    in struct compare)."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, None]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [9.0, 9.0]]
+    got = {r.vec_id: r.cluster
+           for r in CL.kmeans_assign(df, cents).collect()}
+    assert got == {0: 0, 1: None, 2: None}
+    got2 = {r.vec_id: r.cluster
+            for r in CL.kmeans_assign(
+                df, CL.kmeans_centers_df(spark, cents)).collect()}
+    assert got2 == got
+
+
+def test_assign_dataframe_path_groups_by_id_not_full_row(spark):
+    """VERDICT r14 what's-wrong #3: the broadcast path's shuffle key
+    must be the row id, never the full row (multi-KB keys at corpus
+    scale; full-row grouping also collapsed duplicate rows). Pin both:
+    the executed plan's exchange is id-keyed, and duplicate payload
+    rows with distinct ids survive."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], "same"), (1, [0.0, 0.0], "same")],
+        "vec_id long, embedding array<double>, payload string",
+    )
+    cdf = CL.kmeans_centers_df(spark, [[0.0, 0.0], [9.0, 9.0]])
+    out = CL.kmeans_assign(df, cdf)
+    rows = out.collect()
+    assert len(rows) == 2 and all(r.cluster == 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan.split("Exchange")[1].split("\n")[0]
+
+
+def test_fit_switches_to_broadcast_path_past_inline_cutover(spark):
+    """ADVICE r15: kmeans_fit with k > MAX_INLINE_CENTERS must run the
+    broadcast-join assignment instead of aborting mid-iteration."""
+    k = CL.MAX_INLINE_CENTERS + 1
+    df = spark.range(k).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double")).alias("embedding"),
+    )
+    centers = CL.kmeans_fit(df, k, iters=1, init_ids=list(range(k)))
+    assert len(centers) == k
+    assert centers == [[float(i)] for i in range(k)]
