@@ -3359,3 +3359,96 @@ def q_bpe_train_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     TX.bpe_merge_ranks(merges)  # well-formedness invariant
     rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
+
+
+# --------------------------------------------------------------------------
+# BYTE-level BPE (operators/text.py byte_level=, r15)
+# --------------------------------------------------------------------------
+
+#: Byte-level planted corpus (the hand-derivation lives in
+#: tests/test_extensions.py::test_bpe_train_byte_level_hand_derived_merges
+#: and is restated by the oracles below): été×8 ça×4 de×3. Byte-mapped
+#: words (GPT-2 byte_unicode_table — é=0xC3 0xA9→Ã©, ç=0xC3 0xA7→Ã§):
+#: été→[Ã,©,t,Ã,©], ça→[Ã,§,a], de→[d,e]. Merge sequence:
+#:   1: (Ã,©)=16                          → Ã©
+#:   2: (t,Ã©)=8 ties (Ã©,t)=8, t<Ã asc  → tÃ©
+#:   3: (Ã©,tÃ©)=8                        → Ã©tÃ©
+#:   4: (§,a)=4 ties (Ã,§)=4, §<Ã asc    → §a
+#:   5: (Ã,§a)=4                          → Ã§a
+#:   6: (d,e)=3                           → de
+#:   7: every word is one token → early stop.
+_BPE_BYTES_CORPUS = " ".join(["été"] * 8 + ["ça"] * 4 + ["de"] * 3)
+
+
+@query(
+    "q_bpe_bytes_train",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, 'Ã', '©'),
+            (1, 't', 'Ã©'),
+            (2, 'Ã©', 'tÃ©'),
+            (3, '§', 'a'),
+            (4, 'Ã', '§a'),
+            (5, 'd', 'e')
+        ) t(rank, lhs, rhs)
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_bpe_bytes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE training (operators.text.bpe_train
+    byte_level=True — VERDICT r14 missing #2): the French planted
+    corpus's UTF-8 bytes drive the GPT-2 byte-to-unicode table, and
+    the full hand-derived merge sequence (multi-byte characters, two
+    lexicographic tie-breaks that only exist BECAUSE of the byte
+    mapping — t<Ã and §<Ã are byte-alphabet orderings) is stated
+    literally by the oracle. A byte-mapping slip, a separator byte
+    leaking into the stream, or a tie-break drift reorders the table
+    and flips the hash."""
+    docs = spark.createDataFrame(
+        [(1, _BPE_BYTES_CORPUS)], "doc_id long, text string"
+    )
+    merges = TX.bpe_train(
+        docs, n_merges=10, min_pair_freq=2, byte_level=True
+    )
+    TX.bpe_merge_ranks(merges)  # well-formedness invariant
+    rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
+
+
+@query(
+    "q_bpe_bytes",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'Ã©tÃ©'),
+            (2, 'Ã§a'),
+            (3, 'de'),
+            (4, 'x|Ã©'),
+            (5, 'Ã©tÃ©|Ã§a')
+        ) t(doc_id, toks)
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level merge-rank encoding (operators.text.
+    bpe_merge_tokenize byte_level=True) consuming the LIVE-trained
+    table from the same planted corpus — trainer-output/encoder-input
+    parity is therefore under the driver hash, not just unit-tested.
+    The encode fixture includes an OOV word ('xé': x survives as a
+    single byte-token, é's bytes still merge by rank 0) and a
+    multi-word row (whitespace stays a free separator — no Ġ byte)."""
+    docs = spark.createDataFrame(
+        [(1, _BPE_BYTES_CORPUS)], "doc_id long, text string"
+    )
+    merges = TX.bpe_train(
+        docs, n_merges=10, min_pair_freq=2, byte_level=True
+    )
+    enc = spark.createDataFrame(
+        [(1, "été"), (2, "ça"), (3, "de"), (4, "xé"), (5, "été ça")],
+        "doc_id int, text string",
+    )
+    out = TX.bpe_merge_tokenize(
+        enc, merges, tokens_out="__toks", byte_level=True
+    )
+    return out.select(
+        "doc_id", F.array_join("__toks", "|").alias("toks")
+    )

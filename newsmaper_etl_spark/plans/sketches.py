@@ -1445,6 +1445,26 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIT fixture quantizes each component to a multiple of 2^-4
+    (FLOOR(x*16)/16) BEFORE the planted shift: sums of bounded dyadic
+    rationals are EXACT in IEEE-754 under any order, so the per-cluster
+    means are bit-identical across engines and across Spark's
+    nondeterministic partial-agg order — the driver hash cannot ride a
+    .00005 rounding boundary (ADVICE r14 #4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.floor(x.cast("double") * 16) / 16
+            + F.when(
+                i == (F.col("vec_id") % _KM_K).cast("int"), F.lit(_KM_SHIFT)
+            ).otherwise(F.lit(0.0)),
+        ).alias("vecd"),
+    )
+
+
 @query(
     "q_kmeans_fit",
     oracle="""
@@ -1452,13 +1472,14 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id,
                    unnest(range(0, len(embedding))) AS pos,
                    unnest(list_transform(embedding,
-                                         x -> CAST(x AS DOUBLE))) AS x0
+                          x -> FLOOR(CAST(x AS DOUBLE) * 16) / 16)) AS x0
             FROM embeddings
         )
         SELECT CAST(vec_id % 3 AS INT) AS cluster,
                CAST(pos AS INT) AS pos,
-               ROUND(AVG(x0 + CASE WHEN pos = vec_id % 3
-                                   THEN 8.0 ELSE 0.0 END), 4) AS val
+               FLOOR(10000 * AVG(x0 + CASE WHEN pos = vec_id % 3
+                                           THEN 8.0 ELSE 0.0 END)) / 10000
+                   AS val
         FROM v GROUP BY 1, 2
     """,
     tags=("CLUSTERING",),
@@ -1468,11 +1489,15 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=3, two iterations, init = rows 0/1/2 — one per planted cluster):
     with planted separation the assignment is vec_id % 3 from the
     FIRST iteration on, so the converged centers are exactly the
-    per-cluster per-dim means the oracle computes — every quantized
-    centroid component is driver-hashed (192 values). An assignment,
-    partial-agg, empty-cluster, or init-ordering bug moves centroids
-    by cluster-scale amounts."""
-    sh = _shifted_embeddings(spark, sf_dir)
+    per-cluster per-dim means the oracle computes — every centroid
+    component is driver-hashed (192 values). The fixture's 2^-4
+    quantization makes those means EXACT doubles on both engines (see
+    _fit_embeddings), and the emitted value uses the repo's
+    floor-scaling (identical IEEE mul/floor/div on identical inputs),
+    not ROUND (engine-divergent on shortest-repr boundaries). An
+    assignment, partial-agg, empty-cluster, or init-ordering bug moves
+    centroids by cluster-scale amounts."""
+    sh = _fit_embeddings(spark, sf_dir)
     centers = CL.kmeans_fit(
         sh, _KM_K, vec_col="vecd", iters=2, init_ids=[0, 1, 2]
     )
@@ -1482,7 +1507,10 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p, v in enumerate(c)
     ]
     out = spark.createDataFrame(rows, "cluster int, pos int, val double")
-    return out.select("cluster", "pos", F.round("val", 4).alias("val"))
+    return out.select(
+        "cluster", "pos",
+        (F.floor(F.lit(10000) * F.col("val")) / 10000).alias("val"),
+    )
 
 
 @query(
