@@ -1631,6 +1631,182 @@ def compact_domains_index(
 
 
 # --------------------------------------------------------------------------
+# Incremental DSIR selection — the _gumbel top-k side table (r15)
+# --------------------------------------------------------------------------
+#
+# The DSIR Gumbel key ``gk = logw + Gumbel(id, seed)`` is a pure
+# per-row function, so the global top-k selection is decomposable:
+# topk(seen ∪ batch) == topk(topk(seen) ∪ batch). The side table at
+# <table>/_gumbel therefore stores PER-BATCH LOCAL TOP-K partials
+# (≤k rows per commit — any global winner from a batch is in that
+# batch's local top-k), appended under the same txn/bootstrap/replay
+# discipline as _domains; the merge is one union → TakeOrderedAndProject
+# paid on read. Per-batch cost is batch-scaled + k index rows — never
+# a corpus re-score (VERDICT r14 'do this' #6).
+
+_GUMBEL_SUB = "_gumbel"
+_GSTAMP = ("__gfp",)
+
+
+def gumbel_index_path(table: str) -> str:
+    return os.path.join(table, _GUMBEL_SUB)
+
+
+def _gumbel_fingerprint(
+    weights, missing: float, seed: int, k: int
+) -> int:
+    """Stamp fingerprint: the FULL selection basis. Keys computed under
+    different weights/missing/seed are incomparable doubles; a
+    different k breaks the local-top-k ⊇ global-winners superset
+    argument (a batch's (k+1)-th candidate can be a global top-k'
+    member for k' > k) — none of these may ever merge silently."""
+    import zlib
+
+    basis = "\n".join(
+        f"{t}\t{float(w)!r}" for t, w in sorted(weights.items())
+    ) + f"\n#missing={float(missing)!r}#seed={int(seed)}#k={int(k)}"
+    return zlib.crc32(basis.encode("utf-8"))
+
+
+def _gfp_stamped(df: DataFrame, fp: int) -> DataFrame:
+    return df.withColumn("__gfp", F.lit(int(fp)))
+
+
+def check_gumbel_stamp(
+    table: str, weights, missing: float, seed: int, k: int
+) -> None:
+    st = _read_stamp(gumbel_index_path(table), _GSTAMP)
+    fp = _gumbel_fingerprint(weights, missing, seed, k)
+    if st is not None and st.get("__gfp") != fp:
+        raise ValueError(
+            f"gumbel index at {table} was built under a different "
+            f"selection basis (stamp {st.get('__gfp')} vs {fp}: "
+            "weights/missing/seed/k) — Gumbel keys from different bases "
+            "never merge; rebuild the index"
+        )
+
+
+def _batch_gumbel_topk(
+    batch_df: DataFrame, weights, k: int, seed: int,
+    text_col: str, id_col: str, missing: float,
+) -> DataFrame:
+    from newsmaper_etl_spark.operators.selection import (
+        dsir_log_weights,
+        dsir_topk_state,
+    )
+
+    scored = dsir_log_weights(
+        batch_df.select(F.col(id_col), F.col(text_col)),
+        weights, text_col=text_col, id_col=id_col, missing=missing,
+    )
+    return dsir_topk_state(
+        scored, k, logw_col="logw", id_col=id_col, seed=seed
+    )
+
+
+def read_gumbel_index(
+    spark: SparkSession, table: str, k: int, version: int | None = None
+) -> DataFrame | None:
+    """The CURRENT global DSIR selection ``(id, logw, gk)`` — union of
+    the per-batch partials, one TakeOrderedAndProject — or None when
+    absent. ``version`` pins the crash-replay read (the
+    read_domains_index rule)."""
+    gtable = gumbel_index_path(table)
+    v = M.current_version(gtable) if version is None else version
+    if v == 0:
+        return None
+    raw = M.read_table(spark, gtable, version=v).drop(*_GSTAMP)
+    return (
+        raw.orderBy(F.col("gk").desc(), F.col("id").asc())
+        .limit(int(k))
+    )
+
+
+def ensure_gumbel_bootstrap(
+    spark: SparkSession, table: str, weights, k: int, seed: int,
+    text_col: str, id_col: str, missing: float, app: str,
+    version: int | None = None,
+) -> bool:
+    """One-time selection build for a table that predates the index —
+    the single deliberate O(corpus) scoring pass, paid once
+    (``version`` pins the pre-batch snapshot on crash replay)."""
+    gtable = gumbel_index_path(table)
+    v = M.current_version(table) if version is None else version
+    if M.current_version(gtable) > 0 or v == 0:
+        return False
+    boot_app = app + _BOOT_APP_SUFFIX
+    fp = _gumbel_fingerprint(weights, missing, seed, k)
+    state = _gfp_stamped(
+        _batch_gumbel_topk(
+            M.read_table(spark, table, version=v), weights, k, seed,
+            text_col, id_col, missing,
+        ),
+        fp,
+    )
+
+    def _append() -> int:
+        return M.append(
+            state, gtable, txn=(boot_app, 0), stat_cols=_GSTAMP,
+            meta={"op_detail": "gumbelindex-bootstrap",
+                  "covers_version": v},
+        )
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(gtable, boot_app, 0):
+            raise
+        _append()
+    return True
+
+
+def append_batch_gumbel(
+    batch_df: DataFrame, table: str, weights, k: int, seed: int,
+    text_col: str, id_col: str, missing: float, app: str, batch_id: int,
+) -> bool:
+    """Commit the batch's LOCAL top-k Gumbel partial under the writer's
+    txn mark — replay-skipped, orphan-self-healing. ``batch_df`` must
+    be the AS-COMMITTED rows (post every gate), so the running
+    selection describes exactly what the corpus holds."""
+    gtable = gumbel_index_path(table)
+    if batch_id <= M.last_txn_version(gtable, app):
+        return False
+    check_gumbel_stamp(table, weights, missing, seed, k)
+    fp = _gumbel_fingerprint(weights, missing, seed, k)
+    deltas = _gfp_stamped(
+        _batch_gumbel_topk(
+            batch_df, weights, k, seed, text_col, id_col, missing
+        ),
+        fp,
+    )
+
+    def _append() -> int:
+        return M.append(deltas, gtable, txn=(app, int(batch_id)),
+                        stat_cols=_GSTAMP,
+                        meta={"app": app, "batch_id": int(batch_id)})
+
+    try:
+        _append()
+    except M.ConcurrentWriteError:
+        if not M.repair_claimed_orphan(gtable, app, int(batch_id)):
+            raise
+        _append()
+    return True
+
+
+def compact_gumbel_index(
+    spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
+) -> int:
+    gtable = gumbel_index_path(table)
+    if M.current_version(gtable) == 0:
+        return 0
+    return M.compact(
+        spark, gtable, min_file_bytes=min_file_bytes,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+
+
+# --------------------------------------------------------------------------
 # Semantic-index drift telemetry + offline rebuild (VERDICT r10 #8)
 # --------------------------------------------------------------------------
 

@@ -288,6 +288,61 @@ def dsir_select(
     )
 
 
+def dsir_topk_state(
+    df: DataFrame,
+    k: int,
+    *,
+    logw_col: str = "logw",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """The ``(id, logw, gk)`` top-k STATE frame of a scored corpus
+    slice — the persisted-index row shape of incremental DSIR (the
+    ``_gumbel`` side table, keyindex.py). The Gumbel key is a pure
+    per-row function of (id, seed), so global top-k is decomposable:
+    ``topk(S ∪ T) == topk(topk(S) ∪ T)`` — a running k-row state plus
+    per-batch folds IS the exact full-corpus selection (VERDICT r14
+    'do this' #6). Planned as TakeOrderedAndProject (no global sort).
+    """
+    _require_numeric_id(df, id_col, "dsir_topk_state")
+    key = F.col(logw_col) + gumbel_col(id_col, seed)
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(logw_col).cast("double").alias("logw"),
+            key.cast("double").alias("gk"),
+        )
+        .orderBy(F.col("gk").desc(), F.col("id").asc())
+        .limit(int(k))
+    )
+
+
+def dsir_select_incremental(
+    batch: DataFrame,
+    state: DataFrame | None,
+    k: int,
+    *,
+    logw_col: str = "logw",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Fold a SCORED batch into the running DSIR selection: union the
+    batch's candidates with the prior ``(id, logw, gk)`` state (None →
+    born-streaming first batch) and keep the global top-k. Returns the
+    NEW state — exactly ``dsir_topk_state`` of everything seen so far,
+    by the decomposability argument in its docstring. Ids must be
+    unique across batches (redelivery is the txn layer's job —
+    keyindex.append_batch_gumbel)."""
+    cand = dsir_topk_state(
+        batch, k, logw_col=logw_col, id_col=id_col, seed=seed
+    )
+    merged = cand if state is None else state.unionByName(cand)
+    return (
+        merged.orderBy(F.col("gk").desc(), F.col("id").asc())
+        .limit(int(k))
+    )
+
+
 # --------------------------------------------------------------------------
 # Linear classifier gate
 # --------------------------------------------------------------------------

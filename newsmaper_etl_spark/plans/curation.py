@@ -1113,6 +1113,49 @@ def q_dsir_hashed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dsir_incremental",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, ({_DSIR_LOGW_SQL}) AS lw
+            FROM documents
+        )
+        SELECT doc_id, source, FLOOR(10000 * lw) / 10000 AS logw
+        FROM w
+        ORDER BY (lw + {SEL.gumbel_sql('doc_id', 11)}) DESC, doc_id
+        LIMIT 60
+    """,
+    tags=("CURATION", "SELECTION", "INCREMENTAL"),
+)
+def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR selection (operators.selection.
+    dsir_select_incremental — the _gumbel side-table composition,
+    VERDICT r14 'do this' #6): the corpus arrives as THREE batches
+    (doc_id % 3), each folded into a k-row running state exactly as
+    the streaming _gumbel index does, and the oracle states the
+    EQUIVALENCE CONTRACT literally — the FULL-corpus Gumbel top-k.
+    Exact because the Gumbel key is a pure per-row function, so
+    ``topk(S ∪ T) == topk(topk(S) ∪ T)``; a fold that loses an evicted
+    candidate too early, double-counts a batch, or drifts the
+    tie-break selects a different set and flips the driver hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    state = None
+    for b in range(3):
+        batch = SEL.dsir_log_weights(
+            docs.filter(F.col("doc_id") % 3 == b),
+            _DSIR_W, missing=_DSIR_MISS,
+        )
+        state = SEL.dsir_select_incremental(batch, state, 60, seed=11)
+    return state.select(
+        F.col("id").alias("doc_id"),
+        (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),
+    ).join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "logw"
+    )
+
+
 _SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 

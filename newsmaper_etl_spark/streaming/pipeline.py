@@ -374,6 +374,7 @@ def write_stream_manifest(
     para_dedup: dict | None = None,
     domain_gate: dict | None = None,
     classifier: dict | None = None,
+    dsir: dict | None = None,
     telemetry: bool = False,
 ):
     """Exactly-once streaming sink onto a manifest-committed table
@@ -646,10 +647,24 @@ def write_stream_manifest(
         clf.setdefault("text_col", "text")
         clf.setdefault("id_col", "doc_id")
 
+    ds = dict(dsir) if dsir else None
+    if ds is not None:
+        # running DSIR selection (the _gumbel side table): a SIDE
+        # OUTPUT, not a gate — the batch's rows commit unfiltered, and
+        # the accumulated global Gumbel top-k is read back with
+        # keyindex.read_gumbel_index. Exact under batching because the
+        # Gumbel key is a pure per-row function (dsir_topk_state).
+        if "weights" not in ds or "k" not in ds:
+            raise ValueError("dsir requires 'weights' and 'k' entries")
+        ds.setdefault("seed", 0)
+        ds.setdefault("missing", 0.0)
+        ds.setdefault("text_col", "text")
+        ds.setdefault("id_col", "doc_id")
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         main_done = batch_id <= M.last_txn_version(table, app)
         if (main_done and not dedup_keys and nd is None and sd is None
-                and pdd is None and dg is None):
+                and pdd is None and dg is None and ds is None):
             return  # replay of an already-committed batch: exactly-once
         gates: dict | None = {} if telemetry else None
         if gates is not None:
@@ -658,7 +673,7 @@ def write_stream_manifest(
         eff_stat_cols = tuple(stat_cols)
         data_version = None
         if (dedup_keys or nd is not None or sd is not None
-                or pdd is not None or dg is not None):
+                or pdd is not None or dg is not None or ds is not None):
             from newsmaper_etl_spark import keyindex as K
 
             spark = batch_df.sparkSession
@@ -687,6 +702,10 @@ def write_stream_manifest(
             if dg is not None:
                 done = done and batch_id <= M.last_txn_version(
                     K.domains_index_path(table), app
+                )
+            if ds is not None:
+                done = done and batch_id <= M.last_txn_version(
+                    K.gumbel_index_path(table), app
                 )
             if done:
                 return  # data and every index committed: pure replay
@@ -750,6 +769,17 @@ def write_stream_manifest(
             )
             if gates is not None:
                 gates["after_classifier"] = batch_df.count()
+        if ds is not None:
+            # one-time selection bootstrap for a table that predates
+            # the _gumbel index — BEFORE the data commit so the scored
+            # snapshot is pre-batch (data_version pins it on replay;
+            # a post-commit bootstrap would double-count this batch's
+            # rows in the k-row state)
+            K.ensure_gumbel_bootstrap(
+                spark, table, ds["weights"], ds["k"], ds["seed"],
+                ds["text_col"], ds["id_col"], ds["missing"], app,
+                version=data_version,
+            )
         if dedup_keys:
             from newsmaper_etl_spark.operators.dedup import exact_dedup
 
@@ -953,6 +983,15 @@ def write_stream_manifest(
                     batch_df, table, dg["url_col"], dg["tokens_col"],
                     app, int(batch_id),
                 )
+            if ds is not None:
+                # Gumbel top-k partial of the rows AS COMMITTED (post
+                # every gate): the running selection describes exactly
+                # what the corpus holds
+                K.append_batch_gumbel(
+                    batch_df, table, ds["weights"], ds["k"], ds["seed"],
+                    ds["text_col"], ds["id_col"], ds["missing"],
+                    app, int(batch_id),
+                )
         finally:
             if persisted:
                 batch_df.unpersist()
@@ -970,6 +1009,8 @@ def write_stream_manifest(
                 [K.compact_paras_index] if pdd is not None else []
             ) + (
                 [K.compact_domains_index] if dg is not None else []
+            ) + (
+                [K.compact_gumbel_index] if ds is not None else []
             ):
                 try:
                     _maint(batch_df.sparkSession, table)

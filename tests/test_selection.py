@@ -189,3 +189,35 @@ def test_weight_df_with_wrong_columns_raises(spark):
     bad = spark.createDataFrame([("a", 1.0)], "word string, weight double")
     with pytest.raises(ValueError, match="token, logw"):
         SEL.dsir_log_weights(_docs(spark), bad)
+
+
+def test_dsir_incremental_fold_equals_full_corpus(spark):
+    """Decomposability (VERDICT r14 'do this' #6): folding per-batch
+    candidates into a running k-row state with dsir_select_incremental
+    must equal dsir_topk_state over the whole corpus — for any batch
+    split, because the Gumbel key is a pure per-row function."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 17).cast("string")).alias("text"),
+    )
+    w = {f"w{i}": (0.25 * (i - 8)) for i in range(17)}
+    scored = SEL.dsir_log_weights(docs, w, missing=MISS)
+    full = {(r.id, r.logw) for r in
+            SEL.dsir_topk_state(scored, 25, seed=9).collect()}
+    for n_batches in (2, 3, 7):
+        state = None
+        for b in range(n_batches):
+            batch = scored.filter(F.col("doc_id") % n_batches == b)
+            state = SEL.dsir_select_incremental(batch, state, 25, seed=9)
+        got = {(r.id, r.logw) for r in state.collect()}
+        assert got == full, n_batches
+
+
+def test_dsir_topk_state_plans_take_ordered(spark):
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    scored = SEL.dsir_log_weights(docs, {"x": 0.5}, missing=MISS)
+    plan = SEL.dsir_topk_state(scored, 5)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

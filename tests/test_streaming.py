@@ -1988,3 +1988,120 @@ def test_stream_manifest_classifier_gate_on_ingest(spark, tmp_path):
         write_stream_manifest(
             stream, table, ck, app_id="clfq", classifier={"bias": 0.1},
         )
+
+
+def test_stream_manifest_dsir_selection_on_ingest(spark, tmp_path):
+    """dsir: the _gumbel side table accumulates each batch's local
+    Gumbel top-k partial, and read_gumbel_index returns the EXACT
+    global selection over everything committed (the decomposability
+    contract) — a later batch's stronger doc evicts an earlier winner,
+    a crash between the data commit and the gumbel commit heals on
+    replay, and a basis drift (different k) is refused."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+    from newsmaper_etl_spark.operators import selection as SEL
+
+    src = tmp_path / "dsin"
+    src.mkdir()
+    table = str(tmp_path / "dstable")
+    ck = str(tmp_path / "dsck")
+    W = {"good": 1.0, "bad": -1.0}
+    CFG = {"weights": W, "k": 3, "seed": 0, "missing": 0.0}
+
+    def run():
+        from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+        stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+        write_stream_manifest(
+            stream, table, ck, app_id="dsq", dsir=CFG,
+        ).awaitTermination()
+
+    def doc(i, n_good, n_bad=0):
+        return _json.dumps(
+            {"doc_id": i, "text": " ".join(["good"] * n_good + ["bad"] * n_bad)}
+        )
+
+    # logw gaps (≥10) dwarf the Gumbel noise range, so the selected SET
+    # is readable from the weights
+    (src / "b0.json").write_text(
+        doc(1, 100) + "\n" + doc(2, 90) + "\n"
+        + doc(3, 10) + "\n" + doc(4, 0, 100)
+    )
+    run()
+    sel = {r["id"] for r in K.read_gumbel_index(spark, table, 3).collect()}
+    assert sel == {1, 2, 3}
+
+    # a stronger doc in a later batch EVICTS the weakest winner
+    (src / "b1.json").write_text(doc(10, 95) + "\n" + doc(11, 0, 5))
+    run()
+    sel = {r["id"] for r in K.read_gumbel_index(spark, table, 3).collect()}
+    assert sel == {1, 2, 10}
+
+    # exactness: the index equals a from-scratch top-k over the table
+    scored = SEL.dsir_log_weights(
+        M.read_table(spark, table), W, missing=0.0
+    )
+    want = {(r.id, r.logw, r.gk) for r in
+            SEL.dsir_topk_state(scored, 3, seed=0).collect()}
+    got = {(r.id, r.logw, r.gk) for r in
+           K.read_gumbel_index(spark, table, 3).collect()}
+    assert got == want
+
+    # crash between data commit and gumbel commit heals on replay
+    (src / "b2.json").write_text(doc(20, 200))
+    real = K.append_batch_gumbel
+
+    def _crash(*a, **kw):
+        raise RuntimeError("injected crash before gumbel commit")
+
+    K.append_batch_gumbel = _crash
+    try:
+        with _pytest.raises(Exception):
+            run()
+    finally:
+        K.append_batch_gumbel = real
+    assert 20 in {r["doc_id"] for r in M.read_table(spark, table).collect()}
+    gv_before = M.current_version(K.gumbel_index_path(table))
+    run()  # replay: data append skips, gumbel commit proceeds
+    assert M.current_version(K.gumbel_index_path(table)) > gv_before
+    sel = {r["id"] for r in K.read_gumbel_index(spark, table, 3).collect()}
+    assert sel == {20, 1, 10}  # logw 200 / 100 / 95
+
+    # basis drift refused: same weights, different k
+    with _pytest.raises(ValueError, match="selection basis"):
+        K.check_gumbel_stamp(table, W, 0.0, 0, 5)
+
+
+def test_gumbel_bootstrap_preexisting_table(spark, tmp_path):
+    """A table that predates the _gumbel index pays ONE bootstrap
+    scoring pass: pre-existing winners appear in the selection even
+    though they never flowed through a batch."""
+    import json as _json
+
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    table = str(tmp_path / "gbtable")
+    W = {"good": 1.0}
+    pre = spark.createDataFrame(
+        [(1, "good " * 50), (2, "meh")], "doc_id long, text string"
+    )
+    M.append(pre, table)
+    src = tmp_path / "gbin"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"doc_id": 10, "text": "good good"})
+    )
+    from newsmaper_etl_spark.streaming.pipeline import write_stream_manifest
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    write_stream_manifest(
+        stream, table, str(tmp_path / "gbck"), app_id="gbq",
+        dsir={"weights": W, "k": 2},
+    ).awaitTermination()
+    sel = {r["id"] for r in K.read_gumbel_index(spark, table, 2).collect()}
+    assert sel == {1, 10}  # bootstrap winner + batch doc beat doc 2
