@@ -81,6 +81,16 @@ FAST_REPEAT = 5
 
 DRIFT_PROBE = "SELECT COUNT(*), SUM(l_extendedprice) FROM lineitem"
 
+#: Queries whose DuckDB oracle is BY CONSTRUCTION far more expensive
+#: than the workload (a recursive-CTE re-implementation of an iterative
+#: algorithm, a composed multi-stage mega-oracle) — their denominator
+#: seconds flatter the headline ratio without saying anything about
+#: engine speed. The record carries ratio_excl_oracle_artifacts
+#: computed WITHOUT them so the disclosure lives in the parsed record,
+#: not prose (VERDICT r14 'what's wrong' #4). The raw ratio_vs_duckdb
+#: stays the headline gate number.
+ORACLE_ARTIFACTS = ("q_bpe_merge_rank", "q_curate_selected_planted")
+
 
 def evaluate(df) -> None:
     # append, not overwrite: the overwrite path adds a truncate
@@ -421,14 +431,28 @@ def main() -> None:
         "spark_excess_shared": excess,
         "ratio_excl_floor": round(excess / duck_total, 2) if duck_total else None,
     }
+    # the same totals with the oracle-artifact queries removed from
+    # BOTH sides — the harness-computed form of the "~1.59 excluding
+    # the two artifact queries" disclosure (VERDICT r14 #4)
+    core = [n for n in shared if n not in ORACLE_ARTIFACTS]
+    duck_core = round(sum(duck[n] for n in core), 3)
+    spark_core = round(sum(timings[n] for n in core), 3)
+    out["oracle_artifacts"] = [n for n in shared if n in ORACLE_ARTIFACTS]
+    out["ratio_excl_oracle_artifacts"] = (
+        round(spark_core / duck_core, 2) if duck_core else None
+    )
     # Box-state canary (VERDICT r09 'do this' #1b/#2): the r9 record was
     # taken on a degraded box (sched/arrow floors ~2x the r8 baseline,
     # DuckDB unaffected) and the round argued about which number was
     # real. Every record now carries the floor baseline it is judged
     # against and a degraded verdict, so a reader can see box state IN
-    # the record instead of reconstructing it from A/B notes. Baseline =
-    # the r8-record floors (the last known-healthy box).
-    _FLOOR_BASELINE = {"sched": 0.0132, "arrow": 0.2385}
+    # the record instead of reconstructing it from A/B notes. Baseline
+    # RE-CALIBRATED r15 (VERDICT r14 'do this' #8): the r8 floors
+    # (0.0132/0.2385) predate the box reboot, and every post-reboot run
+    # read 1.2-2.8x against them — "degraded" had stopped meaning
+    # contention. New baseline = the r14 record's healthy post-reboot
+    # run (preflight 0.89, drift_suspects empty).
+    _FLOOR_BASELINE = {"sched": 0.0155, "arrow": 0.2911}
     out["box"] = {
         "preflight": preflight,
         "floor_baseline_sec": _FLOOR_BASELINE,
@@ -477,6 +501,8 @@ def main() -> None:
         "arrow_floor_sec": out["arrow_floor_sec"],
         "spark_excess_shared": excess,
         "ratio_excl_floor": out["ratio_excl_floor"],
+        "oracle_artifacts": out["oracle_artifacts"],
+        "ratio_excl_oracle_artifacts": out["ratio_excl_oracle_artifacts"],
         "duckdb_drift": drift,
         "box": out["box"],
         "queries": {n: [timings[n], duck[n]] for n in worst},

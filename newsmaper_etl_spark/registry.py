@@ -51,10 +51,21 @@ QUERIES: dict[str, QuerySpec] = {}
 #: stalest-first order resumes; drop entries older than the rotation
 #: bound when touching this table.
 REPLANNED: dict[str, int] = {
-    # r15: all 13 r13/r14 entries expired — the r14 driver window
-    # recorded every one of them (CORRECTNESS_r14.json), so the normal
-    # stalest-first order resumes. Add entries here only when a shipped
-    # plan/fixture/oracle changes AFTER the query's latest record.
+    # (r15 housekeeping: all 13 r13/r14 entries expired — the r14
+    # driver window recorded every one of them.)
+    # r15 plan changes after the r14 records:
+    # - kmeans: distance-based NULL guard on both assign paths,
+    #   id-keyed broadcast grouping; fit fixture quantized to 2^-4 +
+    #   floor-scaling oracle (ADVICE r14 #1/#4, VERDICT #3)
+    "q_kmeans_assign": 15,
+    "q_kmeans_fit": 15,
+    "q_cluster_balanced": 15,
+    # - DSIR/classifier map path: fused single-lambda fold (same
+    #   values, new plan; VERDICT r14 what's-wrong #2)
+    "q_dsir_weights": 15,
+    "q_dsir_select": 15,
+    "q_classifier_gate": 15,
+    "q_curate_selected_planted": 15,
 }
 
 
