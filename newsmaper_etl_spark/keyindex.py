@@ -1645,7 +1645,7 @@ def compact_domains_index(
 # a corpus re-score (VERDICT r14 'do this' #6).
 
 _GUMBEL_SUB = "_gumbel"
-_GSTAMP = ("__gfp",)
+_GUMSTAMP = ("__gfp",)
 
 
 def gumbel_index_path(table: str) -> str:
@@ -1675,7 +1675,7 @@ def _gfp_stamped(df: DataFrame, fp: int) -> DataFrame:
 def check_gumbel_stamp(
     table: str, weights, missing: float, seed: int, k: int
 ) -> None:
-    st = _read_stamp(gumbel_index_path(table), _GSTAMP)
+    st = _read_stamp(gumbel_index_path(table), _GUMSTAMP)
     fp = _gumbel_fingerprint(weights, missing, seed, k)
     if st is not None and st.get("__gfp") != fp:
         raise ValueError(
@@ -1715,7 +1715,7 @@ def read_gumbel_index(
     v = M.current_version(gtable) if version is None else version
     if v == 0:
         return None
-    raw = M.read_table(spark, gtable, version=v).drop(*_GSTAMP)
+    raw = M.read_table(spark, gtable, version=v).drop(*_GUMSTAMP)
     return (
         raw.orderBy(F.col("gk").desc(), F.col("id").asc())
         .limit(int(k))
@@ -1746,7 +1746,7 @@ def ensure_gumbel_bootstrap(
 
     def _append() -> int:
         return M.append(
-            state, gtable, txn=(boot_app, 0), stat_cols=_GSTAMP,
+            state, gtable, txn=(boot_app, 0), stat_cols=_GUMSTAMP,
             meta={"op_detail": "gumbelindex-bootstrap",
                   "covers_version": v},
         )
@@ -1782,7 +1782,7 @@ def append_batch_gumbel(
 
     def _append() -> int:
         return M.append(deltas, gtable, txn=(app, int(batch_id)),
-                        stat_cols=_GSTAMP,
+                        stat_cols=_GUMSTAMP,
                         meta={"app": app, "batch_id": int(batch_id)})
 
     try:

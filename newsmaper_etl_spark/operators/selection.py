@@ -231,6 +231,76 @@ def dsir_log_weights(
     return df.join(scores, id_col, "left")
 
 
+def dsir_learn_weights(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    *,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    top_tokens: int | None = None,
+) -> DataFrame:
+    """LEARN the DSIR per-token log importance ratio from corpora —
+    the estimation half of Xie et al. 2023 that `dsir_log_weights`
+    (scoring) and `dsir_select` (resampling) consume: for each token,
+    ``logw(t) = ln( p_target(t) / p_raw(t) )`` with add-α smoothing
+    over the UNION vocabulary,
+
+        p(t | C) = (count_C(t) + α) / (total_C + α·V).
+
+    Returns the ``(token, logw)`` frame `dsir_log_weights`'s
+    DataFrame path takes directly (plus the two raw counts for
+    auditability). End-to-end DSIR is therefore: learn here → score →
+    Gumbel top-k → (optionally) the incremental `_gumbel` fold.
+
+    Plan shape (100 TB): ONE explode→groupBy word count per corpus
+    (the corpus-scale shuffles, vocabulary-sized output — the
+    bpe_train stage), one full-outer join of the two vocab-sized count
+    frames, one 3-scalar driver agg (totals + V), then a pure
+    projection. ``top_tokens`` caps the table by combined count
+    (TakeOrderedAndProject) to fit the scoring cutovers.
+
+    Determinism: counts/totals/V are exact integers; the smoothed
+    ratio is assembled with the IDENTICAL association on both engines
+    ``((ct+α)(T_raw+αV)) / ((cr+α)(T_tgt+αV))`` — one division, one
+    ``ln`` (libm-quality both engines, the gumbel_col rule). Tokens
+    are single-space-separated, the token_logweight_col basis."""
+    if not float(alpha) > 0.0:
+        raise ValueError(f"dsir_learn_weights: alpha {alpha} must be > 0")
+    a = float(alpha)
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(F.split(F.col(text_col), " ", -1)).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    j = (
+        _counts(target_df, "ct")
+        .join(_counts(raw_df, "cr"), "token", "full")
+        .select(
+            "token",
+            F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("cr"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    tt, tr, v = int(tot["tt"] or 0), int(tot["tr"] or 0), int(tot["v"])
+    num = (F.col("ct").cast("double") + F.lit(a)) * F.lit(float(tr) + a * v)
+    den = (F.col("cr").cast("double") + F.lit(a)) * F.lit(float(tt) + a * v)
+    out = j.select("token", "ct", "cr", F.log(num / den).alias("logw"))
+    if top_tokens is not None:
+        out = out.orderBy(
+            (F.col("ct") + F.col("cr")).desc(), F.col("token").asc()
+        ).limit(int(top_tokens))
+    return out
+
+
 def gumbel_col(id_col: str | Column, seed: int = 0) -> Column:
     """Deterministic engine-portable Gumbel(0,1) noise from a row id:
     two LCG scrambles (one would leave consecutive ids on a visible

@@ -1114,6 +1114,68 @@ def q_dsir_hashed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dsir_learn",
+    oracle="""
+        WITH tgt AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT unnest(string_split('arxiv arxiv proof lemma', ' '))
+        ),
+        raw AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT unnest(string_split('spam click spam banner', ' '))
+        ),
+        tc AS (SELECT token, COUNT(*) AS ct FROM tgt GROUP BY token),
+        rc AS (SELECT token, COUNT(*) AS cr FROM raw GROUP BY token),
+        j AS (
+            SELECT COALESCE(tc.token, rc.token) AS token,
+                   COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+            FROM tc FULL JOIN rc ON tc.token = rc.token
+        ),
+        tot AS (
+            SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM j
+        )
+        SELECT token, CAST(ct AS BIGINT) AS ct, CAST(cr AS BIGINT) AS cr,
+               FLOOR(10000 * LN(
+                   ((CAST(ct AS DOUBLE) + 0.5)
+                    * (CAST(tr AS DOUBLE) + 0.5 * v))
+                   / ((CAST(cr AS DOUBLE) + 0.5)
+                      * (CAST(tt AS DOUBLE) + 0.5 * v))
+               )) / 10000 AS logw
+        FROM j, tot
+    """,
+    tags=("CURATION", "SELECTION"),
+)
+def q_dsir_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weight ESTIMATION (operators.selection.dsir_learn_weights
+    — the add-α unigram log-likelihood-ratio of Xie et al. 2023,
+    learned live from a target slice vs the raw pool, with planted
+    target-only and raw-only docs so both smoothing extremes are
+    exercised): every token's raw counts AND its quantized log-ratio
+    are driver-hashed against an independent SQL replay of the same
+    estimator. The ratio is assembled with the identical association
+    on both engines, so the only cross-engine float is libm ln
+    (≤1 ulp, 8 orders below the 1e-4 floor-scale). A count slip, a
+    smoothing drift, a vocab-size (V) mis-count, or a totals swap
+    flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0).select("text").unionByName(
+        spark.createDataFrame([("arxiv arxiv proof lemma",)], "text string")
+    )
+    raw = docs.filter(F.col("doc_id") % 7 != 0).select("text").unionByName(
+        spark.createDataFrame([("spam click spam banner",)], "text string")
+    )
+    out = SEL.dsir_learn_weights(tgt, raw)
+    return out.select(
+        "token", "ct", "cr",
+        (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),
+    )
+
+
+@query(
     "q_dsir_incremental",
     oracle=f"""
         WITH w AS (

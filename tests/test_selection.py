@@ -221,3 +221,36 @@ def test_dsir_topk_state_plans_take_ordered(spark):
     plan = SEL.dsir_topk_state(scored, 5)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_learn_weights_signs_and_consumption(spark):
+    """Learned weights: a target-enriched token gets logw > 0, a
+    raw-only token < 0, and the output frame feeds dsir_log_weights'
+    DataFrame path directly (the end-to-end learn→score→select
+    composition)."""
+    tgt = spark.createDataFrame(
+        [("physics proof proof lemma",)] * 4, "text string"
+    )
+    raw = spark.createDataFrame(
+        [("spam click banner",)] * 4 + [("physics spam",)], "text string"
+    )
+    w = SEL.dsir_learn_weights(tgt, raw)
+    got = {r.token: r for r in w.collect()}
+    assert got["proof"].logw > 0 and got["proof"].cr == 0
+    assert got["spam"].logw < 0 and got["spam"].ct == 0
+    assert got["physics"].logw > 0  # enriched, present in both
+    docs = spark.createDataFrame(
+        [(1, "proof proof"), (2, "spam click")], "doc_id long, text string"
+    )
+    scored = SEL.dsir_log_weights(docs, w.select("token", "logw"))
+    s = {r.doc_id: r.logw for r in scored.collect()}
+    assert s[1] > 0 > s[2]
+
+
+def test_dsir_learn_weights_top_tokens_and_alpha_validation(spark):
+    tgt = spark.createDataFrame([("a a a b",)], "text string")
+    raw = spark.createDataFrame([("a c",)], "text string")
+    capped = SEL.dsir_learn_weights(tgt, raw, top_tokens=2).collect()
+    assert [r.token for r in capped] == ["a", "b"]  # by combined count
+    with pytest.raises(ValueError, match="alpha"):
+        SEL.dsir_learn_weights(tgt, raw, alpha=0.0)
