@@ -400,42 +400,7 @@ def bpe_merge_tokenize(
 
     @pandas_udf("array<string>")
     def _seg(s: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
-        def word_tokens(word: str) -> list[str]:
-            hit = cache.get(word)
-            if hit is not None:
-                return hit
-            if btab is not None:
-                toks = [btab[b] for b in word.encode("utf-8")]
-            else:
-                toks = list(word)
-            while len(toks) > 1:
-                best = inf
-                best_i = -1
-                for i in range(len(toks) - 1):
-                    r = ranks.get((toks[i], toks[i + 1]), inf)
-                    if r < best:
-                        best, best_i = r, i
-                if best_i < 0:
-                    break
-                toks[best_i:best_i + 2] = [
-                    toks[best_i] + toks[best_i + 1]
-                ]
-            cache[word] = toks
-            return toks
-
-        def one(text: str | None) -> list[str] | None:
-            if text is None:
-                return None
-            res: list[str] = []
-            for word in text.translate(
-                str.maketrans(seps, " " * len(seps))
-            ).split(" "):
-                if word:
-                    res.extend(word_tokens(word))
-            return res
-
+        one = _merge_text_fn(ranks, seps, btab)
         return s.map(one)
 
     c = F.col(col)
@@ -447,6 +412,131 @@ def bpe_merge_tokenize(
         F.size(arr).cast("long")
     )
     return df.withColumn(out, n)
+
+
+def _merge_text_fn(
+    ranks: dict[tuple[str, str], int],
+    seps: str,
+    btab: dict[int, str] | None,
+):
+    """Build the per-text merge-rank segmenter both Arrow kernels
+    (:func:`bpe_merge_tokenize`, :func:`bpe_encode_ids`) map over a
+    batch: whitespace words → (optional byte-unicode mapping) → the
+    GPT-2 lowest-rank-first merge loop, with a per-batch Zipf word
+    cache. Closure-local state only — safe to instantiate per batch."""
+    inf = float("inf")
+    cache: dict[str, list[str]] = {}
+
+    def word_tokens(word: str) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        if btab is not None:
+            toks = [btab[b] for b in word.encode("utf-8")]
+        else:
+            toks = list(word)
+        while len(toks) > 1:
+            best = inf
+            best_i = -1
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]), inf)
+                if r < best:
+                    best, best_i = r, i
+            if best_i < 0:
+                break
+            toks[best_i:best_i + 2] = [
+                toks[best_i] + toks[best_i + 1]
+            ]
+        cache[word] = toks
+        return toks
+
+    table = str.maketrans(seps, " " * len(seps))
+
+    def one(text: str | None) -> list[str] | None:
+        if text is None:
+            return None
+        res: list[str] = []
+        for word in text.translate(table).split(" "):
+            if word:
+                res.extend(word_tokens(word))
+        return res
+
+    return one
+
+
+def bpe_vocab_ids(
+    merges: Sequence[tuple[str, str]],
+) -> dict[str, int]:
+    """The closed token→id vocabulary of a BYTE-level merges table:
+    base byte tokens get ids 0–255 BY RAW BYTE VALUE (via
+    :func:`byte_unicode_table`), merge products get ``256 + rank``.
+    Deterministic and self-describing — id < 256 IS the byte, id ≥ 256
+    indexes merges.txt — the property that makes an id stream
+    decodable without a separate vocab file. (GPT-2's published
+    encoder.json orders base bytes by its table-construction order
+    instead; same closure, different permutation — documented
+    divergence.) Closed only at byte level: every emitted token is a
+    single byte-unicode char or a product of a table merge, so OOV ids
+    cannot occur. Char-level tables have an open base alphabet and are
+    rejected."""
+    ranks = bpe_merge_ranks(merges)  # well-formedness: multi-char
+    # parts are earlier products, so only SINGLE chars can introduce
+    # alphabet members — check those against the byte alphabet
+    btab = byte_unicode_table()
+    base = set(btab.values())
+    vocab: dict[str, int] = {ch: b for b, ch in btab.items()}
+    for (left, right), r in ranks.items():
+        for part in (left, right):
+            if len(part) == 1 and part not in base:
+                raise ValueError(
+                    f"bpe_vocab_ids: part {part!r} is outside the "
+                    "byte-unicode alphabet — ids are only closed for "
+                    "byte-level tables (bpe_train(byte_level=True))"
+                )
+        if left + right in vocab:
+            # two pairs concatenating to one string ((a,bc) then
+            # (ab,c)) would make the token→id map ambiguous
+            raise ValueError(
+                f"bpe_vocab_ids: merge {r} re-produces token "
+                f"{left + right!r} — ids would be ambiguous"
+            )
+        vocab[left + right] = 256 + r
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    col: str = "text",
+    out: str = "token_ids",
+) -> DataFrame:
+    """Encode text to TOKEN IDS under a byte-level merges table — the
+    array<int> column sequence packing / budget selection consume in a
+    training-data pipeline (tokens are for people, ids are for
+    models). One Arrow projection: the same merge kernel as
+    :func:`bpe_merge_tokenize(byte_level=True)` plus an O(1) dict
+    lookup per token into :func:`bpe_vocab_ids`'s closed vocabulary —
+    no second pass, no join, no OOV path (the closure argument in
+    bpe_vocab_ids). NULL text stays NULL."""
+    ranks = bpe_merge_ranks(merges)
+    vocab = bpe_vocab_ids(merges)
+    seps = _BPE_SEPARATORS
+    btab = byte_unicode_table()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _enc(s: pd.Series) -> pd.Series:
+        one = _merge_text_fn(ranks, seps, btab)
+
+        def ids(text: str | None) -> list[int] | None:
+            toks = one(text)
+            if toks is None:
+                return None
+            return [vocab[t] for t in toks]
+
+        return s.map(ids)
+
+    return df.withColumn(out, _enc(F.col(col)))
 
 
 def bpe_train(

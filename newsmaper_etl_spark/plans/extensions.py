@@ -3452,3 +3452,44 @@ def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.array_join("__toks", "|").alias("toks")
     )
+
+
+@query(
+    "q_bpe_ids",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, '258'),
+            (2, '260'),
+            (3, '261'),
+            (4, '120|256'),
+            (5, '258|260')
+        ) t(doc_id, ids)
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding under the byte-level table (operators.text.
+    bpe_encode_ids + bpe_vocab_ids — ids are what sequence packing
+    consumes; the vocabulary is CLOSED at byte level so no OOV id path
+    exists): base bytes get their raw byte value (x = 0x78 = 120),
+    merge products get 256 + rank, and the oracle restates the
+    hand-derived q_bpe_bytes segmentation as ids (Ã©tÃ© = rank 2 →
+    258, Ã§a = rank 4 → 260, de = rank 5 → 261, é's bytes = rank 0 →
+    256). Live-trained table, so trainer → vocab → encoder coherence
+    is under one hash."""
+    docs = spark.createDataFrame(
+        [(1, _BPE_BYTES_CORPUS)], "doc_id long, text string"
+    )
+    merges = TX.bpe_train(
+        docs, n_merges=10, min_pair_freq=2, byte_level=True
+    )
+    enc = spark.createDataFrame(
+        [(1, "été"), (2, "ça"), (3, "de"), (4, "xé"), (5, "été ça")],
+        "doc_id int, text string",
+    )
+    out = TX.bpe_encode_ids(enc, merges, out="__ids")
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("__ids", lambda x: x.cast("string")), "|")
+        .alias("ids"),
+    )

@@ -4391,3 +4391,43 @@ def test_bpe_byte_level_train_encode_consistency(spark):
     assert out[:3] == [out[0]] * 3 and len(out[0]) > 1
     assert out[3:5] == [out[3]] * 2 and out[5:7] == [out[5]] * 2
     assert len(out) > 8  # naïve did not collapse to a single token
+
+
+def test_bpe_vocab_ids_closed_and_validated():
+    from newsmaper_etl_spark.operators.text import bpe_vocab_ids
+
+    merges = [("Ã", "©"), ("t", "Ã©")]
+    v = bpe_vocab_ids(merges)
+    assert len(v) == 258
+    assert v["t"] == 0x74 and v["ÿ"] == 0xFF  # base = raw byte value
+    assert v["Ã©"] == 256 and v["tÃ©"] == 257
+    # char-level table (part outside the byte alphabet) rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="byte-unicode alphabet"):
+        bpe_vocab_ids([("好", "x")])
+
+
+def test_bpe_encode_ids_roundtrip(spark):
+    """ids = the byte-level segmentation mapped through the closed
+    vocab; decodable back to the byte stream by construction."""
+    from newsmaper_etl_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_merge_tokenize,
+        bpe_train,
+        bpe_vocab_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "été été été ça ça de"), (2, None), (3, "zz")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=10, min_pair_freq=2, byte_level=True)
+    ids = {r.doc_id: r.token_ids
+           for r in bpe_encode_ids(df, merges).collect()}
+    toks = {r.doc_id: r.t for r in bpe_merge_tokenize(
+        df, merges, tokens_out="t", byte_level=True).collect()}
+    inv = {i: t for t, i in bpe_vocab_ids(merges).items()}
+    for d in (1, 3):
+        assert [inv[i] for i in ids[d]] == toks[d]
+    assert ids[2] is None
