@@ -1794,6 +1794,28 @@ def append_batch_gumbel(
     return True
 
 
+def squash_gumbel_index(spark: SparkSession, table: str, k: int) -> int:
+    """SEMANTIC compaction of the running selection: the per-batch
+    partials are only ever read through one global top-k, so rows
+    outside it are dead weight — rewrite the side table as exactly the
+    current k winners (one transactional overwrite; txn high-water
+    marks carry forward, so replayed batches stay replay-skipped and
+    crash-replay version pins keep working inside the retention
+    window). Without this the table grows k rows per batch forever —
+    file-level compaction (M.compact) merges objects but cannot drop
+    the losers. ``k`` must be the stamped selection k."""
+    gtable = gumbel_index_path(table)
+    v = M.current_version(gtable)
+    if v == 0:
+        return 0
+    raw = M.read_table(spark, gtable, version=v)
+    top = raw.orderBy(F.col("gk").desc(), F.col("id").asc()).limit(int(k))
+    return M.overwrite(
+        top, gtable, stat_cols=_GUMSTAMP, base_version=v,
+        meta={"op_detail": "gumbelindex-squash", "k": int(k)},
+    )
+
+
 def compact_gumbel_index(
     spark: SparkSession, table: str, min_file_bytes: int = 4 * 1024 * 1024
 ) -> int:

@@ -255,9 +255,10 @@ def dsir_learn_weights(
     Plan shape (100 TB): ONE explode→groupBy word count per corpus
     (the corpus-scale shuffles, vocabulary-sized output — the
     bpe_train stage), one full-outer join of the two vocab-sized count
-    frames, one 3-scalar driver agg (totals + V), then a pure
-    projection. ``top_tokens`` caps the table by combined count
-    (TakeOrderedAndProject) to fit the scoring cutovers.
+    frames, totals via a broadcast cross-join of the 1-row aggregate
+    (no driver collect), then a pure projection. ``top_tokens`` caps
+    the table by combined count (TakeOrderedAndProject) to fit the
+    scoring cutovers.
 
     Determinism: counts/totals/V are exact integers; the smoothed
     ratio is assembled with the IDENTICAL association on both engines
@@ -286,14 +287,24 @@ def dsir_learn_weights(
             F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("cr"),
         )
     )
+    # totals ride a broadcast cross-join of the 1-row aggregate (the
+    # oracle's own `FROM j, tot` shape): ONE plan, no driver collect,
+    # no extra job — the vocab frame is scanned once per side either
+    # way, and the smoothed-ratio arithmetic runs the identical IEEE
+    # ops on both engines
     tot = j.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr"),
-        F.count(F.lit(1)).alias("v"),
-    ).collect()[0]
-    tt, tr, v = int(tot["tt"] or 0), int(tot["tr"] or 0), int(tot["v"])
-    num = (F.col("ct").cast("double") + F.lit(a)) * F.lit(float(tr) + a * v)
-    den = (F.col("cr").cast("double") + F.lit(a)) * F.lit(float(tt) + a * v)
-    out = j.select("token", "ct", "cr", F.log(num / den).alias("logw"))
+        F.sum("ct").cast("double").alias("__tt"),
+        F.sum("cr").cast("double").alias("__tr"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))
+    num = (F.col("ct").cast("double") + F.lit(a)) * (
+        F.col("__tr") + F.lit(a) * F.col("__v")
+    )
+    den = (F.col("cr").cast("double") + F.lit(a)) * (
+        F.col("__tt") + F.lit(a) * F.col("__v")
+    )
+    out = jt.select("token", "ct", "cr", F.log(num / den).alias("logw"))
     if top_tokens is not None:
         out = out.orderBy(
             (F.col("ct") + F.col("cr")).desc(), F.col("token").asc()

@@ -1010,7 +1010,11 @@ def write_stream_manifest(
             ) + (
                 [K.compact_domains_index] if dg is not None else []
             ) + (
-                [K.compact_gumbel_index] if ds is not None else []
+                # squash, not file-compact: the gumbel partials' true
+                # compaction is "keep only the k winners" (txn marks
+                # carry forward through the overwrite)
+                [lambda sp, t: K.squash_gumbel_index(sp, t, ds["k"])]
+                if ds is not None else []
             ):
                 try:
                     _maint(batch_df.sparkSession, table)

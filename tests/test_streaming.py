@@ -2105,3 +2105,40 @@ def test_gumbel_bootstrap_preexisting_table(spark, tmp_path):
     ).awaitTermination()
     sel = {r["id"] for r in K.read_gumbel_index(spark, table, 2).collect()}
     assert sel == {1, 10}  # bootstrap winner + batch doc beat doc 2
+
+
+def test_gumbel_squash_keeps_selection_and_txn_marks(spark, tmp_path):
+    """squash_gumbel_index rewrites the side table as exactly the k
+    winners: the selection is unchanged, the table holds k rows, and
+    the txn high-water marks survive the overwrite — a replayed old
+    batch stays replay-skipped (append_batch_gumbel returns False)."""
+    from newsmaper_etl_spark import keyindex as K
+    from newsmaper_etl_spark import manifest as M
+
+    table = str(tmp_path / "sqtable")
+    W = {"good": 1.0}
+    for bid, n in [(0, 5), (1, 9), (2, 2)]:
+        batch = spark.createDataFrame(
+            [(bid * 10 + i, "good " * (n + i)) for i in range(3)],
+            "doc_id long, text string",
+        )
+        K.append_batch_gumbel(batch, table, W, 3, 0, "text", "doc_id",
+                              0.0, "sqapp", bid)
+    before = {(r.id, r.gk) for r in
+              K.read_gumbel_index(spark, table, 3).collect()}
+    raw_rows = M.read_table(spark, K.gumbel_index_path(table)).count()
+    assert raw_rows == 9  # 3 batches x local top-3
+    K.squash_gumbel_index(spark, table, 3)
+    after = {(r.id, r.gk) for r in
+             K.read_gumbel_index(spark, table, 3).collect()}
+    assert after == before
+    assert M.read_table(spark, K.gumbel_index_path(table)).count() == 3
+    # exactly-once state survives the overwrite
+    replay = spark.createDataFrame(
+        [(99, "good good")], "doc_id long, text string"
+    )
+    assert not K.append_batch_gumbel(
+        replay, table, W, 3, 0, "text", "doc_id", 0.0, "sqapp", 1
+    )
+    assert 99 not in {r.id for r in
+                      K.read_gumbel_index(spark, table, 3).collect()}
