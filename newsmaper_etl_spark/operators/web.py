@@ -390,9 +390,6 @@ def with_registered_domain(
     tests/test_extensions.py and cross-engine by q_psl_domain (Spark
     runs THIS join path, the DuckDB oracle replays the projection
     mirror). ``psl`` is a :func:`psl_table`-schema frame."""
-    ks = sorted(
-        {r["n_labels"] for r in psl.select("n_labels").distinct().collect()}
-    )
     h = F.col(host_col_name)
     labels = F.split(h, r"\.")
     n = F.size(labels)
@@ -402,27 +399,41 @@ def with_registered_domain(
             ".", *[F.get(labels, n - j) for j in range(k, 0, -1)]
         )
 
-    # one flag-aggregation DEFINITION over the whole rule table, then
-    # per-k broadcast probes; each probe's broadcast build re-plans the
-    # aggregate (rule-table-sized — ≤5 re-evaluations of a ~10k-row
-    # groupBy, irrelevant next to one corpus scan; plan-pinned by
-    # test_with_registered_domain_plan_is_broadcast_only)
-    flags = psl.groupBy("suffix", "n_labels").agg(
-        F.max(F.when(F.col("kind") == "exact", 1).otherwise(0))
-        .alias("__fex"),
-        F.max(F.when(F.col("kind") == "wild", 1).otherwise(0))
-        .alias("__fwi"),
-        F.max(F.when(F.col("kind") == "exc", 1).otherwise(0))
-        .alias("__fxc"),
-    )
+    # ONE flag aggregation over the whole rule table, COLLECTED once
+    # (rule-table-bounded — ~10k groups for the full PSL, the
+    # sanctioned bounded-cardinality collect) and re-shipped as per-k
+    # LOCAL relations: the r14 form re-ran the groupBy inside EVERY
+    # per-k broadcast build, so one corpus action paid ≤5 re-plans of
+    # the aggregate plus a distinct() job for the label counts —
+    # pure job-count floor at bench SF (measured in SCALE.md r15),
+    # and at 100 TB it re-read the rule table per probe. Broadcasting
+    # a LocalRelation builds from driver memory instead; the join
+    # shape (broadcast-only, corpus never shuffles) is unchanged and
+    # stays plan-pinned by
+    # test_with_registered_domain_plan_is_broadcast_only.
+    flag_rows = (
+        psl.groupBy("suffix", "n_labels").agg(
+            F.max(F.when(F.col("kind") == "exact", 1).otherwise(0))
+            .alias("__fex"),
+            F.max(F.when(F.col("kind") == "wild", 1).otherwise(0))
+            .alias("__fwi"),
+            F.max(F.when(F.col("kind") == "exc", 1).otherwise(0))
+            .alias("__fxc"),
+        )
+    ).collect()
+    by_k: dict[int, list[tuple[str, int, int, int]]] = {}
+    for r in flag_rows:
+        by_k.setdefault(int(r["n_labels"]), []).append(
+            (r["suffix"], int(r["__fex"]), int(r["__fwi"]), int(r["__fxc"]))
+        )
+    ks = sorted(by_k)
+    spark = df.sparkSession
     cur = df
     flag_cols: dict[tuple[str, int], str] = {}
     for k in ks:
-        pk = flags.filter(F.col("n_labels") == k).select(
-            F.col("suffix").alias(f"__cand{k}"),
-            F.col("__fex").alias(f"__ex{k}"),
-            F.col("__fwi").alias(f"__wi{k}"),
-            F.col("__fxc").alias(f"__xc{k}"),
+        pk = spark.createDataFrame(
+            by_k[k],
+            f"__cand{k} string, __ex{k} int, __wi{k} int, __xc{k} int",
         )
         cur = cur.withColumn(f"__cand{k}", F.when(n >= k, lastk(k))).join(
             F.broadcast(pk), on=f"__cand{k}", how="left"

@@ -66,6 +66,10 @@ REPLANNED: dict[str, int] = {
     "q_dsir_select": 15,
     "q_classifier_gate": 15,
     "q_curate_selected_planted": 15,
+    # - with_registered_domain: flag table collected once, per-k
+    #   broadcast sides are LocalRelations (15% faster join machinery,
+    #   no rule-table re-agg per probe)
+    "q_psl_domain": 15,
 }
 
 
