@@ -539,6 +539,40 @@ def bpe_encode_ids(
     return df.withColumn(out, _enc(F.col(col)))
 
 
+def bpe_decode_ids(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    col: str = "token_ids",
+    out: str = "text",
+) -> DataFrame:
+    """Decode a token-id array back to text — the inverse of
+    :func:`bpe_encode_ids` up to whitespace: ids map to token strings
+    through the closed vocab, concatenate into one byte-unicode
+    string, map back through the inverted :func:`byte_unicode_table`,
+    and UTF-8-decode. Exact inverse for single-word inputs; multi-word
+    inputs decode with the word boundaries GONE (encode treats
+    whitespace as out-of-band free separators — GPT-2 proper
+    round-trips spaces only because its pre-tokenizer keeps them as Ġ
+    bytes; documented divergence, pinned by the round-trip tests).
+    One Arrow projection; NULL stays NULL."""
+    vocab = bpe_vocab_ids(merges)
+    inv = {i: t for t, i in vocab.items()}
+    rev = {ch: b for b, ch in byte_unicode_table().items()}
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        def one(ids) -> str | None:
+            if ids is None:
+                return None
+            chars = "".join(inv[int(i)] for i in ids)
+            return bytes(rev[c] for c in chars).decode("utf-8")
+
+        return s.map(one)
+
+    return df.withColumn(out, _dec(F.col(col)))
+
+
 def bpe_train(
     df: DataFrame,
     col: str = "text",

@@ -3500,3 +3500,35 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("__ids", lambda x: x.cast("string")), "|")
         .alias("ids"),
     )
+
+
+@query(
+    "q_bpe_roundtrip",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, CAST(1 AS BOOLEAN)),
+            (2, CAST(1 AS BOOLEAN)),
+            (3, CAST(1 AS BOOLEAN)),
+            (4, CAST(1 AS BOOLEAN))
+        ) t(doc_id, same)
+    """,
+    tags=("TEXT", "CURATION"),
+)
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode∘encode identity under the byte-level table (operators.
+    text.bpe_decode_ids — the q_dsir_hashed_parity pattern): every
+    single-word planted row, including the OOV word, must UTF-8
+    round-trip through ids exactly; the oracle asserts the literal
+    TRUE. A vocab inversion slip, a byte-table asymmetry, or a
+    multi-byte boundary bug decodes to different text and flips the
+    driver hash."""
+    merges = _bpe_bytes_merges(spark)
+    enc = spark.createDataFrame(
+        [(1, "été"), (2, "ça"), (3, "de"), (4, "xé")],
+        "doc_id int, text string",
+    )
+    ids = TX.bpe_encode_ids(enc, merges, out="__ids")
+    rt = TX.bpe_decode_ids(ids, merges, col="__ids", out="__rt")
+    return rt.select(
+        "doc_id", (F.col("__rt") == F.col("text")).alias("same")
+    )

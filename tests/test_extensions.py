@@ -4431,3 +4431,33 @@ def test_bpe_encode_ids_roundtrip(spark):
     for d in (1, 3):
         assert [inv[i] for i in ids[d]] == toks[d]
     assert ids[2] is None
+
+
+def test_bpe_decode_ids_inverts_encode(spark):
+    from newsmaper_etl_spark.operators.text import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "été"), (2, "garçon"), (3, None)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "été été garçon garçon naïve naïve")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(corpus, n_merges=30, min_pair_freq=2,
+                       byte_level=True)
+    enc = bpe_encode_ids(df, merges, out="ids")
+    dec = {r.doc_id: r.rt for r in
+           bpe_decode_ids(enc, merges, col="ids", out="rt").collect()}
+    assert dec == {1: "été", 2: "garçon", 3: None}
+    # multi-word: boundaries are out-of-band (documented divergence)
+    multi = spark.createDataFrame([(9, "été garçon")],
+                                  "doc_id long, text string")
+    enc2 = bpe_encode_ids(multi, merges, out="ids")
+    got = bpe_decode_ids(enc2, merges, col="ids", out="rt"
+                         ).collect()[0].rt
+    assert got == "étégarçon"
