@@ -196,6 +196,49 @@ def pack_sequences(
     return df.withColumn(out, F.floor(cum_before / budget).cast("bigint"))
 
 
+def assemble_sequences(
+    df: DataFrame,
+    *,
+    ids_col: str,
+    bin_col: str,
+    stream_col: str,
+    order_col: str,
+    out: str = "ids",
+    eod_id: int | None = None,
+) -> DataFrame:
+    """ASSEMBLE packed bins into training sequences: one row per
+    (stream, bin) whose ``out`` column is the documents' token-id
+    arrays concatenated in ``order_col`` order — the flattened id
+    stream a dataloader shards to disk, the step after
+    :func:`pack_sequences` assigns bins and
+    :func:`~newsmaper_etl_spark.operators.text.bpe_encode_ids`
+    produces the ids. ``eod_id`` appends an end-of-document sentinel
+    after EVERY document (the GPT-2 <|endoftext|> convention), which
+    is how attention masking recovers the boundaries packing erases.
+
+    Plan: ONE groupBy on (stream, bin) — collect_list of (order, ids)
+    structs, sort_array (collect order is nondeterministic; the struct
+    sort restores it), flatten — all JVM collection expressions, no
+    Python. Per-group state is bounded by the bin budget plus one
+    straddling document (the pack_sequences overflow contract), so a
+    hot group cannot exceed ~budget ids regardless of corpus size.
+    ``order_col`` must be unique within a stream (the pack_sequences
+    ordering contract)."""
+    doc = F.struct(F.col(order_col).alias("o"), F.col(ids_col).alias("i"))
+    g = df.groupBy(stream_col, bin_col).agg(
+        F.sort_array(F.collect_list(doc)).alias("__docs")
+    )
+    if eod_id is not None:
+        sent = F.array(F.lit(int(eod_id)))
+        per_doc = lambda x: F.concat(x["i"], sent)  # noqa: E731
+    else:
+        per_doc = lambda x: x["i"]  # noqa: E731
+    return g.select(
+        stream_col, bin_col,
+        F.flatten(F.transform("__docs", per_doc)).alias(out),
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     *,

@@ -474,6 +474,67 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pack_assemble",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_transform(range(1, 2 + doc_id % 4),
+                                  i -> CAST((doc_id + i) % 11 AS INT))
+                       AS ids
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, ids,
+                   SUM(len(ids)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - len(ids) AS cb
+            FROM d
+        )
+        SELECT source, CAST(FLOOR(cb / 8) AS BIGINT) AS bin_id,
+               string_agg(array_to_string(ids, '|') || '|99', '|'
+                          ORDER BY doc_id) AS seq
+        FROM c GROUP BY source, bin_id
+    """,
+    tags=("CURATION", "SAMPLING"),
+)
+def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence ASSEMBLY (operators.sampling.
+    assemble_sequences — the step after bin assignment that a
+    dataloader shards to disk): deterministic synthetic id arrays
+    (length 1–4, values (doc_id+i) % 11) pack into 8-token bins per
+    source, then each bin's arrays concatenate in doc order with the
+    end-of-document sentinel 99 after EVERY document. The full
+    flattened id stream of every bin is driver-hashed via the
+    '|'-joined rendering — a collect-order leak (missing sort), a
+    boundary-sentinel slip, a straddle-rule drift, or a flatten
+    reorder changes some bin's byte stream and flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    ids = F.transform(
+        F.sequence(F.lit(1), F.lit(1) + (d % 4).cast("int")),
+        lambda i: ((d + i) % 11).cast("int"),
+    )
+    sized = docs.select(
+        "doc_id", "source", ids.alias("ids"), F.size(ids).alias("n")
+    )
+    binned = SP.pack_sequences(
+        sized, size_col="n", budget=8, stream_col="source",
+        order_col="doc_id",
+    )
+    seq = SP.assemble_sequences(
+        binned, ids_col="ids", bin_col="bin_id", stream_col="source",
+        order_col="doc_id", out="__ids", eod_id=99,
+    )
+    return seq.select(
+        "source", "bin_id",
+        F.array_join(
+            F.transform("__ids", lambda x: x.cast("string")), "|"
+        ).alias("seq"),
+    )
+
+
+@query(
     "q_sample_per_group",
     oracle=f"""
         WITH ranked AS (

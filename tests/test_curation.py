@@ -858,3 +858,33 @@ def test_holdout_split_last_bucket_never_orphaned(spark):
     b = holdout_bounds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert b[-1][1] == 10_000
     assert [x[0] for x in b] == ["a", "b", "c"]
+
+
+def test_assemble_sequences_order_eod_and_bounds(spark):
+    """assemble_sequences restores doc order inside each bin (collect
+    order is nondeterministic), appends the EOD sentinel after every
+    document, and leaves streams/bins independent."""
+    from newsmaper_etl_spark.operators.sampling import assemble_sequences
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 2, [5, 6]),
+            ("a", 0, 1, [1]),
+            ("a", 1, 3, [7]),
+            ("b", 0, 9, [8, 9, 10]),
+        ],
+        "src string, bin_id long, doc_id long, ids array<int>",
+    ).repartition(4)
+    out = {(r.src, r.bin_id): r.ids for r in assemble_sequences(
+        df, ids_col="ids", bin_col="bin_id", stream_col="src",
+        order_col="doc_id", eod_id=99,
+    ).collect()}
+    assert out[("a", 0)] == [1, 99, 5, 6, 99]
+    assert out[("a", 1)] == [7, 99]
+    assert out[("b", 0)] == [8, 9, 10, 99]
+    # without a sentinel, boundaries are simply absent
+    out2 = {(r.src, r.bin_id): r.ids for r in assemble_sequences(
+        df, ids_col="ids", bin_col="bin_id", stream_col="src",
+        order_col="doc_id",
+    ).collect()}
+    assert out2[("a", 0)] == [1, 5, 6]
