@@ -51,6 +51,8 @@ def curate_corpus(
     dsir_k: int | None = None,
     dsir_seed: int = 0,
     dsir_missing: float = 0.0,
+    tokenizer_merges=None,
+    tokenizer_byte_level: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: quality-gated, exactly and
     near-deduplicated, annotated with language / token stats / BPE
@@ -119,7 +121,18 @@ def curate_corpus(
     RESAMPLING (:func:`~newsmaper_etl_spark.operators.selection.
     dsir_select`) as the LAST corpus edit, after every dedup stage
     (resampling first would let duplicates compete for the budget) and
-    before annotation (annotate only what ships)."""
+    before annotation (annotate only what ships).
+
+    ``tokenizer_merges`` (r15) annotates each surviving document with
+    its TRUE model token count ``n_tok_model`` (:func:`~newsmaper_etl_
+    spark.operators.text.bpe_merge_tokenize` — merge-rank order, over
+    the EDITED text like every other annotation; ``tokenizer_byte_
+    level=True`` for byte-level tables from ``bpe_train(byte_level=
+    True)``). The ``n_bpe`` estimate column stays — it is free and its
+    delta against the real count is itself a data-quality signal —
+    but budget_select/pack_sequences should consume ``n_tok_model``
+    when a trained tokenizer is available (the estimate is ±25%, a
+    real mis-mix at training time)."""
     if url_col is not None and (
         url_blocklist is not None or domain_cap or url_dedup
         or domain_gate_kwargs
@@ -245,6 +258,11 @@ def curate_corpus(
         TX.fingerprint(TX.token_count_bpe(TX.language_id(near, text_col), text_col), text_col),
         text_col,
     )
+    if tokenizer_merges is not None:
+        annotated = TX.bpe_merge_tokenize(
+            annotated, tokenizer_merges, col=text_col,
+            out="n_tok_model", byte_level=tokenizer_byte_level,
+        )
     return annotated
 
 

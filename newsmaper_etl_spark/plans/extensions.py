@@ -3532,3 +3532,36 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.select(
         "doc_id", (F.col("__rt") == F.col("text")).alias("same")
     )
+
+
+@query(
+    "q_curate_tokenized",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 6), (2, 3), (3, 5)
+        ) t(doc_id, n_tok_model)
+    """,
+    tags=("PIPELINE", "TEXT", "CURATION"),
+)
+def q_curate_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recipe's TRAINED-TOKENIZER annotation end to end
+    (operators.curate.curate_corpus tokenizer_merges= — VERDICT r15
+    wiring rule: an operator the recipe can't reach isn't shipped):
+    the byte-level table trained live from the French planted corpus
+    annotates each surviving doc with its merge-rank token count, and
+    the oracle states the hand-derived counts (été=1 ça=1 de=1 under
+    the learned merges; OOV xé = x + Ã© = 2). A recipe-wiring slip, a
+    byte-level flag drop, or an annotation-before-edit ordering bug
+    changes a count and flips the hash."""
+    from newsmaper_etl_spark.operators.curate import curate_corpus
+
+    merges = _bpe_bytes_merges(spark)
+    docs = spark.createDataFrame(
+        [(1, "été été ça de xé"), (2, "de de de"), (3, "ça xé xé")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, near_dup=False,
+        tokenizer_merges=merges, tokenizer_byte_level=True,
+    )
+    return out.select("doc_id", F.col("n_tok_model").cast("int").alias("n_tok_model"))
