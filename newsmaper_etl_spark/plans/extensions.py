@@ -3565,3 +3565,54 @@ def q_curate_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer_merges=merges, tokenizer_byte_level=True,
     )
     return out.select("doc_id", F.col("n_tok_model").cast("int").alias("n_tok_model"))
+
+
+@query(
+    "q_loader_pipeline",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, '258|260|99|261|261|99'),
+            (1, '120|256|99')
+        ) t(bin_id, seq)
+    """,
+    tags=("PIPELINE", "TEXT", "SAMPLING"),
+)
+def q_loader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE loader path under one hash: train (byte-level,
+    planted French corpus) → encode to ids (closed vocab) → pack into
+    4-token bins by true id count → assemble EOD-delimited sequences.
+    Hand-derived: 'été ça'→[258,260], 'de de'→[261,261], 'xé'→
+    [120,256]; cumulative sizes put docs 1-2 in bin 0, doc 3 in bin 1;
+    sentinel 99 after every document. Any stage slip — id assignment,
+    size basis (estimate vs true count), straddle rule, restore-order
+    sort, sentinel placement — changes a bin's byte stream."""
+    from newsmaper_etl_spark.operators.sampling import (
+        assemble_sequences,
+        pack_sequences,
+    )
+
+    merges = _bpe_bytes_merges(spark)
+    docs = spark.createDataFrame(
+        [(1, "été ça"), (2, "de de"), (3, "xé")],
+        "doc_id long, text string",
+    )
+    enc = TX.bpe_encode_ids(docs, merges, out="__ids")
+    sized = enc.select(
+        "doc_id", F.lit("s").alias("__stream"), "__ids",
+        F.size("__ids").alias("__n"),
+    )
+    binned = pack_sequences(
+        sized, size_col="__n", budget=4, stream_col="__stream",
+        order_col="doc_id",
+    )
+    seq = assemble_sequences(
+        binned, ids_col="__ids", bin_col="bin_id",
+        stream_col="__stream", order_col="doc_id", out="__seq",
+        eod_id=99,
+    )
+    return seq.select(
+        F.col("bin_id").cast("int").alias("bin_id"),
+        F.array_join(
+            F.transform("__seq", lambda x: x.cast("string")), "|"
+        ).alias("seq"),
+    )
