@@ -33,6 +33,15 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.workerpatch import install as _workerpatch_install
+
+# Lazy zip-directory invalidation for every process that imports this
+# module — on a Spark worker that is the moment an engine UDF is
+# unpickled, after which every later task on that worker skips the
+# per-task zip central-directory re-parse (workerpatch.py has the
+# measured decomposition; guide §4).
+_workerpatch_install()
+
 #: Tiny per-language stopword lists for the vote heuristic. Deliberately
 #: small + lowercase; extend per deployment. Order-free: the vote uses a
 #: pinned tie-break (count DESC, lang ASC).

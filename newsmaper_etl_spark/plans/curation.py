@@ -26,6 +26,15 @@ from newsmaper_etl_spark.operators import text as TX
 from newsmaper_etl_spark.plans.fixture_cache import plan_cached
 from newsmaper_etl_spark.registry import query
 
+from newsmaper_etl_spark.workerpatch import install as _workerpatch_install
+
+# Lazy zip-directory invalidation for every process that imports this
+# module — on a Spark worker that is the moment an engine UDF is
+# unpickled, after which every later task on that worker skips the
+# per-task zip central-directory re-parse (workerpatch.py has the
+# measured decomposition; guide §4).
+_workerpatch_install()
+
 # --------------------------------------------------------------------------
 # Repetition / quality signals
 # --------------------------------------------------------------------------
