@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.localrel import literal_df
+
 from newsmaper_etl_spark.operators.sampling import sample_per_group
 
 #: Literal-centers cutover: past this, the assignment expression's
@@ -226,7 +228,7 @@ def kmeans_centers_df(spark, centers: list[list[float]]) -> DataFrame:
     the input shape of kmeans_assign's broadcast-join path and the
     natural thing to persist next to a corpus snapshot."""
     rows = [(j, [float(x) for x in c]) for j, c in enumerate(centers)]
-    return spark.createDataFrame(rows, "cluster int, center array<double>")
+    return literal_df(spark, rows, "cluster int, center array<double>")
 
 
 def cluster_balanced_sample(

@@ -25,6 +25,8 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from newsmaper_etl_spark.localrel import literal_df
 from pyspark.sql.window import Window
 
 # Engine-portable deterministic mixer (LCG constants from glibc's
@@ -369,7 +371,7 @@ def shuffle_rank(
             F.lit(False)
         )
     off = F.broadcast(
-        spark.createDataFrame(offsets, "__mb int, __off long")
+        literal_df(spark, offsets, "__mb int, __off long")
     )
     w = Window.partitionBy("__mb").orderBy(F.col(id_col))
     return (

@@ -60,6 +60,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.localrel import literal_df
+
 from newsmaper_etl_spark.operators.sampling import (
     _FOLD,
     _LCG_A,
@@ -185,7 +187,7 @@ def dsir_log_weights(
         if hashed:
             raise ValueError("hashed=True requires a weight DataFrame")
         if len(weights) > MAX_INLINE_WEIGHTS:
-            wt = df.sparkSession.createDataFrame(
+            wt = literal_df(df.sparkSession, 
                 sorted((str(t), float(w)) for t, w in weights.items()),
                 "token string, logw double",
             )
@@ -252,13 +254,17 @@ def dsir_learn_weights(
     auditability). End-to-end DSIR is therefore: learn here → score →
     Gumbel top-k → (optionally) the incremental `_gumbel` fold.
 
-    Plan shape (100 TB): ONE explode→groupBy word count per corpus
-    (the corpus-scale shuffles, vocabulary-sized output — the
-    bpe_train stage), one full-outer join of the two vocab-sized count
-    frames, totals via a broadcast cross-join of the 1-row aggregate
-    (no driver collect), then a pure projection. ``top_tokens`` caps
-    the table by combined count (TakeOrderedAndProject) to fit the
-    scoring cutovers.
+    Plan shape (100 TB): the two corpora are tagged and UNIONED so the
+    token count is ONE explode→groupBy with conditional sums — a single
+    corpus-scale shuffle carrying the same bytes the r15.0 two-groupBy
+    form shuffled, with the vocab-sized full-outer join (and its sorts)
+    gone entirely (guide §2.4: two operations keyed the same way share
+    one exchange; OPTIMIZATION_r15.md has the plan diff — 3 Exchange +
+    SortMergeJoin → 1 Exchange). Totals ride a broadcast cross-join of
+    the 1-row aggregate (no driver collect), then a pure projection.
+    Counts are exact integers either way, so the emitted values are
+    bit-identical to the joined form. ``top_tokens`` caps the table by
+    combined count (TakeOrderedAndProject) to fit the scoring cutovers.
 
     Determinism: counts/totals/V are exact integers; the smoothed
     ratio is assembled with the IDENTICAL association on both engines
@@ -269,22 +275,20 @@ def dsir_learn_weights(
         raise ValueError(f"dsir_learn_weights: alpha {alpha} must be > 0")
     a = float(alpha)
 
-    def _counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(
-                F.explode(F.split(F.col(text_col), " ", -1)).alias("token")
-            )
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
+    tagged = target_df.select(
+        F.col(text_col).alias("__txt"), F.lit(1).alias("__is_t")
+    ).unionByName(
+        raw_df.select(F.col(text_col).alias("__txt"), F.lit(0).alias("__is_t"))
+    )
     j = (
-        _counts(target_df, "ct")
-        .join(_counts(raw_df, "cr"), "token", "full")
-        .select(
-            "token",
-            F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
-            F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("cr"),
+        tagged.select(
+            F.explode(F.split(F.col("__txt"), " ", -1)).alias("token"),
+            F.col("__is_t"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.when(F.col("__is_t") == 1, True)).cast("long").alias("ct"),
+            F.count(F.when(F.col("__is_t") == 0, True)).cast("long").alias("cr"),
         )
     )
     # totals ride a broadcast cross-join of the 1-row aggregate (the

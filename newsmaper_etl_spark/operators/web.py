@@ -51,6 +51,8 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.localrel import literal_df
+
 from newsmaper_etl_spark.operators.sampling import sample_per_group
 
 #: authority detector + host extractors, valid in BOTH Java regex
@@ -368,7 +370,7 @@ def psl_table(
         for (kind, k), sufs in sorted(groups.items())
         for s in sufs
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "suffix string, n_labels int, kind string"
     )
 
@@ -431,7 +433,7 @@ def with_registered_domain(
     cur = df
     flag_cols: dict[tuple[str, int], str] = {}
     for k in ks:
-        pk = spark.createDataFrame(
+        pk = literal_df(spark, 
             by_k[k],
             f"__cand{k} string, __ex{k} int, __wi{k} int, __xc{k} int",
         )
@@ -647,7 +649,7 @@ def domain_blocklist_filter(
         spark = df.sparkSession
         rows = [(d,) for d in blocklist]
         bl = F.broadcast(
-            spark.createDataFrame(rows, f"{key} string").distinct()
+            literal_df(spark, rows, f"{key} string").distinct()
         )
     else:
         bl = blocklist.toDF(key).select(key).distinct()

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.localrel import literal_df
+
 from newsmaper_etl_spark.io import fan_out, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import sampling as SP
@@ -1145,7 +1147,7 @@ def q_dsir_weights_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-type error (inner instead of left drops OOV tokens), or a
     groupBy that loses empty-text docs flips the hash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    wdf = spark.createDataFrame(
+    wdf = literal_df(spark, 
         sorted(_DSIR_W.items()), "token string, logw double"
     )
     return SEL.dsir_log_weights(docs, wdf, missing=_DSIR_MISS).select(
@@ -1169,7 +1171,7 @@ def q_dsir_hashed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     up as a row whose `same` is FALSE, flipping the driver hash. This
     upgrades the hashed path from unit-tested to driver-gated."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wdf = spark.createDataFrame(
+    wdf = literal_df(spark, 
         sorted(_DSIR_W.items()), "token string, logw double"
     )
     s = SEL.dsir_log_weights(
@@ -1233,10 +1235,10 @@ def q_dsir_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the hash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tgt = docs.filter(F.col("doc_id") % 7 == 0).select("text").unionByName(
-        spark.createDataFrame([("arxiv arxiv proof lemma",)], "text string")
+        literal_df(spark, [("arxiv arxiv proof lemma",)], "text string")
     )
     raw = docs.filter(F.col("doc_id") % 7 != 0).select("text").unionByName(
-        spark.createDataFrame([("spam click spam banner",)], "text string")
+        literal_df(spark, [("spam click spam banner",)], "text string")
     )
     out = SEL.dsir_learn_weights(tgt, raw)
     return out.select(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.localrel import literal_df
+
 from newsmaper_etl_spark.io import fan_out, is_toy, kernel_narrow, load_table
 from newsmaper_etl_spark.operators import dedup as D
 from newsmaper_etl_spark.operators import multimodal as M
@@ -176,7 +178,7 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch on the ROUNDED fractions, so the whole surface — fractions
     and the CASE chain — is driver-hashed."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(list(_SCRIPT_ROWS),
+    extra = literal_df(spark, list(_SCRIPT_ROWS),
                                   "doc_id long, text string")
     return TX.script_profile(docs.unionAll(extra)).select(
         "doc_id", "frac_arabic", "frac_cjk", "frac_cyrillic",
@@ -276,7 +278,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")).alias("text"),
     )
-    extra = spark.createDataFrame(list(_HTML_ROWS),
+    extra = literal_df(spark, list(_HTML_ROWS),
                                   "doc_id long, text string")
     return TX.html_extract(docs.unionAll(extra)).select(
         "doc_id", "text_clean"
@@ -1817,7 +1819,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    extra = spark.createDataFrame(list(_PARA_ROWS),
+    extra = literal_df(spark, list(_PARA_ROWS),
                                   "doc_id long, text string")
     return D.paragraph_dedup(
         comp.unionAll(extra), broadcast_cov=is_toy(sf_dir)
@@ -2483,7 +2485,7 @@ def _url_synth_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/doc/"), d.cast("string"),
         F.when(d % 3 == 0, F.lit("?ref=rss")).otherwise(F.lit("")),
     )
-    extra = spark.createDataFrame(list(_URL_ROWS), "doc_id long, url string")
+    extra = literal_df(spark, list(_URL_ROWS), "doc_id long, url string")
     return docs.select("doc_id", url.alias("url")).unionAll(extra)
 
 
@@ -2645,7 +2647,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the IDENTICAL generated pattern (one source of
     truth, the html_extract pass-table rule)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(list(_BPE_ROWS),
+    extra = literal_df(spark, list(_BPE_ROWS),
                                   "doc_id long, text string")
     out = TX.bpe_tokenize(docs.unionAll(extra), _BPE_VOCAB,
                           tokens_out="__toks")
@@ -2702,7 +2704,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracker, or a scheme remnant flips the hash. The oracle replays
     the same regex/list pipeline generated from the same constants."""
     urls = _url_synth_df(spark, sf_dir).unionAll(
-        spark.createDataFrame(list(_CANON_ROWS), "doc_id long, url string")
+        literal_df(spark, list(_CANON_ROWS), "doc_id long, url string")
     )
     return urls.select(
         "doc_id", W.canonical_url_col("url").alias("url_canon")
@@ -2742,7 +2744,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-key (unparseable) rows are ALL kept by contract. Survivor set
     + canonical keys driver-hashed."""
     urls = _url_synth_df(spark, sf_dir).unionAll(
-        spark.createDataFrame(list(_CANON_ROWS), "doc_id long, url string")
+        literal_df(spark, list(_CANON_ROWS), "doc_id long, url string")
     )
     return W.url_dedup(urls, "url").select("doc_id", "url_canon")
 
@@ -2779,7 +2781,7 @@ def _domain_tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 9_000_000
     )
     base = urls.join(docs, on="doc_id").unionAll(
-        spark.createDataFrame(
+        literal_df(spark, 
             [(9_999_999, "", 7)], "doc_id long, url string, n_tok int"
         )
     )
@@ -2909,7 +2911,7 @@ def q_domain_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch-only.example), and the NULL-domain keep are all under one
     driver hash."""
     base = _domain_tok_df(spark, sf_dir)
-    extra = spark.createDataFrame(
+    extra = literal_df(spark, 
         list(_DOMAIN_INC_ROWS), "doc_id long, url string, n_tok int"
     ).withColumn("domain", W.domain_col(W.host_col("url")))
     allr = base.unionByName(extra.select(*base.columns))
@@ -3084,7 +3086,7 @@ def q_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("the" → [t, he], not greedy's [th, e]) is pinned on the corpus's
     most frequent word."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
+    extra = literal_df(spark, 
         list(_BPE_MERGE_ROWS), "doc_id long, text string"
     )
     out = TX.bpe_merge_tokenize(
@@ -3148,7 +3150,7 @@ def _curate_web_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = urls.join(docs, on="doc_id").select(
         "doc_id", "url", "source", "text"
     )
-    extra = spark.createDataFrame(
+    extra = literal_df(spark, 
         list(_CURATE_WEB_ROWS),
         "doc_id long, url string, source string, text string",
     )
@@ -3361,13 +3363,13 @@ def q_bpe_train_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash. The engine runs the real distributed pipeline; the
     learned table round-trips through bpe_merge_ranks (well-formedness)
     by construction."""
-    docs = spark.createDataFrame(
+    docs = literal_df(spark, 
         list(_BPE_TRAIN_ROWS), "doc_id long, text string"
     )
     merges = TX.bpe_train(docs, n_merges=10, min_pair_freq=2)
     TX.bpe_merge_ranks(merges)  # well-formedness invariant
     rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
+    return literal_df(spark, rows, "rank int, lhs string, rhs string")
 
 
 # --------------------------------------------------------------------------
@@ -3401,7 +3403,7 @@ def _bpe_bytes_merges(spark: SparkSession) -> list[tuple[str, str]]:
     key = spark.sparkContext.applicationId
     m = _BPE_BYTES_MERGES.get(key)
     if m is None:
-        docs = spark.createDataFrame(
+        docs = literal_df(spark, 
             [(1, _BPE_BYTES_CORPUS)], "doc_id long, text string"
         )
         m = TX.bpe_train(
@@ -3438,7 +3440,7 @@ def q_bpe_bytes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _bpe_bytes_merges(spark)
     TX.bpe_merge_ranks(merges)  # well-formedness invariant
     rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
+    return literal_df(spark, rows, "rank int, lhs string, rhs string")
 
 
 @query(
@@ -3463,7 +3465,7 @@ def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     single byte-token, é's bytes still merge by rank 0) and a
     multi-word row (whitespace stays a free separator — no Ġ byte)."""
     merges = _bpe_bytes_merges(spark)
-    enc = spark.createDataFrame(
+    enc = literal_df(spark, 
         [(1, "été"), (2, "ça"), (3, "de"), (4, "xé"), (5, "été ça")],
         "doc_id int, text string",
     )
@@ -3499,7 +3501,7 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     256). Live-trained table, so trainer → vocab → encoder coherence
     is under one hash."""
     merges = _bpe_bytes_merges(spark)
-    enc = spark.createDataFrame(
+    enc = literal_df(spark, 
         [(1, "été"), (2, "ça"), (3, "de"), (4, "xé"), (5, "été ça")],
         "doc_id int, text string",
     )
@@ -3532,7 +3534,7 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-byte boundary bug decodes to different text and flips the
     driver hash."""
     merges = _bpe_bytes_merges(spark)
-    enc = spark.createDataFrame(
+    enc = literal_df(spark, 
         [(1, "été"), (2, "ça"), (3, "de"), (4, "xé")],
         "doc_id int, text string",
     )
@@ -3565,7 +3567,7 @@ def q_curate_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsmaper_etl_spark.operators.curate import curate_corpus
 
     merges = _bpe_bytes_merges(spark)
-    docs = spark.createDataFrame(
+    docs = literal_df(spark, 
         [(1, "été été ça de xé"), (2, "de de de"), (3, "ça xé xé")],
         "doc_id long, text string",
     )
@@ -3601,7 +3603,7 @@ def q_loader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     merges = _bpe_bytes_merges(spark)
-    docs = spark.createDataFrame(
+    docs = literal_df(spark, 
         [(1, "été ça"), (2, "de de"), (3, "xé")],
         "doc_id long, text string",
     )

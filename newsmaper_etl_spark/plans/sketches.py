@@ -31,6 +31,8 @@ from newsmaper_etl_spark.registry import query
 
 from pyspark.sql import functions as F
 
+from newsmaper_etl_spark.localrel import literal_df
+
 
 @query("q_minhash_candidates", oracle=None, statistical=True, tags=("DEDUP", "LSH"))
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,7 +1005,7 @@ def q_semantic_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame
         planted = _semdedup_near_vectors(
             base_rows, n_planes=8, n_tables=2, seed=42
         )
-        extra = spark.createDataFrame(
+        extra = literal_df(spark, 
             planted, emb.select("vec_id", "embedding").schema
         )
         return emb.select("vec_id", "embedding").unionAll(extra).coalesce(1)
@@ -1506,7 +1508,7 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, c in enumerate(centers)
         for p, v in enumerate(c)
     ]
-    out = spark.createDataFrame(rows, "cluster int, pos int, val double")
+    out = literal_df(spark, rows, "cluster int, pos int, val double")
     return out.select(
         "cluster", "pos",
         (F.floor(F.lit(10000) * F.col("val")) / 10000).alias("val"),

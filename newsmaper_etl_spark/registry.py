@@ -70,7 +70,34 @@ REPLANNED: dict[str, int] = {
     #   broadcast sides are LocalRelations (15% faster join machinery,
     #   no rule-table re-agg per probe)
     "q_psl_domain": 15,
+    # r15 OPTIMIZATION-round plan changes (OPTIMIZATION_r15.md): the
+    # literal-frame sweep (localrel.literal_df — planted fixtures and
+    # broadcast sides become JVM inline(array(named_struct…)) literals
+    # instead of pickled-RDD scans; values and schemas identical,
+    # plan shape changed). The list is the MEASURED changed-plan set:
+    # normalized explain("formatted") hashes diffed against the
+    # pre-change tree, stable across two same-tree runs (new r15
+    # queries with no record yet are omitted — they already sort with
+    # the unrecorded block).
+    "q_bpe_merge_rank": 15,
+    "q_bpe_tokenize": 15,
+    "q_bpe_train_planted": 15,
+    "q_domain_cap": 15,
+    "q_domain_incremental": 15,
+    "q_dsir_hashed_parity": 15,
+    "q_dsir_weights_join": 15,
+    "q_html_extract": 15,
+    "q_paragraph_dedup": 15,
+    "q_script_profile": 15,
+    "q_semantic_dedup_near_planted": 15,
+    "q_url_canonical": 15,
+    "q_url_dedup": 15,
+    "q_url_filter": 15,
 }
+
+#: driver per-round record budget (the driver records the first
+#: DRIVER_CAP entries of the ordering below each round).
+DRIVER_CAP = 50
 
 
 def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
@@ -93,20 +120,38 @@ def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
     same 50-query prefix for three rounds (VERDICT r07 'do this' #7).
     Bound: with C-entry rounds over n queries, every query re-records
     at least every ceil(n / C) rounds — proven by simulation in
-    tests/test_registry_rotation.py. Registration order breaks ties."""
-    from newsmaper_etl_spark.records import record_history
+    tests/test_registry_rotation.py. Registration order breaks ties.
+
+    r15 refinement: REPLANNED entries used to sort WITH the unrecorded
+    block, which let a large changed-plan set push queries sitting AT
+    the rotation deadline out of the window (r15's honest ledger is 14
+    entries while 22 r11-recorded queries hit the 4-round bound — both
+    cannot lead). Priority is now: (0/1) unrecorded, (2) recorded
+    queries AT the deadline (skipping them breaks the bound), (3)
+    REPLANNED (stale record does not cover the shipped plan — next
+    window after the deadline block, stalest first), (4) everything
+    else stalest-first. A deferred REPLANNED entry heads the following
+    round's window, so a changed plan is re-verified within ≤2 rounds
+    and the age bound never breaks."""
+    import math
+
+    from newsmaper_etl_spark.records import latest_round, record_history
 
     hist = record_history()
+    n_visible = sum(1 for s in specs.values() if s.oracle is not None)
+    bound = max(1, math.ceil(n_visible / DRIVER_CAP))
+    next_rnd = latest_round() + 1
 
     def key(n: str, idx: int) -> tuple:
         s = specs[n]
         rec = hist.get(n)
-        if rec is None or rec["round"] < REPLANNED.get(n, 0):
-            # never recorded, or the shipped plan changed after the
-            # latest record (REPLANNED) — the record doesn't cover what
-            # ships, so treat it as unrecorded
+        if rec is None:
             return (0 if s.oracle is not None else 1, 0, idx)
-        return (2, rec["round"], idx)
+        if next_rnd - rec["round"] >= bound:
+            return (2, rec["round"], idx)  # at/over the deadline
+        if rec["round"] < REPLANNED.get(n, 0):
+            return (3, rec["round"], idx)  # shipped plan not covered
+        return (4, rec["round"], idx)
 
     names = list(specs)
     return sorted(names, key=lambda n: key(n, names.index(n)))

@@ -40,29 +40,41 @@ def test_history_parses_and_covers_registry():
     assert len(unrecorded) <= 16, sorted(unrecorded)
 
 
-def test_order_puts_new_queries_then_stalest_records_first():
-    """A query is EFFECTIVELY unrecorded when it has no record at all
-    OR its plan changed after its latest record (REPLANNED) — both
-    sort ahead of the clean recorded block, which stays stalest-first."""
+def _group(n, hist, bound, next_rnd):
+    """The r15 ordering groups (mirrors registry._record_order): (0/1)
+    unrecorded, (2) recorded at/over the rotation deadline, (3)
+    REPLANNED (record does not cover the shipped plan), (4) clean."""
+    rec = hist.get(n)
+    if rec is None:
+        return 0
+    if next_rnd - rec["round"] >= bound:
+        return 2
+    if rec["round"] < REPLANNED.get(n, 0):
+        return 3
+    return 4
+
+
+def test_order_puts_new_then_deadline_then_replanned_then_stalest():
+    """Priority proof for the r15 deadline-aware ordering: unrecorded
+    queries lead, queries AT the rotation deadline come next (skipping
+    one breaks the age bound — the one failure the ledger exists to
+    prevent), then REPLANNED entries (stale record does not cover the
+    shipped plan), then the clean block stalest-first; each recorded
+    group is itself ascending by record round."""
     _ensure_loaded()
     hist = record_history()
     visible = driver_specs()
     order = _record_order(visible)
     assert sorted(order) == sorted(visible)
-
-    def clean(n):
-        rec = hist.get(n)
-        return rec is not None and rec["round"] >= REPLANNED.get(n, 0)
-
-    recorded_rounds = [hist[n]["round"] for n in order if clean(n)]
-    assert recorded_rounds == sorted(recorded_rounds)
-    # effectively-unrecorded block strictly precedes the clean block
-    seen_recorded = False
-    for n in order:
-        if clean(n):
-            seen_recorded = True
-        else:
-            assert not seen_recorded, f"unrecorded {n} after recorded block"
+    bound = math.ceil(len(visible) / CAP)
+    next_rnd = latest_round() + 1
+    groups = [_group(n, hist, bound, next_rnd) for n in order]
+    assert groups == sorted(groups), "ordering violates group priority"
+    for g in (2, 3, 4):
+        rounds = [
+            hist[n]["round"] for n, gg in zip(order, groups) if gg == g
+        ]
+        assert rounds == sorted(rounds), f"group {g} not stalest-first"
 
 
 def test_replanned_entries_are_live_and_self_expiring():
@@ -83,16 +95,29 @@ def test_replanned_entries_are_live_and_self_expiring():
         )
         assert rnd <= latest_round() + 1, name
     new = [n for n in visible if n not in hist]
-    # the dirty+new set is forced into the next driver window; keep a
-    # guaranteed 2/5 of the window (20 slots) for the stalest-first
-    # rotation. r14 runs at the bound's edge by design: 13 REPLANNED
-    # (the r13 changed-plans the verdict ordered into the window + the
-    # PSL/whitespace fixture changes) + 14 genuinely new queries = 27,
-    # leaving 23 rotation slots; the simulated-rotation proof below
-    # independently re-checks the age bound under exactly this load.
-    assert len(REPLANNED) + len(new) <= CAP * 3 // 5, (
-        "dirty+new set too large; it would starve the rotation"
-    )
+    # r15 deadline-aware invariants (replaces the static 3/5 budget —
+    # that cap existed to keep deadline rotation from being starved by
+    # a big dirty set; the ordering now guarantees it structurally):
+    # 1. the NEXT window contains every unrecorded query AND every
+    #    query at the rotation deadline (the two non-deferrable sets);
+    # 2. every REPLANNED entry sits within the first TWO windows, so a
+    #    changed plan is re-verified within ≤2 rounds even when the
+    #    deadline block fills the current window.
+    bound = math.ceil(len(visible) / CAP)
+    next_rnd = latest_round() + 1
+    order = _record_order(visible)
+    window = set(order[:CAP])
+    deadline = {
+        n for n in visible
+        if n in hist and next_rnd - hist[n]["round"] >= bound
+    }
+    assert set(new) <= window, sorted(set(new) - window)
+    assert deadline <= window, sorted(deadline - window)
+    assert len(new) + len(deadline) <= CAP, "window cannot fit the non-deferrable sets"
+    first_two = set(order[: 2 * CAP])
+    dirty = {n for n in REPLANNED if n in hist
+             and hist[n]["round"] < REPLANNED[n]}
+    assert dirty <= first_two, sorted(dirty - first_two)
 
 
 def test_simulated_rotation_bounds_record_age():
@@ -106,18 +131,26 @@ def test_simulated_rotation_bounds_record_age():
     bound = math.ceil(len(visible) / CAP)
     current = latest_round()
 
-    def order_for(h):
+    def order_for(h, next_rnd):
+        # mirrors registry._record_order (deadline-aware r15 form),
+        # REPLANNED included so the simulation exercises the real
+        # ordering: entries self-expire as the simulated history
+        # advances past their round.
         def key(n, idx):
             rec = h.get(n)
             if rec is None:
                 return (0 if visible[n].oracle is not None else 1, 0, idx)
-            return (2, rec["round"], idx)
+            if next_rnd - rec["round"] >= bound:
+                return (2, rec["round"], idx)
+            if rec["round"] < REPLANNED.get(n, 0):
+                return (3, rec["round"], idx)
+            return (4, rec["round"], idx)
         names = list(visible)
         return sorted(names, key=lambda n: key(n, names.index(n)))
 
     worst = 0
     for rnd in range(current + 1, current + 11):
-        for name in order_for(hist)[:CAP]:
+        for name in order_for(hist, rnd)[:CAP]:
             hist[name] = {"round": rnd}
         # after the backlog drains (bound rounds), enforce the bound
         if rnd >= current + bound:
