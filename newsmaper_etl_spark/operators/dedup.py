@@ -366,20 +366,31 @@ def connected_components(
       rounds' scheduling latency with one bounded materialization, the
       same contract as the broadcast keyword map.
 
-    ``auto`` counts edges once and picks. The distributed path is the
-    semantics-defining one; the driver path must match it bit-for-bit
-    (both are tested against each other).
+    ``auto`` sizes the edge list with ONE limit-probe collect —
+    ``edges.limit(threshold+1)`` — which, when the graph is small (the
+    overwhelmingly common case: a dup-pair graph is tiny next to its
+    corpus), ALSO delivers the rows the driver path needs, so the old
+    count-job + collect-job pair collapses to a single job and the
+    persist/unpersist churn disappears (guide §1.2: remove passes;
+    measured as one fewer full verify execution per recipe build —
+    OPTIMIZATION_r15.md). Only an over-threshold graph pays the probe
+    as pure sizing and falls through to the distributed path. The
+    distributed path is the semantics-defining one; the driver path
+    must match it bit-for-bit (both are tested against each other).
     """
-    edges = edges.persist()  # auto's count + either strategy reuse it
     if strategy == "auto":
-        strategy = "driver" if edges.count() <= driver_threshold else "propagate"
+        probe = [
+            (r[0], r[1])
+            for r in edges.select(src, dst).limit(driver_threshold + 1).collect()
+        ]
+        if len(probe) <= driver_threshold:
+            return _cc_union_find(probe, edges, src, dst)
+        strategy = "propagate"
     if strategy == "driver":
-        out = _cc_driver(edges, src, dst)
-        edges.unpersist()
-        return out
+        return _cc_driver(edges, src, dst)
     if strategy != "propagate":
-        edges.unpersist()
         raise ValueError(f"unknown strategy: {strategy}")
+    edges = edges.persist()  # every propagate round re-reads the edges
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -442,6 +453,14 @@ def _cc_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Union-find on a collected (bounded) edge list; comp = min of each
     component, matching the propagate strategy exactly."""
     pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    return _cc_union_find(pairs, edges, src, dst)
+
+
+def _cc_union_find(
+    pairs: list[tuple], edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """The driver strategy's union-find over already-collected pairs
+    (``edges`` only supplies the empty-result schema)."""
     parent: dict = {}
 
     def find(x):

@@ -101,6 +101,17 @@ def test_connected_components_chain_and_islands(spark):
             for r in D.connected_components(edges, strategy=strategy).collect()
         }
         assert comps == expected, strategy
+    # auto's r15 limit-probe: an over-threshold edge list must fall
+    # through to propagate (the probe then is sizing-only) and still
+    # produce identical components — the probe boundary is the
+    # optimization's only new branch (OPTIMIZATION_r15.md)
+    comps = {
+        r["id"]: r["comp"]
+        for r in D.connected_components(
+            edges, strategy="auto", driver_threshold=3
+        ).collect()
+    }
+    assert comps == expected, "auto overflow->propagate"
 
 
 _CHAIN_TOKENS = [f"tok{i:02d}" for i in range(40)]
