@@ -453,6 +453,11 @@ def main() -> None:
     # contention. New baseline = the r14 record's healthy post-reboot
     # run (preflight 0.89, drift_suspects empty).
     _FLOOR_BASELINE = {"sched": 0.0155, "arrow": 0.2911}
+    # core count the run was taken at (the driver also re-runs the bench
+    # at lower SPARK_GRAFT_CPUS to measure scaling; records from
+    # different widths must not be comparable-by-accident in the
+    # append-only history)
+    out["cpus"] = cpus
     out["box"] = {
         "preflight": preflight,
         "floor_baseline_sec": _FLOOR_BASELINE,
@@ -490,6 +495,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
         "n_shared": len(shared),
         "failed": len(failed),
