@@ -105,8 +105,12 @@ def shingles_col(text_col: str, k: int = 3):
 
 
 def token_hashes_col(text_col: str):
-    """Whitespace tokens → array<bigint> of xxhash64 token hashes."""
-    return F.transform(F.split(F.col(text_col), " ", -1), lambda w: F.xxhash64(w))
+    """Whitespace tokens → array<bigint> of xxhash64 token hashes.
+    One parsed expression (Fix 5 — plan-construction latency; tree
+    identical to the Column-algebra form)."""
+    return F.expr(
+        f"transform(split(`{text_col}`, ' ', -1), w -> xxhash64(w))"
+    )
 
 
 def hashed_shingles_expr(th_col: str, k: int = 3):
@@ -115,15 +119,16 @@ def hashed_shingles_expr(th_col: str, k: int = 3):
     hash of its k token hashes (collisions at 2^-64 are noise next to the
     MinHash approximation built on top). Docs shorter than k collapse to
     one whole-doc shingle (hash of the full token-hash array), matching
-    shingles_col's fallback."""
-    n = F.size(F.col(th_col))
-
-    def _sh(i):
-        return F.xxhash64(*[F.element_at(F.col(th_col), i + j) for j in range(k)])
-
-    return F.when(
-        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), _sh)
-    ).otherwise(F.array(F.xxhash64(F.col(th_col))))
+    shingles_col's fallback. Assembled as ONE parsed expression (Fix 5);
+    the k ``element_at`` probes, sequence bounds, and fallback hash are
+    the exact expressions the Column-algebra form built."""
+    args = ", ".join(f"element_at(`{th_col}`, i + {j})" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size(`{th_col}`) >= {k} THEN "
+        f"transform(sequence(1, size(`{th_col}`) - {k - 1}), "
+        f"i -> xxhash64({args})) "
+        f"ELSE array(xxhash64(`{th_col}`)) END"
+    )
 
 
 def hashed_shingles_pow2(d: DataFrame, th_col: str, k: int) -> tuple[DataFrame, str]:
@@ -225,17 +230,20 @@ def banded_signatures(
         )
     rows = num_hashes // bands
     sigged = minhash_signature(df, text_col, num_hashes, k).select(id_col, "sig")
+    # band structs as ONE parsed expression (Fix 5): the per-band
+    # Column-algebra build was ~0.2 s of py4j latency per call; the
+    # struct fields, INT band literals, and xxhash64 lane order are
+    # identical (sig[i] IS getItem(i) — 0-based either way)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64({lanes}))".format(
+            b=b,
+            lanes=", ".join(f"sig[{b * rows + r}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
     out = sigged.select(
         id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig").getItem(b * rows + r) for r in range(rows)]).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
     meta = {"num_hashes": num_hashes, "bands": bands, "k": k}
     return out.withColumn("bh", F.col("bh").alias("bh", metadata=meta))

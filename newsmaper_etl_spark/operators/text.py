@@ -61,6 +61,19 @@ def tokens_col(col: str | Column) -> Column:
     return F.split(c, " ", -1)
 
 
+def _qcol(col: str) -> str:
+    """Backtick-quoted column reference for SQL-string expression
+    assembly (the one-parse py4j-latency fix, OPTIMIZATION_r15.md
+    Fix 5). The expr-built operators take column NAMES, as every
+    in-repo caller already does."""
+    if not isinstance(col, str):
+        raise TypeError(
+            "expression-string operators take a column name, got "
+            f"{type(col).__name__}"
+        )
+    return "`" + col.replace("`", "``") + "`"
+
+
 def tokenize(df: DataFrame, col: str = "text", out: str = "tokens") -> DataFrame:
     return df.withColumn(out, tokens_col(col))
 
@@ -94,24 +107,25 @@ def language_id(
     → ``default``. The same shape as the reference's country vote
     (Transform.py:14-29) applied to language detection.
     """
-    toks = tokens_col(col)
     # one struct per language: (-count, lang). sort_array orders struct
     # elements field-by-field ascending, so the head is (max count, min
     # lang) — the pinned argmax tie-break (count DESC, lang ASC).
-    # NB: the membership lambda must take exactly ONE parameter — PySpark
-    # dispatches on arity, and a second param (even a defaulted closure
-    # capture) turns it into the (element, index) form.
-    def _in(arr):
-        return lambda w: F.array_contains(arr, w)
-
-    scores = []
+    # Assembled as ONE SQL string parsed JVM-side: the per-language
+    # Column-algebra form cost ~80 py4j round trips per call (~0.2 s of
+    # plan-construction latency paid by every recipe build —
+    # OPTIMIZATION_r15.md Fix 5); the parsed expression tree, types and
+    # tie-break are identical.
+    toks_sql = f"split({_qcol(col)}, ' ', -1)"
+    structs = []
     for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        cnt = F.size(F.filter(toks, _in(arr)))
-        scores.append(
-            F.struct((-cnt).cast("int").alias("neg"), F.lit(lang).alias("lang"))
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        cnt = (
+            f"size(filter({toks_sql}, w -> array_contains(array({arr}), w)))"
         )
-    best = F.sort_array(F.array(*scores), asc=True).getItem(0)
+        structs.append(
+            f"named_struct('neg', CAST(-({cnt}) AS INT), 'lang', '{lang}')"
+        )
+    best = F.expr(f"sort_array(array({', '.join(structs)}), true)[0]")
     return df.withColumn(
         out, F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit(default))
     )
@@ -133,10 +147,15 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     text_len = F.length(col)
     n_punct = text_len - F.length(F.translate(col, ".,;:!?'\"", ""))
     punct_ratio = F.when(text_len > 0, n_punct / text_len).otherwise(F.lit(0.0))
-    stop_arr = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
-    stop_ratio = F.when(
-        n > 0, F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))) / n
-    ).otherwise(F.lit(0.0))
+    # stopword membership as ONE parsed expression — the 25-literal
+    # F.array build was ~30 py4j round trips per call (Fix 5); parsed
+    # tree and values identical
+    arr = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split({_qcol(col)}, ' ', -1), "
+        f"w -> array_contains(array({arr}), w)))"
+    )
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
     len_ok = F.when((text_len >= 20) & (text_len <= 10000), 1.0).otherwise(0.3)
     punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
     score = (

@@ -93,6 +93,16 @@ REPLANNED: dict[str, int] = {
     "q_url_canonical": 15,
     "q_url_dedup": 15,
     "q_url_filter": 15,
+    # r15 OPTIMIZATION Fix 5 (single-parse expression assembly for
+    # language_id / quality_score / shingle hashing / band structs —
+    # trees semantically identical, plan text changed; detector re-run
+    # with lambda-variable-normalized hashes):
+    "q_curate_corpus_planted": 15,
+    "q_curate_exact": 15,
+    "q_curate_incremental_planted": 15,
+    "q_lang_id": 15,
+    "q_minhash_incremental_planted": 15,
+    "q_minhash_selfpair": 15,
 }
 
 #: driver per-round record budget (the driver records the first
