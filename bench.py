@@ -53,12 +53,13 @@ Methodology:
   >0.3 s absolute get one more re-time round, and whatever still
   exceeds the bound is recorded in box.drift_suspects — a transient
   heals itself, a real regression is named in the record it ships in;
-- stdout gets ONE SHORT JSON line (<1 KB): totals, the gate ratio, the
-  drift probe, failure names, and the worst-10 (spark_sec, duckdb_sec)
-  pairs under "queries". The driver's capture truncates long lines —
-  the compact-but-complete ~6 KB line of r04 STILL lost its parsed form
-  (VERDICT r04 "what's missing" #3) — so the full per-query record
-  lives only in BENCH_LOCAL.json next to this file.
+- stdout gets ONE JSON line: totals, the gate ratio, the drift probe,
+  failure names, and the FULL per-query (spark_sec, duckdb_sec) map
+  under "queries" (VERDICT r15 'do this' #2 — the r04-era worst-10
+  truncation hedge left the driver's PERF comparison with per_query={}
+  and n_common=0 two rounds running; the line is printed last so a
+  front-truncating capture keeps it whole, ~8 KB compact).
+  BENCH_LOCAL.json next to this file remains the on-disk record.
 """
 
 from __future__ import annotations
@@ -485,11 +486,15 @@ def main() -> None:
     except OSError:
         pass
 
-    # stdout: a SHORT summary line the driver's capture cannot truncate.
-    # "queries" holds only the worst-10 spark-vs-duckdb pairs (the
-    # entries a reader acts on); the complete per-query map is in
-    # BENCH_LOCAL.json.
-    worst = sorted(shared, key=lambda n: timings[n], reverse=True)[:10]
+    # stdout: one summary line, printed LAST so a front-truncating
+    # capture still keeps it whole. "queries" carries the FULL
+    # per-query [spark_s, duck_s] map (VERDICT r15 'do this' #2: the
+    # worst-10-only map left PERF with per_query={} and n_common=0 two
+    # rounds running — the driver parses THIS line, not
+    # BENCH_LOCAL.json, so per-query regression and scaling ratios
+    # were uncomputable). Spark-only queries carry null for duck_s;
+    # failures carry -1 spark_s. ~8 KB compact JSON; BENCH_LOCAL.json
+    # stays the duplicate-of-record.
     summary = {
         "metric": out["metric"],
         "value": total,
@@ -511,7 +516,7 @@ def main() -> None:
         "ratio_excl_oracle_artifacts": out["ratio_excl_oracle_artifacts"],
         "duckdb_drift": drift,
         "box": out["box"],
-        "queries": {n: [timings[n], duck[n]] for n in worst},
+        "queries": {n: [timings[n], duck.get(n)] for n in sorted(timings)},
         "full_record": "BENCH_LOCAL.json",
     }
     print(json.dumps(summary, separators=(",", ":")))

@@ -51,58 +51,22 @@ QUERIES: dict[str, QuerySpec] = {}
 #: stalest-first order resumes; drop entries older than the rotation
 #: bound when touching this table.
 REPLANNED: dict[str, int] = {
-    # (r15 housekeeping: all 13 r13/r14 entries expired — the r14
-    # driver window recorded every one of them.)
-    # r15 plan changes after the r14 records:
-    # - kmeans: distance-based NULL guard on both assign paths,
-    #   id-keyed broadcast grouping; fit fixture quantized to 2^-4 +
-    #   floor-scaling oracle (ADVICE r14 #1/#4, VERDICT #3)
+    # (r16 housekeeping: the 20 r15 entries the r15 driver window
+    # recorded are expired and dropped; the 8 below are the r15 plan
+    # changes that did NOT fit that 50-query window — VERDICT r15
+    # 'do this' #1 — and the deadline-aware ordering puts them at the
+    # head of the r16 window.)
+    # r15 BUILD plan changes (kmeans NULL guards + quantized fit
+    # fixture; fused DSIR/classifier fold — ROUND15_NOTES.md):
     "q_kmeans_assign": 15,
     "q_kmeans_fit": 15,
     "q_cluster_balanced": 15,
-    # - DSIR/classifier map path: fused single-lambda fold (same
-    #   values, new plan; VERDICT r14 what's-wrong #2)
-    "q_dsir_weights": 15,
     "q_dsir_select": 15,
     "q_classifier_gate": 15,
     "q_curate_selected_planted": 15,
-    # - with_registered_domain: flag table collected once, per-k
-    #   broadcast sides are LocalRelations (15% faster join machinery,
-    #   no rule-table re-agg per probe)
-    "q_psl_domain": 15,
-    # r15 OPTIMIZATION-round plan changes (OPTIMIZATION_r15.md): the
-    # literal-frame sweep (localrel.literal_df — planted fixtures and
-    # broadcast sides become JVM inline(array(named_struct…)) literals
-    # instead of pickled-RDD scans; values and schemas identical,
-    # plan shape changed). The list is the MEASURED changed-plan set:
-    # normalized explain("formatted") hashes diffed against the
-    # pre-change tree, stable across two same-tree runs (new r15
-    # queries with no record yet are omitted — they already sort with
-    # the unrecorded block).
-    "q_bpe_merge_rank": 15,
-    "q_bpe_tokenize": 15,
-    "q_bpe_train_planted": 15,
-    "q_domain_cap": 15,
-    "q_domain_incremental": 15,
+    # r15 OPTIMIZATION literal-frame sweep (OPTIMIZATION_r15.md Fix 2):
     "q_dsir_hashed_parity": 15,
     "q_dsir_weights_join": 15,
-    "q_html_extract": 15,
-    "q_paragraph_dedup": 15,
-    "q_script_profile": 15,
-    "q_semantic_dedup_near_planted": 15,
-    "q_url_canonical": 15,
-    "q_url_dedup": 15,
-    "q_url_filter": 15,
-    # r15 OPTIMIZATION Fix 5 (single-parse expression assembly for
-    # language_id / quality_score / shingle hashing / band structs —
-    # trees semantically identical, plan text changed; detector re-run
-    # with lambda-variable-normalized hashes):
-    "q_curate_corpus_planted": 15,
-    "q_curate_exact": 15,
-    "q_curate_incremental_planted": 15,
-    "q_lang_id": 15,
-    "q_minhash_incremental_planted": 15,
-    "q_minhash_selfpair": 15,
 }
 
 #: driver per-round record budget (the driver records the first
@@ -134,15 +98,23 @@ def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
 
     r15 refinement: REPLANNED entries used to sort WITH the unrecorded
     block, which let a large changed-plan set push queries sitting AT
-    the rotation deadline out of the window (r15's honest ledger is 14
-    entries while 22 r11-recorded queries hit the 4-round bound — both
-    cannot lead). Priority is now: (0/1) unrecorded, (2) recorded
-    queries AT the deadline (skipping them breaks the bound), (3)
-    REPLANNED (stale record does not cover the shipped plan — next
-    window after the deadline block, stalest first), (4) everything
-    else stalest-first. A deferred REPLANNED entry heads the following
-    round's window, so a changed plan is re-verified within ≤2 rounds
-    and the age bound never breaks."""
+    the rotation deadline out of the window. Priority now: (0/1)
+    unrecorded, (2) DEFERRED REPLANNED (dirty AND the plan changed in
+    an earlier round — it already missed one window), (3) recorded
+    queries AT the deadline, (4) fresh REPLANNED (changed this round),
+    (5) everything else stalest-first.
+
+    r16 refinement (ADVICE r15 #4 — the structural gap): group-2
+    deadline entries used to outrank ALL REPLANNED entries, so a round
+    whose deadline block filled the window (r16: 45 at deadline + 8
+    deferred dirty = 53 > 50) silently broke the "re-verified within
+    ≤2 rounds" promise. A deferred dirty entry now outranks the
+    deadline block: a shipped-but-never-driver-verified plan is the
+    higher risk than an UNCHANGED plan's record aging one extra round.
+    Cost bound: the age bound degrades by at most
+    ceil(len(deferred_dirty) / DRIVER_CAP) rounds (= 1 for any honest
+    ledger), and the spilled deadline entries head the next window —
+    proven by the rotation simulation test."""
     import math
 
     from newsmaper_etl_spark.records import latest_round, record_history
@@ -157,11 +129,14 @@ def _record_order(specs: dict[str, QuerySpec]) -> list[str]:
         rec = hist.get(n)
         if rec is None:
             return (0 if s.oracle is not None else 1, 0, idx)
+        dirty = rec["round"] < REPLANNED.get(n, 0)
+        if dirty and next_rnd - REPLANNED[n] >= 1:
+            return (2, rec["round"], idx)  # deferred dirty: missed a window
         if next_rnd - rec["round"] >= bound:
-            return (2, rec["round"], idx)  # at/over the deadline
-        if rec["round"] < REPLANNED.get(n, 0):
-            return (3, rec["round"], idx)  # shipped plan not covered
-        return (4, rec["round"], idx)
+            return (3, rec["round"], idx)  # at/over the deadline
+        if dirty:
+            return (4, rec["round"], idx)  # shipped plan not covered
+        return (5, rec["round"], idx)
 
     names = list(specs)
     return sorted(names, key=lambda n: key(n, names.index(n)))

@@ -41,26 +41,30 @@ def test_history_parses_and_covers_registry():
 
 
 def _group(n, hist, bound, next_rnd):
-    """The r15 ordering groups (mirrors registry._record_order): (0/1)
-    unrecorded, (2) recorded at/over the rotation deadline, (3)
-    REPLANNED (record does not cover the shipped plan), (4) clean."""
+    """The r16 ordering groups (mirrors registry._record_order): (0/1)
+    unrecorded, (2) DEFERRED REPLANNED (dirty and already missed one
+    window), (3) recorded at/over the rotation deadline, (4) fresh
+    REPLANNED, (5) clean."""
     rec = hist.get(n)
     if rec is None:
         return 0
-    if next_rnd - rec["round"] >= bound:
+    dirty = rec["round"] < REPLANNED.get(n, 0)
+    if dirty and next_rnd - REPLANNED[n] >= 1:
         return 2
-    if rec["round"] < REPLANNED.get(n, 0):
+    if next_rnd - rec["round"] >= bound:
         return 3
-    return 4
+    if dirty:
+        return 4
+    return 5
 
 
-def test_order_puts_new_then_deadline_then_replanned_then_stalest():
-    """Priority proof for the r15 deadline-aware ordering: unrecorded
-    queries lead, queries AT the rotation deadline come next (skipping
-    one breaks the age bound — the one failure the ledger exists to
-    prevent), then REPLANNED entries (stale record does not cover the
-    shipped plan), then the clean block stalest-first; each recorded
-    group is itself ascending by record round."""
+def test_order_puts_new_then_deferred_dirty_then_deadline_then_stalest():
+    """Priority proof for the r16 ordering: unrecorded queries lead,
+    DEFERRED dirty REPLANNED entries next (a shipped plan the driver
+    has never hashed must not miss a second window — ADVICE r15 #4),
+    then queries at the rotation deadline, then fresh REPLANNED, then
+    the clean block stalest-first; each recorded group is itself
+    ascending by record round."""
     _ensure_loaded()
     hist = record_history()
     visible = driver_specs()
@@ -70,7 +74,7 @@ def test_order_puts_new_then_deadline_then_replanned_then_stalest():
     next_rnd = latest_round() + 1
     groups = [_group(n, hist, bound, next_rnd) for n in order]
     assert groups == sorted(groups), "ordering violates group priority"
-    for g in (2, 3, 4):
+    for g in (2, 3, 4, 5):
         rounds = [
             hist[n]["round"] for n, gg in zip(order, groups) if gg == g
         ]
@@ -95,14 +99,15 @@ def test_replanned_entries_are_live_and_self_expiring():
         )
         assert rnd <= latest_round() + 1, name
     new = [n for n in visible if n not in hist]
-    # r15 deadline-aware invariants (replaces the static 3/5 budget —
-    # that cap existed to keep deadline rotation from being starved by
-    # a big dirty set; the ordering now guarantees it structurally):
+    # r16 invariants (ADVICE r15 #4 structural fix):
     # 1. the NEXT window contains every unrecorded query AND every
-    #    query at the rotation deadline (the two non-deferrable sets);
-    # 2. every REPLANNED entry sits within the first TWO windows, so a
-    #    changed plan is re-verified within ≤2 rounds even when the
-    #    deadline block fills the current window.
+    #    DEFERRED dirty REPLANNED entry (a shipped plan the driver has
+    #    never hashed must not miss a second window);
+    # 2. deadline entries fill the remaining slots; any spill beyond
+    #    the cap is bounded by the dirty-set size and heads the NEXT
+    #    window (so the age bound degrades by at most one round, and
+    #    only in rounds whose deadline block plus dirty set overflow
+    #    the cap).
     bound = math.ceil(len(visible) / CAP)
     next_rnd = latest_round() + 1
     order = _record_order(visible)
@@ -111,12 +116,18 @@ def test_replanned_entries_are_live_and_self_expiring():
         n for n in visible
         if n in hist and next_rnd - hist[n]["round"] >= bound
     }
-    assert set(new) <= window, sorted(set(new) - window)
-    assert deadline <= window, sorted(deadline - window)
-    assert len(new) + len(deadline) <= CAP, "window cannot fit the non-deferrable sets"
-    first_two = set(order[: 2 * CAP])
     dirty = {n for n in REPLANNED if n in hist
              and hist[n]["round"] < REPLANNED[n]}
+    deferred = {n for n in dirty if next_rnd - REPLANNED[n] >= 1}
+    assert set(new) <= window, sorted(set(new) - window)
+    assert deferred <= window, sorted(deferred - window)
+    assert len(new) + len(deferred) <= CAP, (
+        "window cannot fit the non-deferrable sets"
+    )
+    spilled = deadline - window
+    assert len(spilled) <= len(deferred), sorted(spilled)
+    first_two = set(order[: 2 * CAP])
+    assert deadline <= first_two, sorted(deadline - first_two)
     assert dirty <= first_two, sorted(dirty - first_two)
 
 
@@ -132,19 +143,22 @@ def test_simulated_rotation_bounds_record_age():
     current = latest_round()
 
     def order_for(h, next_rnd):
-        # mirrors registry._record_order (deadline-aware r15 form),
-        # REPLANNED included so the simulation exercises the real
-        # ordering: entries self-expire as the simulated history
+        # mirrors registry._record_order (r16 deferred-dirty-first
+        # form), REPLANNED included so the simulation exercises the
+        # real ordering: entries self-expire as the simulated history
         # advances past their round.
         def key(n, idx):
             rec = h.get(n)
             if rec is None:
                 return (0 if visible[n].oracle is not None else 1, 0, idx)
-            if next_rnd - rec["round"] >= bound:
+            dirty = rec["round"] < REPLANNED.get(n, 0)
+            if dirty and next_rnd - REPLANNED[n] >= 1:
                 return (2, rec["round"], idx)
-            if rec["round"] < REPLANNED.get(n, 0):
+            if next_rnd - rec["round"] >= bound:
                 return (3, rec["round"], idx)
-            return (4, rec["round"], idx)
+            if dirty:
+                return (4, rec["round"], idx)
+            return (5, rec["round"], idx)
         names = list(visible)
         return sorted(names, key=lambda n: key(n, names.index(n)))
 
