@@ -55,22 +55,52 @@ from newsmaper_etl_spark.operators.sampling import sample_per_group
 MAX_INLINE_CENTERS = 256
 
 
-def _dist2(vec: Column, center: list[float]) -> Column:
-    """Squared L2 distance between an array<double> column and a
-    literal center — one zip_with + sequential fold, all in codegen."""
-    lits = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _as_double(vec_col: str) -> Column:
     """Element-wise cast to double — float32 embeddings must be widened
     BEFORE arithmetic so both engines (and both assign paths) run the
     identical double-precision ops."""
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _qcol(name: str) -> str:
+    """Backtick-quote a column name for SQL-string assembly."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _argmin_sql(vec_col: str, centers: list[list[float]]) -> str:
+    """The literal-centers argmin as ONE SQL string (r16, the r15
+    'single-parse expression assembly' technique — OPTIMIZATION_r15.md
+    Fix 5): the Column-algebra form built k·dim ``F.lit`` py4j round
+    trips PER INVOCATION (~0.2 s per assignment build at k=3, dim=64 —
+    measured in OPTIMIZATION_r16.md; kmeans_fit pays it once per
+    iteration because the centers change), where one parsed string is
+    ~6 ms. The tree is term-for-term the Column-algebra form it
+    replaces (zip_with-fold dist² + struct-least + NULL guard):
+    identical zip_with/aggregate fold,
+    identical double literals (``repr`` round-trips exactly; NaN/Inf
+    via the localrel renderer), INT cluster literals, and the same
+    least-of-(d, c)-structs tie-break with the computed-distance NULL
+    guard."""
+    from pyspark.sql import types as T
+
+    from newsmaper_etl_spark.localrel import _sql_lit
+
+    vec = f"transform({_qcol(vec_col)}, x -> CAST(x AS DOUBLE))"
+    dt = T.DoubleType()
+    structs = []
+    for j, c in enumerate(centers):
+        lits = ", ".join(_sql_lit(float(x), dt) for x in c)
+        d = (
+            f"aggregate(zip_with({vec}, array({lits}), "
+            "(a, b) -> (a - b) * (a - b)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        structs.append(f"named_struct('d', {d}, 'c', {j})")
+    arg = structs[0] if len(structs) == 1 else f"least({', '.join(structs)})"
+    return (
+        f"CAST(CASE WHEN ({arg}).d IS NULL THEN CAST(NULL AS INT) "
+        f"ELSE ({arg}).c END AS INT)"
+    )
 
 
 def kmeans_assign(
@@ -139,22 +169,14 @@ def kmeans_assign(
         )
     if len(centers) < 1:
         raise ValueError("kmeans_assign: need at least one center")
-    vecd = _as_double(vec_col)
-    structs = [
-        F.struct(_dist2(vecd, c).alias("d"), F.lit(j).alias("c"))
-        for j, c in enumerate(centers)
-    ]
-    arg = structs[0] if len(structs) == 1 else F.least(*structs)
     # Guard on the COMPUTED distance: a wholly-NULL vector, a NULL
-    # element, or a dim mismatch vs the centers all make __d2 NULL, and
-    # least() over structs ranks the NULL field SMALLEST — any such row
-    # would silently claim cluster 0. Keep it unassigned instead
-    # (ADVICE r14 #1; callers filter upstream, the fit loop's
-    # posexplode drops NULL elements).
-    cluster = F.when(
-        arg["d"].isNull(), F.lit(None).cast("int")
-    ).otherwise(arg["c"]).cast("int")
-    return df.withColumn(out_col, cluster)
+    # element, or a dim mismatch vs the centers all make the distance
+    # NULL, and least() over structs ranks the NULL field SMALLEST —
+    # any such row would silently claim cluster 0. Keep it unassigned
+    # instead (ADVICE r14 #1; callers filter upstream, the fit loop's
+    # posexplode drops NULL elements). Assembled as ONE parsed SQL
+    # string — _argmin_sql has the measured why.
+    return df.withColumn(out_col, F.expr(_argmin_sql(vec_col, centers)))
 
 
 def kmeans_fit(

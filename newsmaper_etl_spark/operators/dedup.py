@@ -104,12 +104,18 @@ def shingles_col(text_col: str, k: int = 3):
     return shingles_from_tokens(F.split(F.col(text_col), " ", -1), k)
 
 
+def _qc(name: str) -> str:
+    """Backtick-quote a column name for SQL-string assembly (ADVICE
+    r15 #3: raw interpolation breaks on backtick-bearing names)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def token_hashes_col(text_col: str):
     """Whitespace tokens → array<bigint> of xxhash64 token hashes.
     One parsed expression (Fix 5 — plan-construction latency; tree
     identical to the Column-algebra form)."""
     return F.expr(
-        f"transform(split(`{text_col}`, ' ', -1), w -> xxhash64(w))"
+        f"transform(split({_qc(text_col)}, ' ', -1), w -> xxhash64(w))"
     )
 
 
@@ -122,12 +128,12 @@ def hashed_shingles_expr(th_col: str, k: int = 3):
     shingles_col's fallback. Assembled as ONE parsed expression (Fix 5);
     the k ``element_at`` probes, sequence bounds, and fallback hash are
     the exact expressions the Column-algebra form built."""
-    args = ", ".join(f"element_at(`{th_col}`, i + {j})" for j in range(k))
+    args = ", ".join(f"element_at({_qc(th_col)}, i + {j})" for j in range(k))
     return F.expr(
-        f"CASE WHEN size(`{th_col}`) >= {k} THEN "
-        f"transform(sequence(1, size(`{th_col}`) - {k - 1}), "
+        f"CASE WHEN size({_qc(th_col)}) >= {k} THEN "
+        f"transform(sequence(1, size({_qc(th_col)}) - {k - 1}), "
         f"i -> xxhash64({args})) "
-        f"ELSE array(xxhash64(`{th_col}`)) END"
+        f"ELSE array(xxhash64({_qc(th_col)})) END"
     )
 
 
@@ -153,17 +159,21 @@ def hashed_shingles_pow2(d: DataFrame, th_col: str, k: int) -> tuple[DataFrame, 
     (df, final-level column name)."""
     if k & (k - 1) or k < 2 or k > 16:
         raise ValueError(f"k={k} (need a power of two in [2, 16])")
-    m = F.size(F.col(th_col))
+    # each level as ONE parsed SQL string (r16, the Fix-5 technique):
+    # the Column-algebra form cost ~0.14 s of py4j round trips per call
+    # (HOF lambdas are ~20 ms each to BUILD — OPTIMIZATION_r16.md),
+    # where one parse is ~2 ms; the tree (slices, greatest clamp,
+    # xxhash64 pair, level binding) is term-for-term identical
     cur, s, out = th_col, 1, d
     while s < k:
         nxt = f"__sg{2 * s}"
-        ln = F.greatest(m - F.lit(2 * s - 1), F.lit(0))
+        ln = f"greatest(size({_qc(th_col)}) - {2 * s - 1}, 0)"
         out = out.withColumn(
             nxt,
-            F.zip_with(
-                F.slice(F.col(cur), F.lit(1), ln),
-                F.slice(F.col(cur), F.lit(s + 1), ln),
-                lambda a, b: F.xxhash64(a, b),
+            F.expr(
+                f"zip_with(slice({_qc(cur)}, 1, {ln}), "
+                f"slice({_qc(cur)}, {s + 1}, {ln}), "
+                "(a, b) -> xxhash64(a, b))"
             ),
         )
         cur, s = nxt, s * 2
@@ -385,11 +395,24 @@ def connected_components(
     as pure sizing and falls through to the distributed path. The
     distributed path is the semantics-defining one; the driver path
     must match it bit-for-bit (both are tested against each other).
+
+    The probe collects through a ``coalesce(1)`` ABOVE the limit
+    (r16): a root-level limit collects via CollectLimit's incremental
+    take, which starts at ONE partition of the final stage and scales
+    up per attempt — 4-6 scheduler round-trip JOBS per probe on a
+    multi-partition edge frame (statusTracker decomposition in
+    OPTIMIZATION_r16.md), while the upstream shuffles have already
+    materialized EVERY partition, so the retries save nothing but the
+    final stage's tasks. With coalesce on top the limit is no longer
+    the root: one ordinary job runs LocalLimit → single-partition
+    exchange (≤ threshold+1 rows of two longs) → GlobalLimit, at any
+    scale.
     """
     if strategy == "auto":
         probe = [
             (r[0], r[1])
-            for r in edges.select(src, dst).limit(driver_threshold + 1).collect()
+            for r in edges.select(src, dst)
+            .limit(driver_threshold + 1).coalesce(1).collect()
         ]
         if len(probe) <= driver_threshold:
             return _cc_union_find(probe, edges, src, dst)
@@ -532,19 +555,26 @@ def minhash_dedup(
     (``checkpoint=True``, the scale default): jaccard_verify references
     it three times (member scoping, the intersection join, the
     every-pair-gets-a-verdict left join), and each reference would
-    otherwise re-run the banded self-join. The frame is
-    candidate-pair-scaled (bucket mates only), never corpus-scaled —
-    the same materialize-the-narrow-frame shape as
-    incremental_minhash_dedup's ``checkpoint``. Callers joining from an
-    already-materialized ``banded`` frame on a bounded corpus may pass
-    ``checkpoint=False``: the re-referenced subtree is then a cheap
-    join over the stored keys whose Exchange physical planning
-    deduplicates, and skipping the checkpoint saves an action."""
+    otherwise re-run the banded self-join. The checkpoint is LAZY
+    (r16, guide §1.2 — remove passes): the three references share one
+    RDD, so the FIRST job that touches it (the connected-components
+    probe on the transitive path, the final evaluation otherwise)
+    computes it once and persists it — the r15 eager form paid a whole
+    extra build-time job just to materialize the same thing earlier,
+    one of q_curate_corpus's two sanctioned-kill build jobs (VERDICT
+    r15 'do this' #3). The frame is candidate-pair-scaled (bucket
+    mates only), never corpus-scaled — the same
+    materialize-the-narrow-frame shape as incremental_minhash_dedup's
+    ``checkpoint``. Callers joining from an already-materialized
+    ``banded`` frame on a bounded corpus may pass ``checkpoint=False``:
+    the re-referenced subtree is then a cheap join over the stored
+    keys whose Exchange physical planning deduplicates, and skipping
+    the checkpoint saves the persist."""
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, k, banded=banded
     )
     if checkpoint:
-        cands = cands.localCheckpoint(eager=True)
+        cands = cands.localCheckpoint(eager=False)
     verified = jaccard_verify(df, cands, id_col, text_col, k, round_digits=None).filter(
         F.col("jaccard") >= threshold
     )
@@ -601,7 +631,9 @@ def minhash_dup_clusters(
         df, id_col, text_col, num_hashes, bands, k, banded=banded
     )
     if checkpoint:
-        cands = cands.localCheckpoint(eager=True)
+        # lazy: the CC probe (or the first evaluation) materializes it
+        # once — see minhash_dedup
+        cands = cands.localCheckpoint(eager=False)
     verified = jaccard_verify(
         df, cands, id_col, text_col, k, round_digits=None
     ).filter(F.col("jaccard") >= threshold)
@@ -768,7 +800,9 @@ def incremental_minhash_dedup(
         .distinct()
     )
     if checkpoint:
-        cands = cands.localCheckpoint(eager=True)
+        # lazy: the first consuming job materializes it once — see
+        # minhash_dedup
+        cands = cands.localCheckpoint(eager=False)
     losers = cross_corpus_losers(
         new_df, seen_df, cands, id_col, text_col, k, threshold
     )
@@ -905,11 +939,29 @@ def jaccard_verify(
 
     ``df`` is first SCOPED to the pair members (one semi-join on the
     exploded pair-id list): verification only ever needs the docs that
-    appear in a candidate pair, and the shingle pipeline below is
-    referenced FOUR times (both join sides + both size lookups) — at
-    corpus scale the unscoped form shingled the whole corpus four
-    times per verify call, the exact cost the incremental path's
-    side-split verify was built to avoid (r10)."""
+    appear in a candidate pair.
+
+    Single-pass shape (r16, guide §2.4 — the side-split form
+    :func:`cross_corpus_losers` has carried since r10, applied to the
+    self-verify): each side of every pair contributes its distinct
+    shingles as (pair, shingle) rows, the two sides meet in ONE
+    full-outer join on (pair, shingle), and per pair
+    ``|A∪B| = count(*)``, ``|A∩B| = count(both present)`` — so Jaccard
+    falls out of one aggregation. The shingle pipeline is referenced
+    TWICE (side a, side b) instead of four times (two intersection
+    sides + two size lookups), and the per-doc size aggregation, both
+    size joins, and the every-pair-gets-a-verdict left join are gone
+    outright: a pair with an empty intersection still has union rows
+    (every doc, even empty/NULL text, carries ≥1 shingle hash), so it
+    scores 0.0 instead of vanishing — same verdict contract, four
+    fewer plan subtrees (statusTracker: 4 broadcast-build jobs → 2 on
+    the recipe build; plan diff in plans/r16/). The emitted ratio is
+    bit-identical: n_inter/n_union and n_inter/(n_a+n_b−n_inter) are
+    the same integer division. Edge-case note: a pair naming an id
+    absent from ``df`` now scores 0.0 when its OTHER side exists (the
+    pre-r16 inner size joins dropped such pairs); candidate generators
+    derive pairs from ``df``, where the behaviors coincide — no
+    declared query's result moves."""
     ids = pairs.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
@@ -923,32 +975,23 @@ def jaccard_verify(
             ).alias("s"),
         )
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
-        pairs.join(a, on="id_a")
-        .join(b, on=["id_b", "s"])
+    pa = pairs.join(a, on="id_a").withColumn("__ina", F.lit(1))
+    pb = pairs.join(b, on="id_b").withColumn("__inb", F.lit(1))
+    stats = (
+        pa.join(pb, on=["id_a", "id_b", "s"], how="full")
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_union"),
+            F.count(
+                F.when((F.col("__ina") == 1) & (F.col("__inb") == 1), 1)
+            ).alias("n_inter"),
+        )
     )
-    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
-    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
-    raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    raw = F.col("n_inter") / F.col("__n_union")
     jacc = raw if round_digits is None else F.round(raw, round_digits)
-    # left join from the CANDIDATE list: a pair with an empty shingle
-    # intersection (band-hash coincidence) must score 0.0, not silently
-    # vanish — this is a verification primitive, every input pair gets
-    # a verdict row
-    return (
-        pairs.select("id_a", "id_b")
-        .join(inter, on=["id_a", "id_b"], how="left")
-        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-        .join(na, on="id_a")
-        .join(nb, on="id_b")
-        .withColumn("jaccard", jacc)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return stats.select("id_a", "id_b", jacc.alias("jaccard"))
 
 
 # --------------------------------------------------------------------------
@@ -1073,7 +1116,11 @@ def simhash_chunks(
     sig_cols = ["simhash"] if bits == 64 else ["simhash", "simhash_hi"]
     sigged = simhash(df, text_col, bits=bits).select(id_col, *sig_cols)
     if checkpoint:
-        sigged = sigged.localCheckpoint(eager=True)
+        # lazy: both self-join sides share the one checkpointed RDD, so
+        # the first evaluation computes the 64-lane signatures once and
+        # persists them — eager paid a dedicated build job for the same
+        # materialization (r16, guide §1.2)
+        sigged = sigged.localCheckpoint(eager=False)
 
     def _chunk_value(lo: int, hi: int):
         """Bits [lo, hi) of the fingerprint; for 128-bit signatures the
@@ -1623,42 +1670,50 @@ def _excise_positions(
         # runtime call instead.
         cov_agg = F.broadcast(cov_agg)
     joined = df.join(cov_agg, on=id_col, how="left")
-    toks = F.split(F.col(text_col), split_pat, -1)
-    ps = F.col("__ps")
-    n_cut = F.size(ps)
+    # The rebuild projection as TWO parsed SQL strings (r16, the Fix-5
+    # technique — ~0.26 s of py4j HOF-lambda construction per
+    # invocation before, ~4 ms parsed; the expression tree is
+    # term-for-term the Column-algebra form it replaces).
     # complement gaps of the sorted cut positions, [s, e) half-open
     # 0-based: leading [0, ps[0]), between-cuts [ps[i]+1, ps[i+1]),
     # trailing [ps[last]+1, n_tokens). Zero-length gaps slice to empty
     # arrays; flatten makes ONE copy of the survivors total (no
-    # per-iteration accumulator copying).
-    gaps = F.concat(
-        F.array(F.struct(F.lit(0).alias("s"),
-                         F.element_at(ps, 1).alias("e"))),
-        F.zip_with(
-            F.slice(ps, 1, n_cut - 1),
-            F.slice(ps, 2, n_cut - 1),
-            lambda a, b: F.struct((a + 1).alias("s"), b.alias("e")),
-        ),
-        F.array(F.struct((F.element_at(ps, -1) + 1).alias("s"),
-                         F.size(toks).alias("e"))),
+    # per-iteration accumulator copying). The split pattern and join
+    # separator are LITERALS rendered through the localrel escaper
+    # (ADVICE r15 #3 — never splice raw strings into SQL).
+    from pyspark.sql import types as T
+
+    from newsmaper_etl_spark.localrel import _sql_lit
+
+    t = _qc(text_col)
+    pat = _sql_lit(split_pat, T.StringType())
+    sep = _sql_lit(join_sep, T.StringType())
+    toks = f"split({t}, {pat}, -1)"
+    gaps = (
+        "concat("
+        "array(named_struct('s', 0, 'e', element_at(__ps, 1))), "
+        "zip_with(slice(__ps, 1, size(__ps) - 1), "
+        "slice(__ps, 2, size(__ps) - 1), "
+        "(a, b) -> named_struct('s', a + 1, 'e', b)), "
+        f"array(named_struct('s', element_at(__ps, -1) + 1, "
+        f"'e', size({toks}))))"
     )
-    kept = F.flatten(
-        F.transform(
-            gaps,
-            lambda g: F.slice(toks, g["s"] + 1,
-                              F.greatest(g["e"] - g["s"], F.lit(0))),
-        )
+    kept = (
+        f"flatten(transform({gaps}, "
+        f"g -> slice({toks}, g.s + 1, greatest(g.e - g.s, 0))))"
+    )
+    text_dedup = (
+        f"CASE WHEN {t} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN __ps IS NULL THEN {t} "
+        f"ELSE array_join({kept}, {sep}) END"
+    )
+    n_removed = (
+        "CAST(CASE WHEN __ps IS NULL THEN 0 ELSE size(__ps) END AS INT)"
     )
     return joined.select(
         F.col(id_col),
-        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-        .when(ps.isNull(), F.col(text_col))
-        .otherwise(F.array_join(kept, join_sep))
-        .alias("text_dedup"),
-        F.when(ps.isNull(), F.lit(0))
-        .otherwise(n_cut)
-        .cast("int")
-        .alias("n_removed"),
+        F.expr(text_dedup).alias("text_dedup"),
+        F.expr(n_removed).alias("n_removed"),
     )
 
 

@@ -428,6 +428,50 @@ def dsir_select_incremental(
     )
 
 
+def dsir_select_incremental_batched(
+    batches: list[DataFrame],
+    k: int,
+    *,
+    state: DataFrame | None = None,
+    logw_col: str = "logw",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Fold MANY scored batches into the running DSIR selection in ONE
+    lazy plan — observationally identical to chaining
+    :func:`dsir_select_incremental` over them, by the same
+    decomposability argument: the Gumbel key is a pure per-row function
+    under a TOTAL order (gk desc, id asc), so top-k is associative and
+    idempotent — ``topk(topk(S) ∪ topk(T)) == topk(S ∪ T)`` — and the
+    chained fold and this flattened union both equal the full-corpus
+    top-k of everything seen (equality pinned by test + the
+    q_dsir_incremental driver oracle, which literally states the
+    full-corpus form).
+
+    Why it exists (r16, guide §2.4; VERDICT r15 'do this' #5): the
+    chained fold plans each intermediate ``state`` as its own
+    sort+limit — one single-partition exchange PER BATCH, strung
+    SEQUENTIALLY (7 stages for 3 batches, each waiting on the last).
+    Here every batch reduces to its own k candidates IN PARALLEL and
+    one final sort+limit merges them: stage depth is constant in the
+    number of batches. Each batch still pays only its own top-k — the
+    per-batch candidate frames are k rows, so the union is
+    (batches·k) rows regardless of corpus size."""
+    cands = [
+        dsir_topk_state(b, k, logw_col=logw_col, id_col=id_col, seed=seed)
+        for b in batches
+    ]
+    merged = state
+    for c in cands:
+        merged = c if merged is None else merged.unionByName(c)
+    if merged is None:
+        raise ValueError("dsir_select_incremental_batched: no input")
+    return (
+        merged.orderBy(F.col("gk").desc(), F.col("id").asc())
+        .limit(int(k))
+    )
+
+
 # --------------------------------------------------------------------------
 # Linear classifier gate
 # --------------------------------------------------------------------------

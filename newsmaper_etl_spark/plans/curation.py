@@ -1263,25 +1263,36 @@ def q_dsir_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DSIR selection (operators.selection.
-    dsir_select_incremental — the _gumbel side-table composition,
-    VERDICT r14 'do this' #6): the corpus arrives as THREE batches
-    (doc_id % 3), each folded into a k-row running state exactly as
-    the streaming _gumbel index does, and the oracle states the
-    EQUIVALENCE CONTRACT literally — the FULL-corpus Gumbel top-k.
-    Exact because the Gumbel key is a pure per-row function, so
+    dsir_select_incremental_batched — the _gumbel side-table
+    composition, VERDICT r14 'do this' #6): the corpus arrives as
+    THREE batches (doc_id % 3), each reduced to its k-row candidate
+    state exactly as the streaming _gumbel index does, and the oracle
+    states the EQUIVALENCE CONTRACT literally — the FULL-corpus Gumbel
+    top-k. Exact because the Gumbel key is a pure per-row function, so
     ``topk(S ∪ T) == topk(topk(S) ∪ T)``; a fold that loses an evicted
     candidate too early, double-counts a batch, or drifts the
-    tie-break selects a different set and flips the driver hash."""
+    tie-break selects a different set and flips the driver hash. The
+    r16 batched fold (chained ≡ flattened, same identity) merges the
+    three candidate states through ONE sort+limit instead of three
+    sequential single-partition exchanges."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    state = None
-    for b in range(3):
-        batch = SEL.dsir_log_weights(
-            docs.filter(F.col("doc_id") % 3 == b),
-            _DSIR_W, missing=_DSIR_MISS,
-        )
-        state = SEL.dsir_select_incremental(batch, state, 60, seed=11)
+    # Batched fold (r16): the three per-batch candidate top-ks run in
+    # parallel and merge through ONE final sort+limit instead of three
+    # sequential single-partition exchanges — provably the same state
+    # (dsir_select_incremental_batched docstring; the oracle IS the
+    # full-corpus equivalence contract).
+    state = SEL.dsir_select_incremental_batched(
+        [
+            SEL.dsir_log_weights(
+                docs.filter(F.col("doc_id") % 3 == b),
+                _DSIR_W, missing=_DSIR_MISS,
+            )
+            for b in range(3)
+        ],
+        60, seed=11,
+    )
     return state.select(
         F.col("id").alias("doc_id"),
         (F.floor(F.lit(10000) * F.col("logw")) / 10000).alias("logw"),

@@ -1310,11 +1310,21 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
     )
-    part_total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("supp_qty").alias("total_qty")
-    )
+    # Per-part totals as a WINDOW over the per-(part, supplier) aggregate
+    # instead of a second aggregation self-joined back (r16, guide §3 /
+    # §2.4): the self-join shape re-planned the whole lineitem aggregate
+    # under BOTH join sides — two scans + two aggregations of the fact
+    # table per evaluation, plus the join's exchanges (4 jobs / 12
+    # stages by statusTracker; VERDICT r15 'do this' #6). The window
+    # consumes the ONE aggregate output (≤ |part×supp| rows, fact-scale
+    # gone) and partitions by l_partkey — never single-partition. Same
+    # math: total_qty = SUM(supp_qty) over the part's suppliers, summed
+    # in arbitrary order either way.
+    from pyspark.sql import Window
+
+    w_part = Window.partitionBy("l_partkey")
     dominant = (
-        shipped.join(part_total, F.col("l_partkey") == F.col("t_partkey"))
+        shipped.withColumn("total_qty", F.sum("supp_qty").over(w_part))
         .filter(F.col("supp_qty") > 0.15 * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()

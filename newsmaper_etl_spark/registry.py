@@ -51,13 +51,21 @@ QUERIES: dict[str, QuerySpec] = {}
 #: stalest-first order resumes; drop entries older than the rotation
 #: bound when touching this table.
 REPLANNED: dict[str, int] = {
+    # Entry value = the round of the OLDEST driver-unverified plan
+    # change (not the latest edit): the ≤2-round re-verify clock starts
+    # when the record first stopped covering the shipped plan, so a
+    # query re-planned again while already dirty keeps its original
+    # round — and with it the deferred-dirty window priority.
     # (r16 housekeeping: the 20 r15 entries the r15 driver window
     # recorded are expired and dropped; the 8 below are the r15 plan
     # changes that did NOT fit that 50-query window — VERDICT r15
-    # 'do this' #1 — and the deadline-aware ordering puts them at the
+    # 'do this' #1 — and the deferred-dirty ordering puts them at the
     # head of the r16 window.)
     # r15 BUILD plan changes (kmeans NULL guards + quantized fit
-    # fixture; fused DSIR/classifier fold — ROUND15_NOTES.md):
+    # fixture; fused DSIR/classifier fold — ROUND15_NOTES.md).
+    # q_kmeans_assign / q_cluster_balanced were re-planned AGAIN in r16
+    # (single-parse argmin, OPTIMIZATION_r16.md) — still 15 per the
+    # oldest-unverified rule:
     "q_kmeans_assign": 15,
     "q_kmeans_fit": 15,
     "q_cluster_balanced": 15,
@@ -67,6 +75,24 @@ REPLANNED: dict[str, int] = {
     # r15 OPTIMIZATION literal-frame sweep (OPTIMIZATION_r15.md Fix 2):
     "q_dsir_hashed_parity": 15,
     "q_dsir_weights_join": 15,
+    # r16 OPTIMIZATION plan changes (OPTIMIZATION_r16.md; detector =
+    # tools/plan_hashes.py, round-open tree vs shipped tree, stable
+    # across two same-tree runs): single-pass jaccard_verify
+    # (dup_clusters/minhash_dedup_planted/curate_corpus_planted),
+    # single-parse excise/shingle assembly (decontaminate/substring/
+    # paragraph family), the q20 window rewrite, and the batched DSIR
+    # fold. All oracle-rechecked green at sf0.01 before shipping.
+    "q_curate_corpus_planted": 16,
+    "q_decontaminate_spans": 16,
+    "q_dsir_incremental": 16,
+    "q_dup_clusters_planted": 16,
+    "q_minhash_dedup_planted": 16,
+    "q_paragraph_dedup": 16,
+    "q_paragraph_incremental": 16,
+    "q_substring_dedup": 16,
+    "q_substring_dedup_planted": 16,
+    "q_substring_incremental": 16,
+    "q_tpch_q20": 16,
 }
 
 #: driver per-round record budget (the driver records the first

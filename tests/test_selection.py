@@ -206,11 +206,43 @@ def test_dsir_incremental_fold_equals_full_corpus(spark):
             SEL.dsir_topk_state(scored, 25, seed=9).collect()}
     for n_batches in (2, 3, 7):
         state = None
+        batches = []
         for b in range(n_batches):
             batch = scored.filter(F.col("doc_id") % n_batches == b)
+            batches.append(batch)
             state = SEL.dsir_select_incremental(batch, state, 25, seed=9)
         got = {(r.id, r.logw) for r in state.collect()}
         assert got == full, n_batches
+        # the r16 batched fold (one union → one sort+limit) must equal
+        # the chained fold AND the full-corpus state — same total order,
+        # same candidate reduction per batch
+        flat = {
+            (r.id, r.logw)
+            for r in SEL.dsir_select_incremental_batched(
+                batches, 25, seed=9
+            ).collect()
+        }
+        assert flat == full, n_batches
+    # a prior state composes with a batched fold exactly like a chained
+    # one (the side-table shape: fold tonight's N sub-batches at once)
+    s0 = SEL.dsir_select_incremental(
+        scored.filter(F.col("doc_id") < 100), None, 25, seed=9
+    )
+    rest = [
+        scored.filter((F.col("doc_id") >= 100) & (F.col("doc_id") % 2 == p))
+        for p in (0, 1)
+    ]
+    with_state = {
+        (r.id, r.logw)
+        for r in SEL.dsir_select_incremental_batched(
+            rest, 25, state=s0, seed=9
+        ).collect()
+    }
+    assert with_state == full
+    import pytest
+
+    with pytest.raises(ValueError, match="no input"):
+        SEL.dsir_select_incremental_batched([], 25, seed=9)
 
 
 def test_dsir_topk_state_plans_take_ordered(spark):
