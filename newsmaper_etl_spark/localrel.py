@@ -62,6 +62,15 @@ def _sql_lit(v, dt: T.DataType) -> str:
         return f"CAST({'TRUE' if v else 'FALSE'} AS BOOLEAN)"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         f = float(v)
+        if isinstance(dt, T.FloatType) and not (math.isnan(f) or math.isinf(f)):
+            # pre-round to the float32 the column will hold (ADVICE r15
+            # #5): rendering the DOUBLE repr and casting decimal→float32
+            # can double-round differently from createDataFrame's
+            # double→float32 truncation on rare boundary values; the
+            # pack round-trip makes the rendered literal bit-exact
+            import struct
+
+            f = struct.unpack("f", struct.pack("f", f))[0]
         if math.isnan(f):
             return f"CAST('NaN' AS {dt.simpleString()})"
         if math.isinf(f):
@@ -100,7 +109,10 @@ def literal_df(
                 f"{len(schema.fields)}"
             )
         kv = ", ".join(
-            f"'{f.name}', {_sql_lit(v, f.dataType)}"
+            # field names through the same escaper as string values
+            # (ADVICE r15 #2: a quote-bearing name must not break or
+            # inject into the parsed expression)
+            f"{_sql_lit(f.name, T.StringType())}, {_sql_lit(v, f.dataType)}"
             for v, f in zip(row, schema.fields)
         )
         structs.append(f"named_struct({kv})")

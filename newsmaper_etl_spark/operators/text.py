@@ -79,21 +79,39 @@ def tokenize(df: DataFrame, col: str = "text", out: str = "tokens") -> DataFrame
 
 
 def token_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """Per-document token statistics, all in one projection (no shuffle)."""
-    toks = tokens_col(col)
-    n = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    """Per-document token statistics, all in one projection (no shuffle).
+
+    Assembled as parsed SQL strings (r16, the Fix-5 technique — the
+    two HOF lambdas plus the 25-literal stopword array were ~0.12 s of
+    py4j round trips per recipe build); trees, literal types
+    (INT 0 cast BIGINT accumulator, INT scale factors), and the
+    floor-scaling are term-for-term the Column-algebra form's.
+
+    floor-scaled instead of ROUND: ROUND(x, d) on a decimal tie (e.g.
+    4.475) differs between JVM (shortest-repr half-up → 4.48) and
+    engines rounding the raw binary double (4.47…). floor of an exact
+    integer-scaled quotient is bit-identical everywhere."""
+    from pyspark.sql import types as T
+
+    from newsmaper_etl_spark.localrel import _sql_lit
+
+    toks = f"split({_qcol(col)}, ' ', -1)"
+    total_len = (
+        f"aggregate({toks}, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))"
     )
-    stop_arr = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    # floor-scaled instead of ROUND: ROUND(x, d) on a decimal tie (e.g.
-    # 4.475) differs between JVM (shortest-repr half-up → 4.48) and
-    # engines rounding the raw binary double (4.47…). floor of an exact
-    # integer-scaled quotient is bit-identical everywhere.
-    return df.withColumn("n_tokens", n.cast("long")).withColumn(
-        "avg_token_len", F.floor(F.lit(100) * total_len / n) / 100
-    ).withColumn("stopword_ratio", F.floor(F.lit(10000) * n_stop / n) / 10000)
+    arr = ", ".join(_sql_lit(w, T.StringType()) for w in _ALL_STOPWORDS)
+    n_stop = f"size(filter({toks}, w -> array_contains(array({arr}), w)))"
+    return (
+        df.withColumn("n_tokens", F.expr(f"CAST(size({toks}) AS BIGINT)"))
+        .withColumn(
+            "avg_token_len",
+            F.expr(f"FLOOR(100 * {total_len} / size({toks})) / 100"),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.expr(f"FLOOR(10000 * {n_stop} / size({toks})) / 10000"),
+        )
+    )
 
 
 def language_id(
@@ -115,15 +133,25 @@ def language_id(
     # plan-construction latency paid by every recipe build —
     # OPTIMIZATION_r15.md Fix 5); the parsed expression tree, types and
     # tie-break are identical.
+    from pyspark.sql import types as T
+
+    from newsmaper_etl_spark.localrel import _sql_lit
+
     toks_sql = f"split({_qcol(col)}, ' ', -1)"
     structs = []
     for lang in sorted(STOPWORDS):
-        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        # words through the shared SQL-literal escaper (ADVICE r15 #3:
+        # STOPWORDS invites per-deployment extension, and an
+        # apostrophe-bearing word — French elisions — must not break or
+        # inject into the parsed expression); identical rendering for
+        # the current ASCII lists
+        arr = ", ".join(_sql_lit(w, T.StringType()) for w in STOPWORDS[lang])
         cnt = (
             f"size(filter({toks_sql}, w -> array_contains(array({arr}), w)))"
         )
         structs.append(
-            f"named_struct('neg', CAST(-({cnt}) AS INT), 'lang', '{lang}')"
+            f"named_struct('neg', CAST(-({cnt}) AS INT), "
+            f"'lang', {_sql_lit(lang, T.StringType())})"
         )
     best = F.expr(f"sort_array(array({', '.join(structs)}), true)[0]")
     return df.withColumn(
@@ -149,8 +177,13 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     punct_ratio = F.when(text_len > 0, n_punct / text_len).otherwise(F.lit(0.0))
     # stopword membership as ONE parsed expression — the 25-literal
     # F.array build was ~30 py4j round trips per call (Fix 5); parsed
-    # tree and values identical
-    arr = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    # tree and values identical. Words through the shared escaper
+    # (ADVICE r15 #3).
+    from pyspark.sql import types as T
+
+    from newsmaper_etl_spark.localrel import _sql_lit
+
+    arr = ", ".join(_sql_lit(w, T.StringType()) for w in _ALL_STOPWORDS)
     n_stop = F.expr(
         f"size(filter(split({_qcol(col)}, ' ', -1), "
         f"w -> array_contains(array({arr}), w)))"
@@ -173,13 +206,14 @@ def token_count_bpe(df: DataFrame, col: str = "text", out: str = "n_bpe") -> Dat
     subword (the industry rule-of-thumb for byte-pair vocabularies) —
     sum(ceil(len(w)/4)). Exact tokenizers are model-specific; pipelines
     budget with estimates like this."""
-    toks = tokens_col(col)
-    est = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)),
+    # one parsed expression (r16 Fix-5 sweep; the 4.0 divisor stays a
+    # DOUBLE literal — a bare SQL `4.0` would parse as DECIMAL and
+    # change the division/ceil types)
+    est = (
+        f"aggregate(split({_qcol(col)}, ' ', -1), CAST(0 AS BIGINT), "
+        "(acc, w) -> acc + CEIL(length(w) / CAST(4.0 AS DOUBLE)))"
     )
-    return df.withColumn(out, est)
+    return df.withColumn(out, F.expr(est))
 
 
 #: regex-path vocab bound for :func:`bpe_tokenize` — past this, the
@@ -774,16 +808,16 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
     it oracle-checkable). For adversarial dedup use minhash/simhash in
     operators/dedup.py instead.
     """
-    toks = tokens_col(col)
-    idx = F.sequence(F.lit(1), F.size(toks))
-    weighted = F.zip_with(
-        idx,
-        toks,
-        lambda i, w: i.cast("long") * (F.ascii(F.substring(w, 1, 1)) + 131 * F.length(w)),
+    # one parsed expression (r16 Fix-5 sweep); tree and types identical
+    # to the Column-algebra form (position cast BIGINT, INT weights)
+    toks = f"split({_qcol(col)}, ' ', -1)"
+    fp = (
+        f"aggregate(zip_with(sequence(1, size({toks})), {toks}, "
+        "(i, w) -> CAST(i AS BIGINT) * (ascii(substring(w, 1, 1)) "
+        "+ 131 * length(w))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
-    return df.withColumn(
-        out, F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
-    )
+    return df.withColumn(out, F.expr(fp))
 
 
 def repetition_stats(

@@ -41,14 +41,27 @@ _INSTALLED = False
 #: per-instance) because the import machinery RECREATES zipimporter
 #: instances across tasks — a per-instance stamp would re-pay the parse
 #: on every fresh instance, which is exactly the per-task cost observed.
-_DIR_CACHE: dict[str, tuple[tuple[float, int], object]] = {}
+#: Stamp = (st_mtime_ns, st_size, st_ino) — nanosecond mtime plus the
+#: inode (ADVICE r15 #1: float st_mtime could miss a same-second,
+#: same-size archive replacement; an atomic rename-replace also changes
+#: the inode). Known residual bound, same as CPython's FileFinder
+#: directory heuristic: an IN-PLACE rewrite that preserves size and
+#: lands within the filesystem's mtime granularity is not detected.
+_DIR_CACHE: dict[str, tuple[tuple[int, int, int], object]] = {}
 
 
 def install() -> None:
     """Idempotently replace ``zipimport.zipimporter.invalidate_caches``
     with a stamp-checked variant (module docstring has the measured
-    rationale). Safe to call from any process, any number of times."""
+    rationale). Safe to call from any process, any number of times.
+
+    The patch is process-global (it alters zipimport for every zip
+    import in the process, not just Spark's — ADVICE r15 #1); embedders
+    that need the stdlib behavior set ``NEWSMAPER_LAZY_ZIPIMPORT=0``
+    before importing the engine, which turns install() into a no-op."""
     global _INSTALLED
+    if os.environ.get("NEWSMAPER_LAZY_ZIPIMPORT", "1") == "0":
+        return
     if _INSTALLED or getattr(zipimport.zipimporter, "_ne_lazy_inval", False):
         _INSTALLED = True
         return
@@ -57,7 +70,7 @@ def install() -> None:
     def invalidate_caches(self):  # noqa: ANN001 — stdlib signature
         try:
             st = os.stat(self.archive)
-            stamp = (st.st_mtime, st.st_size)
+            stamp = (st.st_mtime_ns, st.st_size, st.st_ino)
         except OSError:
             _DIR_CACHE.pop(self.archive, None)
             return orig(self)
