@@ -192,3 +192,51 @@ def test_fit_switches_to_broadcast_path_past_inline_cutover(spark):
     centers = CL.kmeans_fit(df, k, iters=1, init_ids=list(range(k)))
     assert len(centers) == k
     assert centers == [[float(i)] for i in range(k)]
+
+
+def test_argmin_sql_matches_column_algebra_reference(spark):
+    """The r16 single-parse argmin (clustering._argmin_sql) must be
+    value-identical to the Column-algebra tree it replaced — same
+    zip_with/aggregate dist² fold, same least-of-(d, c) tie-break, and
+    the same computed-distance NULL guard (NULL element, wholly-NULL
+    vector, and dim-mismatch rows stay unassigned)."""
+    centers = [[0.0, 1.5], [8.0, -2.25], [8.0, -2.25]]  # dup center: tie
+    df = spark.createDataFrame(
+        [
+            (0, [0.1, 1.4]),
+            (1, [7.9, -2.0]),
+            (2, [4.0, 0.0]),        # equidistant-ish, exercises least
+            (3, [None, 1.0]),       # NULL element -> NULL cluster
+            (4, None),              # NULL vector  -> NULL cluster
+            (5, [1.0]),             # dim mismatch -> NULL cluster
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def reference(vec_col):
+        vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        structs = []
+        for j, c in enumerate(centers):
+            lits = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(vecd, lits, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+        arg = F.least(*structs)
+        return F.when(
+            arg["d"].isNull(), F.lit(None).cast("int")
+        ).otherwise(arg["c"]).cast("int")
+
+    got = {
+        r.vec_id: r.cluster
+        for r in CL.kmeans_assign(df, centers).collect()
+    }
+    want = {
+        r.vec_id: r.want
+        for r in df.withColumn("want", reference("embedding")).collect()
+    }
+    assert got == want
+    assert got[3] is None and got[4] is None and got[5] is None
+    assert got[1] == 1  # tie between clusters 1/2 breaks to the lowest
